@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable deterministic primitives.
+  *
+  * The dedup / LSH operators need hash values that the DuckDB oracle can
+  * reproduce exactly. Spark's `hash()` (Murmur3) and DuckDB's `hash()` are
+  * different algorithms, so both sides derive integers from `md5` hex
+  * prefixes instead:
+  *
+  *   Spark:  conv(substring(md5(x), 1, n), 16, 10) :: BIGINT
+  *   DuckDB: ('0x' || substring(md5(x), 1, n)) :: BIGINT
+  *
+  * 7 hex chars = 28 bits keeps products with 31-bit multipliers inside a
+  * signed 64-bit integer, so (a*h + b) mod p permutation hashing never
+  * overflows in either engine.
+  */
+object Portable {
+
+  /** 28-bit portable hash of a string column (non-negative, < 2^28). */
+  def hash28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** DuckDB SQL fragment computing the same 28-bit hash. */
+  def hash28Sql(expr: String): String =
+    s"(('0x' || substring(md5($expr), 1, 7))::BIGINT)"
+
+  /** 60-bit portable hash (fingerprinting; no arithmetic on top). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def hash60Sql(expr: String): String =
+    s"(('0x' || substring(md5($expr), 1, 15))::BIGINT)"
+
+  /** Universal-hash permutation family for MinHash: h_j(x) = (a_j*x + b_j) mod p.
+    * p = 2^31 - 1 (Mersenne prime); a odd, < 2^31. Fixed constants so Spark
+    * and the SQL oracle agree. */
+  val MinhashPrime: Long = 2147483647L
+  val MinhashPerms: Seq[(Long, Long)] = Seq(
+    (1299709L, 104729L), (15485863L, 32452843L), (49979687L, 86028121L),
+    (67867967L, 122949823L), (86028157L, 15485867L), (104395301L, 49979693L),
+    (122949829L, 67867979L), (141650939L, 86028223L))
+
+  /** Whitespace tokenization shared by all text operators. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram (shingle) array from a pre-split token-array column.
+    * Empty array when the document has fewer than n tokens.
+    *
+    * IMPORTANT: pass an *attribute* (a projected column), not
+    * `split(text, " ")` inline — `w` is referenced size+n times per element
+    * here, and inlining the split would re-tokenize the document once per
+    * reference (measured as the dominant cost of the dedup suite).
+    * CollapseProject keeps a multi-referenced non-cheap alias in its own
+    * projection, so the two-step `select(split(...)).select(shingles(...))`
+    * tokenizes exactly once per row. */
+  def shingles(w: Column, n: Int): Column =
+    // transform over 0-based offsets; get() is 0-based column indexing
+    when(size(w) >= n,
+      transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => get(w, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB fragment producing the same n-gram list from column `text`. */
+  def shinglesSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"w[i + $k]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(w) >= $n
+       | THEN list_transform(range(1, len(w) - ${n - 2}), i -> $parts)
+       | ELSE [] END""".stripMargin.replace("\n", "")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding math (SURVEY.md §7.3's
+  * "optional perf upgrade": custom `Expression` > UDF).
+  *
+  * Spark's higher-order functions (`aggregate`, `zip_with`) evaluate the
+  * lambda per element with boxed values and no whole-stage codegen — at
+  * millions of candidate pairs × 64 dims that interpretation cost dominates
+  * the plan (measured 82 s of a 133 s bench before this change). These
+  * expressions generate a tight primitive `double` loop inside whole-stage
+  * codegen instead, with an interpreted `nullSafeEval` fallback.
+  *
+  * Accumulation is sequential in element order, so results are bit-identical
+  * to the `aggregate(zip_with(...))` formulation and to the DuckDB oracle's
+  * `list_sum(list_transform(...))`.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sequential-order L2 norm of an `array<float>` column (double result). */
+case class FloatVecNorm(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VecFunctions {
+  /** Register `vec_dot`/`vec_norm` in the session's function registry so
+    * they are usable from `expr(...)` and `spark.sql(...)`. Idempotent.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => FloatVecDot(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_norm",
+      es => FloatVecNorm(es.head), "built-in")
+  }
+
+  def vecDot(spark: SparkSession, a: String, b: String): Column = {
+    register(spark); expr(s"vec_dot($a, $b)")
+  }
+  def vecNorm(spark: SparkSession, a: String): Column = {
+    register(spark); expr(s"vec_norm($a)")
+  }
+}

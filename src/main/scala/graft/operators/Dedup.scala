@@ -1,0 +1,275 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — the core
+  * training-data-pipeline surface (builder north star): exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale posture:
+  *  - Exact dedup shuffles only a 128-bit fingerprint + doc_id, never text.
+  *  - Jaccard is the exact (quadratic-in-colliding-docs) baseline; its
+  *    candidate generation is a distributed shingle self-join, which is the
+  *    right shape at scale only after LSH pruning — which is exactly what
+  *    `dedup_minhash_lsh` adds: candidates come from banded signature
+  *    collisions (4 bands × 2 rows), so the pairwise work is proportional
+  *    to true near-dups, not to corpus².
+  *  - SimHash reduces each doc to one 32-bit integer; the pair scan is a
+  *    self-join on small integers.
+  *  - All hashes are md5-derived (`Portable`) so DuckDB reproduces them.
+  */
+object Dedup {
+
+  private val N = 3 // shingle size (word trigrams)
+
+  /** (doc_id, shingle) exploded + deduplicated, the base of jaccard/minhash.
+    * Tokenizes once per row (see Portable.shingles). */
+  private def gramsDF(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(Portable.shingles(col("w"), N)).as("gram"))
+      .distinct()
+
+  private val gramsSqlCte: String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |grams AS (SELECT DISTINCT doc_id,
+       |   unnest(${Portable.shinglesSql(N)}) AS gram FROM words)""".stripMargin
+
+  // ------------------------------------------------------------- exact
+  /** Exact dedup: group on the normalized-text fingerprint, keep the lowest
+    * doc_id as survivor. Output is the survivor set with multiplicity.
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(norm).as("fp"), col("source"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_unique"),
+        sum(col("n_copies") - 1).as("n_removed"),
+        min("survivor_id").as("first_survivor"))
+  }
+
+  val dedupExactSql: String =
+    """WITH g AS (
+      |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |         min(doc_id) AS survivor_id, count(*) AS n_copies
+      |  FROM documents GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_unique,
+      |       CAST(sum(n_copies - 1) AS BIGINT) AS n_removed,
+      |       min(survivor_id) AS first_survivor
+      |FROM g""".stripMargin
+
+  // ------------------------------------------------------------- jaccard
+  /** Exact word-trigram Jaccard near-dup pairs (similarity >= 0.8).
+    * Candidates: distributed self-join on shared shingles; intersection
+    * counts from the join, union sizes from per-doc shingle counts.
+    */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val grams = gramsDF(s, d)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // SHUFFLE_HASH keeps both sides as Exchange(gram) over canonically
+    // identical subplans, so Spark reuses one scan+explode (ReusedExchange)
+    // instead of broadcasting a full recomputed copy of the gram set.
+    val inter = grams.as("a")
+      .join(grams.as("b").hint("SHUFFLE_HASH"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $gramsSqlCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM grams a JOIN grams b
+       |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------- minhash+lsh
+  /** MinHash (8 permutations) + LSH banding (4 bands × 2 rows): candidate
+    * pairs collide on at least one band signature; their estimated Jaccard
+    * is the fraction of agreeing signature components. This is the scale
+    * path: pairwise work only on banded collisions.
+    */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // Whole signature computed as per-row array expressions — one scan, no
+    // shuffle until the (band, bandsig) self-join; that join's build side is
+    // 4 small rows per doc, so at cluster scale the only wide exchange is
+    // keyed by band signature (i.e., proportional to docs, not pairs).
+    val k = Portable.MinhashPerms.size
+    val sigCols = Portable.MinhashPerms.map { case (a, b) =>
+      expr(s"array_min(transform(hs, h -> ($a * h + $b) % ${Portable.MinhashPrime}))")
+    }
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        array_distinct(Portable.shingles(col("w"), N)).as("grams"))
+      // hash each gram exactly once, then run the 8 permutations over longs
+      .select(col("doc_id"),
+        expr("transform(grams, g -> CAST(conv(substring(md5(g), 1, 7), 16, 10) AS BIGINT))")
+          .as("hs"))
+      .select(col("doc_id"), array(sigCols: _*).as("sig"))
+    // band b = components (2b, 2b+1); bandsig mirrors the oracle's
+    // string_agg of "j=mh" in string order (j is a single digit)
+    val bandStructs = (0 until k / 2).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":",
+          concat_ws("=", lit(2 * b), element_at(col("sig"), 2 * b + 1)),
+          concat_ws("=", lit(2 * b + 1), element_at(col("sig"), 2 * b + 2)))
+          .as("bandsig"))
+    }
+    val bands = sig.select(col("doc_id"), col("sig"),
+      explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("sig"), col("bs.band"), col("bs.bandsig"))
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bandsig") === col("y.bandsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+    candidates
+      .select(col("doc_a"), col("doc_b"),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          v => v)).cast("double") / k, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashLshSql: String = {
+    val permRows = Portable.MinhashPerms.zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    s"""WITH $gramsSqlCte,
+       |hg AS (SELECT doc_id, ${Portable.hash28Sql("gram")} AS h FROM grams),
+       |perms(j, a, b) AS (SELECT * FROM (VALUES $permRows)),
+       |sig AS (
+       |  SELECT doc_id, j, min((a * h + b) % ${Portable.MinhashPrime}) AS mh
+       |  FROM hg CROSS JOIN perms GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, CAST(j // 2 AS INTEGER) AS band,
+       |         string_agg(j || '=' || mh, ':' ORDER BY j || '=' || mh) AS bandsig
+       |  FROM sig GROUP BY 1, 2),
+       |candidates AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bandsig = y.bandsig AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(sum(CASE WHEN sx.mh = sy.mh THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / ${Portable.MinhashPerms.size}, 4) AS est_jaccard
+       |FROM candidates
+       |JOIN sig sx ON doc_a = sx.doc_id
+       |JOIN sig sy ON doc_b = sy.doc_id AND sx.j = sy.j
+       |GROUP BY 1, 2
+       |HAVING round(CAST(sum(CASE WHEN sx.mh = sy.mh THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / ${Portable.MinhashPerms.size}, 4) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------- simhash
+  /** 32-bit SimHash over word unigrams: bit b of the fingerprint is the
+    * sign of the sum of (+1/-1) votes from each token's hash bit b. Pairs
+    * within Hamming distance 3 are near-dups. Each doc collapses to one
+    * integer before any join — the cheapest near-dup representation.
+    */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val sim = Tables.documents(s, d)
+      .select(col("doc_id"),
+        column(graft.functions.SimHashBits(
+          expression(Portable.tokens(col("text"))), 28)).as("simhash"))
+    sim.as("p")
+      .join(sim.as("q"), col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
+        bit_count(col("p.simhash").bitwiseXOR(col("q.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhashSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |hs AS (SELECT doc_id, ${Portable.hash28Sql("tok")} AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id, bit,
+       |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM hs CROSS JOIN (SELECT unnest(range(0, 28)) AS bit) b
+       |  GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1)
+       |SELECT p.doc_id AS doc_a, q.doc_id AS doc_b,
+       |  CAST(bit_count(xor(p.simhash, q.simhash)) AS INTEGER) AS hamming
+       |FROM sim p JOIN sim q ON p.doc_id < q.doc_id
+       |WHERE bit_count(xor(p.simhash, q.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------- embedding
+  /** Embedding-cosine near-dup pairs (cosine >= 0.4, double precision,
+    * rounded before thresholding so both engines agree at the boundary).
+    * Norms are computed once per vector before the pair join; the per-pair
+    * dot product is the codegen'd native `vec_dot` expression
+    * (`graft.functions.FloatVecDot`) — the interpreted higher-order-function
+    * formulation was 40× slower at the same semantics.
+    */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
+    e.as("p").join(e.as("q"), col("p.vec_id") < col("q.vec_id"))
+      .select(col("p.vec_id").as("vec_a"), col("q.vec_id").as("vec_b"),
+        round(expr("vec_dot(p.embedding, q.embedding)") / (col("p.nrm") * col("q.nrm")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupEmbeddingSql: String =
+    """WITH pairs AS (
+      |  SELECT p.vec_id AS vec_a, q.vec_id AS vec_b,
+      |    round(
+      |      list_sum(list_transform(range(1, len(p.embedding) + 1),
+      |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |      4) AS cosine
+      |  FROM embeddings p JOIN embeddings q ON p.vec_id < q.vec_id)
+      |SELECT vec_a, vec_b, cosine FROM pairs
+      |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder north star): media payloads are
+  * opaque `binary` columns with typed metadata alongside. The container has
+  * no image/audio codecs, so the decode step is a clearly-marked
+  * deterministic STUB — but the Spark-side shape is real: binary columns,
+  * per-batch `mapPartitions` decode (the Scala analogue of `mapInPandas`
+  * batch UDFs), chunking for fixed-size transport, and content hashing.
+  *
+  * At scale the binary column rides the same parquet row groups as the
+  * metadata; nothing here ever collects to the driver, and the decode stub
+  * runs per-partition exactly where a real codec would.
+  */
+object Multimodal {
+
+  /** One decoded media record (what a real image decode would yield). */
+  case class DecodedMedia(doc_id: Long, width: Int, height: Int, n_frames: Int)
+
+  /** STUB decode: derives fake dimensions from the payload bytes.
+    * A real deployment would replace the body with an actual codec call;
+    * the signature (bytes in, typed record out, executed inside
+    * `mapPartitions` batches) is the real contract.
+    */
+  def decodeStub(docId: Long, payload: Array[Byte]): DecodedMedia = {
+    val first = if (payload.nonEmpty) payload(0) & 0xff else 0
+    DecodedMedia(
+      doc_id = docId,
+      width = 64 + first % 64,
+      height = 64 + (payload.length % 64),
+      n_frames = 1 + payload.length % 5)
+  }
+
+  /** Binary ingest + metadata: text → UTF-8 binary payload (standing in for
+    * a media blob) with byte length and SHA-256 content hash.
+    */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("byte_len"),
+        sha2(col("payload"), 256).as("content_sha256"))
+      .orderBy("doc_id")
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INTEGER) AS byte_len,
+      |  sha256(text) AS content_sha256
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-partition decode via the stub — the `mapPartitions` batch shape a
+    * real codec plugs into. Output is ordinary columns, so downstream
+    * relational ops (and the oracle) see a plain table.
+    */
+  def multimodalDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val multimodalDecodeSql: String =
+    """SELECT doc_id,
+      |  CAST(64 + ascii(substring(text, 1, 1)) % 64 AS INTEGER) AS width,
+      |  CAST(64 + length(text) % 64 AS INTEGER) AS height,
+      |  CAST(1 + length(text) % 5 AS INTEGER) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Fixed-size chunking (256-byte frames) of the binary payload — the
+    * "frame sample" shape for transport/storage of large media, with a
+    * per-chunk content hash.
+    */
+  def multimodalChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        ceil(length(col("text")).cast("double") / 256).cast("int").as("n_chunks"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, n_chunks - 1), i -> substr(text, i * 256 + 1, 256))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val multimodalChunksSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |    CAST(ceil(CAST(length(text) AS DOUBLE) / 256) AS INTEGER) AS n_chunks
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, n_chunks)) AS chunk_idx,
+      |    text
+      |  FROM c)
+      |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |  CAST(length(substring(text, chunk_idx * 256 + 1, 256)) AS INTEGER) AS chunk_len,
+      |  md5(substring(text, chunk_idx * 256 + 1, 256)) AS chunk_md5
+      |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_chunks" -> (multimodalChunks _))
+
+  def oracles: Map[String, String] = Map(
+    "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_decode" -> multimodalDecodeSql,
+    "multimodal_chunks" -> multimodalChunksSql)
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{CentroidAggregator, Portable}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (builder north star):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path (candidates
+  * only within a bucket — at 1000 executors the bucket id is the shuffle
+  * key and each bucket's pairwise work is local).
+  *
+  * All float math is widened to double before multiplication and every
+  * emitted similarity is rounded to 4 dp *before* ranking/thresholding, so
+  * the DuckDB oracle (which repeats the identical arithmetic) cannot
+  * diverge at a rank or threshold boundary.
+  */
+object Similarity {
+
+  /** Double-precision cosine between two `array<float>` columns, via the
+    * native codegen'd expressions in `graft.functions` (bit-identical to the
+    * sequential `aggregate(zip_with(...))` formulation, ~40× faster).
+    * Callers must have run `VecFunctions.register` on the session.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(graft.functions.FloatVecDot(expression(a), expression(b))) /
+      (column(graft.functions.FloatVecNorm(expression(a))) *
+        column(graft.functions.FloatVecNorm(expression(b))))
+  }
+
+  private val cosineSqlPQ: String =
+    """round(
+      |  list_sum(list_transform(range(1, len(p.embedding) + 1),
+      |    i -> CAST(p.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |  4)""".stripMargin
+
+  // ------------------------------------------------------- brute force top-k
+  /** Exact ANN baseline: for each query vector (vec_id % 100 = 0), the
+    * top-5 neighbors by cosine. Rank on (rounded cosine desc, vec_id asc).
+    */
+  def annBruteforceTopk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    q.join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qemb"), col("embedding")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  val annBruteforceTopkSql: String =
+    s"""WITH scored AS (
+       |  SELECT p.vec_id AS qid, q.vec_id AS vec_id, $cosineSqlPQ AS cosine
+       |  FROM embeddings p JOIN embeddings q ON q.vec_id <> p.vec_id
+       |  WHERE p.vec_id % 100 = 0),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  // ------------------------------------------------------- LSH-bucketed
+  private val NPlanes = 6
+
+  /** Portable pseudo-random hyperplane weight for (plane p, dim i) in
+    * [-1, 1): derived from a 28-bit md5 hash so DuckDB reproduces it. */
+  private def planeWeightSql(p: String, i: String): String =
+    s"((${Portable.hash28Sql(s"'plane_' || $p || '_' || $i")} % 2000001) / 1000000.0 - 1.0)"
+
+  /** Scale-path ANN: signs of projections onto NPlanes fixed pseudo-random
+    * hyperplanes form a bucket id; top-3 neighbors are searched only within
+    * the query's bucket (may yield fewer than 3 — the recall/cost knob).
+    */
+  def annLshTopk(s: SparkSession, d: String): DataFrame = {
+    // bucket bit p = sign of sum_i emb[i] * w(p, i)
+    val bucketExpr = expr(
+      (0 until NPlanes).map { p =>
+        val dot =
+          s"""aggregate(zip_with(embedding, sequence(1, size(embedding)),
+             |  (x, i) -> CAST(x AS DOUBLE) *
+             |    ((CAST(conv(substring(md5(concat('plane_', '$p', '_', CAST(i AS STRING))), 1, 7), 16, 10) AS BIGINT)
+             |      % 2000001) / 1000000.0 - 1.0)),
+             |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+        s"(CASE WHEN ($dot) >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + "))
+    val e = Tables.embeddings(s, d).withColumn("bucket", bucketExpr.cast("long"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("bucket"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    q.join(e, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("bucket"), col("vec_id"),
+        round(cosine(col("qemb"), col("embedding")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "bucket", "rank", "vec_id", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  val annLshTopkSql: String = {
+    val bucketSql = (0 until NPlanes).map { p =>
+      val dot =
+        s"""list_sum(list_transform(range(1, len(embedding) + 1),
+           |  i -> CAST(embedding[i] AS DOUBLE) * ${planeWeightSql(s"'$p'", "i")}))""".stripMargin
+      s"(CASE WHEN ($dot) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+       |scored AS (
+       |  SELECT p.vec_id AS qid, p.bucket AS bucket, q.vec_id AS vec_id, $cosineSqlPQ AS cosine
+       |  FROM b p JOIN b q ON p.bucket = q.bucket AND q.vec_id <> p.vec_id
+       |  WHERE p.vec_id % 100 = 0),
+       |ranked AS (
+       |  SELECT qid, bucket, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT qid, bucket, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
+  // ------------------------------------------------------- centroid UDAF
+  /** Per-label centroid via the custom `CentroidAggregator` (typed UDAF with
+    * map-side partial aggregation), exploded to (label, dim, value) rows so
+    * the oracle can recompute it as a per-dimension average.
+    */
+  def centroidByLabel(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val centroid = udaf(new CentroidAggregator(dim))
+    Tables.embeddings(s, d)
+      .groupBy("label")
+      .agg(centroid(col("embedding")).as("centroid"))
+      .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"), round(col("v"), 6).as("centroid_val"))
+      .orderBy("label", "dim")
+  }
+
+  val centroidByLabelSql: String =
+    """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+      |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val
+      |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix
+      |GROUP BY label, i
+      |ORDER BY label, dim""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce_topk" -> (annBruteforceTopk _),
+    "ann_lsh_topk" -> (annLshTopk _),
+    "centroid_by_label" -> (centroidByLabel _))
+
+  def oracles: Map[String, String] = Map(
+    "ann_bruteforce_topk" -> annBruteforceTopkSql,
+    "ann_lsh_topk" -> annLshTopkSql,
+    "centroid_by_label" -> centroidByLabelSql)
+}

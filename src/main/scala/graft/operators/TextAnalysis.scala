@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (builder north star; SURVEY.md §7.2 M4): token
+  * statistics, quality scoring, BPE-ish token counting, document
+  * fingerprinting, and an n-gram language-ID heuristic.
+  *
+  * Everything except language-ID is pure Catalyst expressions (codegen'd,
+  * no UDF), so at 100 TB these run as a single scan + narrow projection —
+  * no shuffle except the final small aggregates.
+  */
+object TextAnalysis {
+
+  // ------------------------------------------------------------- token stats
+  /** Per-document token statistics: counts, distinct counts, mean token
+    * length — all array expressions over one whitespace split.
+    */
+  def textTokenStats(s: SparkSession, d: String): DataFrame = {
+    val w = Portable.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(w).as("n_tokens"),
+        size(array_distinct(w)).as("n_distinct"),
+        length(regexp_replace(col("text"), " ", "")).as("n_nonspace_chars"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(w), 4)
+          .as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  val textTokenStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+      |  CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_nonspace_chars,
+      |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |        / len(string_split(text, ' ')), 4) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- quality
+  /** Heuristic quality score: penalize stopword density and low lexical
+    * diversity (near-duplicate vocabularies), per doc.
+    */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val w = Portable.tokens(col("text"))
+    val nTok = size(w).cast("double")
+    val stopRatio = size(filter(w, t => t === "the" || t === "a")).cast("double") / nTok
+    val dupRatio = lit(1.0) - size(array_distinct(w)).cast("double") / nTok
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(dupRatio, 4).as("dup_ratio"),
+        round(lit(1.0) - lit(0.5) * stopRatio - lit(0.3) * dupRatio, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val textQualitySql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+      |SELECT doc_id, lang,
+      |  round(CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |        / len(w), 4) AS stop_ratio,
+      |  round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS dup_ratio,
+      |  round(1.0 - 0.5 * (CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(w))
+      |            - 0.3 * (1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)), 4) AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- token count
+  /** Whitespace vs BPE-ish (regex subword) token counts, rolled up per
+    * source. The regex `[a-z]+|[0-9]+|\S` is a stand-in for a BPE
+    * pre-tokenizer's coarse split.
+    */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("source"),
+        size(Portable.tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0)))
+          .cast("long").as("bpe_tokens"))
+      .groupBy("source")
+      .agg(
+        sum("ws_tokens").as("sum_ws_tokens"),
+        sum("bpe_tokens").as("sum_bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  val tokenCountSql: String =
+    """SELECT source,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S'))) AS BIGINT) AS sum_bpe_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------- fingerprint
+  /** Content-defined fingerprint: md5 of the whitespace-normalized,
+    * lowercased text. Grouping by it is the scalable exact-dedup key (the
+    * fingerprint, not the full text, is what shuffles).
+    */
+  def textFingerprint(s: SparkSession, d: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(norm).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+      .orderBy("min_doc_id")
+  }
+
+  val textFingerprintSql: String =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(doc_id) AS min_doc_id
+      |FROM documents GROUP BY 1 ORDER BY min_doc_id""".stripMargin
+
+  // ------------------------------------------------------------- language id
+  /** Character-bigram language-ID heuristic. Profiles are fixed constants
+    * (top bigrams of seed phrases per language); the document's bigram set
+    * is scored against each profile and the argmax wins, ties broken
+    * alphabetically. Pure Catalyst expressions — no UDF — but the profile
+    * constants make it awkward as portable SQL, so it is ScalaTest-checked
+    * (rows-only oracle) rather than DuckDB-checked.
+    */
+  private val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+    "de" -> Seq("en", "er", "ch", "de", "ei", "ie", "in", "te", "nd", "ge"),
+    "es" -> Seq("de", "en", "os", "es", "la", "ar", "el", "ra", "as", "do"),
+    "fr" -> Seq("es", "le", "de", "en", "re", "nt", "on", "er", "ou", "ai"),
+    "zh" -> Seq("sh", "zh", "ng", "ia", "ua", "ao", "ei", "ou", "an", "en"))
+
+  def textLangId(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("stripped", regexp_replace(col("text"), " ", ""))
+      .withColumn("bigrams", array_distinct(
+        expr("transform(sequence(1, greatest(length(stripped) - 1, 1))," +
+          " i -> substr(stripped, i, 2))")))
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
+      struct(
+        size(array_intersect(col("bigrams"), array(prof.map(lit): _*))).as("score"),
+        lit(lang).as("plang"))
+    }
+    docs
+      // struct greatest = field-wise compare: highest score wins, ties break
+      // to the alphabetically largest language — deterministic either way
+      .withColumn("best", greatest(scored: _*))
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        col("best.plang").as("predicted_lang"),
+        col("best.score").as("score"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> (textTokenStats _),
+    "text_quality" -> (textQuality _),
+    "token_count" -> (tokenCount _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_langid" -> (textLangId _))
+
+  def oracles: Map[String, String] = Map(
+    "text_token_stats" -> textTokenStatsSql,
+    "text_quality" -> textQualitySql,
+    "token_count" -> tokenCountSql,
+    "text_fingerprint" -> textFingerprintSql)
+}

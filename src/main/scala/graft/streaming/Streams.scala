@@ -1,0 +1,134 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming rebuild of the reference's two pipelines
+  * (SURVEY.md §3 EP1/EP2) plus exact Beam trigger/pane parity (§7.4.1).
+  *
+  * Batch/stream unification: these transforms are plain `DataFrame =>
+  * DataFrame` functions (the reference's `PTransform` idiom, O12) and run
+  * identically on a batch frame or a `readStream` frame — Beam's unified
+  * model, natively.
+  */
+object Streams {
+
+  /** Demo1 (`Demo1.java:52-72`): JSON payload → typed record with derived
+    * `processing_time`, malformed input dropped (from_json yields NULL),
+    * pipeline continues. Input needs a string column `payload`.
+    */
+  def demo1ParseEtl(messages: DataFrame): DataFrame =
+    messages
+      .select(from_json(col("payload"), Tables.wireSchema).as("m"))
+      .filter(col("m").isNotNull && col("m.event_time").isNotNull)
+      .select(
+        timestamp_seconds(col("m.event_time")).as("event_time"),
+        current_timestamp().as("processing_time"),
+        col("m.user_id"),
+        col("m.click"))
+
+  /** Demo2 (`Demo2.java:136-160`): event-time 1-minute tumbling windows,
+    * per-(window,user) counts. The single `withWatermark` delay folds Beam's
+    * allowed timestamp skew (1 min, `Demo2.java:138`) and allowed lateness
+    * (1 min, `Demo2.java:156`) into their conservative union of 2 minutes
+    * (SURVEY.md §7.4.2). In Append mode the pane fires exactly when the
+    * watermark passes the window end — Beam's `AfterWatermark` main firing.
+    * Input: a frame with `event_time: timestamp` and `user_id`.
+    */
+  def demo2WindowedCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .withWatermark("event_time", "2 minutes")
+      .groupBy(window(col("event_time"), "1 minute"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("cnt"))
+
+  // ------------------------------------------------------------- late panes
+
+  case class Msg(event_time: Timestamp, user_id: Int)
+  case class Pane(window_start: Timestamp, user_id: Int, cnt: Long, pane: String)
+  case class PaneState(buffered: Long, fired: Boolean)
+
+  private val WindowMs = 60000L
+  private val HorizonMs = 2 * 60000L // = the 2-minute watermark delay
+
+  /** Exact Beam trigger parity (O7/O9, `Demo2.java:153-157`):
+    * `AfterWatermark.pastEndOfWindow().withLateFirings(...)` with
+    * *discarding* fired panes, which neither Append (fires once) nor Update
+    * (cumulative) mode reproduces.
+    *
+    * Timescale mapping: Spark's watermark (delayed by the 2-minute horizon)
+    * plays the role of Beam's *allowed-lateness* bound — rows older than it
+    * are dropped before this function runs, exactly Beam's late-data drop.
+    * Beam's (undelayed) watermark is therefore `spark watermark + horizon`,
+    * so the on-time firing "Beam watermark passes the window end" becomes an
+    * event-time timer at `windowEnd - horizon` on Spark's timescale. Late
+    * events — in the window but after its on-time firing, within the
+    * horizon — still pass Spark's row filter and produce immediate
+    * delta-only LATE panes (discarding semantics, `Demo2.java:157`). State
+    * is GC'd when the Spark watermark itself passes the window end (no row
+    * for the window can survive the filter after that).
+    */
+  def latePanes(parsed: Dataset[Msg]): Dataset[Pane] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed
+      .withWatermark("event_time", "2 minutes")
+      .groupByKey(m => (m.user_id, m.event_time.getTime / WindowMs * WindowMs))
+      .flatMapGroupsWithState[PaneState, Pane](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((uid, wstart), events, state: GroupState[PaneState]) =>
+          val windowEnd = wstart + WindowMs
+          val fireAt = windowEnd - HorizonMs // Beam watermark = spark wm + horizon
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (!st.fired) {
+              // Beam watermark passed the window end: main on-time firing
+              val out = Iterator.single(Pane(new Timestamp(wstart), uid, st.buffered, "ON_TIME"))
+              if (state.getCurrentWatermarkMs() < windowEnd) {
+                state.update(PaneState(0L, fired = true))
+                state.setTimeoutTimestamp(windowEnd) // GC when rows can no longer arrive
+              } else state.remove()
+              out
+            } else {
+              state.remove() // lateness horizon passed: GC
+              Iterator.empty
+            }
+          } else {
+            val n = events.size.toLong
+            val alreadyFired = state.exists && state.get.fired
+            if (alreadyFired) {
+              // after the on-time pane: immediate late firing, delta only
+              Iterator.single(Pane(new Timestamp(wstart), uid, n, "LATE"))
+            } else if (state.getCurrentWatermarkMs() >= fireAt) {
+              // first data arrived after the Beam watermark already passed the
+              // window end (empty on-time pane): emit as a late delta pane
+              state.update(PaneState(0L, fired = true))
+              state.setTimeoutTimestamp(windowEnd)
+              Iterator.single(Pane(new Timestamp(wstart), uid, n, "LATE"))
+            } else {
+              // before the on-time firing: buffer and arm the firing timer
+              val prev = state.getOption.map(_.buffered).getOrElse(0L)
+              state.update(PaneState(prev + n, fired = false))
+              state.setTimeoutTimestamp(fireAt)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** Streaming sink parity (O11): at-least-once append achieved with
+    * checkpointing + an append-mode file sink; `foreachBatch` variant for
+    * idempotent (batch-id keyed) writes. Returns the started query.
+    */
+  def appendToParquet(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column ↔ Expression conversions, so
+  * graft's native Catalyst expressions (`graft.functions.FloatVecDot`, …)
+  * can be exposed through the public `Column` API. Standard pattern for
+  * Spark extension libraries; no Spark internals are modified.
+  */
+object GraftBridge {
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}

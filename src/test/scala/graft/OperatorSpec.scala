@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator sanity at sf0.001 (SURVEY.md §5 item 1). Exact-value
+  * correctness is the driver's DuckDB oracle (scripts/check.py locally);
+  * here: every registered query runs, plus targeted semantic assertions
+  * for the non-SQL-expressible ones.
+  */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query executes at sf0.001") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try { fn(spark, sf).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every oracle name has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("approx_count_distinct within 10% of exact (HLL contract)") {
+    val rows = operators.Relational.approxDistinct(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.10, s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("langid predicts only known languages, deterministic") {
+    val rows = operators.TextAnalysis.textLangId(spark, sf).collect()
+    val langs = Set("de", "en", "es", "fr", "zh")
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(langs.contains(r.getAs[String]("predicted_lang"))))
+    val again = operators.TextAnalysis.textLangId(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("near-dup detectors find the planted duplicates consistently") {
+    val jacc = operators.Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(jacc.nonEmpty, "expected planted near-dups at jaccard >= 0.8")
+    jacc.foreach { case (a, b) => assert(a < b) }
+    // LSH candidates at est >= 0.5 must cover the true pairs at >= 0.8
+    val lsh = operators.Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val recall = jacc.count(lsh.contains).toDouble / jacc.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${jacc.size} true pairs")
+  }
+
+  test("ann topk: 5 ranked neighbors per query, self excluded") {
+    val rows = operators.Similarity.annBruteforceTopk(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (qid, rs) =>
+      assert(qid % 100 == 0)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+      rs.foreach(r => assert(r.getAs[Long]("vec_id") != qid))
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "descending")
+    }
+  }
+
+  test("multimodal decode stub: plumbing yields plausible typed metadata") {
+    val rows = operators.Multimodal.multimodalDecode(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      assert(w >= 64 && w < 128); assert(h >= 64 && h < 128)
+      assert(r.getAs[Int]("n_frames") >= 1 && r.getAs[Int]("n_frames") <= 5)
+    }
+  }
+
+  test("centroid aggregator matches per-dimension average (UDAF contract)") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Similarity.centroidByLabel(spark, sf)
+      .filter(col("label") === 0 && col("dim") === 0).collect()
+    val expected = Tables.embeddings(spark, sf)
+      .filter(col("label") === 0)
+      .select(round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("v"))
+      .collect()(0).getAs[Double]("v")
+    assert(got.length == 1)
+    assert(math.abs(got(0).getAs[Double]("centroid_val") - expected) < 1e-9)
+  }
+}

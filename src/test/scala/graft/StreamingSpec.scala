@@ -1,0 +1,119 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Msg, Pane}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Streaming-semantics tests (SURVEY.md §5 item 3): the reference
+  * publisher's canonical scenario (3 users × 10 messages, 10 s apart —
+  * `utils/message_publisher.py:113-116`) plus deliberately-late events
+  * inside and beyond the skew+lateness horizon.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("demo1: malformed JSON is dropped, pipeline continues (O2)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = Streams.demo1ParseEtl(in.toDF().withColumnRenamed("value", "payload"))
+    val q = out.writeStream.format("memory").queryName("demo1_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        """{"event_time": 1704100000, "user_id": 1000, "click": 1}""",
+        """not json at all""",
+        """{"event_time": 1704100010, "user_id": 1001, "click": 1}""",
+        """{"garbage": true}""")
+      q.processAllAvailable()
+      val rows = spark.table("demo1_out").collect()
+      assert(rows.length == 2) // 2 parsed, 2 dropped (no exception thrown)
+      val uids = rows.map(_.getAs[Int]("user_id")).toSet
+      assert(uids == Set(1000, 1001))
+      assert(rows.forall(_.getAs[Timestamp]("processing_time") != null))
+    } finally q.stop()
+  }
+
+  test("demo2: windowed counts fire on watermark, per publisher scenario (O5-O10)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Msg]
+    val out = Streams.demo2WindowedCounts(in.toDF())
+    val q = out.writeStream.format("memory").queryName("demo2_out")
+      .outputMode("append").start()
+    try {
+      // 3 users × 10 messages, 10 s apart: 10:00:00 .. 10:01:30
+      val base = ts("2024-01-01 10:00:00").getTime
+      val msgs = for {
+        uid <- Seq(1000, 1001, 1002)
+        i <- 0 until 10
+      } yield Msg(new Timestamp(base + i * 10000L), uid)
+      in.addData(msgs)
+      q.processAllAvailable()
+      // advance the watermark past both windows: 10:05 - 2 min = 10:03
+      in.addData(Msg(ts("2024-01-01 10:05:00"), 9999))
+      q.processAllAvailable()
+      in.addData(Msg(ts("2024-01-01 10:05:01"), 9999))
+      q.processAllAvailable()
+      val rows = spark.table("demo2_out")
+        .collect().map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[Int]("user_id"), r.getAs[Long]("cnt")))
+      for (uid <- Seq(1000, 1001, 1002)) {
+        // [10:00,10:01): events at 0..50 s → 6; [10:01,10:02): 60..90 s → 4
+        assert(rows.contains(("2024-01-01 10:00:00.0", uid, 6L)), s"on-time window uid=$uid")
+        assert(rows.contains(("2024-01-01 10:01:00.0", uid, 4L)), s"second window uid=$uid")
+      }
+    } finally q.stop()
+  }
+
+  test("late panes: ON_TIME at watermark, LATE delta within horizon, drop beyond (O7/O9)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Msg]
+    val out = Streams.latePanes(in.toDS())
+    val q = out.writeStream.format("memory").queryName("panes_out")
+      .outputMode("append").start()
+    try {
+      // window W = [10:00, 10:01) for user 1
+      in.addData(Msg(ts("2024-01-01 10:00:05"), 1), Msg(ts("2024-01-01 10:00:15"), 1),
+        Msg(ts("2024-01-01 10:02:00"), 99)) // Beam wm → 10:02 > W end
+      q.processAllAvailable()
+      // next batch lets the ON_TIME timer fire (spark wm now 10:00:00)
+      in.addData(Msg(ts("2024-01-01 10:02:01"), 99))
+      q.processAllAvailable()
+      // late event inside the horizon (10:00:30 >= spark wm): LATE delta pane
+      in.addData(Msg(ts("2024-01-01 10:00:30"), 1))
+      q.processAllAvailable()
+      // push spark wm past W end (10:03:30 - 2m = 10:01:30): W is GC'd
+      in.addData(Msg(ts("2024-01-01 10:03:30"), 99))
+      q.processAllAvailable()
+      // beyond-horizon event: dropped silently
+      in.addData(Msg(ts("2024-01-01 10:00:45"), 1))
+      q.processAllAvailable()
+      in.addData(Msg(ts("2024-01-01 10:03:31"), 99))
+      q.processAllAvailable()
+
+      val panes = spark.table("panes_out").as[Pane].collect()
+        .filter(_.user_id == 1)
+        .map(p => (p.window_start.toString, p.cnt, p.pane)).toList.sorted
+      assert(panes == List(
+        ("2024-01-01 10:00:00.0", 1L, "LATE"),
+        ("2024-01-01 10:00:00.0", 2L, "ON_TIME")),
+        s"got $panes")
+    } finally q.stop()
+  }
+
+  test("batch/stream unification: demo2 transform works on a batch frame (O12)") {
+    import spark.implicits._
+    val batch = Seq(
+      Msg(ts("2024-01-01 10:00:05"), 1), Msg(ts("2024-01-01 10:00:15"), 1),
+      Msg(ts("2024-01-01 10:01:05"), 1)).toDF()
+    val out = Streams.demo2WindowedCounts(batch).collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[Long]("cnt"))).toSet
+    assert(out == Set(("2024-01-01 10:00:00.0", 2L), ("2024-01-01 10:01:00.0", 1L)))
+  }
+}
