@@ -318,6 +318,31 @@ object Relational {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY orderstatus, orderpriority""".stripMargin
 
+  /** GROUPING SETS through the SQL entry point (`spark.sql` over a temp
+    * view) — same Catalyst Expand-based plan as rollup/cube, exercising the
+    * engine's SQL surface alongside the DataFrame API.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    li(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   // ---------------------------------------------------------------- scalar fns
   def stringFuncs(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
@@ -461,6 +486,7 @@ object Relational {
     "approx_distinct" -> (approxDistinct _),
     "setops" -> (setOps _),
     "window_rank" -> (windowRank _),
+    "grouping_sets" -> (groupingSets _),
     "rollup_sales" -> (rollupSales _),
     "cube_sales" -> (cubeSales _),
     "string_funcs" -> (stringFuncs _),
@@ -481,6 +507,7 @@ object Relational {
     "distinct_agg" -> distinctAggSql,
     "setops" -> setOpsSql,
     "window_rank" -> windowRankSql,
+    "grouping_sets" -> groupingSetsSql,
     "rollup_sales" -> rollupSalesSql,
     "cube_sales" -> cubeSalesSql,
     "string_funcs" -> stringFuncsSql,

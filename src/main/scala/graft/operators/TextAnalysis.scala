@@ -116,6 +116,32 @@ object TextAnalysis {
       |  min(doc_id) AS min_doc_id
       |FROM documents GROUP BY 1 ORDER BY min_doc_id""".stripMargin
 
+  // ------------------------------------------------------------- rolling hash
+  /** Polynomial rolling hash (base 31 mod 2^31−1) of the document text,
+    * implemented as a plain Scala `udf` — the deliberate UDF-surface
+    * coverage (SURVEY.md §2.2 last row). The DuckDB oracle replays the same
+    * fold with `list_reduce`, proving the UDF's semantics are reproducible.
+    */
+  private val rollingHash = udf { (text: String) =>
+    var h = 0L
+    var i = 0
+    while (i < text.length) { h = (h * 31 + text.charAt(i).toLong) % 2147483647L; i += 1 }
+    h
+  }
+
+  def textRollingHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), rollingHash(col("text")).as("rhash"))
+      .orderBy("doc_id")
+
+  val textRollingHashSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT,
+      |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+      |    (acc, x) -> (acc * 31 + x) % 2147483647) AS rhash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- language id
   /** Character-bigram language-ID heuristic. Profiles are fixed constants
     * (top bigrams of seed phrases per language); the document's bigram set
@@ -158,11 +184,13 @@ object TextAnalysis {
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_rolling_hash" -> (textRollingHash _),
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
     "text_token_stats" -> textTokenStatsSql,
     "text_quality" -> textQualitySql,
     "token_count" -> tokenCountSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_rolling_hash" -> textRollingHashSql)
 }

@@ -1,0 +1,38 @@
+package graft.plans
+
+import graft.functions.{FloatVecDot, FloatVecNorm, SimHashBits}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session extension registering graft's native Catalyst expressions as SQL
+  * functions, so a deployment can enable the whole library with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` and write
+  * `SELECT vec_dot(a.embedding, b.embedding)` from plain SQL.
+  *
+  * This is the full extent of planner customization the engine needs:
+  * SURVEY.md §4's audit found every reference operator maps to Catalyst
+  * built-ins (no custom Rule/Strategy required), so the extension surface
+  * is deliberately limited to function injection.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => FloatVecDot(es.head, es(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[FloatVecNorm].getName, "vec_norm"),
+      (es: Seq[Expression]) => FloatVecNorm(es.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHashBits].getName, "simhash"),
+      (es: Seq[Expression]) => es match {
+        case Seq(arr) => SimHashBits(arr, 28)
+        case Seq(arr, Literal(bits: Int, _)) => SimHashBits(arr, bits)
+        case other => SimHashBits(other.head, 28)
+      }))
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Source/sink surface tests (SURVEY.md §2.2 rows "Scans / sources",
+  * "Sinks", "File formats").
+  */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  test("json lines source: declared schema, corrupt records dropped") {
+    val dir = Files.createTempDirectory("graft_json").toFile
+    val f = new java.io.File(dir, "data.json")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"event_time": 1704100000, "user_id": 1000, "click": 1}""")
+    w.println("""this is not json""")
+    w.println("""{"event_time": 1704100010, "user_id": 1001, "click": 0}""")
+    w.close()
+    val df = Sources.jsonLines(spark, f.getAbsolutePath, Tables.wireSchema)
+    val good = df.filter(col("user_id").isNotNull)
+    assert(good.count() == 2)
+    assert(df.schema == Tables.wireSchema)
+  }
+
+  test("csv source round-trip with declared schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val orders = Tables.orders(spark, sf).limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    orders.write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    val back = Sources.csv(spark, dir, schema)
+    assert(back.count() == 100)
+    assert(back.agg(sum("o_totalprice")).collect()(0).getDouble(0) ===
+      orders.agg(sum("o_totalprice")).collect()(0).getDouble(0))
+  }
+
+  test("file-stream source + parquet append sink (O1 + O11 streaming path)") {
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    // drop a json file into the watched dir, then start the stream
+    val w = new java.io.PrintWriter(s"$in/batch1.json")
+    (1 to 5).foreach(i => w.println(s"""{"event_time": ${1704100000 + i}, "user_id": $i, "click": 1}"""))
+    w.close()
+    val stream = Sources.fileStream(spark, in, Tables.wireSchema)
+      .withColumn("event_ts", timestamp_seconds(col("event_time")))
+    val q = graft.streaming.Streams.appendToParquet(stream, outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val result = spark.read.parquet(outDir)
+    assert(result.count() == 5)
+    assert(result.columns.contains("event_ts"))
+  }
+
+  test("rate source produces monotonically increasing synthetic rows (O15)") {
+    val q = Sources.rate(spark, 100)
+      .writeStream.format("memory").queryName("rate_out").start()
+    try {
+      Thread.sleep(1500)
+      q.processAllAvailable()
+    } finally q.stop()
+    val vals = spark.table("rate_out").collect().map(_.getAs[Long]("value"))
+    assert(vals.nonEmpty)
+    assert(vals.sorted.toSeq == (vals.min to vals.max))
+  }
+
+  test("foreachBatch idempotent sink: batch ids enable exactly-once writes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val seen = scala.collection.mutable.Map[Long, Long]()
+    val in = MemoryStream[Int]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // idempotence hook: skip already-committed batch ids
+        if (!seen.contains(id)) seen(id) = batch.count()
+        ()
+      }
+      .start()
+    try {
+      in.addData(1, 2, 3); q.processAllAvailable()
+      in.addData(4, 5); q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.values.sum == 5)
+    assert(seen.keys.toSet.size == seen.size, "each batch id committed once")
+  }
+
+  test("GraftExtensions: native functions callable from plain SQL") {
+    import org.apache.spark.sql.SparkSession
+    val _ = spark // ensure the shared context exists first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    // getOrCreate returns the existing session (and skips extensions) unless
+    // the default/active session is cleared; the SparkContext is reused
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = try SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      // same registration a deployment gets from
+      // spark.sql.extensions=graft.plans.GraftExtensions (static conf —
+      // must go through withExtensions here because the context is reused)
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+    val got = s2.sql(
+      """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       vec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
+        |       simhash(array('the', 'quick', 'fox')) AS sh""".stripMargin)
+      .collect()(0)
+    assert(got.getAs[Double]("d") == 11.0)
+    assert(got.getAs[Double]("n") == 5.0)
+    assert(got.getAs[Long]("sh") >= 0L && got.getAs[Long]("sh") < (1L << 28))
+  }
+
+  private implicit class DoubleOps(a: Double) {
+    def ===(b: Double): Boolean = math.abs(a - b) < 1e-6
+  }
+}
