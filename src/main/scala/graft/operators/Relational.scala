@@ -432,6 +432,36 @@ object Relational {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Map-typed columns: parse `events.props` into a `map<string,string>`
+    * and use map functions (keys, lookup) — completes the "Array / map fns"
+    * row of SURVEY.md §2.2 alongside the array ops in the embedding suite.
+    */
+  def mapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)).as("m"))
+      .select(col("event_type"),
+        map_keys(col("m")).as("ks"),
+        element_at(col("m"), "k").cast("long").as("kv"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min(expr("ks[0]")).as("first_key"),
+        max(size(col("ks"))).as("max_n_keys"),
+        sum("kv").as("sum_k"))
+      .orderBy("event_type")
+
+  val mapFuncsSql: String =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  min(json_keys(props)[1]) AS first_key,
+      |  CAST(max(len(json_keys(props))) AS INTEGER) AS max_n_keys,
+      |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def caseBuckets(s: SparkSession, d: String): DataFrame =
     ord(s, d)
       .select(
@@ -493,6 +523,7 @@ object Relational {
     "date_funcs" -> (dateFuncs _),
     "math_funcs" -> (mathFuncs _),
     "json_funcs" -> (jsonFuncs _),
+    "map_funcs" -> (mapFuncs _),
     "case_buckets" -> (caseBuckets _),
     "agg_stats" -> (aggStats _))
 
@@ -514,6 +545,7 @@ object Relational {
     "date_funcs" -> dateFuncsSql,
     "math_funcs" -> mathFuncsSql,
     "json_funcs" -> jsonFuncsSql,
+    "map_funcs" -> mapFuncsSql,
     "case_buckets" -> caseBucketsSql,
     "agg_stats" -> aggStatsSql)
 }
