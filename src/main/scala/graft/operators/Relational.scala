@@ -481,6 +481,26 @@ object Relational {
       |  round(avg(o_totalprice), 2) AS avg_price
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`); the approximate-sketch sibling is
+    * `percentile_approx` inside `approxDistinct`-style rows-only checks.
+    */
+  def percentileExact(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      .orderBy("l_returnflag")
+
+  val percentileExactSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+      |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def aggStats(s: SparkSession, d: String): DataFrame =
     li(s, d)
       .groupBy("l_linestatus")
@@ -525,6 +545,7 @@ object Relational {
     "json_funcs" -> (jsonFuncs _),
     "map_funcs" -> (mapFuncs _),
     "case_buckets" -> (caseBuckets _),
+    "percentile_exact" -> (percentileExact _),
     "agg_stats" -> (aggStats _))
 
   def oracles: Map[String, String] = Map(
@@ -547,5 +568,6 @@ object Relational {
     "json_funcs" -> jsonFuncsSql,
     "map_funcs" -> mapFuncsSql,
     "case_buckets" -> caseBucketsSql,
+    "percentile_exact" -> percentileExactSql,
     "agg_stats" -> aggStatsSql)
 }

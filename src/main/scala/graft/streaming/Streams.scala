@@ -119,6 +119,23 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup (the training-pipeline counterpart of
+    * `Dedup.dedupExact`): state keyed by the id columns, bounded by the
+    * watermark — duplicates arriving within the horizon are dropped, state
+    * for ids older than the watermark is GC'd. At 100 TB/day the state
+    * footprint is bounded by horizon × arrival rate, not corpus size.
+    */
+  def streamingDedup(df: DataFrame, watermarkCol: String, delay: String,
+      idCols: Seq[String]): DataFrame =
+    df.withWatermark(watermarkCol, delay)
+      .dropDuplicates(idCols :+ watermarkCol)
+
+  // Beam's *accumulating* pane semantics (`accumulatingFiredPanes`) are the
+  // same demo2WindowedCounts plan written with .outputMode("update"): every
+  // batch re-emits the updated cumulative count for touched windows —
+  // exercised in StreamingSpec; `latePanes` covers the reference's
+  // *discarding* variant.
+
   /** Streaming sink parity (O11): at-least-once append achieved with
     * checkpointing + an append-mode file sink; `foreachBatch` variant for
     * idempotent (batch-id keyed) writes. Returns the started query.

@@ -1,0 +1,98 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Msg
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Deeper streaming semantics: accumulating (Update-mode) panes, streaming
+  * dedup, and stream↔batch result parity on the real events fixture.
+  */
+class StreamingParitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("update mode = Beam accumulating panes: re-emits growing counts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Msg]
+    val q = Streams.demo2WindowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("demo2_upd")
+      .outputMode("update").start()
+    try {
+      in.addData(Msg(ts("2024-01-01 10:00:05"), 1), Msg(ts("2024-01-01 10:00:15"), 1))
+      q.processAllAvailable()
+      in.addData(Msg(ts("2024-01-01 10:00:30"), 1))
+      q.processAllAvailable()
+      val counts = spark.table("demo2_upd")
+        .filter(col("user_id") === 1).collect().map(_.getAs[Long]("cnt")).sorted
+      // pane 1: count 2; pane 2 (same window, accumulating): count 3
+      assert(counts.toSeq == Seq(2L, 3L), s"got ${counts.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops within-horizon duplicates, keeps state bounded") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    case class Ev(ts: Timestamp, event_id: Long)
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "event_id")
+    val q = Streams.streamingDedup(df, "ts", "10 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:01"), 2L))
+      q.processAllAvailable()
+      // duplicate id 1 within the horizon: dropped
+      in.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:05"), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("stream replay of the events fixture matches the batch flagship result") {
+    // Stream the sf0.001 events parquet through the same transform used by
+    // the batch flagship; in append mode only windows the final watermark
+    // passed are emitted — those must match the batch result exactly.
+    val batchEvents = Tables.events(spark, sf)
+    // the file source wants a directory; stage the fixture file into one
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_replay")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = graft.sources.Sources.parquetStream(
+        spark, stageDir.toString,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .select("event_time", "user_id")
+    val q = Streams.demo2WindowedCounts(stream)
+      .writeStream.format("memory").queryName("parity_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val maxTs = batchEvents.agg(max("ts")).collect()(0).getTimestamp(0).getTime
+    val horizonMs = 2 * 60000L
+    val batch = graft.operators.BeamParity.demo2WindowCount(spark, sf)
+      // keep windows whose end the final watermark passed
+      .filter((col("window_start_s") + 60) * 1000 <= lit(maxTs - horizonMs))
+      .collect().map(r => (r.getAs[Long]("window_start_s"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("cnt"))).toSet
+    val streamed = spark.table("parity_out").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").getTime / 1000,
+        r.getAs[Long]("user_id"), r.getAs[Long]("cnt"))).toSet
+    assert(batch.nonEmpty)
+    assert(batch.subsetOf(streamed),
+      s"batch windows missing from stream: ${(batch -- streamed).take(5)}")
+  }
+}
