@@ -130,6 +130,75 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  // ------------------------------------------------------- IVF
+  private val IvfCells = 8
+
+  /** IVF-style ANN: vectors are assigned to the coarse cell whose centroid
+    * they are most cosine-similar to; queries search only their own cell.
+    * Centroids here are the first `IvfCells` vectors — a deterministic
+    * stand-in for a trained k-means codebook (training would be a separate
+    * offline job at scale; the *serving* shape — broadcast centroids, one
+    * narrow assignment pass, shuffle keyed by cell — is what this operator
+    * demonstrates). Assignment and ranking use rounded similarities so the
+    * DuckDB oracle agrees at every argmax boundary.
+    */
+  def annIvfTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = e.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        round(expr("vec_dot(embedding, cemb)") / (col("nrm") * col("cnrm")), 6).as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("cell"))
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    q.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("cell"), col("vec_id"),
+        round(expr("vec_dot(qemb, embedding)") / (col("qnrm") * col("nrm")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select("qid", "cell", "rank", "vec_id", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  val annIvfTopkSql: String = {
+    val cosPC =
+      """round(
+        |  list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |    i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(c.cemb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |  6)""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $IvfCells),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT v.vec_id, v.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY $cosPC DESC, c.cid) AS arn
+       |    FROM embeddings v CROSS JOIN cents c)
+       |  WHERE arn = 1),
+       |scored AS (
+       |  SELECT p.vec_id AS qid, p.cell AS cell, q.vec_id AS vec_id, $cosineSqlPQ AS cosine
+       |  FROM assigned p JOIN assigned q ON p.cell = q.cell AND q.vec_id <> p.vec_id
+       |  WHERE p.vec_id % 100 = 0),
+       |ranked AS (
+       |  SELECT qid, cell, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT qid, cell, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   // ------------------------------------------------------- centroid UDAF
   /** Per-label centroid via the custom `CentroidAggregator` (typed UDAF with
     * map-side partial aggregation), exploded to (label, dim, value) rows so
@@ -156,10 +225,12 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_ivf_topk" -> (annIvfTopk _),
     "centroid_by_label" -> (centroidByLabel _))
 
   def oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> annBruteforceTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
+    "ann_ivf_topk" -> annIvfTopkSql,
     "centroid_by_label" -> centroidByLabelSql)
 }

@@ -8,16 +8,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 /** Session extension registering graft's native Catalyst expressions as SQL
   * functions, so a deployment can enable the whole library with
   * `spark.sql.extensions=graft.plans.GraftExtensions` and write
-  * `SELECT vec_dot(a.embedding, b.embedding)` from plain SQL.
+  * `SELECT vec_dot(a.embedding, b.embedding)` from plain SQL — plus the
+  * [[VecFusionRule]] optimizer rule that rewrites hand-written
+  * `aggregate(zip_with(...))` dot products onto the native fast path.
   *
   * This is the full extent of planner customization the engine needs:
   * SURVEY.md §4's audit found every reference operator maps to Catalyst
-  * built-ins (no custom Rule/Strategy required), so the extension surface
-  * is deliberately limited to function injection.
+  * built-ins (no custom Strategy/SparkPlan required), so the extension
+  * surface is deliberately limited to function injection and one
+  * optimization rule.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => VecFusionRule)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

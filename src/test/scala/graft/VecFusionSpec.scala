@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The VecFusion optimizer rule: declarative HOF dot products are rewritten
+  * to the native expression, with identical results.
+  */
+class VecFusionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val extSession: SparkSession = {
+    val _ = spark
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-vecfusion-test")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  private def hofDot = aggregate(
+    zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+    lit(0.0), (acc, v) => acc + v)
+
+  test("rule rewrites aggregate(zip_with(*)) over float arrays to vec_dot") {
+    // parquet-backed input so constant folding can't evaluate the whole
+    // expression away before we inspect the optimized plan
+    val e = Tables.embeddings(extSession, SparkTestSession.sf)
+    val df = e.as("p").join(e.as("q"), col("p.vec_id") < col("q.vec_id"))
+      .select(col("p.embedding").as("a"), col("q.embedding").as("b"))
+      .select(hofDot.as("d"))
+    val optimized = df.queryExecution.optimizedPlan
+    val fused = optimized.expressions.exists(_.exists(
+      _.isInstanceOf[graft.functions.FloatVecDot]))
+    assert(fused, s"expected FloatVecDot in:\n$optimized")
+    // spot value: dot of a vector with itself = |v|^2 > 0
+    import extSession.implicits._
+    val self = Seq(0).toDF("z").crossJoin(e.limit(1))
+      .select(col("embedding").as("a"), col("embedding").as("b"))
+      .select(hofDot.as("d")).collect()(0).getDouble(0)
+    assert(self > 0.0)
+  }
+
+  test("rule leaves non-matching shapes alone (double arrays, different fold)") {
+    import extSession.implicits._
+    // double arrays: not the float fast-path shape — must stay a HOF plan
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    val fused = df.queryExecution.optimizedPlan.expressions.exists(_.exists(
+      _.isInstanceOf[graft.functions.FloatVecDot]))
+    assert(!fused)
+    assert(df.collect()(0).getDouble(0) == 11.0)
+  }
+
+  test("fused and unfused agree on fixture embeddings") {
+    val e = Tables.embeddings(extSession, SparkTestSession.sf).limit(50)
+    val pairs = e.as("p").join(e.as("q"),
+      col("p.vec_id") === col("q.vec_id") - 1)
+      .select(col("p.embedding").as("a"), col("q.embedding").as("b"))
+    val fused = pairs.select(round(hofDot, 9).as("d")) // rule rewrites this
+      .collect().map(_.getDouble(0)).toSeq
+    // reference: same arithmetic on the no-extensions session
+    val pairsRef = {
+      val er = Tables.embeddings(spark, SparkTestSession.sf).limit(50)
+      er.as("p").join(er.as("q"), col("p.vec_id") === col("q.vec_id") - 1)
+        .select(col("p.embedding").as("a"), col("q.embedding").as("b"))
+        .select(round(hofDot, 9).as("d")).collect().map(_.getDouble(0)).toSeq
+    }
+    assert(fused == pairsRef)
+  }
+}
