@@ -106,13 +106,65 @@ object Multimodal {
       |  md5(substring(text, chunk_idx * 256 + 1, 256)) AS chunk_md5
       |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** STUB feature extraction: an 8-dim pseudo-embedding from the payload's
+    * leading bytes (a real model would replace the arithmetic; the batch
+    * iterator shape and `array<float>` output schema are the contract).
+    * Bridges the multimodal path into the similarity operators — the
+    * emitted column is directly consumable by `vec_dot`/ANN.
+    */
+  def featureStub(payload: Array[Byte]): Array[Float] = {
+    val dim = 8
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      // raw byte values: integers <= 255 are exact in float32, so all
+      // downstream double math is bit-identical to the SQL oracle's
+      out(i) = (if (i < payload.length) (payload(i) & 0xff) else 0).toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Per-partition feature extraction over binary payloads, then an L2 norm
+    * via the native `vec_norm` expression — decode→embed→vector-math, the
+    * full multimodal pipeline shape, with every step distributed.
+    */
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VecFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, featureStub(bytes)) })
+      .toDF("doc_id", "feature")
+      .select(col("doc_id"),
+        round(element_at(col("feature"), 1).cast("double") / 255.0, 6).as("f0"),
+        round(expr("vec_norm(feature)"), 6).as("fnorm"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalFeaturesSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, 9),
+      |      i -> CASE WHEN i <= length(text)
+      |                THEN CAST(ascii(substring(text, CAST(i AS INTEGER), 1)) AS DOUBLE)
+      |                ELSE 0.0 END) AS feature
+      |  FROM documents)
+      |SELECT doc_id,
+      |  round(feature[1] / 255.0, 6) AS f0,
+      |  round(sqrt(list_sum(list_transform(feature, x -> x * x))), 6) AS fnorm
+      |FROM f ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
-    "multimodal_chunks" -> (multimodalChunks _))
+    "multimodal_chunks" -> (multimodalChunks _),
+    "multimodal_features" -> (multimodalFeatures _))
 
   def oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_decode" -> multimodalDecodeSql,
-    "multimodal_chunks" -> multimodalChunksSql)
+    "multimodal_chunks" -> multimodalChunksSql,
+    "multimodal_features" -> multimodalFeaturesSql)
 }

@@ -523,6 +523,49 @@ object Relational {
       |  round(max(l_extendedprice), 2) AS max_price
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** Pivot (wide aggregation): per-user event counts spread over event-type
+    * columns. Values are pinned so the output schema is static — at scale a
+    * dynamic pivot would force an extra distinct-values job.
+    */
+  def pivotEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+      |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+      |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+      |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Unpivot (melt): yearly order metrics back to long form. */
+  def unpivotMetrics(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum("o_totalprice"), 2).as("sum_price"),
+        count(lit(1)).cast("double").as("n_orders"))
+      .unpivot(Array(col("o_year")), Array(col("sum_price"), col("n_orders")),
+        "metric", "value")
+      .orderBy("o_year", "metric")
+
+  val unpivotMetricsSql: String =
+    """WITH y AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    round(sum(o_totalprice), 2) AS sum_price,
+      |    CAST(count(*) AS DOUBLE) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT o_year, 'sum_price' AS metric, sum_price AS value FROM y
+      |UNION ALL
+      |SELECT o_year, 'n_orders' AS metric, n_orders AS value FROM y
+      |ORDER BY o_year, metric""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -546,6 +589,8 @@ object Relational {
     "map_funcs" -> (mapFuncs _),
     "case_buckets" -> (caseBuckets _),
     "percentile_exact" -> (percentileExact _),
+    "pivot_events" -> (pivotEvents _),
+    "unpivot_metrics" -> (unpivotMetrics _),
     "agg_stats" -> (aggStats _))
 
   def oracles: Map[String, String] = Map(
@@ -569,5 +614,7 @@ object Relational {
     "map_funcs" -> mapFuncsSql,
     "case_buckets" -> caseBucketsSql,
     "percentile_exact" -> percentileExactSql,
+    "pivot_events" -> pivotEventsSql,
+    "unpivot_metrics" -> unpivotMetricsSql,
     "agg_stats" -> aggStatsSql)
 }
