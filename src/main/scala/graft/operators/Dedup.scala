@@ -71,22 +71,20 @@ object Dedup {
     * counts from the join, union sizes from per-doc shingle counts.
     */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val grams = gramsDF(s, d)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // SHUFFLE_HASH keeps both sides as Exchange(gram) over canonically
-    // identical subplans, so Spark reuses one scan+explode (ReusedExchange)
-    // instead of broadcasting a full recomputed copy of the gram set.
-    val inter = grams.as("a")
-      .join(grams.as("b").hint("SHUFFLE_HASH"),
+    // per-doc shingle-set size rides along via a window on the same lineage
+    // (no separate `sizes` subplan — that formulation scanned documents four
+    // times; this one scans twice, once per self-join side).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val grams = gramsDF(s, d).withColumn("n", count(lit(1)).over(w))
+    grams.as("a")
+      .join(grams.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter")), 4).as("jaccard"))
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
   }

@@ -523,6 +523,31 @@ object Relational {
       |  round(max(l_extendedprice), 2) AS max_price
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** Scalar subqueries through the SQL surface — one uncorrelated (global
+    * average threshold) and one correlated (per-order line average, which
+    * Catalyst decorrelates into a join; SURVEY.md §4's "subquery
+    * decorrelation" row).
+    */
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    ord(s, d).createOrReplaceTempView("orders_v")
+    li(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |  round((SELECT avg(l.l_quantity) FROM lineitem_v l
+        |         WHERE l.l_orderkey = o.o_orderkey), 4) AS avg_line_qty
+        |FROM orders_v o
+        |WHERE o.o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders_v)
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  val scalarSubquerySql: String =
+    """SELECT o.o_orderkey, o.o_totalprice,
+      |  round((SELECT avg(l.l_quantity) FROM lineitem l
+      |         WHERE l.l_orderkey = o.o_orderkey), 4) AS avg_line_qty
+      |FROM orders o
+      |WHERE o.o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+      |ORDER BY o.o_orderkey""".stripMargin
+
   /** Pivot (wide aggregation): per-user event counts spread over event-type
     * columns. Values are pinned so the output schema is static — at scale a
     * dynamic pivot would force an extra distinct-values job.
@@ -589,6 +614,7 @@ object Relational {
     "map_funcs" -> (mapFuncs _),
     "case_buckets" -> (caseBuckets _),
     "percentile_exact" -> (percentileExact _),
+    "scalar_subquery" -> (scalarSubquery _),
     "pivot_events" -> (pivotEvents _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "agg_stats" -> (aggStats _))
@@ -614,6 +640,7 @@ object Relational {
     "map_funcs" -> mapFuncsSql,
     "case_buckets" -> caseBucketsSql,
     "percentile_exact" -> percentileExactSql,
+    "scalar_subquery" -> scalarSubquerySql,
     "pivot_events" -> pivotEventsSql,
     "unpivot_metrics" -> unpivotMetricsSql,
     "agg_stats" -> aggStatsSql)

@@ -26,8 +26,12 @@ object Profile {
     if (doExplain) fn(spark, sfDir).explain("formatted")
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val n = df.count()
       println(f"[profile] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      if (i == 1 && args.contains("--explain-final"))
+        // post-execution adaptive plan (shows runtime stage/exchange reuse)
+        println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }
