@@ -37,4 +37,34 @@ class PublisherSpec extends AnyFunSuite {
     assert(raw.count() == 30)
     assert(raw.agg(sum("click")).collect()(0).getLong(0) == 30L)
   }
+
+  test("Demo1/Demo2 pipeline mains: publisher → file stream → parquet sink") {
+    val in = java.nio.file.Files.createTempDirectory("graft_demo_in").toString
+    val end = java.time.Instant.parse("2024-01-01T10:01:30Z").getEpochSecond
+    Publisher.publish(in, Seq(1000, 1001, 1002), 10, end)
+
+    val out1 = java.nio.file.Files.createTempDirectory("graft_demo1_out").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_demo1_ck").toString
+    val q1 = graft.tools.Demo1.build(spark, in, out1, ck1)
+    try q1.processAllAvailable() finally q1.stop()
+    val d1 = spark.read.parquet(out1)
+    assert(d1.count() == 30)
+    assert(d1.columns.toSet ==
+      Set("event_time", "processing_time", "user_id", "click"))
+
+    val out2 = java.nio.file.Files.createTempDirectory("graft_demo2_out").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_demo2_ck").toString
+    val q2 = graft.tools.Demo2.build(spark, in, out2, ck2)
+    try q2.processAllAvailable() finally q2.stop()
+    // append mode: with a single batch the watermark never advances past the
+    // window ends, so the sink may legitimately be empty — drop a second,
+    // later file to advance the watermark and drain again
+    Publisher.publish(in, Seq(1000), 1, end + 600)
+    val q2b = graft.tools.Demo2.build(spark, in, out2, ck2)
+    try q2b.processAllAvailable() finally q2b.stop()
+    val d2 = spark.read.parquet(out2)
+    val counts = d2.collect().map(r => (r.getAs[Int]("user_id"), r.getAs[Long]("cnt")))
+    assert(counts.count { case (u, c) => u >= 1000 && u <= 1002 && c == 6L } == 3,
+      s"expected three 6-count windows, got ${counts.toSeq}")
+  }
 }
