@@ -78,19 +78,29 @@ object Similarity {
   private def planeWeightSql(p: String, i: String): String =
     s"((${Portable.hash28Sql(s"'plane_' || $p || '_' || $i")} % 2000001) / 1000000.0 - 1.0)"
 
+  /** The md5-derived weight for (plane, dim) computed driver-side — same
+    * value the oracle derives in SQL, but evaluated 384 times at plan-build
+    * instead of ~768k times per pass inside a per-row lambda. */
+  private def planeWeight(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane_${p}_$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(7)
+    (java.lang.Long.parseLong(hex, 16) % 2000001L) / 1000000.0 - 1.0
+  }
+
   /** Scale-path ANN: signs of projections onto NPlanes fixed pseudo-random
     * hyperplanes form a bucket id; top-3 neighbors are searched only within
     * the query's bucket (may yield fewer than 3 — the recall/cost knob).
     */
   def annLshTopk(s: SparkSession, d: String): DataFrame = {
-    // bucket bit p = sign of sum_i emb[i] * w(p, i)
+    // bucket bit p = sign of sum_i emb[i] * w(p, i); weights are literal
+    // arrays (pure constants), so the per-row work is one fold per plane
     val bucketExpr = expr(
       (0 until NPlanes).map { p =>
+        val weights = (1 to 64).map(i => planeWeight(p, i)).mkString(", ")
         val dot =
-          s"""aggregate(zip_with(embedding, sequence(1, size(embedding)),
-             |  (x, i) -> CAST(x AS DOUBLE) *
-             |    ((CAST(conv(substring(md5(concat('plane_', '$p', '_', CAST(i AS STRING))), 1, 7), 16, 10) AS BIGINT)
-             |      % 2000001) / 1000000.0 - 1.0)),
+          s"""aggregate(zip_with(embedding, array($weights),
+             |  (x, w) -> CAST(x AS DOUBLE) * w),
              |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
         s"(CASE WHEN ($dot) >= 0 THEN ${1 << p} ELSE 0 END)"
       }.mkString(" + "))

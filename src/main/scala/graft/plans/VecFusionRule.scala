@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, FloatVecNorm}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -48,6 +48,13 @@ object VecFusionRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** x cast to double and squared (x*x). */
+  private def isCastSquare(e: Expression, x: NamedLambdaVariable): Boolean = e match {
+    case Multiply(Cast(ex, DoubleType, _, _), Cast(ey, DoubleType, _, _), _) =>
+      isVar(ex, x) && isVar(ey, x)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
@@ -58,5 +65,14 @@ object VecFusionRule extends Rule[LogicalPlan] {
           if isFloatArray(l) && isFloatArray(r) &&
             isCastProduct(prod, x, y) && isSum(merge, acc, v) && isVar(fin, facc) =>
         FloatVecDot(l, r)
+      // sqrt(aggregate(transform(a, x -> double(x)*double(x)), 0.0, +)) = vec_norm(a)
+      case Sqrt(ArrayAggregate(
+            ArrayTransform(a, LambdaFunction(sq, Seq(x: NamedLambdaVariable), _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(merge, Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+            LambdaFunction(fin, Seq(facc: NamedLambdaVariable), _)))
+          if isFloatArray(a) && isCastSquare(sq, x) &&
+            isSum(merge, acc, v) && isVar(fin, facc) =>
+        FloatVecNorm(a)
     }
 }

@@ -51,6 +51,18 @@ class VecFusionSpec extends AnyFunSuite {
     assert(self > 0.0)
   }
 
+  test("rule rewrites sqrt(aggregate(transform(x*x))) to vec_norm") {
+    val hofNorm = sqrt(aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val df = Tables.embeddings(extSession, SparkTestSession.sf)
+      .select(hofNorm.as("n"))
+    val fused = df.queryExecution.optimizedPlan.expressions.exists(_.exists(
+      _.isInstanceOf[graft.functions.FloatVecNorm]))
+    assert(fused, s"expected FloatVecNorm in:\n${df.queryExecution.optimizedPlan}")
+    assert(df.collect().forall(_.getDouble(0) > 0.0))
+  }
+
   test("rule leaves non-matching shapes alone (double arrays, different fold)") {
     import extSession.implicits._
     // double arrays: not the float fast-path shape — must stay a HOF plan
