@@ -45,7 +45,7 @@ object Dedup {
   def dedupExact(s: SparkSession, d: String): DataFrame = {
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
     Tables.documents(s, d)
-      .select(col("doc_id"), md5(norm).as("fp"), col("source"))
+      .select(col("doc_id"), md5(norm).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
       .groupBy()

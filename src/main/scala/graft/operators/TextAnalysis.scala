@@ -45,29 +45,43 @@ object TextAnalysis {
   // ------------------------------------------------------------- quality
   /** Heuristic quality score: penalize stopword density and low lexical
     * diversity (near-duplicate vocabularies), per doc.
+    *
+    * Metrics are emitted as integer basis points via integer division
+    * (quality_bp = (10n − 5·stop − 3·(n−distinct))·10⁴ ÷ 10n): the ratios
+    * here are exact rationals that can land precisely on a `x.xxxx5`
+    * rounding tie, where Spark (HALF_UP on the binary expansion) and
+    * DuckDB (scale-multiply + ties-to-even) legitimately disagree —
+    * integer arithmetic removes rounding semantics from the contract
+    * entirely (this bit once in 15 000 values at sf0.1 before the change).
     */
   def textQuality(s: SparkSession, d: String): DataFrame = {
     val w = Portable.tokens(col("text"))
-    val nTok = size(w).cast("double")
-    val stopRatio = size(filter(w, t => t === "the" || t === "a")).cast("double") / nTok
-    val dupRatio = lit(1.0) - size(array_distinct(w)).cast("double") / nTok
+    val nTok = size(w).cast("long")
+    val nStop = size(filter(w, t => t === "the" || t === "a")).cast("long")
+    val nDist = size(array_distinct(w)).cast("long")
     Tables.documents(s, d)
       .select(
         col("doc_id"), col("lang"),
-        round(stopRatio, 4).as("stop_ratio"),
-        round(dupRatio, 4).as("dup_ratio"),
-        round(lit(1.0) - lit(0.5) * stopRatio - lit(0.3) * dupRatio, 4).as("quality"))
+        (nStop * 10000L).as("sn"), nTok.as("n"), nStop.as("nstop"), nDist.as("ndist"))
+      .select(
+        col("doc_id"), col("lang"),
+        expr("sn div n").as("stop_bp"),
+        expr("((n - ndist) * 10000) div n").as("dup_bp"),
+        expr("((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) div (10 * n)").as("quality_bp"))
       .orderBy("doc_id")
   }
 
   val textQualitySql: String =
-    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) AS n,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS nstop,
+      |    len(list_distinct(string_split(text, ' '))) AS ndist
+      |  FROM documents)
       |SELECT doc_id, lang,
-      |  round(CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS DOUBLE)
-      |        / len(w), 4) AS stop_ratio,
-      |  round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS dup_ratio,
-      |  round(1.0 - 0.5 * (CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(w))
-      |            - 0.3 * (1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)), 4) AS quality
+      |  CAST((nstop * 10000) // n AS BIGINT) AS stop_bp,
+      |  CAST(((n - ndist) * 10000) // n AS BIGINT) AS dup_bp,
+      |  CAST(((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) // (10 * n) AS BIGINT) AS quality_bp
       |FROM t ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- token count
@@ -142,6 +156,30 @@ object TextAnalysis {
       |    (acc, x) -> (acc * 31 + x) % 2147483647) AS rhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- edit distance
+  /** Edit-distance near-dup over short strings (part names): pairs within
+    * Levenshtein distance 2, blocked by key range to bound the pair count
+    * (at scale the blocking key would be a fingerprint prefix).
+    */
+  def textEditDistance(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).filter(col("p_partkey") < 300)
+      .select(col("p_partkey"), col("p_name"))
+    p.as("a").join(p.as("b"), col("a.p_partkey") < col("b.p_partkey"))
+      .select(
+        col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"))
+      .filter(col("edit_dist") <= 2)
+      .orderBy("key_a", "key_b")
+  }
+
+  val textEditDistanceSql: String =
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+      |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      |WHERE a.p_partkey < 300 AND b.p_partkey < 300
+      |  AND levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY key_a, key_b""".stripMargin
+
   // ------------------------------------------------------------- language id
   /** Character-bigram language-ID heuristic. Profiles are fixed constants
     * (top bigrams of seed phrases per language); the document's bigram set
@@ -185,6 +223,7 @@ object TextAnalysis {
     "token_count" -> (tokenCount _),
     "text_fingerprint" -> (textFingerprint _),
     "text_rolling_hash" -> (textRollingHash _),
+    "text_edit_distance" -> (textEditDistance _),
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
@@ -192,5 +231,6 @@ object TextAnalysis {
     "text_quality" -> textQualitySql,
     "token_count" -> tokenCountSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_rolling_hash" -> textRollingHashSql)
+    "text_rolling_hash" -> textRollingHashSql,
+    "text_edit_distance" -> textEditDistanceSql)
 }
