@@ -55,6 +55,45 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("demo2 state on RocksDB state store: same results, scalable state") {
+    // HDFS-backed state store holds state in executor heap; RocksDB spills
+    // to local disk — the provider a 100 TB streaming job would run with.
+    // Same transform, same results, only the provider conf differs.
+    import org.apache.spark.sql.SparkSession
+    import spark.implicits._
+    val _ = spark
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = try SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-rocksdb-test")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+    implicit val ctx = s2.sqlContext
+    val in = MemoryStream[Msg]
+    val q = Streams.demo2WindowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("demo2_rocks")
+      .outputMode("update").start()
+    try {
+      in.addData(Msg(ts("2024-01-01 10:00:05"), 1), Msg(ts("2024-01-01 10:00:15"), 1))
+      q.processAllAvailable()
+      in.addData(Msg(ts("2024-01-01 10:00:30"), 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = s2.table("demo2_rocks")
+      .filter(col("user_id") === 1).collect().map(_.getAs[Long]("cnt")).sorted
+    assert(counts.toSeq == Seq(2L, 3L), s"got ${counts.toSeq}")
+  }
+
   test("stream replay of the events fixture matches the batch flagship result") {
     // Stream the sf0.001 events parquet through the same transform used by
     // the batch flagship; in append mode only windows the final watermark
