@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join shapes Spark has no dedicated operator for, composed from
+  * built-ins the scalable way (builder prompt preference order (a):
+  * compose existing ops):
+  *
+  *  - **Range join, binned**: a naive |t1−t2| ≤ δ theta join is a nested
+  *    loop (O(n·m)); binning the time axis to δ-sized buckets turns it into
+  *    an equi-join on the bucket id (each left row probes its 3 candidate
+  *    buckets), which shuffles by bucket and scales linearly.
+  *  - **As-of join**: "latest prior event" via union-tag + running-window
+  *    max — one sort-based window per key, no join at all.
+  */
+object TemporalJoins {
+
+  /** For each error event, the number of click events within ±60 s, via
+    * minute-binning: each error probes bins {b−1, b, b+1}; a click lives in
+    * exactly one bin, so each qualifying pair matches exactly once.
+    */
+  def rangeJoinBinned(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("es"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("es"),
+        explode(array(
+          (col("es") / 60).cast("long") - 1,
+          (col("es") / 60).cast("long"),
+          (col("es") / 60).cast("long") + 1)).as("bin"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("es").as("cs"), (col("es") / 60).cast("long").as("bin"))
+    errors.join(clicks, Seq("bin"))
+      .filter(abs(col("cs") - col("es")) <= 60)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_nearby_clicks"))
+      .orderBy("event_id")
+  }
+
+  val rangeJoinBinnedSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |  FROM events),
+      |errors AS (
+      |  SELECT event_id, es, unnest([es // 60 - 1, es // 60, es // 60 + 1]) AS bin
+      |  FROM ev WHERE event_type = 'error'),
+      |clicks AS (
+      |  SELECT es AS cs, es // 60 AS bin FROM ev WHERE event_type = 'click')
+      |SELECT e.event_id, CAST(count(*) AS BIGINT) AS n_nearby_clicks
+      |FROM errors e JOIN clicks c ON e.bin = c.bin
+      |WHERE abs(c.cs - e.es) <= 60
+      |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
+
+  /** As-of join: for each purchase, the epoch of the same user's latest
+    * signup at or before it (NULL if none) — a running windowed max over
+    * the union, ordered by (ts, event_id) so both engines tie-break
+    * identically.
+    */
+  def asofLatestPrior(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+    val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_signup_s",
+        max(when(col("event_type") === "signup", col("es"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "last_signup_s")
+      .orderBy("event_id")
+  }
+
+  val asofLatestPriorSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |  FROM events WHERE event_type IN ('purchase', 'signup'))
+      |SELECT event_id, user_id, last_signup_s FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    max(CASE WHEN event_type = 'signup' THEN es END)
+      |      OVER (PARTITION BY user_id ORDER BY es, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_s
+      |  FROM ev)
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_join_binned" -> (rangeJoinBinned _),
+    "asof_latest_prior" -> (asofLatestPrior _))
+
+  def oracles: Map[String, String] = Map(
+    "range_join_binned" -> rangeJoinBinnedSql,
+    "asof_latest_prior" -> asofLatestPriorSql)
+}
