@@ -22,7 +22,8 @@ object Similarity {
   /** Double-precision cosine between two `array<float>` columns, via the
     * native codegen'd expressions in `graft.functions` (bit-identical to the
     * sequential `aggregate(zip_with(...))` formulation, ~40× faster).
-    * Callers must have run `VecFunctions.register` on the session.
+    * Builds the expressions directly through `GraftBridge` — no session
+    * registration needed.
     */
   def cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
