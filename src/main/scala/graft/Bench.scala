@@ -22,19 +22,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def pass(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+    // A failed query is reported as -1 sec and listed in `failed` — never
+    // silently folded into a normal-looking wall time.
+    def pass(): (Map[String, Double], List[String]) = {
+      val failed = List.newBuilder[String]
+      val times = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"bench: query $name FAILED: $e")
+            failed += name
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-    val cold = pass()
-    val warm = pass()
+      (times, failed.result())
+    }
+    val (cold, coldFailed) = pass()
+    val (warm, warmFailed) = pass()
     val qs = warm.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (warm.nonEmpty) warm.values.sum else 0.0
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    val failed = (coldFailed ++ warmFailed).distinct.sorted
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (warm.nonEmpty) warm.values.filter(_ >= 0).sum else 0.0
+    val coldTotal = if (cold.nonEmpty) cold.values.filter(_ >= 0).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"failed":$failedJson,"sf":"$sfDir"}""")
+    if (failed.nonEmpty) System.err.println(s"bench: ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()
   }
 }

@@ -27,13 +27,28 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  /** Null semantics match `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, +)`
+    * exactly: unequal lengths → NULL (zip_with pads the shorter side with
+    * nulls, which poison the sum), and any null element → NULL. This keeps
+    * [[graft.plans.VecFusionRule]]'s rewrite observationally equivalent for
+    * every input, not just well-formed embeddings.
+    */
+  override def nullable: Boolean = true
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -45,13 +60,24 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // Per-element null checks compile away when the schema says
+      // containsNull = false (the embeddings fast path).
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -60,12 +86,22 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Sequential-order L2 norm of an `array<float>` column (double result). */
+/** Sequential-order L2 norm of an `array<float>` column (double result).
+  * A null element yields NULL, matching
+  * `sqrt(aggregate(transform(a, x -> x*x), 0.0, +))` null propagation.
+  */
 case class FloatVecNorm(child: Expression)
     extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm"
+
+  override def nullable: Boolean = true
+
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -73,6 +109,7 @@ case class FloatVecNorm(child: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i)) return null
       val v = x.getFloat(i).toDouble
       acc += v * v
       i += 1
@@ -86,14 +123,18 @@ case class FloatVecNorm(child: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val v = ctx.freshName("v")
+      val nullCheck =
+        if (elemNullable) s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $v = (double) $a.getFloat($i);
          |  $acc += $v * $v;
          |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
+         |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($acc); }
        """.stripMargin
     })
 
@@ -107,10 +148,14 @@ object VecFunctions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot",
-      es => FloatVecDot(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_norm",
-      es => FloatVecNorm(es.head), "built-in")
+    // Skip when present: createOrReplaceTempFunction logs a WARN per call,
+    // which at one call per query turns bench stderr into noise.
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
+      reg.createOrReplaceTempFunction("vec_dot",
+        es => FloatVecDot(es.head, es(1)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_norm")))
+      reg.createOrReplaceTempFunction("vec_norm",
+        es => FloatVecNorm(es.head), "built-in")
   }
 
   def vecDot(spark: SparkSession, a: String, b: String): Column = {

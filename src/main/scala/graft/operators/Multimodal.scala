@@ -82,8 +82,13 @@ object Multimodal {
       .select(col("doc_id"), col("text"),
         ceil(length(col("text")).cast("double") / 256).cast("int").as("n_chunks"))
       .select(col("doc_id"),
-        posexplode(expr(
+        // Guard n_chunks = 0: sequence(0, -1) defaults to step -1 and emits
+        // [0, -1], which would fabricate two chunks for an empty payload;
+        // the oracle's range(0, 0) emits none. Empty docs → empty array →
+        // posexplode drops the row, matching the oracle.
+        posexplode(when(col("n_chunks") > 0, expr(
           "transform(sequence(0, n_chunks - 1), i -> substr(text, i * 256 + 1, 256))"))
+          .otherwise(expr("CAST(array() AS array<string>)")))
           .as(Seq("chunk_idx", "chunk")))
       .select(
         col("doc_id"), col("chunk_idx"),

@@ -137,9 +137,16 @@ object TextAnalysis {
     * fold with `list_reduce`, proving the UDF's semantics are reproducible.
     */
   private val rollingHash = udf { (text: String) =>
+    // Fold Unicode code points, not UTF-16 code units: the oracle's
+    // ascii(string_split(text, '')) yields one code point per character,
+    // so charAt would diverge on non-BMP input (surrogate pairs).
     var h = 0L
     var i = 0
-    while (i < text.length) { h = (h * 31 + text.charAt(i).toLong) % 2147483647L; i += 1 }
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      h = (h * 31 + cp.toLong) % 2147483647L
+      i += Character.charCount(cp)
+    }
     h
   }
 

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.functions.{FloatVecDot, FloatVecNorm, SimHashBits}
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
@@ -36,7 +36,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => es match {
         case Seq(arr) => SimHashBits(arr, 28)
         case Seq(arr, Literal(bits: Int, _)) => SimHashBits(arr, bits)
-        case other => SimHashBits(other.head, 28)
+        case Seq(arr, Literal(bits: Long, _)) if bits >= 1 && bits <= 28 =>
+          SimHashBits(arr, bits.toInt)
+        // Anything else (column expression, non-integer literal, wrong
+        // arity) is a hard analysis error — never a silent 28-bit default.
+        case other => throw new AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            ("simhash expects (array<string>) or (array<string>, INT literal in [1,28]); " +
+              s"got ${other.size} argument(s): ${other.map(_.sql).mkString(", ")}")))
       }))
   }
 }

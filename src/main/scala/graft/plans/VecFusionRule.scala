@@ -15,6 +15,13 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * [[graft.functions.FloatVecDot]] (measured ~40× on pairwise-cosine plans;
   * bit-identical result — both accumulate sequentially in element order).
   *
+  * The rewrite is observationally equivalent for EVERY input, including
+  * malformed ones: `zip_with` pads the shorter array with nulls and nulls
+  * poison the `aggregate` sum, so the declarative shape yields NULL when
+  * lengths differ or any element is null — and [[FloatVecDot]] /
+  * [[FloatVecNorm]] implement exactly those null semantics (verified in
+  * `VecFusionSpec`). No restriction on `containsNull` is needed.
+  *
   * Users who write plain Spark higher-order functions get the fast path for
   * free when the library's extensions are installed
   * (`spark.sql.extensions=graft.plans.GraftExtensions`). The match is

@@ -80,6 +80,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal chunks: empty payload emits zero chunk rows (oracle parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs-").toString
+    Seq((1L, ""), (2L, "x" * 300)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Multimodal.multimodalChunks(spark, dir).collect()
+    // empty doc: DuckDB's range(0, 0) emits nothing — so must we
+    assert(!rows.exists(_.getAs[Long]("doc_id") == 1L), "empty doc fabricated chunks")
+    assert(rows.count(_.getAs[Long]("doc_id") == 2L) == 2) // 300 bytes → 2 chunks
+  }
+
+  test("rolling hash folds Unicode code points (non-BMP oracle parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs-").toString
+    // "a😀b": code points 97, 128512, 98 — charAt would see 4 UTF-16 units
+    Seq((1L, "a😀b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val h = operators.TextAnalysis.textRollingHash(spark, dir)
+      .collect()(0).getAs[Long]("rhash")
+    val expected = Seq(97L, 128512L, 98L)
+      .foldLeft(0L)((acc, c) => (acc * 31 + c) % 2147483647L)
+    assert(h == expected, s"got $h, expected code-point fold $expected")
+  }
+
   test("centroid aggregator matches per-dimension average (UDAF contract)") {
     import org.apache.spark.sql.functions._
     val got = operators.Similarity.centroidByLabel(spark, sf)

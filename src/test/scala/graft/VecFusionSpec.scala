@@ -75,6 +75,58 @@ class VecFusionSpec extends AnyFunSuite {
     assert(df.collect()(0).getDouble(0) == 11.0)
   }
 
+  test("fused dot preserves HOF null semantics (length mismatch, null element)") {
+    // Non-foldable arrays (derived from a column) so the rule rewrites and
+    // the codegen'd null paths execute, instead of constant folding.
+    def vals(s: SparkSession): Seq[Any] = {
+      import s.implicits._
+      Seq("ab").toDF("s").select(
+        expr("array(cast(length(s) as float), cast(2 as float))").as("a"),
+        expr("array(cast(length(s) as float))").as("b"),
+        expr("array(cast(length(s) as float), cast(if(length(s) > 0, null, 1) as float))").as("c"))
+        .select(
+          aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, v) => acc + v).as("len_mismatch"),
+          aggregate(zip_with(col("a"), col("c"), (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, v) => acc + v).as("null_elem"),
+          sqrt(aggregate(transform(col("c"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, v) => acc + v)).as("null_norm"),
+          aggregate(zip_with(col("a"), col("a"), (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, v) => acc + v).as("wellformed"))
+        .collect()(0).toSeq
+    }
+    val fused = vals(extSession) // rewritten to FloatVecDot / FloatVecNorm
+    val plain = vals(spark)      // stock HOF evaluation
+    assert(fused == plain, s"fused $fused != plain $plain")
+    assert(fused.take(3).forall(_ == null), s"malformed inputs must be NULL: $fused")
+    assert(fused(3) == 8.0) // 2*2 + 2*2
+  }
+
+  test("vec_dot/vec_norm SQL functions return NULL on malformed input") {
+    val r = extSession.sql(
+      """SELECT
+        |  vec_dot(array(cast(1 as float)), array(cast(1 as float), cast(2 as float))) AS d,
+        |  vec_norm(array(cast(null as float))) AS n,
+        |  vec_dot(array(cast(2 as float)), array(cast(3 as float))) AS ok
+        |""".stripMargin).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getDouble(2) == 6.0)
+  }
+
+  test("simhash rejects unsupported argument shapes with AnalysisException") {
+    import org.apache.spark.sql.AnalysisException
+    val e1 = intercept[AnalysisException] {
+      extSession.sql("SELECT simhash(array('a'), 'not-an-int')").collect()
+    }
+    assert(e1.getMessage.contains("simhash expects"), e1.getMessage)
+    val e2 = intercept[AnalysisException] {
+      extSession.sql("SELECT simhash(array('a'), 4, 5)").collect()
+    }
+    assert(e2.getMessage.contains("simhash expects"), e2.getMessage)
+    // valid literal widths still work
+    assert(extSession.sql("SELECT simhash(array('a'), 12)").collect()(0).getLong(0) >= 0L)
+  }
+
   test("fused and unfused agree on fixture embeddings") {
     val e = Tables.embeddings(extSession, SparkTestSession.sf).limit(50)
     val pairs = e.as("p").join(e.as("q"),
