@@ -34,11 +34,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** `InferFiltersFromGenerate` clones a generator's child expression into
+    * an inferred `size(e) > 0` filter, which predicate pushdown then drags
+    * below exchanges — so an expensive array expression (shingling, minhash
+    * signatures, chunk transforms) is evaluated a second time, inside the
+    * single-split fixture scan, on one core. Measured at sf0.1: 8 s of
+    * redundant shingling on dedup_ngram_jaccard alone. The rule only ever
+    * ADDS a pruning filter, so excluding it is semantics-preserving; the
+    * row-pruning it provides (skipping empty arrays before a Generate) is
+    * noise for this workload. Applied idempotently to the session here so
+    * every graft query — driver-created sessions included — gets it.
+    */
+  private val inferFiltersRule =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+  def tuneSession(spark: SparkSession): Unit = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val cur = spark.conf.getOption(key).getOrElse("")
+    if (!cur.split(",").map(_.trim).contains(inferFiltersRule))
+      spark.conf.set(key,
+        if (cur.isEmpty) inferFiltersRule else s"$cur,$inferFiltersRule")
+  }
+
   /** Read one fixture table. `dir` is an sf directory such as
     * `/root/testdata/sf0.01`.
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    tuneSession(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
@@ -61,4 +84,19 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Round-robin repartition to the session's default parallelism, placed
+    * in front of CPU-bound per-row stages (hashing, JSON round-trips,
+    * vector math) and O(n²) pair joins.
+    *
+    * Why: the local fixtures are single-row-group parquet files, so a scan
+    * is ONE input split no matter how many cores exist — without this, such
+    * stages run single-threaded. The shuffled payload is the narrow
+    * projection feeding the stage (a few MB here). On a real cluster
+    * reading 100 TB the same exchange is cheap relative to the compute it
+    * feeds, and input splits already provide scan parallelism — the
+    * repartition then mainly guards against skewed/small-file layouts.
+    */
+  def parallelize(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
 }

@@ -60,6 +60,12 @@ object BeamParity {
     * without failing the pipeline.
     */
   def demo1MalformedDrop(spark: SparkSession, dir: String): DataFrame = {
+    // NOT parallelized: ~14% of payloads here are deliberately corrupt, and
+    // from_json's per-record exception path across 32 concurrent tasks
+    // triggered JIT deoptimization storms that degraded the whole JVM
+    // (28 s for this query AND 4× slowdowns on unrelated queries after it,
+    // measured at sf0.1). One task keeps the exception traffic contained;
+    // at real scale corrupt records are rare and spread across executors.
     val wire = Tables.events(spark, dir)
       .select(
         col("event_id"),

@@ -25,13 +25,21 @@ object Dedup {
 
   private val N = 3 // shingle size (word trigrams)
 
-  /** (doc_id, shingle) exploded + deduplicated, the base of jaccard/minhash.
-    * Tokenizes once per row (see Portable.shingles). */
-  private def gramsDF(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** See [[graft.Tables.parallelize]]: spreads the CPU-bound per-document
+    * hashing and the O(n²) pair joins across every core (the fixture scan
+    * is a single input split).
+    */
+  private def parallelize(s: SparkSession, df: DataFrame): DataFrame =
+    Tables.parallelize(s, df)
+
+  /** (doc_id, shingle set) per document: tokenize once, shingle, distinct
+    * per-row (array_distinct — no shuffle), carry the set size alongside so
+    * jaccard needs neither a window nor a separate sizes subplan.
+    */
+  private def gramSetDF(s: SparkSession, d: String): DataFrame =
+    parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
-      .select(col("doc_id"), explode(Portable.shingles(col("w"), N)).as("gram"))
-      .distinct()
+      .select(col("doc_id"), array_distinct(Portable.shingles(col("w"), N)).as("grams"))
 
   private val gramsSqlCte: String =
     s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -71,17 +79,31 @@ object Dedup {
     * counts from the join, union sizes from per-doc shingle counts.
     */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // per-doc shingle-set size rides along via a window on the same lineage
-    // (no separate `sizes` subplan — that formulation scanned documents four
-    // times; this one scans twice, once per self-join side).
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val grams = gramsDF(s, d).withColumn("n", count(lit(1)).over(w))
-    grams.as("a")
-      .join(grams.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Inverted-index pair generation: group postings by gram ONCE, emit the
+    // i<j pairs of each posting list as an array expression, then count
+    // shared grams per pair. One scan and one wide shuffle (by gram) replace
+    // the earlier shingle self-join, which evaluated the tokenize+shingle
+    // pipeline once per join side (plus once more as an inferred not-null
+    // filter pushed into the single-split scan) and shuffled the exploded
+    // postings twice. Set sizes ride along in the posting structs, so no
+    // window function and no separate sizes join.
+    //
+    // Scale note: pair count per gram is quadratic in its posting-list
+    // length — at 100 TB the standard guard is dropping stop-grams (lists
+    // over a few hundred docs), which this shape makes a one-line filter
+    // on size(ds); the fixtures have no such hot grams, so none is applied.
+    val grams = gramSetDF(s, d)
+      .select(col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("gram"))
+    grams
+      .groupBy("gram")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), " +
+          "b -> named_struct('doc_a', a.doc_id, 'na', a.n, 'doc_b', b.doc_id, 'nb', b.n))))"
+        )).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"),
-        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+        first(col("p.na")).as("na"), first(col("p.nb")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
@@ -120,10 +142,7 @@ object Dedup {
     val sigCols = Portable.MinhashPerms.map { case (a, b) =>
       expr(s"array_min(transform(hs, h -> ($a * h + $b) % ${Portable.MinhashPrime}))")
     }
-    val sig = Tables.documents(s, d)
-      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
-      .select(col("doc_id"),
-        array_distinct(Portable.shingles(col("w"), N)).as("grams"))
+    val sig = gramSetDF(s, d)
       // hash each gram exactly once, then run the 8 permutations over longs
       .select(col("doc_id"),
         expr("transform(grams, g -> CAST(conv(substring(md5(g), 1, 7), 16, 10) AS BIGINT))")
@@ -141,17 +160,18 @@ object Dedup {
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("sig"), col("bs.band"), col("bs.bandsig"))
-    val candidates = bands.as("x")
+    // Estimate per collision row, then collapse multi-band collisions with a
+    // cheap (doc_a, doc_b) aggregate — the previous distinct() hashed the
+    // full 8-long signature arrays through the exchange for the same effect.
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bandsig") === col("y.bandsig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .distinct()
-    candidates
-      .select(col("doc_a"), col("doc_b"),
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+        round(size(filter(zip_with(col("x.sig"), col("y.sig"), (x, y) => x === y),
           v => v)).cast("double") / k, 4).as("est_jaccard"))
+      .groupBy("doc_a", "doc_b")
+      .agg(first("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
@@ -193,12 +213,14 @@ object Dedup {
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
-    val sim = Tables.documents(s, d)
+    val sim = parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         column(graft.functions.SimHashBits(
           expression(Portable.tokens(col("text"))), 28)).as("simhash"))
+    // all-pairs scan: stream one side in parallel, broadcast the tiny
+    // (doc_id, simhash) projection — 12 bytes per doc
     sim.as("p")
-      .join(sim.as("q"), col("p.doc_id") < col("q.doc_id"))
+      .join(broadcast(sim.as("q")), col("p.doc_id") < col("q.doc_id"))
       .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
         bit_count(col("p.simhash").bitwiseXOR(col("q.simhash"))).as("hamming"))
       .filter(col("hamming") <= 3)
@@ -234,9 +256,11 @@ object Dedup {
     */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecFunctions.register(s)
-    val e = Tables.embeddings(s, d)
+    val e = parallelize(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
-    e.as("p").join(e.as("q"), col("p.vec_id") < col("q.vec_id"))
+    // stream the repartitioned side so the O(n²) dot products use every
+    // core; broadcast the other (n × (8B + 256B + 8B) — well under the bar)
+    e.as("p").join(broadcast(e.as("q")), col("p.vec_id") < col("q.vec_id"))
       .select(col("p.vec_id").as("vec_a"), col("q.vec_id").as("vec_b"),
         round(expr("vec_dot(p.embedding, q.embedding)") / (col("p.nrm") * col("q.nrm")), 4)
           .as("cosine"))

@@ -58,7 +58,7 @@ object Multimodal {
     */
   def multimodalDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
+    Tables.parallelize(s, Tables.documents(s, d))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
@@ -137,7 +137,7 @@ object Multimodal {
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.VecFunctions.register(s)
-    Tables.documents(s, d)
+    Tables.parallelize(s, Tables.documents(s, d))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => (id, featureStub(bytes)) })

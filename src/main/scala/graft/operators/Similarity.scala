@@ -45,7 +45,7 @@ object Similarity {
     * top-5 neighbors by cosine. Rank on (rounded cosine desc, vec_id asc).
     */
   def annBruteforceTopk(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
     val w = Window.partitionBy("qid")
@@ -105,7 +105,8 @@ object Similarity {
              |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
         s"(CASE WHEN ($dot) >= 0 THEN ${1 << p} ELSE 0 END)"
       }.mkString(" + "))
-    val e = Tables.embeddings(s, d).withColumn("bucket", bucketExpr.cast("long"))
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+      .withColumn("bucket", bucketExpr.cast("long"))
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("bucket"))
     val w = Window.partitionBy("qid")
@@ -155,7 +156,7 @@ object Similarity {
     */
   def annIvfTopk(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecFunctions.register(s)
-    val e = Tables.embeddings(s, d)
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
     val cents = e.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))

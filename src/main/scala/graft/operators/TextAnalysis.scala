@@ -169,9 +169,10 @@ object TextAnalysis {
     * (at scale the blocking key would be a fingerprint prefix).
     */
   def textEditDistance(s: SparkSession, d: String): DataFrame = {
-    val p = Tables.part(s, d).filter(col("p_partkey") < 300)
-      .select(col("p_partkey"), col("p_name"))
-    p.as("a").join(p.as("b"), col("a.p_partkey") < col("b.p_partkey"))
+    val p = Tables.parallelize(s,
+      Tables.part(s, d).filter(col("p_partkey") < 300)
+        .select(col("p_partkey"), col("p_name")))
+    p.as("a").join(broadcast(p.as("b")), col("a.p_partkey") < col("b.p_partkey"))
       .select(
         col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
         levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"))
