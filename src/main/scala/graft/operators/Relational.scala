@@ -591,6 +591,77 @@ object Relational {
       |SELECT o_year, 'n_orders' AS metric, n_orders AS value FROM y
       |ORDER BY o_year, metric""".stripMargin
 
+  // ------------------------------------------------------- window analytics
+  /** Analytic window-function breadth beyond `window_rank`: ntile,
+    * percent_rank, cume_dist, lead, first_value, and a bounded ROWS frame.
+    * percent_rank/cume_dist are emitted as raw doubles — both engines
+    * compute the same exact integer ratio in IEEE double, so the values are
+    * bit-identical without rounding (rounding would reintroduce tie risk).
+    */
+  def windowAnalytics(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    ord(s, d).filter(col("o_custkey") < 200)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        first("o_totalprice")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_price"),
+        max("o_totalprice").over(w.rowsBetween(-2, 0)).as("max3_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowAnalyticsSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  first_value(o_totalprice) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+      |  max(o_totalprice) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max3_price
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------ EXISTS subqueries
+  /** Correlated EXISTS / NOT EXISTS (decorrelated by Catalyst into
+    * semi/anti joins): customers who have orders but none above the
+    * threshold. SQL-surface coverage beyond the DataFrame-level
+    * `join_semi`/`join_anti`.
+    */
+  def subqueryExists(s: SparkSession, d: String): DataFrame = {
+    cust(s, d).createOrReplaceTempView("customer_v")
+    ord(s, d).createOrReplaceTempView("orders_ev")
+    s.sql(
+      """SELECT c.c_custkey, c.c_name
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_ev o
+        |              WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_ev o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 250000)
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  val subqueryExistsSql: String =
+    """SELECT c.c_custkey, c.c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 250000)
+      |ORDER BY c.c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -615,6 +686,8 @@ object Relational {
     "case_buckets" -> (caseBuckets _),
     "percentile_exact" -> (percentileExact _),
     "scalar_subquery" -> (scalarSubquery _),
+    "window_analytics" -> (windowAnalytics _),
+    "subquery_exists" -> (subqueryExists _),
     "pivot_events" -> (pivotEvents _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "agg_stats" -> (aggStats _))
@@ -641,6 +714,8 @@ object Relational {
     "case_buckets" -> caseBucketsSql,
     "percentile_exact" -> percentileExactSql,
     "scalar_subquery" -> scalarSubquerySql,
+    "window_analytics" -> windowAnalyticsSql,
+    "subquery_exists" -> subqueryExistsSql,
     "pivot_events" -> pivotEventsSql,
     "unpivot_metrics" -> unpivotMetricsSql,
     "agg_stats" -> aggStatsSql)

@@ -225,7 +225,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- tf-idf
+  /** Top-3 terms per document by tf-idf (idf = ln(N/df)). The classic
+    * keyword-extraction primitive of a training-data pipeline. Shape at
+    * scale: one exploded term pass feeds both tf (per doc,term) and df
+    * (per term); N and the per-term df ride in via broadcasts, so the only
+    * wide shuffles are the two aggregations. Scores are rounded to 4 dp
+    * BEFORE ranking so both engines agree at rank boundaries; ties broken
+    * by term.
+    */
+  def textTfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.parallelize(s,
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val terms = docs.select(col("doc_id"),
+      explode(Portable.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
+          .as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
+  val textTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, tfidf,
+      |    CAST(row_number() OVER
+      |      (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, tfidf FROM ranked
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (textTfidf _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality" -> (textQuality _),
     "token_count" -> (tokenCount _),
@@ -235,6 +286,7 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "text_tfidf" -> textTfidfSql,
     "text_token_stats" -> textTokenStatsSql,
     "text_quality" -> textQualitySql,
     "token_count" -> tokenCountSql,

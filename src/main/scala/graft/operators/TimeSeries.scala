@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch time-series operators over `events` — the offline complement to
+  * the streaming windows (SURVEY.md §2.2 window rows): gap-based
+  * sessionization via window functions and gap-filling resample via
+  * `sequence` + anti-filling left join.
+  *
+  * Scale posture: both operators partition by `user_id`, so every window
+  * sort and generated-range join is per-key and shuffles once on the key —
+  * no global sort, no driver-side state. (Global sessionization — one
+  * ordered pass over everything — is inherently serial and deliberately
+  * not offered.)
+  */
+object TimeSeries {
+
+  /** Gap-based sessionization: a new session starts when a user's
+    * inter-event gap exceeds 24 h. lag + cumulative-sum-of-flags; the
+    * cumulative sum uses the default RANGE frame so rows with equal
+    * timestamps (peers) always share a session id — that makes the result
+    * invariant to the engine's ordering among ties.
+    */
+  def sessionizeGaps(s: SparkSession, d: String): DataFrame = {
+    val gapS = 24 * 3600L
+    val w = Window.partitionBy("user_id").orderBy("ts_s")
+    Tables.events(s, d)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"))
+      .withColumn("prev_ts", lag("ts_s", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_s") - col("prev_ts") > gapS, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(w)) // default RANGE frame
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_s").as("start_s"), max("ts_s").as("end_s"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  val sessionizeGapsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_s,
+      |    CASE WHEN lag(ts_s, 1) OVER (PARTITION BY user_id ORDER BY ts_s)
+      |              IS NULL
+      |           OR ts_s - lag(ts_s, 1) OVER
+      |              (PARTITION BY user_id ORDER BY ts_s) > 86400
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev),
+      |sessions AS (
+      |  SELECT user_id, ts_s,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  min(ts_s) AS start_s, max(ts_s) AS end_s
+      |FROM sessions GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin
+
+  /** Gap-filling resample: hourly event counts per user with missing hours
+    * materialized as zero rows, spanning each user's own [min, max] hour.
+    * `sequence` generates the per-user hour range (distributed, no driver
+    * loop); a left join against the observed counts fills the gaps.
+    */
+  def gapFillResample(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") < 20)
+      .select(col("user_id"),
+        expr("(unix_timestamp(ts) div 3600) * 3600").as("hour_s"))
+    val counts = ev.groupBy("user_id", "hour_s").agg(count(lit(1)).as("n_events"))
+    val hours = ev.groupBy("user_id")
+      .agg(min("hour_s").as("h0"), max("hour_s").as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, CAST(3600 AS BIGINT))")).as("hour_s"))
+    hours.join(counts, Seq("user_id", "hour_s"), "left")
+      .select(col("user_id"), col("hour_s"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("user_id", "hour_s")
+  }
+
+  val gapFillResampleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_s
+      |  FROM events WHERE user_id < 20),
+      |counts AS (
+      |  SELECT user_id, hour_s, count(*) AS n_events FROM ev GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT user_id, min(hour_s) AS h0, max(hour_s) AS h1
+      |  FROM ev GROUP BY 1),
+      |hours AS (
+      |  SELECT user_id, unnest(range(h0, h1 + 3600, 3600)) AS hour_s
+      |  FROM spans)
+      |SELECT h.user_id, h.hour_s,
+      |  CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+      |FROM hours h LEFT JOIN counts c
+      |  ON h.user_id = c.user_id AND h.hour_s = c.hour_s
+      |ORDER BY 1, 2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize_gaps" -> (sessionizeGaps _),
+    "gap_fill_resample" -> (gapFillResample _))
+
+  def oracles: Map[String, String] = Map(
+    "sessionize_gaps" -> sessionizeGapsSql,
+    "gap_fill_resample" -> gapFillResampleSql)
+}

@@ -104,6 +104,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(h == expected, s"got $h, expected code-point fold $expected")
   }
 
+  test("sessionize: session event counts sum to total events, sessions ordered") {
+    val sessions = operators.TimeSeries.sessionizeGaps(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(sessions.map(_.getAs[Long]("n_events")).sum == total)
+    sessions.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
+      val byId = ss.sortBy(_.getAs[Long]("sess_id"))
+      byId.foreach(r => assert(r.getAs[Long]("start_s") <= r.getAs[Long]("end_s")))
+      // consecutive sessions of a user do not overlap and honor the 24h gap
+      byId.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_s") - a.getAs[Long]("end_s") > 24 * 3600L)
+        case _ =>
+      }
+    }
+  }
+
+  test("gap fill: hourly grid is dense per user and zeros fill the gaps") {
+    val rows = operators.TimeSeries.gapFillResample(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val hours = rs.map(_.getAs[Long]("hour_s")).sorted
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600L },
+        "grid must be contiguous hourly steps")
+    }
+    assert(rows.exists(_.getAs[Long]("n_events") == 0L), "expected filled gaps")
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sf).filter(org.apache.spark.sql.functions.col("user_id") < 20).count())
+  }
+
+  test("tfidf: 3 ranked terms per doc, scores descending") {
+    val rows = operators.TextAnalysis.textTfidf(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length) &&
+        rs.length <= 3)
+      val scores = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("centroid aggregator matches per-dimension average (UDAF contract)") {
     import org.apache.spark.sql.functions._
     val got = operators.Similarity.centroidByLabel(spark, sf)
