@@ -225,6 +225,84 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- pii scrub
+  /** PII scrubbing: redact email addresses, URLs, and long digit runs
+    * (phone/account numbers) with typed placeholders — the standard
+    * pre-training text-cleaning pass. Pure regexp_replace chain (codegen'd,
+    * one projection, no shuffle until the tiny audit aggregate). Output is
+    * a per-source audit: how many documents were touched by each rule and
+    * the total redactions, which is what a pipeline operator reports at
+    * 100 TB (the scrubbed text itself stays in the data path, not the
+    * driver).
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlRe = "https?://[^ ]+"
+    val digitsRe = "[0-9]{7,}"
+    val scrubbed = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      (size(split(col("text"), emailRe, -1)) - 1).as("n_email"),
+      (size(split(col("text"), urlRe, -1)) - 1).as("n_url"),
+      (size(split(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        digitsRe, -1)) - 1).as("n_digits"))
+    scrubbed.groupBy("source")
+      .agg(
+        sum(when(col("n_email") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(when(col("n_url") > 0, 1L).otherwise(0L)).as("docs_with_url"),
+        sum(when(col("n_digits") > 0, 1L).otherwise(0L)).as("docs_with_digits"),
+        sum(col("n_email") + col("n_url") + col("n_digits")).as("total_redactions"))
+      .orderBy("source")
+  }
+
+  val piiScrubSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, source,
+      |    len(string_split_regex(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_email,
+      |    len(string_split_regex(text, 'https?://[^ ]+')) - 1 AS n_url,
+      |    len(string_split_regex(
+      |      regexp_replace(text,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9]{7,}')) - 1 AS n_digits
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+      |  CAST(sum(CASE WHEN n_url > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_url,
+      |  CAST(sum(CASE WHEN n_digits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_digits,
+      |  CAST(sum(n_email + n_url + n_digits) AS BIGINT) AS total_redactions
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------- repetition
+  /** Repetition ratio — the share of the document taken by its single most
+    * frequent token, in integer basis points (max_tf * 10000 div n_tokens).
+    * High values flag boilerplate/spam for pre-training filtering. The
+    * mode-token count comes from one explode + two-level aggregate; basis
+    * points via integer division keep the exact-rational result free of
+    * rounding-tie divergence (see text_quality).
+    */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tok"))
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(max("tf").as("max_tf"), sum("tf").as("n_tokens"))
+      .select(col("doc_id"), col("max_tf"), col("n_tokens"),
+        expr("(max_tf * 10000) div n_tokens").as("repetition_bp"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(max(tf) AS BIGINT) AS max_tf,
+      |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  CAST((max(tf) * 10000) // sum(tf) AS BIGINT) AS repetition_bp
+      |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- tf-idf
   /** Top-3 terms per document by tf-idf (idf = ln(N/df)). The classic
     * keyword-extraction primitive of a training-data pipeline. Shape at
@@ -276,6 +354,8 @@ object TextAnalysis {
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scrub" -> (piiScrub _),
+    "text_repetition" -> (textRepetition _),
     "text_tfidf" -> (textTfidf _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality" -> (textQuality _),
@@ -286,6 +366,8 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "pii_scrub" -> piiScrubSql,
+    "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql,
     "text_token_stats" -> textTokenStatsSql,
     "text_quality" -> textQualitySql,
