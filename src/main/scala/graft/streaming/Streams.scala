@@ -1,9 +1,11 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming rebuild of the reference's two pipelines
@@ -117,6 +119,82 @@ object Streams {
             }
           }
       }
+  }
+
+  /** The same Beam trigger/pane semantics as [[latePanes]], rebuilt on
+    * Spark 4's `transformWithState` (the arbitrary-stateful-processing v2
+    * API): typed `ValueState` via a handle instead of the single implicit
+    * state slot, and first-class multi-timer registration instead of one
+    * timeout per key — the ON_TIME firing timer and the GC timer are two
+    * independent timers here, where the flatMapGroupsWithState version has
+    * to re-arm its single timeout. Requires the RocksDB state-store
+    * provider (the API rejects the default HDFS-backed store), which is
+    * also the provider a 100 TB deployment runs: state lives off-heap and
+    * spills, sized by the lateness horizon, not executor heap.
+    */
+  class LatePaneProcessor extends StatefulProcessor[(Int, Long), Msg, Pane] {
+    @transient private var state: ValueState[PaneState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[PaneState](
+        "pane", Encoders.product[PaneState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[Msg],
+        tv: TimerValues): Iterator[Pane] = {
+      val (uid, wstart) = key
+      val windowEnd = wstart + WindowMs
+      val fireAt = windowEnd - HorizonMs // Beam wm = spark wm + horizon
+      val n = rows.size.toLong
+      val st = if (state.exists()) Option(state.get()) else None
+      if (st.exists(_.fired)) {
+        // after the on-time pane: immediate late firing, delta only (O9)
+        Iterator.single(Pane(new Timestamp(wstart), uid, n, "LATE"))
+      } else if (tv.getCurrentWatermarkInMs() >= fireAt) {
+        // first data arrived after the Beam watermark passed the window end
+        state.update(PaneState(0L, fired = true))
+        getHandle.registerTimer(windowEnd) // GC when no row can survive
+        Iterator.single(Pane(new Timestamp(wstart), uid, n, "LATE"))
+      } else {
+        // before the on-time firing: buffer and arm the firing timer
+        state.update(PaneState(st.map(_.buffered).getOrElse(0L) + n, fired = false))
+        getHandle.registerTimer(fireAt)
+        Iterator.empty
+      }
+    }
+
+    override def handleExpiredTimer(key: (Int, Long), tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Pane] = {
+      val (uid, wstart) = key
+      val windowEnd = wstart + WindowMs
+      if (!state.exists()) return Iterator.empty
+      val st = state.get()
+      if (!st.fired) {
+        // Beam watermark passed the window end: main on-time firing
+        val out = Iterator.single(
+          Pane(new Timestamp(wstart), uid, st.buffered, "ON_TIME"))
+        if (tv.getCurrentWatermarkInMs() < windowEnd) {
+          state.update(PaneState(0L, fired = true))
+          getHandle.registerTimer(windowEnd)
+        } else state.clear()
+        out
+      } else {
+        state.clear() // lateness horizon passed: GC
+        Iterator.empty
+      }
+    }
+  }
+
+  /** [[latePanes]] on the transformWithState API — identical pane output,
+    * tested side by side in `StreamingSpec`.
+    */
+  def latePanesTws(parsed: Dataset[Msg]): Dataset[Pane] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed
+      .withWatermark("event_time", "2 minutes")
+      .groupByKey(m => (m.user_id, m.event_time.getTime / WindowMs * WindowMs))
+      .transformWithState(new LatePaneProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming exact dedup (the training-pipeline counterpart of
