@@ -662,6 +662,90 @@ object Relational {
       |                    AND o.o_totalprice > 250000)
       |ORDER BY c.c_custkey""".stripMargin
 
+  // ---------------------------------------------------------- full outer join
+  /** Full outer join: per-id event activity vs order activity, ids present
+    * on either side survive with zero-filled counts. Completes the join-type
+    * matrix (inner/left/semi/anti/range/as-of elsewhere).
+    */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") < 100)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val oc = ord(s, d).filter(col("o_custkey") < 100)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    ev.join(oc, col("user_id") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("o_custkey")).as("id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("id")
+  }
+
+  val joinFullOuterSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, count(*) AS n_events FROM events
+      |  WHERE user_id < 100 GROUP BY 1),
+      |oc AS (
+      |  SELECT o_custkey, count(*) AS n_orders FROM orders
+      |  WHERE o_custkey < 100 GROUP BY 1)
+      |SELECT coalesce(ev.user_id, oc.o_custkey) AS id,
+      |  CAST(coalesce(ev.n_events, 0) AS BIGINT) AS n_events,
+      |  CAST(coalesce(oc.n_orders, 0) AS BIGINT) AS n_orders
+      |FROM ev FULL OUTER JOIN oc ON ev.user_id = oc.o_custkey
+      |ORDER BY id""".stripMargin
+
+  // ------------------------------------------------------------ group concat
+  /** Ordered string aggregation (group-concat): per region, the sorted list
+    * of its nations. `collect_list` + `sort_array` + `concat_ws` — the
+    * deterministic form (an unsorted collect would be partition-order
+    * dependent and unreproducible across engines or runs).
+    */
+  def groupConcat(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+
+  val groupConcatSql: String =
+    """SELECT r_name,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  CAST(count(*) AS BIGINT) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // ------------------------------------------------------------- hash split
+  /** Deterministic train/val/test split (80/10/10) by portable content
+    * hash of the document id — the reservoir-free sampling a 100 TB corpus
+    * needs: any worker can assign any row's split independently, the
+    * assignment is stable across runs and engines, and no shuffle happens
+    * until the tiny audit aggregate.
+    */
+  def sampleSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Portable.hash28(col("doc_id").cast("string")) % 10
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(bucket < 8, "train").when(bucket === 8, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .orderBy("split")
+  }
+
+  val sampleSplitSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    ${graft.functions.Portable.hash28Sql("doc_id::VARCHAR")} % 10 AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 8 THEN 'train'
+       |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+       |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -688,6 +772,9 @@ object Relational {
     "scalar_subquery" -> (scalarSubquery _),
     "window_analytics" -> (windowAnalytics _),
     "subquery_exists" -> (subqueryExists _),
+    "join_full_outer" -> (joinFullOuter _),
+    "group_concat" -> (groupConcat _),
+    "sample_split" -> (sampleSplit _),
     "pivot_events" -> (pivotEvents _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "agg_stats" -> (aggStats _))
@@ -716,6 +803,9 @@ object Relational {
     "scalar_subquery" -> scalarSubquerySql,
     "window_analytics" -> windowAnalyticsSql,
     "subquery_exists" -> subqueryExistsSql,
+    "join_full_outer" -> joinFullOuterSql,
+    "group_concat" -> groupConcatSql,
+    "sample_split" -> sampleSplitSql,
     "pivot_events" -> pivotEventsSql,
     "unpivot_metrics" -> unpivotMetricsSql,
     "agg_stats" -> aggStatsSql)
