@@ -42,8 +42,11 @@ object Tables {
     * redundant shingling on dedup_ngram_jaccard alone. The rule only ever
     * ADDS a pruning filter, so excluding it is semantics-preserving; the
     * row-pruning it provides (skipping empty arrays before a Generate) is
-    * noise for this workload. Applied idempotently to the session here so
-    * every graft query — driver-created sessions included — gets it.
+    * noise for this workload. Called explicitly by the operators that
+    * explode expensive arrays (shingle sets, minhash bands, chunk
+    * transforms, term explodes) — NOT hidden inside the table reader, so a
+    * consumer session that merely reads fixtures keeps its optimizer
+    * untouched. Idempotent; appends to any user-set exclusion list.
     */
   private val inferFiltersRule =
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
@@ -58,10 +61,8 @@ object Tables {
   /** Read one fixture table. `dir` is an sf directory such as
     * `/root/testdata/sf0.01`.
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    tuneSession(spark)
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")

@@ -146,16 +146,22 @@ object VecFunctions {
   /** Register `vec_dot`/`vec_norm` in the session's function registry so
     * they are usable from `expr(...)` and `spark.sql(...)`. Idempotent.
     */
+  private val registeredFlag = "spark.graft.vecFunctions.registered"
+
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    // Skip when present: createOrReplaceTempFunction logs a WARN per call,
-    // which at one call per query turns bench stderr into noise.
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
+    // Register once per session: createOrReplaceTempFunction logs a WARN
+    // per call (noise at one call per query), but a plain skip-if-present
+    // would silently defer to a foreign function of the same name. The
+    // session-conf flag gives both: graft's binding is guaranteed (it
+    // replaces anything pre-existing, once), and repeat calls are no-ops.
+    if (!spark.conf.getOption(registeredFlag).contains("true")) {
+      val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("vec_dot",
         es => FloatVecDot(es.head, es(1)), "built-in")
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vec_norm")))
       reg.createOrReplaceTempFunction("vec_norm",
         es => FloatVecNorm(es.head), "built-in")
+      spark.conf.set(registeredFlag, "true")
+    }
   }
 
   def vecDot(spark: SparkSession, a: String, b: String): Column = {

@@ -36,10 +36,12 @@ object Dedup {
     * per-row (array_distinct — no shuffle), carry the set size alongside so
     * jaccard needs neither a window nor a separate sizes subplan.
     */
-  private def gramSetDF(s: SparkSession, d: String): DataFrame =
+  private def gramSetDF(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s) // shingle arrays get exploded downstream
     parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
       .select(col("doc_id"), array_distinct(Portable.shingles(col("w"), N)).as("grams"))
+  }
 
   private val gramsSqlCte: String =
     s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

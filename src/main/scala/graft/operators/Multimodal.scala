@@ -77,7 +77,8 @@ object Multimodal {
     * "frame sample" shape for transport/storage of large media, with a
     * per-chunk content hash.
     */
-  def multimodalChunks(s: SparkSession, d: String): DataFrame =
+  def multimodalChunks(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s) // chunk transform array gets exploded
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         ceil(length(col("text")).cast("double") / 256).cast("int").as("n_chunks"))
@@ -95,6 +96,7 @@ object Multimodal {
         length(col("chunk")).as("chunk_len"),
         md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
+  }
 
   val multimodalChunksSql: String =
     """WITH c AS (

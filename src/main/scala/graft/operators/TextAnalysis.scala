@@ -243,7 +243,10 @@ object TextAnalysis {
       col("doc_id"), col("source"),
       (size(split(col("text"), emailRe, -1)) - 1).as("n_email"),
       (size(split(col("text"), urlRe, -1)) - 1).as("n_url"),
-      (size(split(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+      // mask emails AND urls first so their digits are not double-counted
+      (size(split(
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          urlRe, "<URL>"),
         digitsRe, -1)) - 1).as("n_digits"))
     scrubbed.groupBy("source")
       .agg(
@@ -261,8 +264,10 @@ object TextAnalysis {
       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_email,
       |    len(string_split_regex(text, 'https?://[^ ]+')) - 1 AS n_url,
       |    len(string_split_regex(
-      |      regexp_replace(text,
-      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      regexp_replace(
+      |        regexp_replace(text,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        'https?://[^ ]+', '<URL>', 'g'),
       |      '[0-9]{7,}')) - 1 AS n_digits
       |  FROM documents)
       |SELECT source,
@@ -281,6 +286,7 @@ object TextAnalysis {
     * rounding-tie divergence (see text_quality).
     */
   def textRepetition(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s) // token arrays get exploded
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tok"))
     toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -314,12 +320,15 @@ object TextAnalysis {
     */
   def textTfidf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    Tables.tuneSession(s) // token arrays get exploded
     val docs = Tables.parallelize(s,
       Tables.documents(s, d).select(col("doc_id"), col("text")))
     val terms = docs.select(col("doc_id"),
       explode(Portable.tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per (doc, term) already) — re-deriving it
+    // from terms.distinct() would tokenize and shuffle the corpus twice
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term").asc)

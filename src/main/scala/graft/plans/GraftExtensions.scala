@@ -35,11 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash"),
       (es: Seq[Expression]) => es match {
         case Seq(arr) => SimHashBits(arr, 28)
-        case Seq(arr, Literal(bits: Int, _)) => SimHashBits(arr, bits)
+        case Seq(arr, Literal(bits: Int, _)) if bits >= 1 && bits <= 28 =>
+          SimHashBits(arr, bits)
         case Seq(arr, Literal(bits: Long, _)) if bits >= 1 && bits <= 28 =>
           SimHashBits(arr, bits.toInt)
-        // Anything else (column expression, non-integer literal, wrong
-        // arity) is a hard analysis error — never a silent 28-bit default.
+        // Anything else (column expression, non-integer literal, literal
+        // outside [1,28], wrong arity) is a hard analysis error — never a
+        // silent default and never the case-class require's raw
+        // IllegalArgumentException.
         case other => throw new AnalysisException(
           "USER_RAISED_EXCEPTION",
           Map("errorMessage" ->

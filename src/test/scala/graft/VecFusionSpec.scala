@@ -123,6 +123,11 @@ class VecFusionSpec extends AnyFunSuite {
       extSession.sql("SELECT simhash(array('a'), 4, 5)").collect()
     }
     assert(e2.getMessage.contains("simhash expects"), e2.getMessage)
+    // INT literal outside [1,28]: AnalysisException, not the require() blowup
+    val e3 = intercept[AnalysisException] {
+      extSession.sql("SELECT simhash(array('a'), 29)").collect()
+    }
+    assert(e3.getMessage.contains("simhash expects"), e3.getMessage)
     // valid literal widths still work
     assert(extSession.sql("SELECT simhash(array('a'), 12)").collect()(0).getLong(0) >= 0L)
   }
