@@ -178,10 +178,12 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val dedupMinhashLshSql: String = {
+  /** The LSH candidate-pair pipeline as a CTE chain, shared by the
+    * minhash query's oracle and the clustering oracle's recursive CTE. */
+  private val lshPairsSqlCtes: String = {
     val permRows = Portable.MinhashPerms.zipWithIndex
       .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
-    s"""WITH $gramsSqlCte,
+    s"""$gramsSqlCte,
        |hg AS (SELECT doc_id, ${Portable.hash28Sql("gram")} AS h FROM grams),
        |perms(j, a, b) AS (SELECT * FROM (VALUES $permRows)),
        |sig AS (
@@ -194,18 +196,23 @@ object Dedup {
        |candidates AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bandsig = y.bandsig AND x.doc_id < y.doc_id)
-       |SELECT doc_a, doc_b,
-       |  round(CAST(sum(CASE WHEN sx.mh = sy.mh THEN 1 ELSE 0 END) AS DOUBLE)
-       |        / ${Portable.MinhashPerms.size}, 4) AS est_jaccard
-       |FROM candidates
-       |JOIN sig sx ON doc_a = sx.doc_id
-       |JOIN sig sy ON doc_b = sy.doc_id AND sx.j = sy.j
-       |GROUP BY 1, 2
-       |HAVING round(CAST(sum(CASE WHEN sx.mh = sy.mh THEN 1 ELSE 0 END) AS DOUBLE)
-       |        / ${Portable.MinhashPerms.size}, 4) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |    ON x.band = y.band AND x.bandsig = y.bandsig AND x.doc_id < y.doc_id),
+       |lshpairs AS (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(sum(CASE WHEN sx.mh = sy.mh THEN 1 ELSE 0 END) AS DOUBLE)
+       |          / ${Portable.MinhashPerms.size}, 4) AS est_jaccard
+       |  FROM candidates
+       |  JOIN sig sx ON doc_a = sx.doc_id
+       |  JOIN sig sy ON doc_b = sy.doc_id AND sx.j = sy.j
+       |  GROUP BY 1, 2
+       |  HAVING round(CAST(sum(CASE WHEN sx.mh = sy.mh THEN 1 ELSE 0 END) AS DOUBLE)
+       |          / ${Portable.MinhashPerms.size}, 4) >= 0.5)""".stripMargin
   }
+
+  val dedupMinhashLshSql: String =
+    s"""WITH $lshPairsSqlCtes
+       |SELECT doc_a, doc_b, est_jaccard FROM lshpairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------- simhash
   /** 32-bit SimHash over word unigrams: bit b of the fingerprint is the
@@ -248,6 +255,65 @@ object Dedup {
        |WHERE bit_count(xor(p.simhash, q.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------- clusters
+  /** Transitive near-dup clusters: connected components over the LSH
+    * candidate pairs (est_jaccard >= 0.5), labels = min doc_id reachable.
+    * This is the step a real dedup pipeline runs after pair generation —
+    * "keep one survivor per CLUSTER", since near-duplication is transitive
+    * in practice (A~B, B~C ⇒ one retained doc, not two).
+    *
+    * Implementation: Pregel-style min-label propagation to a fixpoint. The
+    * driver loop holds NO data — each iteration is a distributed join over
+    * the pair graph (which is proportional to near-dup density, orders of
+    * magnitude smaller than the corpus), `localCheckpoint` cuts the lineage
+    * so plans stay flat, and the only driver-side value is the convergence
+    * count. Iterations ∝ component diameter; near-dup clusters are
+    * shallow (the 20-round cap is a safety net, not a tuning knob).
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = dedupMinhashLsh(s, d).select("doc_a", "doc_b")
+    val sym = edges.union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = sym.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = sym.join(labels, col("doc_b") === col("doc_id"))
+        .groupBy(col("doc_a")).agg(min("label").as("nbr_min"))
+      val next = labels.join(nbrMin, col("doc_id") === col("doc_a"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+        .filter(col("n.label") =!= col("p.label"))
+        .count()
+      labels = next
+      rounds += 1
+    }
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max("doc_id").as("max_doc_id"))
+      .orderBy("cluster_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $lshPairsSqlCtes,
+       |sym AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM lshpairs
+       |  UNION SELECT doc_b, doc_a FROM lshpairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+       |  UNION
+       |  SELECT s.a, r.b FROM sym s JOIN reach r ON s.b = r.a)
+       |SELECT min_b AS cluster_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  max(a) AS max_doc_id
+       |FROM (SELECT a, min(b) AS min_b FROM reach GROUP BY a)
+       |GROUP BY 1 ORDER BY cluster_id""".stripMargin
+
   // ------------------------------------------------------------- embedding
   /** Embedding-cosine near-dup pairs (cosine >= 0.4, double precision,
     * rounded before thresholding so both engines agree at the boundary).
@@ -287,6 +353,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _))
 
@@ -294,6 +361,7 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

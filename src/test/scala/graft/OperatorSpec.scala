@@ -104,6 +104,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(h == expected, s"got $h, expected code-point fold $expected")
   }
 
+  test("dedup clusters: components cover all paired docs, labels are component minima") {
+    val pairs = operators.Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val clusters = operators.Dedup.dedupClusters(spark, sf).collect()
+    val clustered = clusters.map(_.getAs[Long]("n_docs")).sum
+    val pairedDocs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(clustered == pairedDocs.length, "every paired doc lands in exactly one cluster")
+    // reference union-find on the collected pairs must agree
+    val parent = scala.collection.mutable.Map(pairedDocs.map(x => x -> x): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairedDocs.groupBy(find).map { case (root, members) =>
+      (members.min, members.length.toLong)
+    }.toSet
+    val got = clusters.map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"))).toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("sessionize: session event counts sum to total events, sessions ordered") {
     val sessions = operators.TimeSeries.sessionizeGaps(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
