@@ -746,6 +746,23 @@ object Relational {
        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
        |FROM b GROUP BY 1 ORDER BY split""".stripMargin
 
+  // ------------------------------------------------------ approx percentile
+  /** Sketch-based percentile (`percentile_approx`, Greenwald-Khanna) next
+    * to the exact value it approximates. No SQL oracle (sketch internals
+    * are engine-specific — same as `approx_distinct`); the spec asserts the
+    * approximation error bound instead. At 100 TB the sketch is the only
+    * viable path: fixed memory per group, one pass, mergeable partials.
+    */
+  def percentileApprox(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile_approx(l_extendedprice, 0.5, 1000)"), 2)
+          .as("p50_approx"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_exact"),
+        round(expr("percentile_approx(l_extendedprice, 0.95, 1000)"), 2)
+          .as("p95_approx"))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -775,6 +792,7 @@ object Relational {
     "join_full_outer" -> (joinFullOuter _),
     "group_concat" -> (groupConcat _),
     "sample_split" -> (sampleSplit _),
+    "percentile_approx_sketch" -> (percentileApprox _),
     "pivot_events" -> (pivotEvents _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "agg_stats" -> (aggStats _))

@@ -104,6 +104,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(h == expected, s"got $h, expected code-point fold $expected")
   }
 
+  test("percentile_approx within 1% of exact (sketch contract)") {
+    val rows = operators.Relational.percentileApprox(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Double]("p50_approx")
+      val exact = r.getAs[Double]("p50_exact")
+      assert(math.abs(approx - exact) / exact < 0.01, s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("sample split is deterministic, covers every doc, ratios near 80/10/10") {
+    val a = operators.Relational.sampleSplit(spark, sf).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("n_docs"))).toMap
+    val b = operators.Relational.sampleSplit(spark, sf).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("n_docs"))).toMap
+    assert(a == b, "hash split must be stable across runs")
+    val total = a.values.sum
+    assert(total == Tables.documents(spark, sf).count())
+    assert(a("train").toDouble / total > 0.6, s"train share ${a("train")}/$total")
+  }
+
   test("dedup clusters: components cover all paired docs, labels are component minima") {
     val pairs = operators.Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))

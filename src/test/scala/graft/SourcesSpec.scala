@@ -41,6 +41,19 @@ class SourcesSpec extends AnyFunSuite {
       orders.agg(sum("o_totalprice")).collect()(0).getDouble(0))
   }
 
+  test("orc source round-trip (second columnar format)") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val orders = Tables.orders(spark, sf).limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    orders.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 100)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    assert(back.agg(sum("o_totalprice")).collect()(0).getDouble(0) ===
+      orders.agg(sum("o_totalprice")).collect()(0).getDouble(0))
+  }
+
   test("file-stream source + parquet append sink (O1 + O11 streaming path)") {
     val in = Files.createTempDirectory("graft_stream_in").toString
     val outDir = Files.createTempDirectory("graft_stream_out").toString
