@@ -47,9 +47,16 @@ object Bench {
     // settled" figure a long-running job sees
     val (warm1, warm1Failed) = pass()
     val (warm2, warm2Failed) = pass()
+    // a pass-transient failure keeps the other pass's valid measurement
+    // (the query is still listed in `failed`); -1 only when both failed
     val warm = warm1.map { case (k, v) =>
-      val v2 = warm2.getOrElse(k, v)
-      k -> (if (v < 0 || v2 < 0) -1.0 else math.min(v, v2))
+      val v2 = warm2.getOrElse(k, -1.0)
+      k -> ((v >= 0, v2 >= 0) match {
+        case (true, true) => math.min(v, v2)
+        case (true, false) => v
+        case (false, true) => v2
+        case _ => -1.0
+      })
     }
     val qs = warm.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -135,7 +135,14 @@ object Dedup {
     * is the fraction of agreeing signature components. This is the scale
     * path: pairwise work only on banded collisions.
     */
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    lshPairs(s, d).orderBy("doc_a", "doc_b")
+
+  /** The unordered LSH candidate-pair pipeline (mirrors the `lshpairs` SQL
+    * CTE) — shared by the ranked query above and [[dedupClusters]], which
+    * would otherwise pay the output sort only to discard it.
+    */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
     // Whole signature computed as per-row array expressions — one scan, no
     // shuffle until the (band, bandsig) self-join; that join's build side is
     // 4 small rows per doc, so at cluster scale the only wide exchange is
@@ -175,7 +182,6 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(first("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** The LSH candidate-pair pipeline as a CTE chain, shared by the
@@ -271,32 +277,48 @@ object Dedup {
     * shallow (the 20-round cap is a safety net, not a tuning knob).
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val edges = dedupMinhashLsh(s, d).select("doc_a", "doc_b")
+    import org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint
+    val edges = lshPairs(s, d).select("doc_a", "doc_b")
     val sym = edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
     // seed with the one-hop minimum (min of self and direct neighbors) —
-    // size-2/3 clusters, the common case, then converge in a single
-    // confirmation round instead of two propagation rounds
+    // size-2/3 clusters, the common case, converge in one confirmation round
     var labels = sym.groupBy(col("doc_a").as("doc_id"))
       .agg(min(least(col("doc_a"), col("doc_b"))).as("label"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    val maxRounds = 20 // pointer jumping ⇒ O(log diameter): cap ≫ any real graph
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = sym.join(labels, col("doc_b") === col("doc_id"))
         .groupBy(col("doc_a")).agg(min("label").as("nbr_min"))
-      val next = labels.join(nbrMin, col("doc_id") === col("doc_a"), "left")
+      // pointer jumping: also hop to the current label's own label, so long
+      // chains collapse in O(log n) rounds, not O(diameter)
+      val hop = labels.as("x")
+        .join(labels.as("y"), col("x.label") === col("y.doc_id"))
+        .select(col("x.doc_id").as("hop_id"), col("y.label").as("hop_label"))
+      val next = labels
+        .join(nbrMin, col("doc_id") === col("doc_a"), "left")
+        .join(hop, col("doc_id") === col("hop_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"),
+            least(coalesce(col("nbr_min"), col("label")),
+              coalesce(col("hop_label"), col("label")))).as("label"))
         .localCheckpoint()
       changed = next.as("n")
         .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
         .filter(col("n.label") =!= col("p.label"))
         .count()
+      unpersistLocalCheckpoint(labels) // superseded round's blocks
       labels = next
       rounds += 1
     }
+    unpersistLocalCheckpoint(sym)
+    // never return silently-truncated components: wrong cluster labels are
+    // worse than a loud failure
+    if (changed > 0) throw new IllegalStateException(
+      s"dedupClusters did not converge after $maxRounds rounds ($changed labels still moving)")
     labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max("doc_id").as("max_doc_id"))
       .orderBy("cluster_id")

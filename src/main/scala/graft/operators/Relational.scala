@@ -760,7 +760,8 @@ object Relational {
           .as("p50_approx"),
         round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_exact"),
         round(expr("percentile_approx(l_extendedprice, 0.95, 1000)"), 2)
-          .as("p95_approx"))
+          .as("p95_approx"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_exact"))
       .orderBy("l_returnflag")
 
   // ---------------------------------------------------------------- registry

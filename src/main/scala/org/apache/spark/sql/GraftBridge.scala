@@ -12,4 +12,13 @@ object GraftBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Unpersist the RDD behind a `localCheckpoint()`ed DataFrame. Iterative
+    * algorithms (connected components) checkpoint each round; without this
+    * the superseded rounds' blocks stay pinned until the session ends.
+    */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

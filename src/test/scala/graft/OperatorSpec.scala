@@ -104,12 +104,14 @@ class OperatorSpec extends AnyFunSuite {
     assert(h == expected, s"got $h, expected code-point fold $expected")
   }
 
-  test("percentile_approx within 1% of exact (sketch contract)") {
+  test("percentile_approx within 1% of exact at p50 and p95 (sketch contract)") {
     val rows = operators.Relational.percentileApprox(spark, sf).collect()
     rows.foreach { r =>
-      val approx = r.getAs[Double]("p50_approx")
-      val exact = r.getAs[Double]("p50_exact")
-      assert(math.abs(approx - exact) / exact < 0.01, s"approx=$approx exact=$exact")
+      for ((a, e) <- Seq(("p50_approx", "p50_exact"), ("p95_approx", "p95_exact"))) {
+        val approx = r.getAs[Double](a)
+        val exact = r.getAs[Double](e)
+        assert(math.abs(approx - exact) / exact < 0.01, s"$a=$approx $e=$exact")
+      }
     }
   }
 
@@ -119,9 +121,13 @@ class OperatorSpec extends AnyFunSuite {
     val b = operators.Relational.sampleSplit(spark, sf).collect()
       .map(r => (r.getAs[String]("split"), r.getAs[Long]("n_docs"))).toMap
     assert(a == b, "hash split must be stable across runs")
-    val total = a.values.sum
-    assert(total == Tables.documents(spark, sf).count())
-    assert(a("train").toDouble / total > 0.6, s"train share ${a("train")}/$total")
+    val total = a.values.sum.toDouble
+    assert(total.toLong == Tables.documents(spark, sf).count())
+    // md5 buckets are uniform; at 500 docs allow generous slack per share
+    for ((split, lo, hi) <- Seq(("train", 0.70, 0.90), ("val", 0.04, 0.16), ("test", 0.04, 0.16))) {
+      val share = a.getOrElse(split, 0L).toDouble / total
+      assert(share > lo && share < hi, s"$split share $share outside [$lo,$hi]")
+    }
   }
 
   test("dedup clusters: components cover all paired docs, labels are component minima") {
