@@ -191,10 +191,11 @@ object TextAnalysis {
   // ------------------------------------------------------------- language id
   /** Character-bigram language-ID heuristic. Profiles are fixed constants
     * (top bigrams of seed phrases per language); the document's bigram set
-    * is scored against each profile and the argmax wins, ties broken
-    * alphabetically. Pure Catalyst expressions — no UDF — but the profile
-    * constants make it awkward as portable SQL, so it is ScalaTest-checked
-    * (rows-only oracle) rather than DuckDB-checked.
+    * is scored against each profile and the argmax wins, ties broken to the
+    * alphabetically largest language. Pure Catalyst expressions — no UDF.
+    * The DuckDB oracle replicates the struct-greatest argmax with a
+    * sortable key: `printf('%02d', score) || lang` compares score first
+    * (zero-padded) then language, exactly Spark's field-wise struct max.
     */
   private val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
@@ -362,6 +363,32 @@ object TextAnalysis {
       |SELECT doc_id, rank, term, tfidf FROM ranked
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  val textLangIdSql: String = {
+    val scoreCols = langProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
+      val lst = prof.map(p => s"'$p'").mkString(", ")
+      s"len(list_intersect(bigrams, [$lst])) AS s_$lang"
+    }.mkString(",\n      |    ").stripMargin
+    val keys = langProfiles.keys.toSeq.sorted
+      .map(l => s"printf('%02d', s_$l) || '$l'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang AS labeled_lang, replace(text, ' ', '') AS stripped
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, labeled_lang,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(length(stripped) - 1, 1) + 1),
+       |      i -> substring(stripped, CAST(i AS INTEGER), 2))) AS bigrams
+       |  FROM d),
+       |s AS (SELECT doc_id, labeled_lang,
+       |    $scoreCols
+       |  FROM b),
+       |k AS (SELECT doc_id, labeled_lang, greatest($keys) AS best FROM s)
+       |SELECT doc_id, labeled_lang,
+       |  substring(best, 3) AS predicted_lang,
+       |  CAST(substring(best, 1, 2) AS INTEGER) AS score
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pii_scrub" -> (piiScrub _),
     "text_repetition" -> (textRepetition _),
@@ -383,5 +410,6 @@ object TextAnalysis {
     "token_count" -> tokenCountSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_rolling_hash" -> textRollingHashSql,
-    "text_edit_distance" -> textEditDistanceSql)
+    "text_edit_distance" -> textEditDistanceSql,
+    "text_langid" -> textLangIdSql)
 }
