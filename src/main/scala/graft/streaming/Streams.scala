@@ -197,6 +197,46 @@ object Streams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** One emitted top-k snapshot row. */
+  case class TopK(event_type: String, rank: Int, user_id: Int, cnt: Long)
+
+  /** Streaming per-key top-k (trending users per event type), maintained in
+    * a `MapState` via transformWithState: each batch updates the per-user
+    * counts for the keys that received data and emits that key's refreshed
+    * top-k snapshot. State is per (event_type, user) — at real scale the
+    * map would be bounded with a count-min sketch + heap; the exact map is
+    * correct for keyed cardinalities that fit state (per-key, off-heap in
+    * RocksDB), which covers the reference's user-count workload shape.
+    */
+  class TopKProcessor(k: Int)
+      extends StatefulProcessor[String, (String, Int), TopK] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[Int, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Int, Long]("counts",
+        Encoders.scalaInt, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Int)],
+        tv: TimerValues): Iterator[TopK] = {
+      rows.foreach { case (_, uid) =>
+        val cur = if (counts.containsKey(uid)) counts.getValue(uid) else 0L
+        counts.updateValue(uid, cur + 1L)
+      }
+      counts.iterator().toSeq
+        .sortBy { case (uid, c) => (-c, uid) }
+        .take(k).iterator.zipWithIndex
+        .map { case ((uid, c), i) => TopK(key, i + 1, uid, c) }
+    }
+  }
+
+  def streamingTopK(events: Dataset[(String, Int)], k: Int): Dataset[TopK] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TopKProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup (the training-pipeline counterpart of
     * `Dedup.dedupExact`): state keyed by the id columns, bounded by the
     * watermark — duplicates arriving within the horizon are dropped, state

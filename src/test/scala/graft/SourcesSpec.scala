@@ -54,6 +54,24 @@ class SourcesSpec extends AnyFunSuite {
       orders.agg(sum("o_totalprice")).collect()(0).getDouble(0))
   }
 
+  test("day-partitioned parquet sink + partition pruning on read (O11 sink parity)") {
+    // the reference's BigQuery sink is day-partitioned on a time column
+    // (google_bigquery.tf:17-21); the Spark twin is partitionBy(date) on
+    // write, and a date filter on read must prune to one partition dir
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .filter(col("event_date") === "2024-01-03")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("event_date"), s"expected partition pruning in:\n$plan")
+    val expected = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === "2024-01-03").count()
+    assert(back.count() == expected && expected > 0)
+  }
+
   test("file-stream source + parquet append sink (O1 + O11 streaming path)") {
     val in = Files.createTempDirectory("graft_stream_in").toString
     val outDir = Files.createTempDirectory("graft_stream_out").toString

@@ -161,6 +161,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k via transformWithState MapState: counts accumulate across batches") {
+    import org.apache.spark.sql.SparkSession
+    val _ = spark
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = try SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-topk-test")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+    import s2.implicits._
+    implicit val ctx = s2.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val q = Streams.streamingTopK(in.toDS(), 2)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("click", 1), ("click", 1), ("click", 2), ("view", 3))
+      q.processAllAvailable()
+      in.addData(("click", 2), ("click", 2), ("click", 3))
+      q.processAllAvailable()
+      // latest click snapshot: user 2 has 3, user 1 has 2 (user 3 has 1)
+      val last = s2.table("topk_out").as[Streams.TopK].collect()
+        .filter(_.event_type == "click")
+        .groupBy(_.rank).map { case (r, rows) => r -> rows.maxBy(_.cnt) }
+      assert(last(1).user_id == 2 && last(1).cnt == 3L, s"got ${last(1)}")
+      assert(last(2).user_id == 1 && last(2).cnt == 2L, s"got ${last(2)}")
+    } finally q.stop()
+  }
+
   test("batch/stream unification: demo2 transform works on a batch frame (O12)") {
     import spark.implicits._
     val batch = Seq(
