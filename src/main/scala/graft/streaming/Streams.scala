@@ -248,6 +248,18 @@ object Streams {
     df.withWatermark(watermarkCol, delay)
       .dropDuplicates(idCols :+ watermarkCol)
 
+  /** The Spark 3.5+ API for the same contract: duplicates of an id are
+    * dropped when they arrive within the watermark delay of the first
+    * sighting, WITHOUT requiring the event-time column in the key — ids
+    * recurring at distinct event times (legitimate re-emissions) are
+    * handled per the watermark, and state is GC'd on the same horizon.
+    * Preferable at scale: the state key is just the id columns.
+    */
+  def streamingDedupWithinWatermark(df: DataFrame, watermarkCol: String,
+      delay: String, idCols: Seq[String]): DataFrame =
+    df.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   // Beam's *accumulating* pane semantics (`accumulatingFiredPanes`) are the
   // same demo2WindowedCounts plan written with .outputMode("update"): every
   // batch re-emits the updated cumulative count for touched windows —

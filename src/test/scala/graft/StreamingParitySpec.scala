@@ -55,6 +55,27 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups an id even at a different event time") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "event_id")
+    val q = Streams.streamingDedupWithinWatermark(df, "ts", "10 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:01"), 2L))
+      q.processAllAvailable()
+      // id 1 again at a DIFFERENT event time, within the watermark delay of
+      // the first sighting: still a duplicate under this API (the classic
+      // dropDuplicates would keep it because ts differs)
+      in.addData((ts("2024-01-01 10:00:30"), 1L), (ts("2024-01-01 10:00:05"), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_out").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("demo2 state on RocksDB state store: same results, scalable state") {
     // HDFS-backed state store holds state in executor heap; RocksDB spills
     // to local disk — the provider a 100 TB streaming job would run with.
