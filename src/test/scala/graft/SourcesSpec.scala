@@ -64,12 +64,22 @@ class SourcesSpec extends AnyFunSuite {
       .write.mode("overwrite").partitionBy("event_date").parquet(dir)
     val back = spark.read.parquet(dir)
       .filter(col("event_date") === "2024-01-03")
-    val plan = back.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") &&
-      plan.contains("event_date"), s"expected partition pruning in:\n$plan")
     val expected = Tables.events(spark, sf)
       .filter(to_date(col("ts")) === "2024-01-03").count()
-    assert(back.count() == expected && expected > 0)
+    // collect() (not count()) so the metrics below belong to THIS plan
+    assert(back.collect().length == expected && expected > 0)
+    // real pruning evidence: the scan's PartitionFilters list is NON-EMPTY
+    // and filters on event_date (an un-pushed filter renders as
+    // "PartitionFilters: []" — bare substring checks pass vacuously), and
+    // the post-execution numFiles metric confirms one file was read
+    val scan = back.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert("PartitionFilters: \\[[^\\]]*event_date".r
+      .findFirstIn(scan.toString).isDefined,
+      s"expected event_date inside PartitionFilters, got:\n$scan")
+    assert(scan.metrics("numFiles").value == 1L,
+      s"expected 1 pruned file, read ${scan.metrics("numFiles").value}")
   }
 
   test("file-stream source + parquet append sink (O1 + O11 streaming path)") {

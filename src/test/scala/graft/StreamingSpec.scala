@@ -112,25 +112,7 @@ class StreamingSpec extends AnyFunSuite {
     // StatefulProcessor API (multi-timer, typed ValueState handle). TWS
     // requires the RocksDB state-store provider, so it runs on a session
     // configured with it.
-    import org.apache.spark.sql.SparkSession
-    val _ = spark
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearDefaultSession()
-    SparkSession.clearActiveSession()
-    val s2 = try SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-tws-test")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    finally {
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
-    }
+    val s2 = SparkTestSession.rocksDbSession("graft-tws-test")
     import s2.implicits._
     implicit val ctx = s2.sqlContext
     val in = MemoryStream[Msg]
@@ -162,24 +144,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming top-k via transformWithState MapState: counts accumulate across batches") {
-    import org.apache.spark.sql.SparkSession
-    val _ = spark
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearDefaultSession()
-    SparkSession.clearActiveSession()
-    val s2 = try SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-topk-test")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    finally {
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
-    }
+    val s2 = SparkTestSession.rocksDbSession("graft-topk-test")
     import s2.implicits._
     implicit val ctx = s2.sqlContext
     val in = MemoryStream[(String, Int)]
