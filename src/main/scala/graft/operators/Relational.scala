@@ -746,6 +746,38 @@ object Relational {
        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
        |FROM b GROUP BY 1 ORDER BY split""".stripMargin
 
+  // ------------------------------------------------------ stratified sample
+  /** Deterministic stratified sample: within each language stratum keep the
+    * 20% of documents whose id-hash bucket is below 2 (of 10) — per-stratum
+    * rates without a shuffle (the hash decides membership row-locally; the
+    * audit aggregate is the only exchange). The companion of
+    * [[sampleSplit]]: same portable hash, conditioned per class, which is
+    * how a 100 TB corpus balances classes without a global sort or
+    * per-class reservoirs.
+    */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.Portable.hash28(col("doc_id").cast("string")) % 10
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), (bucket < 2).as("sampled"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        min(when(col("sampled"), col("doc_id"))).as("first_sampled_id"))
+      .orderBy("lang")
+  }
+
+  val sampleStratifiedSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    ${graft.functions.Portable.hash28Sql("doc_id::VARCHAR")} % 10 < 2 AS sampled
+       |  FROM documents)
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  min(CASE WHEN sampled THEN doc_id END) AS first_sampled_id
+       |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------ approx percentile
   /** Sketch-based percentile (`percentile_approx`, Greenwald-Khanna) next
     * to the exact value it approximates. No SQL oracle (sketch internals
@@ -793,6 +825,7 @@ object Relational {
     "join_full_outer" -> (joinFullOuter _),
     "group_concat" -> (groupConcat _),
     "sample_split" -> (sampleSplit _),
+    "sample_stratified" -> (sampleStratified _),
     "percentile_approx_sketch" -> (percentileApprox _),
     "pivot_events" -> (pivotEvents _),
     "unpivot_metrics" -> (unpivotMetrics _),
@@ -825,6 +858,7 @@ object Relational {
     "join_full_outer" -> joinFullOuterSql,
     "group_concat" -> groupConcatSql,
     "sample_split" -> sampleSplitSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "pivot_events" -> pivotEventsSql,
     "unpivot_metrics" -> unpivotMetricsSql,
     "agg_stats" -> aggStatsSql)
