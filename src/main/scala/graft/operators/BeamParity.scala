@@ -90,6 +90,36 @@ object BeamParity {
       |FROM events WHERE event_id % 7 <> 0
       |GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** Demo1's drop-AND-LOG contract (`Demo1.java:65-68` logs each parse
+    * failure): the Spark-native form of the "log" half is `observe` —
+    * named metrics accumulated DURING the pass (no second scan), surfaced
+    * to listeners/StreamingQueryProgress. The pipeline result is identical
+    * to [[demo1MalformedDrop]]; the observation adds the input and
+    * malformed counts a production pipeline would alert on.
+    */
+  def demo1MalformedObserved(spark: SparkSession, dir: String): DataFrame = {
+    val wire = Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        to_json(struct(
+          unix_timestamp(col("ts")).as("event_time"),
+          col("user_id"),
+          lit(1).as("click"))).as("payload"))
+      .select(when(col("event_id") % 7 === 0,
+          concat(lit("%corrupt%"), col("payload")))
+        .otherwise(col("payload")).as("payload"))
+    wire
+      .select(from_json(col("payload"), Tables.wireSchema).as("m"))
+      .observe("parse_audit",
+        count(lit(1)).as("n_input"),
+        sum(when(col("m").isNull || col("m.user_id").isNull, 1L).otherwise(0L))
+          .as("n_malformed"))
+      .filter(col("m").isNotNull && col("m.user_id").isNotNull)
+      .groupBy(col("m.user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_parsed"))
+      .orderBy("user_id")
+  }
+
   /** Demo2 batch twin (the flagship): per-(1-minute tumbling window, user)
     * event count (`Demo2.java:149-160`).
     */

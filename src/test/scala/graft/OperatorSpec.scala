@@ -104,6 +104,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(h == expected, s"got $h, expected code-point fold $expected")
   }
 
+  test("observe metrics report input and malformed counts in one pass (O2 log parity)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var audit: Option[Row] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("parse_audit").foreach(r => audit = Some(r))
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = operators.BeamParity.demo1MalformedObserved(spark, sf).collect()
+      assert(out.map(_.getAs[Long]("n_parsed")).sum > 0)
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (audit.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val m = audit.getOrElse(fail("parse_audit metrics never arrived"))
+      val events = Tables.events(spark, sf)
+      assert(m.getAs[Long]("n_input") == events.count())
+      assert(m.getAs[Long]("n_malformed") ==
+        events.filter(org.apache.spark.sql.functions.expr("event_id % 7 = 0")).count())
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("percentile_approx within 1% of exact at p50 and p95 (sketch contract)") {
     val rows = operators.Relational.percentileApprox(spark, sf).collect()
     rows.foreach { r =>
