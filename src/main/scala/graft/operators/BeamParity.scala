@@ -59,14 +59,18 @@ object BeamParity {
     * survivors per user. The corrupt rows (event_id % 7 = 0) must vanish
     * without failing the pipeline.
     */
-  def demo1MalformedDrop(spark: SparkSession, dir: String): DataFrame = {
-    // NOT parallelized: ~14% of payloads here are deliberately corrupt, and
-    // from_json's per-record exception path across 32 concurrent tasks
-    // triggered JIT deoptimization storms that degraded the whole JVM
-    // (28 s for this query AND 4× slowdowns on unrelated queries after it,
-    // measured at sf0.1). One task keeps the exception traffic contained;
-    // at real scale corrupt records are rare and spread across executors.
-    val wire = Tables.events(spark, dir)
+  /** The parsed-but-unfiltered corrupt-wire pipeline shared by the drop
+    * and drop-and-log variants (one column `m`, NULL for malformed rows).
+    *
+    * NOT parallelized: ~14% of payloads here are deliberately corrupt, and
+    * from_json's per-record exception path across 32 concurrent tasks
+    * triggered JIT deoptimization storms that degraded the whole JVM
+    * (28 s for this query AND 4× slowdowns on unrelated queries after it,
+    * measured at sf0.1). One task keeps the exception traffic contained;
+    * at real scale corrupt records are rare and spread across executors.
+    */
+  private def malformedParsed(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(
         col("event_id"),
         to_json(struct(
@@ -76,13 +80,18 @@ object BeamParity {
       .select(when(col("event_id") % 7 === 0,
           concat(lit("%corrupt%"), col("payload")))
         .otherwise(col("payload")).as("payload"))
-    wire
       .select(from_json(col("payload"), Tables.wireSchema).as("m"))
+
+  /** Drop-and-continue + per-user survivor counts, from the parsed wire. */
+  private def countSurvivors(parsed: DataFrame): DataFrame =
+    parsed
       .filter(col("m").isNotNull && col("m.user_id").isNotNull)
       .groupBy(col("m.user_id").cast("long").as("user_id"))
       .agg(count(lit(1)).as("n_parsed"))
       .orderBy("user_id")
-  }
+
+  def demo1MalformedDrop(spark: SparkSession, dir: String): DataFrame =
+    countSurvivors(malformedParsed(spark, dir))
 
   val demo1MalformedDropSql: String =
     """SELECT CAST(user_id AS BIGINT) AS user_id,
@@ -94,31 +103,17 @@ object BeamParity {
     * failure): the Spark-native form of the "log" half is `observe` —
     * named metrics accumulated DURING the pass (no second scan), surfaced
     * to listeners/StreamingQueryProgress. The pipeline result is identical
-    * to [[demo1MalformedDrop]]; the observation adds the input and
-    * malformed counts a production pipeline would alert on.
+    * to [[demo1MalformedDrop]] BY CONSTRUCTION (both compose the same
+    * shared pipeline); the observation adds the input and malformed counts
+    * a production pipeline would alert on.
     */
-  def demo1MalformedObserved(spark: SparkSession, dir: String): DataFrame = {
-    val wire = Tables.events(spark, dir)
-      .select(
-        col("event_id"),
-        to_json(struct(
-          unix_timestamp(col("ts")).as("event_time"),
-          col("user_id"),
-          lit(1).as("click"))).as("payload"))
-      .select(when(col("event_id") % 7 === 0,
-          concat(lit("%corrupt%"), col("payload")))
-        .otherwise(col("payload")).as("payload"))
-    wire
-      .select(from_json(col("payload"), Tables.wireSchema).as("m"))
-      .observe("parse_audit",
-        count(lit(1)).as("n_input"),
-        sum(when(col("m").isNull || col("m.user_id").isNull, 1L).otherwise(0L))
-          .as("n_malformed"))
-      .filter(col("m").isNotNull && col("m.user_id").isNotNull)
-      .groupBy(col("m.user_id").cast("long").as("user_id"))
-      .agg(count(lit(1)).as("n_parsed"))
-      .orderBy("user_id")
-  }
+  def demo1MalformedObserved(spark: SparkSession, dir: String): DataFrame =
+    countSurvivors(
+      malformedParsed(spark, dir)
+        .observe("parse_audit",
+          count(lit(1)).as("n_input"),
+          sum(when(col("m").isNull || col("m.user_id").isNull, 1L).otherwise(0L))
+            .as("n_malformed")))
 
   /** Demo2 batch twin (the flagship): per-(1-minute tumbling window, user)
     * event count (`Demo2.java:149-160`).
@@ -205,6 +200,7 @@ object BeamParity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "demo1_parse_etl" -> (demo1ParseEtl _),
     "demo1_malformed_drop" -> (demo1MalformedDrop _),
+    "demo1_malformed_observed" -> (demo1MalformedObserved _),
     "demo2_window_count" -> (demo2WindowCount _),
     "sliding_window_count" -> (slidingWindowCount _),
     "session_window_count" -> (sessionWindowCount _))
@@ -212,6 +208,8 @@ object BeamParity {
   def oracles: Map[String, String] = Map(
     "demo1_parse_etl" -> demo1ParseEtlSql,
     "demo1_malformed_drop" -> demo1MalformedDropSql,
+    // identical result by construction: the observe call only adds metrics
+    "demo1_malformed_observed" -> demo1MalformedDropSql,
     "demo2_window_count" -> demo2WindowCountSql,
     "sliding_window_count" -> slidingWindowCountSql,
     "session_window_count" -> sessionWindowCountSql)

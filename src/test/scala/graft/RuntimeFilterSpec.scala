@@ -23,24 +23,25 @@ class RuntimeFilterSpec extends AnyFunSuite {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
-      val sel = Tables.orders(spark, sf)
-        .filter(col("o_totalprice") > 400000).select("o_orderkey")
-      val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      // fresh plan per call — one builder so both runs compare the SAME query
+      def mkJoin() = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+        .join(Tables.orders(spark, sf)
+          .filter(col("o_totalprice") > 400000).select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      val joined = mkJoin()
       val optimized = joined.queryExecution.optimizedPlan.toString
       assert(optimized.contains("bloom_filter_agg") &&
         optimized.contains("might_contain"),
         s"expected a runtime bloom filter build + probe in:\n$optimized")
       // and the filtered plan returns exactly what the unfiltered one does
-      val n = joined.collect()(0).getAs[Long]("n")
+      val bloom = joined.collect()(0)
       spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-      val li2 = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
-      val sel2 = Tables.orders(spark, sf)
-        .filter(col("o_totalprice") > 400000).select("o_orderkey")
-      val plain = li2.join(sel2, col("l_orderkey") === col("o_orderkey"))
-        .agg(count(lit(1)).as("n")).collect()(0).getAs[Long]("n")
-      assert(n == plain && n > 0, s"bloom=$n plain=$plain")
+      val plain = mkJoin().collect()(0)
+      assert(bloom.getAs[Long]("n") == plain.getAs[Long]("n") &&
+        bloom.getAs[Double]("q") == plain.getAs[Double]("q") &&
+        bloom.getAs[Long]("n") > 0,
+        s"bloom=$bloom plain=$plain")
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
