@@ -192,6 +192,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize is invariant to input row order, including timestamp ties") {
+    import spark.implicits._
+    // synthetic events with DUPLICATE timestamps per user (the tie case the
+    // RANGE cumulative frame must make order-proof) — ts stored as int64
+    // nanos, the fixture wire format Tables.events expects
+    val base = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-03 09:00:00"), (1L, "2024-01-03 09:00:00"),
+      (2L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:00:05"))
+      .map { case (u, t) => (u, java.sql.Timestamp.valueOf(t).getTime * 1000000L) }
+    def writeDir(rows: Seq[(Long, Long)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sess-").toString
+      rows.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val fwd = operators.TimeSeries.sessionizeGaps(spark, writeDir(base)).collect()
+    val rev = operators.TimeSeries.sessionizeGaps(spark, writeDir(base.reverse)).collect()
+    assert(fwd.map(_.toString).toSeq == rev.map(_.toString).toSeq,
+      s"fwd=${fwd.mkString(";")} rev=${rev.mkString(";")}")
+    // user 1: two sessions (gap > 24h); user 2: one session of 2 events
+    val u1 = fwd.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 2 && u1.forall(_.getAs[Long]("n_events") == 2L))
+    val u2 = fwd.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length == 1 && u2(0).getAs[Long]("n_events") == 2L)
+  }
+
   test("gap fill: hourly grid is dense per user and zeros fill the gaps") {
     val rows = operators.TimeSeries.gapFillResample(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
