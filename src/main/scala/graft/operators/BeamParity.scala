@@ -62,15 +62,31 @@ object BeamParity {
   /** The parsed-but-unfiltered corrupt-wire pipeline shared by the drop
     * and drop-and-log variants (one column `m`, NULL for malformed rows).
     *
-    * NOT parallelized: ~14% of payloads here are deliberately corrupt, and
-    * from_json's per-record exception path across 32 concurrent tasks
-    * triggered JIT deoptimization storms that degraded the whole JVM
-    * (28 s for this query AND 4× slowdowns on unrelated queries after it,
-    * measured at sf0.1). One task keeps the exception traffic contained;
-    * at real scale corrupt records are rare and spread across executors.
+    * A structural validity guard runs BEFORE `from_json`: payloads that are
+    * not even object-shaped (`{...}`) map straight to NULL without entering
+    * the parser. `CASE WHEN` short-circuits inside whole-stage codegen, so
+    * the 14%-corrupt fixture never exercises from_json's per-record
+    * exception path — which, across 32 concurrent tasks, used to trigger
+    * JIT deoptimization storms that degraded the whole JVM (28 s for this
+    * query AND 4× slowdowns on unrelated queries after it, measured at
+    * sf0.1, which is why this stage was previously pinned to one task).
+    * With the guard, only structurally-plausible-but-invalid JSON (rare by
+    * construction at any scale) can throw, and the stage runs fully
+    * parallel.
+    *
+    * The `parse_audit` observation (input + malformed counts, the reference's
+    * per-failure log re-expressed as one-pass metrics) lives HERE, on the
+    * shared pipeline, for two reasons: Demo1 always logs parse failures, and
+    * the CollectMetrics node doubles as a pushdown barrier — without it,
+    * Catalyst rewrites the downstream `m IS NOT NULL` filter in terms of
+    * `from_json(payload)` and the parse runs 2-3× per row (measured: the
+    * barriered plan is ~2× faster end-to-end).
     */
   private def malformedParsed(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    Tables.parallelize(spark, // repartition the narrow typed columns, then
+      // build + parse JSON post-shuffle on every core: the shuffle carries
+      // (event_id, ts, user_id), never the rendered payload strings
+      Tables.events(spark, dir).select(col("event_id"), col("ts"), col("user_id")))
       .select(
         col("event_id"),
         to_json(struct(
@@ -80,7 +96,14 @@ object BeamParity {
       .select(when(col("event_id") % 7 === 0,
           concat(lit("%corrupt%"), col("payload")))
         .otherwise(col("payload")).as("payload"))
-      .select(from_json(col("payload"), Tables.wireSchema).as("m"))
+      .select(when(
+          col("payload").startsWith("{") && col("payload").endsWith("}"),
+          from_json(col("payload"), Tables.wireSchema))
+        .as("m"))
+      .observe("parse_audit",
+        count(lit(1)).as("n_input"),
+        sum(when(col("m").isNull || col("m.user_id").isNull, 1L).otherwise(0L))
+          .as("n_malformed"))
 
   /** Drop-and-continue + per-user survivor counts, from the parsed wire. */
   private def countSurvivors(parsed: DataFrame): DataFrame =
@@ -104,16 +127,12 @@ object BeamParity {
     * named metrics accumulated DURING the pass (no second scan), surfaced
     * to listeners/StreamingQueryProgress. The pipeline result is identical
     * to [[demo1MalformedDrop]] BY CONSTRUCTION (both compose the same
-    * shared pipeline); the observation adds the input and malformed counts
-    * a production pipeline would alert on.
+    * shared audited pipeline — see [[malformedParsed]]); this registered
+    * variant is the one whose `parse_audit` metrics a production pipeline
+    * reads via a QueryExecutionListener (OperatorSpec does exactly that).
     */
   def demo1MalformedObserved(spark: SparkSession, dir: String): DataFrame =
-    countSurvivors(
-      malformedParsed(spark, dir)
-        .observe("parse_audit",
-          count(lit(1)).as("n_input"),
-          sum(when(col("m").isNull || col("m.user_id").isNull, 1L).otherwise(0L))
-            .as("n_malformed")))
+    countSurvivors(malformedParsed(spark, dir))
 
   /** Demo2 batch twin (the flagship): per-(1-minute tumbling window, user)
     * event count (`Demo2.java:149-160`).

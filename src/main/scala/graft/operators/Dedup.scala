@@ -12,13 +12,14 @@ import org.apache.spark.sql.functions._
   * Scale posture:
   *  - Exact dedup shuffles only a 128-bit fingerprint + doc_id, never text.
   *  - Jaccard is the exact (quadratic-in-colliding-docs) baseline; its
-  *    candidate generation is a distributed shingle self-join, which is the
-  *    right shape at scale only after LSH pruning — which is exactly what
+  *    candidate generation is an inverted index with a stop-gram cap, which
+  *    is the right shape at scale only after LSH pruning — which is what
   *    `dedup_minhash_lsh` adds: candidates come from banded signature
   *    collisions (4 bands × 2 rows), so the pairwise work is proportional
   *    to true near-dups, not to corpus².
-  *  - SimHash reduces each doc to one 32-bit integer; the pair scan is a
-  *    self-join on small integers.
+  *  - SimHash reduces each doc to one 28-bit integer; candidates come from
+  *    a pigeonhole-banded equi-join (4×7-bit chunks), never an all-pairs
+  *    scan.
   *  - All hashes are md5-derived (`Portable`) so DuckDB reproduces them.
   */
 object Dedup {
@@ -80,25 +81,41 @@ object Dedup {
     * Candidates: distributed self-join on shared shingles; intersection
     * counts from the join, union sizes from per-doc shingle counts.
     */
-  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Inverted-index pair generation: group postings by gram ONCE, emit the
-    // i<j pairs of each posting list as an array expression, then count
-    // shared grams per pair. One scan and one wide shuffle (by gram) replace
-    // the earlier shingle self-join, which evaluated the tokenize+shingle
-    // pipeline once per join side (plus once more as an inferred not-null
-    // filter pushed into the single-split scan) and shuffled the exploded
-    // postings twice. Set sizes ride along in the posting structs, so no
-    // window function and no separate sizes join.
-    //
-    // Scale note: pair count per gram is quadratic in its posting-list
-    // length — at 100 TB the standard guard is dropping stop-grams (lists
-    // over a few hundred docs), which this shape makes a one-line filter
-    // on size(ds); the fixtures have no such hot grams, so none is applied.
-    val grams = gramSetDF(s, d)
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(gramSetDF(s, d)).orderBy("doc_a", "doc_b")
+
+  /** Grams a posting list may hold before it is dropped as a stop-gram.
+    * Pair count per gram is quadratic in its posting-list length; at corpus
+    * scale a single hot gram (boilerplate, markup) makes its list the whole
+    * job. Docs sharing ONLY stop-grams lose those intersections — standard
+    * and intended: a gram present in hundreds of documents carries no
+    * near-dup signal. The fixtures' hottest gram is far below this cap, so
+    * the oracle (which applies no cap) still matches exactly.
+    */
+  val MaxPostingLen = 256
+
+  /** Inverted-index pair generation from (doc_id, grams) rows: group
+    * postings by gram ONCE, emit the i<j pairs of each posting list as an
+    * array expression, then count shared grams per pair. One scan and one
+    * wide shuffle (by gram) replace a shingle self-join that evaluated the
+    * tokenize+shingle pipeline once per join side and shuffled the exploded
+    * postings twice. Set sizes ride along in the posting structs, so no
+    * window function and no separate sizes join.
+    *
+    * Posting lists at or above [[MaxPostingLen]] are dropped before pair
+    * expansion (the 100 TB guard); the drop count is observable on the
+    * result as the `jaccard_audit` metric (`stop_grams_dropped`).
+    */
+  def jaccardPairs(gramSets: DataFrame): DataFrame = {
+    val grams = gramSets
       .select(col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("gram"))
     grams
       .groupBy("gram")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .observe("jaccard_audit",
+        sum(when(size(col("ds")) >= MaxPostingLen, 1L).otherwise(0L))
+          .as("stop_grams_dropped"))
+      .filter(size(col("ds")) < MaxPostingLen)
       .select(explode(expr(
         "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), " +
           "b -> named_struct('doc_a', a.doc_id, 'na', a.n, 'doc_b', b.doc_id, 'nb', b.n))))"
@@ -110,7 +127,6 @@ object Dedup {
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy("doc_a", "doc_b")
   }
 
   val dedupNgramJaccardSql: String =
@@ -232,12 +248,36 @@ object Dedup {
       .select(col("doc_id"),
         column(graft.functions.SimHashBits(
           expression(Portable.tokens(col("text"))), 28)).as("simhash"))
-    // all-pairs scan: stream one side in parallel, broadcast the tiny
-    // (doc_id, simhash) projection — 12 bytes per doc
-    sim.as("p")
-      .join(broadcast(sim.as("q")), col("p.doc_id") < col("q.doc_id"))
+    // Pigeonhole banding: split the 28 bits into 4 chunks of 7. A pair within
+    // Hamming distance 3 differs in at most 3 chunks, so it MUST agree exactly
+    // on at least one — candidates come from an equi-self-join on
+    // (chunk_idx, chunk_bits), a hash-partitioned shuffle proportional to
+    // chunk collisions, never an all-pairs scan. Same output as the
+    // brute-force formulation (the pigeonhole guarantee is exact, not
+    // probabilistic), so the oracle is unchanged.
+    val chunkStructs = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), 7 * c).bitwiseAND(lit(0x7fL)).as("bits"))
+    }
+    val chunks = sim
+      .select(col("doc_id"), col("simhash"), explode(array(chunkStructs: _*)).as("cb"))
+      .select(col("doc_id"), col("simhash"), col("cb.chunk"), col("cb.bits"))
+    // A pair can agree on several chunks; instead of a post-join dedup
+    // aggregate, keep only the collision row whose chunk is the FIRST chunk
+    // the two fingerprints agree on — computable from the xor, so each
+    // qualifying pair survives exactly once and the join output needs no
+    // regrouping.
+    val xor = col("p.simhash").bitwiseXOR(col("q.simhash"))
+    val firstAgreeingChunk = (3 to 0 by -1).foldLeft(lit(-1)) { (acc, c) =>
+      when(shiftright(xor, 7 * c).bitwiseAND(lit(0x7fL)) === 0, lit(c)).otherwise(acc)
+    }
+    chunks.as("p")
+      .join(chunks.as("q"),
+        col("p.chunk") === col("q.chunk") && col("p.bits") === col("q.bits") &&
+          col("p.doc_id") < col("q.doc_id"))
+      .filter(col("p.chunk") === firstAgreeingChunk)
       .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
-        bit_count(col("p.simhash").bitwiseXOR(col("q.simhash"))).as("hamming"))
+        bit_count(xor).as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
   }

@@ -100,14 +100,20 @@ object Relational {
       |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- q5
-  /** TPC-H Q5-shaped: 6-way star join; all dimensions broadcast so the only
-    * shuffle is the final per-nation aggregate.
+  /** TPC-H Q5-shaped: 6-way star join. Only the genuinely bounded dimensions
+    * (nation: 25 rows, region: 5 — fixed by the schema, independent of scale
+    * factor) carry explicit broadcast hints. customer/supplier GROW with the
+    * corpus: an unconditional hint would override Catalyst's size check and
+    * die at the 8 GB broadcast limit on a large cluster, so they are left to
+    * the autoBroadcastJoinThreshold + AQE, which picks BHJ while they fit
+    * (they do at bench scale) and degrades to shuffled SMJ/SHJ — instead of
+    * an OOM — when they don't.
     */
   def q5NationRevenue(s: SparkSession, d: String): DataFrame =
     li(s, d)
       .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, d)),
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))

@@ -58,6 +58,61 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${jacc.size} true pairs")
   }
 
+  test("simhash banding emits exactly the brute-force Hamming<=3 pairs") {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    import org.apache.spark.sql.functions.col
+    // recompute the fingerprints independently and brute-force the pairs;
+    // the pigeonhole-banded operator must emit the identical set
+    val sims = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        column(functions.SimHashBits(
+          expression(functions.Portable.tokens(col("text"))), 28)).as("simhash"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash")))
+    val expected = (for {
+      (a, ha) <- sims; (b, hb) <- sims
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
+    assert(expected.nonEmpty, "fixture should contain planted near-dups")
+    val got = operators.Dedup.dedupSimhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == expected,
+      s"banded pairs diverge: missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("jaccard stop-gram cap drops hot posting lists and reports the count") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import spark.implicits._
+    // docs 1,2: true near-dups — 9 shared rare grams + the hot gram
+    // (9/11 = 0.8182 survives even with the hot intersection dropped);
+    // docs 3..302: identical {hot, dup} — BOTH grams exceed MaxPostingLen,
+    // so without the cap they'd emit ~45k jaccard-1.0 pairs, with it none.
+    val shared = (1 to 9).map(i => s"g$i")
+    val gramSets = (
+      Seq((1L, shared :+ "hot"), (2L, shared :+ "hot")) ++
+        (3L to 302L).map(i => (i, Seq("hot", "dup")))
+      ).toDF("doc_id", "grams")
+    @volatile var audit: Option[Row] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("jaccard_audit").foreach(r => audit = Some(r))
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = operators.Dedup.jaccardPairs(gramSets).collect()
+      assert(pairs.length == 1, s"expected only the rare-gram pair, got ${pairs.length}")
+      assert(pairs(0).getAs[Long]("doc_a") == 1L && pairs(0).getAs[Long]("doc_b") == 2L)
+      assert(pairs(0).getAs[Double]("jaccard") == 0.8182)
+      val deadline = System.currentTimeMillis() + 10000
+      while (audit.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val m = audit.getOrElse(fail("jaccard_audit metrics never arrived"))
+      assert(m.getAs[Long]("stop_grams_dropped") == 2L, "hot + dup grams dropped")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("ann topk: 5 ranked neighbors per query, self excluded") {
     val rows = operators.Similarity.annBruteforceTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
