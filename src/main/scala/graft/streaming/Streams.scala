@@ -200,16 +200,28 @@ object Streams {
   /** One emitted top-k snapshot row. */
   case class TopK(event_type: String, rank: Int, user_id: Int, cnt: Long)
 
-  /** Streaming per-key top-k (trending users per event type), maintained in
-    * a `MapState` via transformWithState: each batch updates the per-user
-    * counts for the keys that received data and emits that key's refreshed
-    * top-k snapshot. State is per (event_type, user) — at real scale the
-    * map would be bounded with a count-min sketch + heap; the exact map is
-    * correct for keyed cardinalities that fit state (per-key, off-heap in
-    * RocksDB), which covers the reference's user-count workload shape.
+  /** Streaming per-key top-k (trending users per event type) with BOUNDED
+    * state: a SpaceSaving summary (Metwally et al., "Efficient computation
+    * of frequent and top-k elements in data streams") of at most k×slack
+    * counters per key, in a `MapState` via transformWithState.
+    *
+    * Per batch: the ≤ k×slack counters are loaded (a bounded read, not a
+    * full-cardinality materialization), incoming rows increment their
+    * counter or — when the summary is full — evict the minimum counter and
+    * take over its count + 1. The refreshed top-k snapshot is emitted for
+    * each key that received data.
+    *
+    * Guarantees (standard SpaceSaving): every counter overestimates its
+    * item's true count by at most the evicted minimum ≤ n/(k×slack); any
+    * item whose true count exceeds that bound is retained. So the emitted
+    * top-k is exact whenever the true top-k counts clear n/(k×slack) — the
+    * skewed trending-keys regime this operator exists for — and state is
+    * O(k×slack) per event type REGARDLESS of user cardinality, which is
+    * what survives 100 TB/day: distinct users never touch the state size.
     */
-  class TopKProcessor(k: Int)
+  class TopKProcessor(k: Int, slack: Int = 4)
       extends StatefulProcessor[String, (String, Int), TopK] {
+    private val capacity = k * slack
     @transient private var counts: org.apache.spark.sql.streaming.MapState[Int, Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -218,22 +230,34 @@ object Streams {
 
     override def handleInputRows(key: String, rows: Iterator[(String, Int)],
         tv: TimerValues): Iterator[TopK] = {
+      val m = scala.collection.mutable.Map.empty[Int, Long]
+      counts.iterator().foreach { case (uid, c) => m(uid) = c } // ≤ capacity rows
+      val loaded = m.keySet.toSet
       rows.foreach { case (_, uid) =>
-        val cur = if (counts.containsKey(uid)) counts.getValue(uid) else 0L
-        counts.updateValue(uid, cur + 1L)
+        m.get(uid) match {
+          case Some(c) => m(uid) = c + 1L
+          case None if m.size < capacity => m(uid) = 1L
+          case None => // evict the minimum counter, inherit its count
+            val (minU, minC) = m.minBy { case (u, c) => (c, u) }
+            m.remove(minU)
+            m(uid) = minC + 1L
+        }
       }
-      counts.iterator().toSeq
+      (loaded -- m.keySet).foreach(counts.removeKey)
+      m.foreach { case (u, c) => counts.updateValue(u, c) }
+      m.toSeq
         .sortBy { case (uid, c) => (-c, uid) }
         .take(k).iterator.zipWithIndex
         .map { case ((uid, c), i) => TopK(key, i + 1, uid, c) }
     }
   }
 
-  def streamingTopK(events: Dataset[(String, Int)], k: Int): Dataset[TopK] = {
+  def streamingTopK(events: Dataset[(String, Int)], k: Int, slack: Int = 4)
+      : Dataset[TopK] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_._1)
-      .transformWithState(new TopKProcessor(k),
+      .transformWithState(new TopKProcessor(k, slack),
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -165,6 +165,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k state stays bounded under high cardinality (SpaceSaving)") {
+    val s2 = SparkTestSession.rocksDbSession("graft-topk-bounded-test")
+    import s2.implicits._
+    implicit val ctx = s2.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val k = 3; val slack = 4 // capacity 12 counters per event type
+    val q = Streams.streamingTopK(in.toDS(), k, slack)
+      .writeStream.format("memory").queryName("topk_bounded_out")
+      .outputMode("append").start()
+    try {
+      // heavy hitters first (their counters are created while the summary
+      // has room and are never the minimum afterwards → exact counts) ...
+      val heavies = Seq.fill(200)(("click", 1)) ++ Seq.fill(150)(("click", 2)) ++
+        Seq.fill(100)(("click", 3))
+      in.addData(scala.util.Random.shuffle(heavies): _*)
+      q.processAllAvailable()
+      // ... then a 400-user singleton tail — 100× the 12-counter capacity;
+      // SpaceSaving bounds any tail counter by n/capacity ≈ 46 < 100
+      in.addData((1000 until 1400).map(u => ("click", u)): _*)
+      q.processAllAvailable()
+      val rows = s2.table("topk_bounded_out").as[Streams.TopK].collect()
+      val finalTop = rows.groupBy(_.rank).map { case (r, rs) => r -> rs.maxBy(_.cnt) }
+      assert(finalTop(1).user_id == 1 && finalTop(1).cnt == 200L, s"got ${finalTop(1)}")
+      assert(finalTop(2).user_id == 2 && finalTop(2).cnt == 150L, s"got ${finalTop(2)}")
+      assert(finalTop(3).user_id == 3 && finalTop(3).cnt == 100L, s"got ${finalTop(3)}")
+      // the state store holds the bounded summary, not the 403-user universe
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= (k * slack + 1).toLong,
+        s"state rows $stateRows exceed the k*slack=12 summary bound")
+    } finally q.stop()
+  }
+
   test("batch/stream unification: demo2 transform works on a batch frame (O12)") {
     import spark.implicits._
     val batch = Seq(
