@@ -302,4 +302,66 @@ object Streams {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Message-bus envelope normalization (O1, SURVEY §1.3 "SequencedMessage
+    * envelope"): a Kafka-source-shaped frame — binary `key`/`value`, broker
+    * `timestamp`, `topic`/`partition`/`offset` — becomes the string
+    * `payload` column [[demo1ParseEtl]] consumes, with the broker metadata
+    * preserved as typed columns (publish time is the reference envelope's
+    * publish timestamp, distinct from the payload's event time). This is
+    * the one seam between "wire" and the typed pipeline: swapping the
+    * file/memory test source for `spark.readStream.format("kafka")` changes
+    * nothing downstream of this call.
+    */
+  def fromBusEnvelope(envelope: DataFrame): DataFrame =
+    envelope.select(
+      col("value").cast("string").as("payload"),
+      col("key").cast("string").as("msg_key"),
+      col("timestamp").as("publish_time"),
+      col("topic"),
+      col("partition"),
+      col("offset"))
+
+  /** One micro-batch of the dead-letter sink contract, factored out so the
+    * redelivery path is directly testable: rows passing `valid` land under
+    * `sinkPath/batch_id=<id>`, the rest — annotated with the failure
+    * `reason` and the batch id — under `quarantinePath/batch_id=<id>`.
+    * Batch-id-keyed directories + overwrite make redelivered batches
+    * idempotent: a retried batch replaces its own output instead of
+    * appending duplicates.
+    */
+  def deadLetterBatch(batch: DataFrame, id: Long,
+      valid: org.apache.spark.sql.Column,
+      reason: org.apache.spark.sql.Column,
+      sinkPath: String, quarantinePath: String): Unit = {
+    val b = batch.persist()
+    try {
+      b.filter(valid).write.mode("overwrite")
+        .parquet(s"$sinkPath/batch_id=$id")
+      b.filter(!valid)
+        .withColumn("dlq_reason", reason)
+        .write.mode("overwrite")
+        .parquet(s"$quarantinePath/batch_id=$id")
+    } finally { b.unpersist(); () }
+  }
+
+  /** Dead-letter sink (O11 parity with `Demo1.java:96-97`: the reference
+    * retries transient insert failures and surfaces failed rows with
+    * extended error info). Spark-first shape: transient failures are the
+    * micro-batch retry's job (the checkpoint re-runs a failed batch), so
+    * the dead-letter path carries rows that deterministically fail
+    * validation — each batch splits on `valid` and quarantines the rest
+    * with a reason, idempotently per batch id via [[deadLetterBatch]].
+    */
+  def appendWithDeadLetter(df: DataFrame,
+      valid: org.apache.spark.sql.Column,
+      reason: org.apache.spark.sql.Column,
+      sinkPath: String, quarantinePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        deadLetterBatch(batch.toDF(), id, valid, reason, sinkPath, quarantinePath)
+      }
+      .start()
 }

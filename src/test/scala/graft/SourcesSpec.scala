@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.Sources
+import graft.streaming.Streams
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -109,6 +110,68 @@ class SourcesSpec extends AnyFunSuite {
     val vals = spark.table("rate_out").collect().map(_.getAs[Long]("value"))
     assert(vals.nonEmpty)
     assert(vals.sorted.toSeq == (vals.min to vals.max))
+  }
+
+  test("bus envelope normalizes to the wire payload, streamed and batch (O1 seam)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val lines = tools.Publisher.messageLines(Seq(1, 2), 3, 1700000000L)
+    // Kafka-source-shaped envelope rows wrapping the Publisher wire messages
+    val envRows = lines.zipWithIndex.map { case (l, i) =>
+      (s"k$i".getBytes("UTF-8"), l.getBytes("UTF-8"), "events", 0,
+        i.toLong, new java.sql.Timestamp(1700000000000L + i))
+    }
+    val envCols = Seq("key", "value", "topic", "partition", "offset", "timestamp")
+    def parsedRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int)] =
+      df.select(unix_timestamp(col("event_time")), col("user_id"), col("click"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // batch leg: envelope → normalize → parse == raw lines → parse
+    val viaEnvelope = parsedRows(Streams.demo1ParseEtl(
+      Streams.fromBusEnvelope(envRows.toDF(envCols: _*))))
+    val direct = parsedRows(Streams.demo1ParseEtl(lines.toDF("payload")))
+    assert(viaEnvelope == direct && viaEnvelope.size == 6)
+    // streaming leg: the same normalization over an unbounded envelope source
+    val in = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, java.sql.Timestamp)]
+    val q = Streams.demo1ParseEtl(Streams.fromBusEnvelope(in.toDF().toDF(envCols: _*)))
+      .writeStream.format("memory").queryName("envelope_out")
+      .outputMode("append").start()
+    try {
+      in.addData(envRows)
+      q.processAllAvailable()
+      assert(parsedRows(spark.table("envelope_out")) == direct)
+    } finally q.stop()
+  }
+
+  test("dead-letter sink quarantines invalid rows idempotently (O11 retry parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_dlq").toString
+    val (sink, dlq, ckpt) = (s"$base/sink", s"$base/quarantine", s"$base/ckpt")
+    val valid = col("payload").startsWith("{")
+    val reason = when(!col("payload").startsWith("{"), lit("structurally_invalid"))
+    val in = MemoryStream[String]
+    val q = Streams.appendWithDeadLetter(
+      in.toDF().withColumnRenamed("value", "payload"),
+      valid, reason, sink, dlq, ckpt)
+    try {
+      in.addData("""{"user_id": 1}""", "garbage-1", """{"user_id": 2}""")
+      q.processAllAvailable()
+      in.addData("garbage-2", """{"user_id": 3}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val sunk = spark.read.parquet(sink)
+    val quarantined = spark.read.parquet(dlq)
+    assert(sunk.count() == 3 && quarantined.count() == 2)
+    assert(quarantined.select("dlq_reason").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("structurally_invalid"))
+    assert(quarantined.columns.contains("batch_id"), "error info carries the batch id")
+    // redelivery: re-running a batch id replaces its output, adds nothing
+    val batch0 = Seq("""{"user_id": 1}""", "garbage-1", """{"user_id": 2}""").toDF("payload")
+    Streams.deadLetterBatch(batch0, 0L, valid, reason, sink, dlq)
+    assert(spark.read.parquet(sink).count() == 3, "redelivered batch must not duplicate")
+    assert(spark.read.parquet(dlq).count() == 2)
   }
 
   test("foreachBatch idempotent sink: batch ids enable exactly-once writes") {
