@@ -802,8 +802,34 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_exact"))
       .orderBy("l_returnflag")
 
+  /** Quantiles via the mergeable t-digest UDAF
+    * ([[graft.functions.TDigestAggregator]]), next to the exact values so
+    * the error-bound spec (≤1% at p50/p95, `OperatorSpec`) and the driver's
+    * rows-only check both read one frame. Registered WITHOUT an oracle —
+    * like `percentile_approx_sketch`, the sketch's contract is its error
+    * bound, not value equality. The parallelize forces a multi-partition
+    * plan so partial digests genuinely merge across partitions.
+    */
+  def percentileTdigest(s: SparkSession, d: String): DataFrame = {
+    val td = udaf(new graft.functions.TDigestAggregator(Seq(0.5, 0.95), 100))
+    Tables.parallelize(s, li(s, d).select(col("l_returnflag"), col("l_extendedprice")))
+      .groupBy("l_returnflag")
+      .agg(
+        td(col("l_extendedprice")).as("qs"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_exact"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_exact"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("qs"), 1), 2).as("p50_tdigest"),
+        col("p50_exact"),
+        round(element_at(col("qs"), 2), 2).as("p95_tdigest"),
+        col("p95_exact"))
+      .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "percentile_tdigest" -> (percentileTdigest _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_orders" -> (q3TopOrders _),
     "q5_nation_revenue" -> (q5NationRevenue _),

@@ -211,6 +211,80 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  // ------------------------------------------------------- trained IVF
+  private val KmeansRounds = 3
+
+  /** Assign every vector to its nearest codebook cell (cosine argmax,
+    * ties → lower cell id) as ONE narrow projection: the codebook is
+    * driver-held, so each centroid becomes a literal float array and the
+    * argmax a `greatest` over (sim, -cid) structs — no join, no window, no
+    * shuffle, the cheapest possible IVF assignment pass (same pattern as
+    * the LSH plane-weight literals).
+    */
+  private def assignCells(e: DataFrame,
+      codebook: Seq[(Int, Array[Float])]): DataFrame = {
+    val sims = codebook.map { case (cid, emb) =>
+      val cnorm = math.sqrt(emb.map(v => v.toDouble * v.toDouble).sum)
+      val dot = expr(
+        s"vec_dot(embedding, CAST(array(${emb.mkString(",")}) AS ARRAY<FLOAT>))")
+      struct((dot / (col("nrm") * lit(cnorm))).as("sim"), lit(-cid).as("negc"))
+    }
+    e.select(col("vec_id"), col("embedding"), col("nrm"),
+      (greatest(sims: _*).getField("negc") * -1).as("cell"))
+  }
+
+  /** IVF with a TRAINED codebook: a few distributed k-means iterations
+    * (assign → per-cell mean via the mergeable [[CentroidAggregator]] →
+    * collect the k×64 codebook), then the same serving shape as
+    * [[annIvfTopk]]. The driver holds ONLY the codebook — k×64 doubles per
+    * round, independent of corpus size; every per-vector pass is a
+    * broadcast-join assignment, and the input is localCheckpoint'd once so
+    * the repeated passes re-read a materialized frame, not the scan
+    * lineage. Cells that lose all members keep their previous centroid.
+    *
+    * No SQL oracle (k-means iterations are not reasonably expressible in
+    * DuckDB): the contract is the recall spec in `OperatorSpec` — trained
+    * cells must recall brute-force top-3 neighbors at least as well as the
+    * untrained first-k codebook.
+    */
+  def annIvfTrainedTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
+      .localCheckpoint()
+    // deterministic seeds: the first k vectors (what the untrained variant
+    // serves with) — k-means can only improve on them
+    var codebook: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < IvfCells)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id").toInt, r.getAs[Seq[Float]]("embedding").toArray))
+    val centroid = udaf(new CentroidAggregator(64))
+    for (_ <- 1 to KmeansRounds) {
+      val updated = assignCells(e, codebook)
+        .groupBy("cell").agg(centroid(col("embedding")).as("c"))
+        .collect()
+        .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Double]]("c").map(_.toFloat).toArray))
+        .toMap
+      codebook = codebook.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    val assigned = assignCells(e, codebook)
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("cell"))
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    // `e`'s checkpoint blocks back the returned plan too, so they are not
+    // unpersisted here (unlike dedupClusters' superseded per-round labels);
+    // they die with the session or the block manager's LRU.
+    q.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("cell"), col("vec_id"),
+        round(expr("vec_dot(qemb, embedding)") / (col("qnrm") * col("nrm")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select("qid", "cell", "rank", "vec_id", "cosine")
+      .orderBy("qid", "rank")
+  }
+
   // ------------------------------------------------------- centroid UDAF
   /** Per-label centroid via the custom `CentroidAggregator` (typed UDAF with
     * map-side partial aggregation), exploded to (label, dim, value) rows so
@@ -238,6 +312,7 @@ object Similarity {
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_trained_topk" -> (annIvfTrainedTopk _),
     "centroid_by_label" -> (centroidByLabel _))
 
   def oracles: Map[String, String] = Map(

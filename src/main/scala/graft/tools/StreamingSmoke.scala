@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.io.File
+import java.nio.file.Files
+
+/** End-to-end streaming smoke run (EP1/EP2 outside ScalaTest): Publisher
+  * wire messages → `Demo1.build` (parse → parquet append) and `Demo2.build`
+  * (event-time windows → parquet append), each drained twice — the second
+  * publish advances the watermark past the first batch's windows, which is
+  * what lets Demo2's append-mode panes actually emit (a single `--once`
+  * drain leaves every window open; this is watermark semantics, not a bug).
+  *
+  * Usage: runMain graft.tools.StreamingSmoke
+  * Prints one PASS/FAIL line per pipeline; non-zero exit on failure.
+  */
+object StreamingSmoke {
+  def main(args: Array[String]): Unit = {
+    val base = Files.createTempDirectory("graft-smoke-").toString
+    val in = s"$base/in"
+    new File(in).mkdirs()
+    val endA = 1700000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 3 users × 10 messages, 10 s apart, ending at endA; the second file is
+    // 10 minutes later, far past the 2-minute watermark horizon
+    Publisher.publish(in, 1000 until 1003, 10, endA)
+    val q1 = Demo1.build(spark, in, s"$base/out1", s"$base/ck1")
+    val q2 = Demo2.build(spark, in, s"$base/out2", s"$base/ck2")
+    q1.processAllAvailable(); q2.processAllAvailable()
+    Publisher.publish(in, 1000 until 1003, 10, endA + 600L)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+
+    var failed = false
+    def check(name: String, ok: Boolean, detail: String): Unit = {
+      println(s"[smoke] $name: ${if (ok) "PASS" else "FAIL"} ($detail)")
+      if (!ok) failed = true
+    }
+
+    val out1 = spark.read.parquet(s"$base/out1")
+    val users = out1.select("user_id").distinct().collect()
+      .map(_.getInt(0)).toSet
+    check("demo1_parse_etl", out1.count() == 60L && users == Set(1000, 1001, 1002),
+      s"rows=${out1.count()} users=$users")
+
+    // every window of the first publish is past the watermark after the
+    // second → exactly the first 30 events appear in closed windows
+    val out2 = spark.read.parquet(s"$base/out2")
+    val cnt = out2.agg(sum("cnt")).collect()(0).getLong(0)
+    check("demo2_window_count", cnt == 30L, s"sum(cnt)=$cnt windows=${out2.count()}")
+
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

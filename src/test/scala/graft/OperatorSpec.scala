@@ -125,6 +125,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("trained IVF recalls brute-force top-3 at least as well as untrained") {
+    def top3(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.filter(_.getAs[Int]("rank") <= 3)
+        .groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val truth = top3(operators.Similarity.annBruteforceTopk(spark, sf).collect())
+    def recall(got: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) => got.getOrElse(q, Set.empty).count(t).toDouble / t.size }
+        .sum / truth.size
+    val untrained = recall(top3(operators.Similarity.annIvfTopk(spark, sf).collect()))
+    val trained = recall(top3(operators.Similarity.annIvfTrainedTopk(spark, sf).collect()))
+    assert(trained >= untrained,
+      s"k-means codebook must not lose recall: trained=$trained untrained=$untrained")
+    assert(trained > 0.0, "trained IVF found none of the true neighbors")
+  }
+
   test("multimodal decode stub: plumbing yields plausible typed metadata") {
     val rows = operators.Multimodal.multimodalDecode(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
@@ -192,6 +208,35 @@ class OperatorSpec extends AnyFunSuite {
         val exact = r.getAs[Double](e)
         assert(math.abs(approx - exact) / exact < 0.01, s"$a=$approx $e=$exact")
       }
+    }
+  }
+
+  test("t-digest within 1% of exact at p50 and p95 (sketch contract)") {
+    val rows = operators.Relational.percentileTdigest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      for ((a, e) <- Seq(("p50_tdigest", "p50_exact"), ("p95_tdigest", "p95_exact"))) {
+        val approx = r.getAs[Double](a)
+        val exact = r.getAs[Double](e)
+        assert(math.abs(approx - exact) / exact < 0.01, s"$a=$approx $e=$exact")
+      }
+    }
+  }
+
+  test("t-digest merge is order-insensitive and matches exact quantiles directly") {
+    val agg = new functions.TDigestAggregator(Seq(0.5, 0.95), 100)
+    // deterministic skewed values (no RNG): x^2 spreads the tail
+    val values = (1 to 10000).map(i => (i.toDouble * i) / 1000.0)
+    val chunks = values.grouped(2500).toSeq
+    val digests = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+    val merged = agg.finish(digests.reduce(agg.merge))
+    val mergedRev = agg.finish(digests.reverse.reduce(agg.merge))
+    val sorted = values.sorted
+    def exact(q: Double): Double = sorted((q * (sorted.size - 1)).round.toInt)
+    for (((got, gotRev), q) <- merged.zip(mergedRev).zip(Seq(0.5, 0.95))) {
+      assert(math.abs(got - exact(q)) / exact(q) < 0.01, s"q=$q got=$got exact=${exact(q)}")
+      assert(math.abs(got - gotRev) / exact(q) < 0.005,
+        s"merge order changed q=$q: $got vs $gotRev")
     }
   }
 
