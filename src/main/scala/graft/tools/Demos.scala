@@ -39,12 +39,26 @@ object Demo2 {
   def main(args: Array[String]): Unit = Demos.run(args, build)
 }
 
-private object Demos {
+private[graft] object Demos {
+  /** O13 deferred-options parity (`Demo1.java:46-49` ValueProvider +
+    * `template_helper.sh:42-59`): an option value may be bound LATE — a
+    * `env:NAME` argument resolves from the environment at launch time, so
+    * one authored command template serves many deployments without a code
+    * edit, the plain-config analogue of a templated ValueProvider. Unset
+    * deferred options fail loudly at launch, like an unbound template
+    * parameter.
+    */
+  private[graft] def resolve(arg: String): String =
+    if (arg.startsWith("env:"))
+      sys.env.getOrElse(arg.stripPrefix("env:"),
+        throw new IllegalArgumentException(s"deferred option '$arg' is unset at launch"))
+    else arg
+
   def run(args: Array[String],
       build: (SparkSession, String, String, String) => StreamingQuery): Unit = {
     require(args.length >= 3,
-      "usage: <inputDir> <outputDir> <checkpointDir> [--once]")
-    val Array(inDir, outDir, ckpt) = args.take(3)
+      "usage: <inputDir|env:VAR> <outputDir|env:VAR> <checkpointDir|env:VAR> [--once]")
+    val Array(inDir, outDir, ckpt) = args.take(3).map(resolve)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -67,4 +67,13 @@ class PublisherSpec extends AnyFunSuite {
     assert(counts.count { case (u, c) => u >= 1000 && u <= 1002 && c == 6L } == 3,
       s"expected three 6-count windows, got ${counts.toSeq}")
   }
+
+  test("deferred pipeline options resolve at launch (O13 ValueProvider parity)") {
+    assert(graft.tools.Demos.resolve("/literal/path") == "/literal/path")
+    // PATH is set in any environment this suite runs in
+    assert(graft.tools.Demos.resolve("env:PATH") == sys.env("PATH"))
+    val e = intercept[IllegalArgumentException](
+      graft.tools.Demos.resolve("env:GRAFT_SURELY_UNSET_OPTION"))
+    assert(e.getMessage.contains("unset at launch"))
+  }
 }
