@@ -39,6 +39,10 @@ object BeamParity {
         (col("event_id") % 2).as("click"))).as("payload"))
     wire
       .select(from_json(col("payload"), Tables.wireSchema).as("m"))
+      // one-pass input audit; the CollectMetrics node also pins the parse:
+      // without it the pushed-down null filter re-evaluates from_json per
+      // referenced field (see malformedParsed)
+      .observe("etl_audit", count(lit(1)).as("n_input"))
       .filter(col("m").isNotNull && col("m.event_time").isNotNull)
       .select(
         col("m.event_time").as("event_time_s"),

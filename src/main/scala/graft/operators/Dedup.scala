@@ -338,20 +338,21 @@ object Dedup {
       val hop = labels.as("x")
         .join(labels.as("y"), col("x.label") === col("y.doc_id"))
         .select(col("x.doc_id").as("hop_id"), col("y.label").as("hop_label"))
+      // the convergence flag is computed IN the round (new vs old label),
+      // so counting movers is a filter on the checkpointed frame — no
+      // prev-vs-next self-join per round
+      val newLabel = least(col("label"),
+        least(coalesce(col("nbr_min"), col("label")),
+          coalesce(col("hop_label"), col("label"))))
       val next = labels
         .join(nbrMin, col("doc_id") === col("doc_a"), "left")
         .join(hop, col("doc_id") === col("hop_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"),
-            least(coalesce(col("nbr_min"), col("label")),
-              coalesce(col("hop_label"), col("label")))).as("label"))
+        .select(col("doc_id"), newLabel.as("label"),
+          (newLabel =!= col("label")).as("moved"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
-        .filter(col("n.label") =!= col("p.label"))
-        .count()
+      changed = next.filter(col("moved")).count()
       unpersistLocalCheckpoint(labels) // superseded round's blocks
-      labels = next
+      labels = next.select("doc_id", "label")
       rounds += 1
     }
     unpersistLocalCheckpoint(sym)
