@@ -301,6 +301,37 @@ object Dedup {
        |WHERE bit_count(xor(p.simhash, q.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------- decontamination
+  /** Benchmark decontamination (train/eval overlap detection): training
+    * docs sharing any word-trigram with the held-out pseudo-benchmark
+    * split (doc_id % 97 = 0, deterministic) are reported with their
+    * overlap size — the standard pretraining hygiene step before a corpus
+    * ships. Scale shape: the benchmark gram set is tiny relative to the
+    * corpus, so it is distinct'd and BROADCAST; training postings stream
+    * through the hash map and the only wide exchange is the per-doc
+    * aggregate. At 100 TB the benchmark side stays a broadcast (eval sets
+    * are MBs); nothing is ever all-pairs.
+    */
+  def decontaminateNgram(s: SparkSession, d: String): DataFrame = {
+    val grams = gramSetDF(s, d)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select("gram").distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateNgramSql: String =
+    s"""WITH $gramsSqlCte,
+       |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+       |train AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
+       |SELECT t.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+       |FROM train t JOIN bench b ON t.gram = b.gram
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- clusters
   /** Transitive near-dup clusters: connected components over the LSH
     * candidate pairs (est_jaccard >= 0.5), labels = min doc_id reachable.
@@ -421,7 +452,8 @@ object Dedup {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_embedding" -> (dedupEmbedding _))
+    "dedup_embedding" -> (dedupEmbedding _),
+    "decontaminate_ngram" -> (decontaminateNgram _))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -429,5 +461,6 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "dedup_embedding" -> dedupEmbeddingSql)
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "decontaminate_ngram" -> decontaminateNgramSql)
 }

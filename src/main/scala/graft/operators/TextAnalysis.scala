@@ -389,7 +389,82 @@ object TextAnalysis {
        |FROM k ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------- funnel
+  /** Corpus curation funnel: the composition a pretraining pipeline runs
+    * end-to-end — raw corpus → length gate (≥ 40 tokens) → quality gate
+    * (quality_bp ≥ 8500, the [[textQuality]] formula verbatim) →
+    * exact-dedup survivors — reported as one row per stage with doc and
+    * token counts, the numbers a curation run is judged by.
+    *
+    * One-pass shape: the three scan stages are CONDITIONAL aggregates over
+    * a single pass (no re-scan per gate; `stack` unpivots the one result
+    * row), and only the dedup stage adds a shuffle — keyed by the md5
+    * fingerprint of quality-passed docs, min-doc_id survivor via a struct
+    * min. At 100 TB: one corpus scan + one fingerprint-keyed exchange.
+    */
+  def corpusFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = Portable.tokens(col("text"))
+    val staged = Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(w).cast("long").as("n"),
+        size(filter(w, t => t === "the" || t === "a")).cast("long").as("nstop"),
+        size(array_distinct(w)).cast("long").as("ndist"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .select(col("doc_id"), col("n"), col("fp"),
+        expr("((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) div (10 * n)")
+          .as("quality_bp"))
+      .select(col("doc_id"), col("n"), col("fp"),
+        (col("n") >= 40).as("pass_len"),
+        (col("n") >= 40 && col("quality_bp") >= 8500).as("pass_q"))
+    val scanStages = staged.agg(
+      count(lit(1)).as("raw_docs"), sum(col("n")).as("raw_toks"),
+      sum(when(col("pass_len"), 1L).otherwise(0L)).as("len_docs"),
+      sum(when(col("pass_len"), col("n")).otherwise(0L)).as("len_toks"),
+      sum(when(col("pass_q"), 1L).otherwise(0L)).as("q_docs"),
+      sum(when(col("pass_q"), col("n")).otherwise(0L)).as("q_toks"))
+      .select(expr(
+        "stack(3, '1_raw', raw_docs, raw_toks, " +
+          "'2_min_length', len_docs, len_toks, " +
+          "'3_quality', q_docs, q_toks) AS (stage, n_docs, n_tokens)"))
+    val dedupStage = staged.filter(col("pass_q"))
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("n"))).as("surv"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("surv.n")).as("n_tokens"))
+      .select(lit("4_dedup").as("stage"), col("n_docs"), col("n_tokens"))
+    scanStages.union(dedupStage).orderBy("stage")
+  }
+
+  val corpusFunnelSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS nstop,
+      |    len(list_distinct(string_split(text, ' '))) AS ndist,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents),
+      |staged AS (
+      |  SELECT doc_id, n, fp,
+      |    n >= 40 AS pass_len,
+      |    n >= 40 AND ((10*n - 5*nstop - 3*(n - ndist)) * 10000) // (10*n) >= 8500 AS pass_q
+      |  FROM t),
+      |survivors AS (
+      |  SELECT fp, min(doc_id) AS sid FROM staged WHERE pass_q GROUP BY fp)
+      |SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n) AS BIGINT) AS n_tokens FROM staged
+      |UNION ALL
+      |SELECT '2_min_length', CAST(sum(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(sum(CASE WHEN pass_len THEN n ELSE 0 END) AS BIGINT) FROM staged
+      |UNION ALL
+      |SELECT '3_quality', CAST(sum(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(sum(CASE WHEN pass_q THEN n ELSE 0 END) AS BIGINT) FROM staged
+      |UNION ALL
+      |SELECT '4_dedup', CAST(count(*) AS BIGINT), CAST(sum(s.n) AS BIGINT)
+      |FROM survivors v JOIN staged s ON v.sid = s.doc_id
+      |ORDER BY stage""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_funnel" -> (corpusFunnel _),
     "pii_scrub" -> (piiScrub _),
     "text_repetition" -> (textRepetition _),
     "text_tfidf" -> (textTfidf _),
@@ -402,6 +477,7 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "corpus_funnel" -> corpusFunnelSql,
     "pii_scrub" -> piiScrubSql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql,
