@@ -13,8 +13,9 @@ import org.apache.spark.sql.expressions.Aggregator
   * any built-in: values fold into per-partition digests (map-side combine),
   * digests merge associatively across partitions, and only O(delta) state
   * ever crosses the wire — never the values. Centroid capacity follows the
-  * q(1−q) scale bound, so tails stay sharp: a centroid near the median may
-  * hold ~4·n/delta points, one near p99.9 only a handful.
+  * k1 (asin) scale function, which hard-bounds the compressed digest at
+  * ~delta centroids while keeping tails sharp: extreme quantiles get
+  * singleton centroids, the middle gets weight-proportional ones.
   *
   * `finish` interpolates the requested quantiles from the compressed
   * digest (each centroid sits at its cumulative-weight midpoint). Expected
@@ -39,9 +40,20 @@ class TDigestAggregator(qs: Seq[Double], delta: Int = 100)
       y: (Array[Double], Array[Double])): (Array[Double], Array[Double]) =
     compress((x._1 ++ y._1, x._2 ++ y._2))
 
+  /** The k1 scale function (Dunning & Ertl §2.2): k(q) spreads the unit
+    * q-interval over a k-range of delta/2, with infinite slope at the tails
+    * — so extreme quantiles get singleton centroids and the middle gets
+    * weight-proportional ones.
+    */
+  private def kScale(q: Double): Double =
+    delta / (2 * math.Pi) * math.asin(2 * math.min(1.0, math.max(0.0, q)) - 1)
+
   /** Sort centroids by mean, then greedily absorb neighbors while the
-    * combined weight stays under the local q(1−q) capacity. One pass,
-    * result ≤ ~delta centroids, order preserved.
+    * merged centroid spans ≤ 1 unit of the k1 scale. One pass; the k-range
+    * is delta/2 and each emitted centroid spans at most 1 k-unit, so the
+    * result has at most ~delta centroids even when greedy packing
+    * under-fills (a hard bound, independent of how many values were
+    * folded in).
     */
   private def compress(b: (Array[Double], Array[Double]))
       : (Array[Double], Array[Double]) = {
@@ -55,15 +67,16 @@ class TDigestAggregator(qs: Seq[Double], delta: Int = 100)
     var accM = means(idx(0)) * weights(idx(0))
     var accW = weights(idx(0))
     var cumBefore = 0.0 // total weight emitted so far
+    var kLeft = kScale(0.0)
     var i = 1
     while (i < n) {
       val m = means(idx(i)); val w = weights(idx(i))
-      val qMid = (cumBefore + (accW + w) / 2) / total
-      val cap = math.max(1.0, 4.0 * total * qMid * (1 - qMid) / delta)
-      if (accW + w <= cap) { accM += m * w; accW += w }
-      else {
+      if (kScale((cumBefore + accW + w) / total) - kLeft <= 1.0) {
+        accM += m * w; accW += w
+      } else {
         outM += accM / accW; outW += accW
         cumBefore += accW
+        kLeft = kScale(cumBefore / total)
         accM = m * w; accW = w
       }
       i += 1
