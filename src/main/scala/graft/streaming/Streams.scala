@@ -334,12 +334,16 @@ object Streams {
       valid: org.apache.spark.sql.Column,
       reason: org.apache.spark.sql.Column,
       sinkPath: String, quarantinePath: String): Unit = {
+    // NULL-safe routing: a predicate evaluating to NULL (null payload, null
+    // field) must quarantine the row, not drop it from both sides — losing
+    // rows is the one failure mode a dead-letter sink exists to prevent
+    val isValid = coalesce(valid, lit(false))
     val b = batch.persist()
     try {
-      b.filter(valid).write.mode("overwrite")
+      b.filter(isValid).write.mode("overwrite")
         .parquet(s"$sinkPath/batch_id=$id")
-      b.filter(!valid)
-        .withColumn("dlq_reason", reason)
+      b.filter(!isValid)
+        .withColumn("dlq_reason", coalesce(reason, lit("validity_null")))
         .write.mode("overwrite")
         .parquet(s"$quarantinePath/batch_id=$id")
     } finally { b.unpersist(); () }

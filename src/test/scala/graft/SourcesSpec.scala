@@ -172,6 +172,13 @@ class SourcesSpec extends AnyFunSuite {
     Streams.deadLetterBatch(batch0, 0L, valid, reason, sink, dlq)
     assert(spark.read.parquet(sink).count() == 3, "redelivered batch must not duplicate")
     assert(spark.read.parquet(dlq).count() == 2)
+    // NULL validity (null payload) must quarantine, never vanish
+    val batchNull = Seq(Some("""{"user_id": 4}"""), None).toDF("payload")
+    Streams.deadLetterBatch(batchNull, 2L, valid, reason, sink, dlq)
+    assert(spark.read.parquet(sink).count() == 4)
+    val q2 = spark.read.parquet(dlq)
+    assert(q2.count() == 3, "null-validity row lost instead of quarantined")
+    assert(q2.filter(col("dlq_reason") === "validity_null").count() == 1)
   }
 
   test("foreachBatch idempotent sink: batch ids enable exactly-once writes") {
