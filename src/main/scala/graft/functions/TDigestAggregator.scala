@@ -23,22 +23,43 @@ import org.apache.spark.sql.expressions.Aggregator
   * against the exact percentile in `OperatorSpec`.
   */
 class TDigestAggregator(qs: Seq[Double], delta: Int = 100)
-    extends Aggregator[Double, (Array[Double], Array[Double]), Array[Double]] {
+    extends Aggregator[Double, (Array[Double], Array[Double], Int), Array[Double]] {
 
   private val pendingCap = 5 * delta // uncompressed tail before a re-compress
 
-  override def zero: (Array[Double], Array[Double]) =
-    (Array.empty[Double], Array.empty[Double])
+  /** Buffer = (means, weights, used): parallel arrays with spare capacity
+    * and a fill cursor, so `reduce` is an O(1) in-place write per row — the
+    * naive `:+` append copied both arrays (up to pendingCap doubles each)
+    * on EVERY input row, gigabytes of transient allocation per 100k-row
+    * aggregation. Mutating the deserialized buffer in place is the same
+    * contract `CentroidAggregator` relies on (object buffers persist
+    * between reduce calls; serialization happens only at partial-output
+    * boundaries, which preserves the spare capacity + cursor).
+    */
+  override def zero: (Array[Double], Array[Double], Int) =
+    (Array.empty[Double], Array.empty[Double], 0)
 
-  override def reduce(b: (Array[Double], Array[Double]), v: Double)
-      : (Array[Double], Array[Double]) = {
-    val appended = (b._1 :+ v, b._2 :+ 1.0)
-    if (appended._1.length > pendingCap) compress(appended) else appended
+  override def reduce(b: (Array[Double], Array[Double], Int), v: Double)
+      : (Array[Double], Array[Double], Int) = {
+    var (m, w, used) = b
+    if (used == m.length) {
+      // out of capacity: compress the filled prefix, regrow the tail room
+      val (cm, cw) = compress((m, w)) // prefix == whole array here
+      m = java.util.Arrays.copyOf(cm, cm.length + pendingCap)
+      w = java.util.Arrays.copyOf(cw, cm.length + pendingCap)
+      used = cm.length
+    }
+    m(used) = v
+    w(used) = 1.0
+    (m, w, used + 1)
   }
 
-  override def merge(x: (Array[Double], Array[Double]),
-      y: (Array[Double], Array[Double])): (Array[Double], Array[Double]) =
-    compress((x._1 ++ y._1, x._2 ++ y._2))
+  override def merge(x: (Array[Double], Array[Double], Int),
+      y: (Array[Double], Array[Double], Int)): (Array[Double], Array[Double], Int) = {
+    val (cm, cw) = compress((x._1.take(x._3) ++ y._1.take(y._3),
+      x._2.take(x._3) ++ y._2.take(y._3)))
+    (cm, cw, cm.length)
+  }
 
   /** The k1 scale function (Dunning & Ertl §2.2): k(q) spreads the unit
     * q-interval over a k-range of delta/2, with infinite slope at the tails
@@ -85,8 +106,8 @@ class TDigestAggregator(qs: Seq[Double], delta: Int = 100)
     (outM.toArray, outW.toArray)
   }
 
-  override def finish(b: (Array[Double], Array[Double])): Array[Double] = {
-    val (means, weights) = compress(b)
+  override def finish(b: (Array[Double], Array[Double], Int)): Array[Double] = {
+    val (means, weights) = compress((b._1.take(b._3), b._2.take(b._3)))
     val n = means.length
     if (n == 0) return qs.map(_ => Double.NaN).toArray
     if (n == 1) return qs.map(_ => means(0)).toArray
@@ -108,8 +129,8 @@ class TDigestAggregator(qs: Seq[Double], delta: Int = 100)
     }.toArray
   }
 
-  override def bufferEncoder: Encoder[(Array[Double], Array[Double])] =
-    Encoders.tuple(ExprEnc.doubleArray, ExprEnc.doubleArray)
+  override def bufferEncoder: Encoder[(Array[Double], Array[Double], Int)] =
+    Encoders.tuple(ExprEnc.doubleArray, ExprEnc.doubleArray, Encoders.scalaInt)
 
   override def outputEncoder: Encoder[Array[Double]] = ExprEnc.doubleArray
 }

@@ -130,13 +130,14 @@ object BeamParity {
     * failure): the Spark-native form of the "log" half is `observe` —
     * named metrics accumulated DURING the pass (no second scan), surfaced
     * to listeners/StreamingQueryProgress. The pipeline result is identical
-    * to [[demo1MalformedDrop]] BY CONSTRUCTION (both compose the same
-    * shared audited pipeline — see [[malformedParsed]]); this registered
-    * variant is the one whose `parse_audit` metrics a production pipeline
-    * reads via a QueryExecutionListener (OperatorSpec does exactly that).
+    * to [[demo1MalformedDrop]] BY CONSTRUCTION (structurally: it IS that
+    * function — the audit lives on the shared [[malformedParsed]]); this
+    * registered name is the one whose `parse_audit` metrics a production
+    * pipeline reads via a QueryExecutionListener (OperatorSpec does
+    * exactly that).
     */
   def demo1MalformedObserved(spark: SparkSession, dir: String): DataFrame =
-    countSurvivors(malformedParsed(spark, dir))
+    demo1MalformedDrop(spark, dir)
 
   /** Demo2 batch twin (the flagship): per-(1-minute tumbling window, user)
     * event count (`Demo2.java:149-160`).

@@ -84,45 +84,53 @@ object Dedup {
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
     jaccardPairs(gramSetDF(s, d)).orderBy("doc_a", "doc_b")
 
-  /** Grams a posting list may hold before it is dropped as a stop-gram.
+  /** Docs a gram may appear in before it is dropped as a stop-gram.
     * Pair count per gram is quadratic in its posting-list length; at corpus
     * scale a single hot gram (boilerplate, markup) makes its list the whole
-    * job. Docs sharing ONLY stop-grams lose those intersections — standard
-    * and intended: a gram present in hundreds of documents carries no
-    * near-dup signal. The fixtures' hottest gram is far below this cap, so
-    * the oracle (which applies no cap) still matches exactly.
+    * job. Removal is SYMMETRIC: similarity is Jaccard over the retained
+    * vocabulary — stop-grams leave both the intersections and the set
+    * sizes, so identical docs still score 1.0 (a well-defined similarity,
+    * not a deflated one). A gram present in hundreds of documents carries
+    * no near-dup signal. The fixtures' hottest gram is far below this cap,
+    * so the oracle (which applies no cap) still matches exactly.
     */
   val MaxPostingLen = 256
 
-  /** Inverted-index pair generation from (doc_id, grams) rows: group
-    * postings by gram ONCE, emit the i<j pairs of each posting list as an
-    * array expression, then count shared grams per pair. One scan and one
-    * wide shuffle (by gram) replace a shingle self-join that evaluated the
-    * tokenize+shingle pipeline once per join side and shuffled the exploded
-    * postings twice. Set sizes ride along in the posting structs, so no
-    * window function and no separate sizes join.
-    *
-    * Posting lists at or above [[MaxPostingLen]] are dropped before pair
-    * expansion (the 100 TB guard); the drop count is observable on the
-    * result as the `jaccard_audit` metric (`stop_grams_dropped`).
+  /** Inverted-index pair generation from (doc_id, grams) rows: stop-gram
+    * decision first from a cheap per-gram COUNT (partial-aggregate
+    * friendly; a hot gram's posting list is never collected into a row —
+    * at corpus scale it wouldn't fit one), then posting lists over the
+    * retained grams only, i<j pairs per list as an array expression,
+    * shared-gram counts per pair, and retained-vocabulary set sizes joined
+    * back in. The exploded gram stream is localCheckpoint'd once so the
+    * count pass and the posting pass read a materialized frame instead of
+    * re-running tokenize+shingle. The dropped-gram count is observable as
+    * the `jaccard_audit` metric (`stop_grams_dropped`).
     */
   def jaccardPairs(gramSets: DataFrame): DataFrame = {
     val grams = gramSets
-      .select(col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("gram"))
-    grams
-      .groupBy("gram")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .localCheckpoint()
+    val hot = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
       .observe("jaccard_audit",
-        sum(when(size(col("ds")) >= MaxPostingLen, 1L).otherwise(0L))
+        sum(when(col("cnt") >= MaxPostingLen, 1L).otherwise(0L))
           .as("stop_grams_dropped"))
-      .filter(size(col("ds")) < MaxPostingLen)
+      .filter(col("cnt") >= MaxPostingLen)
+      .select("gram")
+    // stop-grams are RARE by construction → broadcast anti-join, narrow
+    val retained = grams.join(broadcast(hot), Seq("gram"), "left_anti")
+    val sizes = retained.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    retained
+      .groupBy("gram")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select(explode(expr(
         "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), " +
-          "b -> named_struct('doc_a', a.doc_id, 'na', a.n, 'doc_b', b.doc_id, 'nb', b.n))))"
+          "b -> named_struct('doc_a', a, 'doc_b', b))))"
         )).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("p.na")).as("na"), first(col("p.nb")).as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 4).as("jaccard"))

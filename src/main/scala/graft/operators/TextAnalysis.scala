@@ -396,11 +396,15 @@ object TextAnalysis {
     * exact-dedup survivors — reported as one row per stage with doc and
     * token counts, the numbers a curation run is judged by.
     *
-    * One-pass shape: the three scan stages are CONDITIONAL aggregates over
-    * a single pass (no re-scan per gate; `stack` unpivots the one result
-    * row), and only the dedup stage adds a shuffle — keyed by the md5
-    * fingerprint of quality-passed docs, min-doc_id survivor via a struct
-    * min. At 100 TB: one corpus scan + one fingerprint-keyed exchange.
+    * One-pass shape: the corpus is scanned (and tokenized/fingerprinted)
+    * ONCE into a localCheckpoint'd narrow frame; the three scan stages are
+    * CONDITIONAL aggregates over that frame (`stack` unpivots the one
+    * result row) and only the dedup stage adds a shuffle — keyed by the
+    * md5 fingerprint of quality-passed docs, min-doc_id survivor via a
+    * struct min. At 100 TB: one corpus scan + one fingerprint-keyed
+    * exchange (a union of two aggregations would otherwise re-scan and
+    * re-tokenize per branch — Spark does not dedupe common sub-plans
+    * across union arms).
     */
   def corpusFunnel(s: SparkSession, d: String): DataFrame = {
     val w = Portable.tokens(col("text"))
@@ -417,6 +421,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n"), col("fp"),
         (col("n") >= 40).as("pass_len"),
         (col("n") >= 40 && col("quality_bp") >= 8500).as("pass_q"))
+      .localCheckpoint()
     val scanStages = staged.agg(
       count(lit(1)).as("raw_docs"), sum(col("n")).as("raw_toks"),
       sum(when(col("pass_len"), 1L).otherwise(0L)).as("len_docs"),

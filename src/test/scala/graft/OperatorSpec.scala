@@ -85,8 +85,9 @@ class OperatorSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     import spark.implicits._
-    // docs 1,2: true near-dups — 9 shared rare grams + the hot gram
-    // (9/11 = 0.8182 survives even with the hot intersection dropped);
+    // docs 1,2: true near-dups — 9 shared rare grams + the hot gram; the
+    // retained-vocabulary jaccard is exactly 1.0 (symmetric stop-gram
+    // removal: the hot gram leaves the intersection AND both set sizes);
     // docs 3..302: identical {hot, dup} — BOTH grams exceed MaxPostingLen,
     // so without the cap they'd emit ~45k jaccard-1.0 pairs, with it none.
     val shared = (1 to 9).map(i => s"g$i")
@@ -105,7 +106,8 @@ class OperatorSpec extends AnyFunSuite {
       val pairs = operators.Dedup.jaccardPairs(gramSets).collect()
       assert(pairs.length == 1, s"expected only the rare-gram pair, got ${pairs.length}")
       assert(pairs(0).getAs[Long]("doc_a") == 1L && pairs(0).getAs[Long]("doc_b") == 2L)
-      assert(pairs(0).getAs[Double]("jaccard") == 0.8182)
+      assert(pairs(0).getAs[Double]("jaccard") == 1.0,
+        "identical retained gram sets must score 1.0")
       val deadline = System.currentTimeMillis() + 10000
       while (audit.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
       val m = audit.getOrElse(fail("jaccard_audit metrics never arrived"))
