@@ -285,6 +285,53 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  // ------------------------------------------------------- quantization
+  /** Int8 embedding quantization (the standard storage/serving compression
+    * for vector corpora): per-vector symmetric scale amax/127, each
+    * component `trunc(x·127/amax)` — truncation, not rounding, so the
+    * contract has NO decimal-tie semantics for engines to disagree on.
+    * Emitted as per-vector integer stats (sum/min/max of the quantized
+    * components — integer-exact across engines) plus the 6-dp scale. Pure
+    * per-row array expressions: one narrow pass, no shuffle, the shape
+    * that quantizes a 100 TB corpus in one map stage.
+    */
+  def embeddingQuantize(s: SparkSession, d: String): DataFrame = {
+    val amax = greatest(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"),
+      lit(1e-12))
+    Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), amax.as("amax"))
+      // Spark's double→long cast truncates toward zero — exactly DuckDB's
+      // trunc(); Spark's own `trunc` is date-only
+      .select(col("vec_id"), col("amax"), expr(
+        "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 127 / amax AS BIGINT))")
+        .as("qvec"))
+      .select(
+        col("vec_id"),
+        round(col("amax"), 6).as("scale_max"),
+        expr("aggregate(qvec, CAST(0 AS BIGINT), (acc, q) -> acc + q)").as("q_sum"),
+        array_min(col("qvec")).as("q_min"),
+        array_max(col("qvec")).as("q_max"))
+      .orderBy("vec_id")
+  }
+
+  val embeddingQuantizeSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS amax,
+      |    embedding
+      |  FROM embeddings),
+      |qq AS (
+      |  SELECT vec_id, amax,
+      |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 127 / amax) AS BIGINT)) AS qvec
+      |  FROM q)
+      |SELECT vec_id,
+      |  round(amax, 6) AS scale_max,
+      |  CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+      |  CAST(list_min(qvec) AS BIGINT) AS q_min,
+      |  CAST(list_max(qvec) AS BIGINT) AS q_max
+      |FROM qq ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------- centroid UDAF
   /** Per-label centroid via the custom `CentroidAggregator` (typed UDAF with
     * map-side partial aggregation), exploded to (label, dim, value) rows so
@@ -313,11 +360,13 @@ object Similarity {
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_trained_topk" -> (annIvfTrainedTopk _),
+    "embedding_quantize" -> (embeddingQuantize _),
     "centroid_by_label" -> (centroidByLabel _))
 
   def oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> annBruteforceTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
+    "embedding_quantize" -> embeddingQuantizeSql,
     "centroid_by_label" -> centroidByLabelSql)
 }
