@@ -47,22 +47,15 @@ object Portable {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram (shingle) array from a pre-split token-array column.
-    * Empty array when the document has fewer than n tokens.
-    *
-    * IMPORTANT: pass an *attribute* (a projected column), not
-    * `split(text, " ")` inline — `w` is referenced size+n times per element
-    * here, and inlining the split would re-tokenize the document once per
-    * reference (measured as the dominant cost of the dedup suite).
-    * CollapseProject keeps a multi-referenced non-cheap alias in its own
-    * projection, so the two-step `select(split(...)).select(shingles(...))`
-    * tokenizes exactly once per row. */
-  def shingles(w: Column, n: Int): Column =
-    // transform over 0-based offsets; get() is 0-based column indexing
-    when(size(w) >= n,
-      transform(
-        sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (0 until n).map(k => get(w, i + lit(k))): _*)))
-      .otherwise(array().cast("array<string>"))
+    * Empty array when the document has fewer than n tokens. Native
+    * single-pass expression ([[WordShingles]]): the earlier declarative
+    * `transform(sequence(...), i -> concat_ws(" ", w[i..i+n-1]))` evaluated
+    * an interpreted lambda with n array lookups per element; the output is
+    * byte-identical, so the DuckDB mirror ([[shinglesSql]]) is unchanged. */
+  def shingles(w: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(WordShingles(expression(w), n))
+  }
 
   /** DuckDB fragment producing the same n-gram list from column `text`. */
   def shinglesSql(n: Int): String = {
