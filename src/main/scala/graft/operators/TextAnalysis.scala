@@ -468,7 +468,57 @@ object TextAnalysis {
       |FROM survivors v JOIN staged s ON v.sid = s.doc_id
       |ORDER BY stage""".stripMargin
 
+  // ------------------------------------------------------------- source mix
+  /** Per-source corpus mix report — the numbers a pretraining run uses to
+    * set mixture weights: docs, tokens, token share (integer basis points
+    * via integer division, per the exact-rational-tie rule), and the
+    * exact-duplicate rate within each source. One scan, one shuffle keyed
+    * by source; the global token total for the share column is a window
+    * over the per-source aggregate, which is bounded by the number of
+    * sources (a handful) at any corpus size.
+    */
+  def sourceMixReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Portable.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(
+        col("source"),
+        size(w).cast("long").as("n"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_unique"))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(Window.partitionBy()))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        expr("(n_tokens * 10000) div total_tokens").as("token_share_bp"),
+        expr("((n_docs - n_unique) * 10000) div n_docs").as("dup_rate_bp"))
+      .orderBy("source")
+  }
+
+  val sourceMixReportSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, count(*) AS n_docs, sum(n) AS n_tokens,
+      |         count(DISTINCT fp) AS n_unique
+      |  FROM t GROUP BY 1)
+      |SELECT source,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST((n_tokens * 10000) // (SELECT sum(n_tokens) FROM g) AS BIGINT) AS token_share_bp,
+      |  CAST(((n_docs - n_unique) * 10000) // n_docs AS BIGINT) AS dup_rate_bp
+      |FROM g ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_mix_report" -> (sourceMixReport _),
     "corpus_funnel" -> (corpusFunnel _),
     "pii_scrub" -> (piiScrub _),
     "text_repetition" -> (textRepetition _),
@@ -482,6 +532,7 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "source_mix_report" -> sourceMixReportSql,
     "corpus_funnel" -> corpusFunnelSql,
     "pii_scrub" -> piiScrubSql,
     "text_repetition" -> textRepetitionSql,
