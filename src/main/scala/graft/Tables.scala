@@ -88,16 +88,20 @@ object Tables {
 
   /** Round-robin repartition to the session's default parallelism, placed
     * in front of CPU-bound per-row stages (hashing, JSON round-trips,
-    * vector math) and O(n²) pair joins.
+    * vector math) and O(n²) pair joins — in LOCAL mode only.
     *
     * Why: the local fixtures are single-row-group parquet files, so a scan
-    * is ONE input split no matter how many cores exist — without this, such
-    * stages run single-threaded. The shuffled payload is the narrow
+    * is ONE input split no matter how many cores exist — without this,
+    * such stages run single-threaded. The shuffled payload is the narrow
     * projection feeding the stage (a few MB here). On a real cluster
-    * reading 100 TB the same exchange is cheap relative to the compute it
-    * feeds, and input splits already provide scan parallelism — the
-    * repartition then mainly guards against skewed/small-file layouts.
+    * reading 100 TB the scan already has thousands of input splits, so
+    * the repartition is SKIPPED entirely (non-local master) — adding it
+    * there would shuffle the whole corpus for nothing. The mode check is
+    * free; deriving the actual partition count via df.rdd would force a
+    * physical planning pass per call, so the cheap proxy is preferred.
     */
   def parallelize(spark: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(spark.sparkContext.defaultParallelism)
+    if (spark.sparkContext.isLocal)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
 }
