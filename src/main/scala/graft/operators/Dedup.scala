@@ -99,35 +99,45 @@ object Dedup {
   /** Inverted-index pair generation from (doc_id, grams) rows: stop-gram
     * decision first from a cheap per-gram COUNT (partial-aggregate
     * friendly; a hot gram's posting list is never collected into a row —
-    * at corpus scale it wouldn't fit one), then posting lists over the
-    * retained grams only, i<j pairs per list as an array expression,
-    * shared-gram counts per pair, and retained-vocabulary set sizes joined
-    * back in. The exploded gram stream is localCheckpoint'd once so the
-    * count pass and the posting pass read a materialized frame instead of
-    * re-running tokenize+shingle. The dropped-gram count is observable as
-    * the `jaccard_audit` metric (`stop_grams_dropped`).
+    * at corpus scale it wouldn't fit one), then an equi-self-join of the
+    * retained gram stream on the gram key (i<j): the join IS the inverted
+    * index — Spark hash-partitions by gram and streams each posting list's
+    * pairs without ever materializing it, entirely inside whole-stage
+    * codegen (the earlier collect_list + interpreted lambda expansion built
+    * 27k arrays and evaluated a non-codegen HigherOrderFunction per list).
+    * Shared-gram counts come off the join; retained-vocabulary set sizes
+    * are joined back in.
+    *
+    * Grams are fingerprinted to 64-bit longs (`xxhash64`) right after the
+    * explode, so every downstream shuffle/join keys on 8 bytes instead of a
+    * ~20-byte string. The hash never reaches the output — the oracle keeps
+    * exact string grams — so this is an internal-key change only; a
+    * collision (odds ~n²/2⁶⁵ — ~10⁻⁷ even at a billion distinct grams)
+    * would merge two grams' postings, the standard fingerprinting tradeoff
+    * in the shingling literature. The exploded gram stream is
+    * localCheckpoint'd once (16 B/row) so the count pass and the join read
+    * a materialized frame instead of re-running tokenize+shingle. The
+    * dropped-gram count is observable as the `jaccard_audit` metric
+    * (`stop_grams_dropped`).
     */
   def jaccardPairs(gramSets: DataFrame): DataFrame = {
     val grams = gramSets
       .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
       .localCheckpoint()
-    val hot = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val hot = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
       .observe("jaccard_audit",
         sum(when(col("cnt") >= MaxPostingLen, 1L).otherwise(0L))
           .as("stop_grams_dropped"))
       .filter(col("cnt") >= MaxPostingLen)
-      .select("gram")
+      .select("g")
     // stop-grams are RARE by construction → broadcast anti-join, narrow
-    val retained = grams.join(broadcast(hot), Seq("gram"), "left_anti")
+    val retained = grams.join(broadcast(hot), Seq("g"), "left_anti")
     val sizes = retained.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    retained
-      .groupBy("gram")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .select(explode(expr(
-        "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), " +
-          "b -> named_struct('doc_a', a, 'doc_b', b))))"
-        )).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    retained.as("a")
+      .join(retained.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
@@ -321,12 +331,16 @@ object Dedup {
     * are MBs); nothing is ever all-pairs.
     */
   def decontaminateNgram(s: SparkSession, d: String): DataFrame = {
+    // same 64-bit gram fingerprinting as [[jaccardPairs]]: the broadcast
+    // overlap set and the probe key are 8-byte longs, not strings; the hash
+    // never reaches the output
     val grams = gramSetDF(s, d)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
     val bench = grams.filter(col("doc_id") % 97 === 0)
-      .select("gram").distinct()
+      .select("g").distinct()
     grams.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(bench), Seq("gram"))
+      .join(broadcast(bench), Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy("doc_id")
