@@ -313,24 +313,30 @@ object TextAnalysis {
   // ------------------------------------------------------------- tf-idf
   /** Top-3 terms per document by tf-idf (idf = ln(N/df)). The classic
     * keyword-extraction primitive of a training-data pipeline. Shape at
-    * scale: one exploded term pass feeds both tf (per doc,term) and df
-    * (per term); N and the per-term df ride in via broadcasts, so the only
-    * wide shuffles are the two aggregations. Scores are rounded to 4 dp
-    * BEFORE ranking so both engines agree at rank boundaries; ties broken
-    * by term.
+    * scale: ONE corpus-wide exchange — the input is hash-partitioned by
+    * doc_id up front, and because `HashPartitioning(doc_id)` satisfies the
+    * clustered distribution of both the (doc_id, term) aggregate and the
+    * per-doc rank window, the entire tf → tf-idf → top-3 pipeline then
+    * runs exchange-free; df is a tiny per-term aggregate that rides back
+    * in as a broadcast alongside N. Scores are rounded to 4 dp BEFORE
+    * ranking so both engines agree at rank boundaries; ties broken by
+    * term.
     */
   def textTfidf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Tables.tuneSession(s) // token arrays get exploded
-    val docs = Tables.parallelize(s,
-      Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
     val terms = docs.select(col("doc_id"),
       explode(Portable.tokens(col("text"))).as("term"))
+    // tf is materialized once (it is already doc_id-partitioned), so the df
+    // branch reads the aggregate instead of re-scanning and re-tokenizing
+    // the corpus — Catalyst plans sibling branches independently and would
+    // otherwise run the scan+explode+aggregate three times
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df derives from tf (one row per (doc, term) already) — re-deriving it
-    // from terms.distinct() would tokenize and shuffle the corpus twice
+      .localCheckpoint()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.join(broadcast(df), "term")
