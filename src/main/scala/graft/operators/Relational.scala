@@ -438,6 +438,41 @@ object Relational {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Semi-structured VariantType surface (Spark 4): `parse_json` once into
+    * the binary variant encoding, then typed `variant_get` extractions —
+    * the 100 TB pattern for schemaless event payloads (parse once, extract
+    * many; the variant column shreds/pushes down where parquet supports it,
+    * and malformed payloads surface as NULL via `try_parse_json` instead of
+    * failing the scan). The oracle replays the same extraction with
+    * DuckDB's JSON type.
+    */
+  def variantJsonStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), try_parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "long").as("k"),
+        is_variant_null(col("v")).as("v_null"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("k").isNull || col("v_null"), 1L).otherwise(0L)).as("n_bad"),
+        sum("k").as("k_sum"),
+        min("k").as("k_min"),
+        max("k").as("k_max"))
+      .orderBy("event_type")
+
+  val variantJsonStatsSql: String =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+      |  CAST(sum(k) AS BIGINT) AS k_sum,
+      |  CAST(min(k) AS BIGINT) AS k_min,
+      |  CAST(max(k) AS BIGINT) AS k_max
+      |FROM (SELECT event_type,
+      |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Map-typed columns: parse `events.props` into a `map<string,string>`
     * and use map functions (keys, lookup) — completes the "Array / map fns"
     * row of SURVEY.md §2.2 alongside the array ops in the embedding suite.
@@ -848,6 +883,7 @@ object Relational {
     "date_funcs" -> (dateFuncs _),
     "math_funcs" -> (mathFuncs _),
     "json_funcs" -> (jsonFuncs _),
+    "variant_json_stats" -> (variantJsonStats _),
     "map_funcs" -> (mapFuncs _),
     "case_buckets" -> (caseBuckets _),
     "percentile_exact" -> (percentileExact _),
@@ -881,6 +917,7 @@ object Relational {
     "date_funcs" -> dateFuncsSql,
     "math_funcs" -> mathFuncsSql,
     "json_funcs" -> jsonFuncsSql,
+    "variant_json_stats" -> variantJsonStatsSql,
     "map_funcs" -> mapFuncsSql,
     "case_buckets" -> caseBucketsSql,
     "percentile_exact" -> percentileExactSql,

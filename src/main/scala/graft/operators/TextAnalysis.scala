@@ -523,7 +523,84 @@ object TextAnalysis {
       |  CAST(((n_docs - n_unique) * 10000) // n_docs AS BIGINT) AS dup_rate_bp
       |FROM g ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------- heavy hitters
+  /** Exact corpus-wide heavy hitters: terms holding at least 1% (100 bp) of
+    * all token occurrences. The term-frequency table is vocabulary-sized —
+    * orders of magnitude smaller than the corpus — so it is materialized
+    * once and the global total is derived from it and broadcast back;
+    * shares are integer basis points (integer division — no rounding-tie
+    * semantics). One corpus scan, one vocabulary-keyed exchange.
+    */
+  def heavyHittersExact(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s) // token arrays get exploded
+    val tf = Tables.parallelize(s,
+        Tables.documents(s, d).select(col("text")))
+      .select(explode(Portable.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    tf.crossJoin(broadcast(tf.agg(sum("cnt").as("total"))))
+      .select(col("term"), col("cnt"),
+        expr("(cnt * 10000) div total").as("share_bp"))
+      .filter(col("share_bp") >= 100)
+      .orderBy(col("cnt").desc, col("term").asc)
+  }
+
+  val heavyHittersExactSql: String =
+    """WITH tf AS (
+      |  SELECT term, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS total FROM tf)
+      |SELECT term, CAST(cnt AS BIGINT) AS cnt,
+      |       CAST((cnt * 10000) // total AS BIGINT) AS share_bp
+      |FROM tf, tot
+      |WHERE (cnt * 10000) // total >= 100
+      |ORDER BY cnt DESC, term""".stripMargin
+
+  /** Top-10 terms from the mergeable Misra–Gries sketch
+    * ([[graft.functions.FrequentItemsAggregator]]) — the 100 TB
+    * heavy-hitters path: O(capacity) state per executor, map-side partial
+    * aggregation, one tiny final merge; the corpus-wide exchange of the
+    * exact variant disappears entirely.
+    *
+    * Oracle-checkable BECAUSE the fixtures' token vocabulary (31 terms at
+    * every sf — the generator's fixed word list) is under the 256-counter
+    * capacity: no decrement ever fires, so the sketch provably degenerates
+    * to the exact frequency table with err_bound 0 and the DuckDB oracle
+    * can assert equality. The lossy regime (capacity < vocabulary) is
+    * exercised by the unit spec instead.
+    */
+  def frequentItemsSketch(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s)
+    val fi = udaf(new graft.functions.FrequentItemsAggregator(256))
+    Tables.parallelize(s, Tables.documents(s, d).select(col("text")))
+      .select(explode(Portable.tokens(col("text"))).as("term"))
+      .agg(fi(col("term")).as("summary"))
+      .select(posexplode(col("summary")).as(Seq("i", "f")))
+      .filter(col("i") < 10)
+      .select((col("i") + 1).cast("int").as("rank"),
+        col("f.item").as("term"),
+        col("f.est_count").as("est_count"),
+        col("f.err_bound").as("err_bound"))
+      .orderBy("rank")
+  }
+
+  val frequentItemsSketchSql: String =
+    """WITH tf AS (
+      |  SELECT term, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT term, cnt,
+      |    CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INTEGER) AS rank
+      |  FROM tf)
+      |SELECT rank, term, CAST(cnt AS BIGINT) AS est_count,
+      |       CAST(0 AS BIGINT) AS err_bound
+      |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters_exact" -> (heavyHittersExact _),
+    "frequent_items_sketch" -> (frequentItemsSketch _),
     "source_mix_report" -> (sourceMixReport _),
     "corpus_funnel" -> (corpusFunnel _),
     "pii_scrub" -> (piiScrub _),
@@ -538,6 +615,8 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "heavy_hitters_exact" -> heavyHittersExactSql,
+    "frequent_items_sketch" -> frequentItemsSketchSql,
     "source_mix_report" -> sourceMixReportSql,
     "corpus_funnel" -> corpusFunnelSql,
     "pii_scrub" -> piiScrubSql,

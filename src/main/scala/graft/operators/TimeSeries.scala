@@ -100,11 +100,62 @@ object TimeSeries {
       |  ON h.user_id = c.user_id AND h.hour_s = c.hour_s
       |ORDER BY 1, 2""".stripMargin
 
+  /** Ordered multi-step funnel (view → click → purchase): a user converts a
+    * step only with an event STRICTLY AFTER their previous step's first
+    * qualifying event — the product-analytics primitive for activation /
+    * conversion reporting.
+    *
+    * Shape at scale: ONE shuffle by user_id, then three window passes over
+    * the same partitioning (each step's first-qualifying timestamp is a
+    * conditional min over the user's partition referencing the previous
+    * step's column — `HashPartitioning(user_id)` satisfies all three, so
+    * Catalyst inserts no further exchange), and a single global conditional
+    * aggregate. No joins, no per-step re-scan; the DuckDB oracle expresses
+    * the identical semantics as a step-wise join chain.
+    */
+  def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    val byU = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(byU))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"),
+        col("ts"))).over(byU))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+        col("ts"))).over(byU))
+      .agg(
+        count_distinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+        count_distinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
+        count_distinct(when(col("t3").isNotNull, col("user_id"))).as("n_full_funnel"))
+      .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
+        expr("(n_full_funnel * 10000) div n_view").as("conv_bp"))
+  }
+
+  val eventFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel,
+      |  CAST(((SELECT count(*) FROM p) * 10000)
+      |       // (SELECT count(*) FROM v) AS BIGINT) AS conv_bp""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize_gaps" -> (sessionizeGaps _),
-    "gap_fill_resample" -> (gapFillResample _))
+    "gap_fill_resample" -> (gapFillResample _),
+    "event_funnel" -> (eventFunnel _))
 
   def oracles: Map[String, String] = Map(
     "sessionize_gaps" -> sessionizeGapsSql,
-    "gap_fill_resample" -> gapFillResampleSql)
+    "gap_fill_resample" -> gapFillResampleSql,
+    "event_funnel" -> eventFunnelSql)
 }

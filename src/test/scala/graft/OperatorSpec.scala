@@ -115,6 +115,32 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("misra-gries sketch: bounds hold and heavy items survive in the lossy regime") {
+    import functions.{FrequentItem, FrequentItemsAggregator}
+    import org.apache.spark.sql.functions.{col, udaf}
+    import spark.implicits._
+    // 40 distinct items vs capacity 8: decrements MUST fire. One item holds
+    // ~1/3 of all mass (far above n/(capacity+1)), so MG guarantees it is
+    // retained; every estimate must bracket the true count within err_bound.
+    val items = (1 to 2000).map(_ => "heavy") ++
+      (1 to 39).flatMap(i => Seq.fill(100)(s"t$i"))
+    val truth = items.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val fi = udaf(new FrequentItemsAggregator(8))
+    val out = items.toDF("item").repartition(8)
+      .agg(fi(col("item")).as("s"))
+      .select(org.apache.spark.sql.functions.explode(col("s")).as("f"))
+      .select("f.*").as[FrequentItem].collect()
+    assert(out.nonEmpty && out.length <= 8)
+    out.foreach { f =>
+      val t = truth(f.item)
+      assert(f.est_count <= t, s"${f.item}: est ${f.est_count} > true $t")
+      assert(t <= f.est_count + f.err_bound,
+        s"${f.item}: true $t above est+err ${f.est_count + f.err_bound}")
+    }
+    assert(out.exists(_.item == "heavy"), "item above n/(k+1) frequency must be retained")
+    assert(out.head.est_count == out.map(_.est_count).max, "output sorted by estimate desc")
+  }
+
   test("ann topk: 5 ranked neighbors per query, self excluded") {
     val rows = operators.Similarity.annBruteforceTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
