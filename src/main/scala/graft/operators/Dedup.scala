@@ -319,6 +319,74 @@ object Dedup {
        |WHERE bit_count(xor(p.simhash, q.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------- span dedup
+  /** Tokens per span and the corpus-occurrence count at which a span is
+    * considered boilerplate. */
+  val SpanTokens = 10
+  val SpanHotThreshold = 3
+
+  /** C4-style duplicate-span removal (Raffel et al. 2020 drop repeated
+    * lines/paragraphs corpus-wide; RefinedWeb repeats the recipe): split
+    * each document into consecutive [[SpanTokens]]-token spans, find spans
+    * occurring [[SpanHotThreshold]]+ times across the CORPUS, keep only the
+    * globally-first occurrence (lowest doc_id, then position) of each hot
+    * span, and reassemble the surviving text in document order. Emits
+    * per-doc span counts plus the md5 of the cleaned text.
+    *
+    * Shape at scale: the honest cost of corpus-level span dedup is two wide
+    * exchanges — one keyed by span (the occurrence count and the
+    * first-occurrence rank come from two window functions over the SAME
+    * partitioning, so one shuffle serves both), one keyed by doc_id for
+    * reassembly. Nothing is collected; the hot-span decision never
+    * materializes a posting list.
+    */
+  def dedupSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.tuneSession(s) // span arrays get exploded
+    val spans = parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, CAST(ceil(size(w) / ${SpanTokens}.0) AS INT) - 1),
+           |  i -> array_join(slice(w, i * $SpanTokens + 1, $SpanTokens), ' '))""".stripMargin)
+        .as("spans"))
+      .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"),
+        posexplode(col("spans")).as(Seq("pos", "span")))
+    val bySpan = Window.partitionBy("span")
+    val kept = spans
+      .withColumn("cnt", count(lit(1)).over(bySpan))
+      .withColumn("rn", row_number().over(bySpan.orderBy("doc_id", "pos")))
+      .filter(col("cnt") < SpanHotThreshold || col("rn") === 1)
+    kept.groupBy("doc_id")
+      .agg(
+        first("n_spans").as("n_spans"),
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+            x => x.getField("span")))).as("clean_fp"))
+      .select(col("doc_id"), col("n_spans"), col("n_kept"),
+        (col("n_spans") - col("n_kept")).as("n_dropped"), col("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSpansSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sp AS (SELECT doc_id, list_transform(
+       |    range(0, CAST(ceil(len(w) / ${SpanTokens}.0) AS INT)),
+       |    i -> {'pos': i, 'span': array_to_string(
+       |            list_slice(w, i * $SpanTokens + 1, i * $SpanTokens + $SpanTokens), ' ')})
+       |  AS spans FROM w),
+       |e AS (SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans,
+       |        unnest(spans, recursive := true) FROM sp),
+       |m AS (SELECT *, count(*) OVER (PARTITION BY span) AS cnt,
+       |        row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+       |      FROM e),
+       |k AS (SELECT * FROM m WHERE cnt < $SpanHotThreshold OR rn = 1)
+       |SELECT doc_id, any_value(n_spans) AS n_spans,
+       |  CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(any_value(n_spans) - count(*) AS BIGINT) AS n_dropped,
+       |  md5(string_agg(span, ' ' ORDER BY pos)) AS clean_fp
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- decontamination
   /** Benchmark decontamination (train/eval overlap detection): training
     * docs sharing any word-trigram with the held-out pseudo-benchmark
@@ -475,6 +543,7 @@ object Dedup {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_spans" -> (dedupSpans _),
     "decontaminate_ngram" -> (decontaminateNgram _))
 
   def oracles: Map[String, String] = Map(
@@ -484,5 +553,6 @@ object Dedup {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_spans" -> dedupSpansSql,
     "decontaminate_ngram" -> decontaminateNgramSql)
 }

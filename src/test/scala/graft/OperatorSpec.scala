@@ -115,6 +115,21 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("span dedup keeps only the first occurrence of corpus-hot spans") {
+    val rows = operators.Dedup.dedupSpans(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_spans"))
+      assert(r.getAs[Long]("n_dropped") >= 0)
+    }
+    // the fixtures contain exact-duplicate documents, so identical spans DO
+    // cross the hot threshold and later copies must have lost spans while
+    // the corpus-first copy keeps everything
+    val docsWithDrops = rows.count(_.getAs[Long]("n_dropped") > 0)
+    assert(docsWithDrops > 0, "fixture duplicates must trigger span drops")
+  }
+
   test("misra-gries sketch: bounds hold and heavy items survive in the lossy regime") {
     import functions.{FrequentItem, FrequentItemsAggregator}
     import org.apache.spark.sql.functions.{col, udaf}
