@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining batches: assign every document a
+  * contiguous global row id and token offset (concat-then-chunk order),
+  * then pack the token stream into fixed-budget bins — the step that turns
+  * a curated corpus into fixed-length training sequences.
+  *
+  * The naive formulation is `row_number() OVER (ORDER BY doc_id)` — a
+  * single-partition global window that serializes the corpus through one
+  * task and cannot run at 100 TB. Here the offsets are computed with the
+  * two-phase pattern Spark itself uses for `zipWithIndex`:
+  *
+  *   1. range-partition by doc_id and sort within partitions (one wide
+  *      exchange, each partition holds a contiguous doc_id range);
+  *   2. a tiny per-partition aggregate (P rows — partition count, not
+  *      corpus size) collected to the driver and prefix-summed into
+  *      per-partition row/token offsets;
+  *   3. one narrow mapPartitions pass that streams each partition in
+  *      order, adding the partition's offset to a running local sum.
+  *
+  * The only driver-side state is the P-row offset table; every corpus-sized
+  * step is distributed. Output is invariant to the range partitioner's
+  * sampled boundaries — offsets compose to the same global prefix sum
+  * wherever the cuts land.
+  */
+object Packing {
+
+  /** Tokens per packed training sequence (the bin budget). */
+  val PackBudget = 512L
+
+  /** (doc_id, n_tok, row_id, start_tok) with contiguous row ids and global
+    * token offsets in doc_id order — shared by both queries.
+    */
+  private def offsets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = math.max(s.sparkContext.defaultParallelism, 1)
+    val sized = Tables.documents(s, d)
+      .select(col("doc_id"), size(Portable.tokens(col("text"))).cast("long").as("n_tok"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      // the two passes below (per-partition totals, then the offset-adding
+      // scan) must see identical partitions; materialize once instead of
+      // re-running the range exchange
+      .localCheckpoint()
+    // phase 1: per-partition (row count, token count) — P rows on the driver
+    val perPart = sized
+      .select(spark_partition_id().as("pid"), col("n_tok"))
+      .groupBy("pid")
+      .agg(count(lit(1)).as("rows"), sum("n_tok").as("toks"))
+      .collect()
+      .map(r => (r.getAs[Int]("pid"), (r.getAs[Long]("rows"), r.getAs[Long]("toks"))))
+      .toMap
+    // prefix-sum into start offsets per partition id
+    val pids = perPart.keys.toSeq.sorted
+    val offs: Map[Int, (Long, Long)] = pids.zip(
+      pids.scanLeft((0L, 0L)) { case ((r0, t0), pid) =>
+        val (r, t) = perPart(pid); (r0 + r, t0 + t)
+      }).toMap
+    // phase 2: narrow scan adding the partition offset to a running sum
+    sized.as[(Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val (rowOff, tokOff) = offs.getOrElse(pid, (0L, 0L))
+      var row = rowOff
+      var tok = tokOff
+      it.map { case (docId, nTok) =>
+        val out = (docId, nTok, row, tok)
+        row += 1L
+        tok += nTok
+        out
+      }
+    }.toDF("doc_id", "n_tok", "row_id", "start_tok")
+  }
+
+  /** Contiguous global ids: (doc_id, row_id 0..n-1, global token offset). */
+  def assignRowIds(s: SparkSession, d: String): DataFrame =
+    offsets(s, d).select("doc_id", "row_id", "start_tok").orderBy("doc_id")
+
+  val assignRowIdsSql: String =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id,
+      |  CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS start_tok
+      |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Greedy contiguous packing: a document belongs to the bin its global
+    * token offset falls in (concat-then-chunk — documents may straddle a
+    * boundary; the bin is where the document STARTS). Emits per-bin
+    * composition: doc/token counts and the id range.
+    */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    offsets(s, d)
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"start_tok div $PackBudget").as("bin_id"))
+      .groupBy("bin_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("bin_id")
+
+  val packSequencesSql: String =
+    s"""WITH o AS (
+       |  SELECT doc_id, n_tok,
+       |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents))
+       |SELECT CAST(start_tok // $PackBudget AS BIGINT) AS bin_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc,
+       |  max(doc_id) AS last_doc
+       |FROM o GROUP BY 1 ORDER BY bin_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "assign_row_ids" -> (assignRowIds _),
+    "pack_sequences" -> (packSequences _))
+
+  def oracles: Map[String, String] = Map(
+    "assign_row_ids" -> assignRowIdsSql,
+    "pack_sequences" -> packSequencesSql)
+}

@@ -598,7 +598,32 @@ object TextAnalysis {
       |       CAST(0 AS BIGINT) AS err_bound
       |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  /** Adjacent-token-pair counts — the statistic behind the first BPE merge
+    * decision when training a tokenizer on the corpus: top-20 pairs by
+    * global frequency (ties broken by pair text). One scan, shingle n=2 via
+    * the native [[graft.functions.WordShingles]] expression, one
+    * vocabulary²-bounded exchange with map-side partial aggregation.
+    */
+  def bpePairCounts(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s) // pair arrays get exploded
+    Tables.parallelize(s, Tables.documents(s, d).select(col("text")))
+      .select(explode(Portable.shingles(Portable.tokens(col("text")), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  val bpePairCountsSql: String = {
+    val shingles2 = Portable.shinglesSql(2)
+    s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |pairs AS (SELECT unnest($shingles2) AS pair FROM w)
+       |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+       |FROM pairs GROUP BY 1
+       |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_pair_counts" -> (bpePairCounts _),
     "heavy_hitters_exact" -> (heavyHittersExact _),
     "frequent_items_sketch" -> (frequentItemsSketch _),
     "source_mix_report" -> (sourceMixReport _),
@@ -615,6 +640,7 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "bpe_pair_counts" -> bpePairCountsSql,
     "heavy_hitters_exact" -> heavyHittersExactSql,
     "frequent_items_sketch" -> frequentItemsSketchSql,
     "source_mix_report" -> sourceMixReportSql,

@@ -115,6 +115,22 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("row id assignment is dense and token offsets telescope") {
+    val rows = operators.Packing.assignRowIds(spark, sf).collect()
+      .sortBy(_.getAs[Long]("row_id"))
+    assert(rows.map(_.getAs[Long]("row_id")).toSeq == rows.indices.map(_.toLong),
+      "row ids must be 0..n-1 with no gaps")
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq ==
+      rows.map(_.getAs[Long]("doc_id")).sorted.toSeq,
+      "row id order must follow doc_id order")
+    assert(rows.head.getAs[Long]("start_tok") == 0L)
+    // offsets form a strictly increasing global prefix sum (every doc has at
+    // least one token), i.e. partition offsets composed without overlap/gap
+    val offs = rows.map(_.getAs[Long]("start_tok"))
+    assert(offs.zip(offs.tail).forall { case (a, b) => a < b },
+      "start_tok must be strictly increasing across partition boundaries")
+  }
+
   test("span dedup keeps only the first occurrence of corpus-hot spans") {
     val rows = operators.Dedup.dedupSpans(spark, sf).collect()
     assert(rows.nonEmpty)
