@@ -111,10 +111,12 @@ object Dedup {
     * Grams are fingerprinted to 64-bit longs (`xxhash64`) right after the
     * explode, so every downstream shuffle/join keys on 8 bytes instead of a
     * ~20-byte string. The hash never reaches the output — the oracle keeps
-    * exact string grams — so this is an internal-key change only; a
-    * collision (odds ~n²/2⁶⁵ — ~10⁻⁷ even at a billion distinct grams)
-    * would merge two grams' postings, the standard fingerprinting tradeoff
-    * in the shingling literature. The exploded gram stream is
+    * exact string grams — so this is an internal-key change only; collision
+    * probability is ~n²/2⁶⁵ (negligible at fixture vocabulary; ~3% chance
+    * of ONE colliding pair at a billion distinct grams, which would merge
+    * that single pair's postings and perturb a handful of similarity
+    * scores) — the standard fingerprinting tradeoff in the shingling
+    * literature. The exploded gram stream is
     * localCheckpoint'd once (16 B/row) so the count pass and the join read
     * a materialized frame instead of re-running tokenize+shingle. The
     * dropped-gram count is observable as the `jaccard_audit` metric

@@ -441,21 +441,21 @@ object Relational {
   /** Semi-structured VariantType surface (Spark 4): `parse_json` once into
     * the binary variant encoding, then typed `variant_get` extractions —
     * the 100 TB pattern for schemaless event payloads (parse once, extract
-    * many; the variant column shreds/pushes down where parquet supports it,
-    * and malformed payloads surface as NULL via `try_parse_json` instead of
-    * failing the scan). The oracle replays the same extraction with
-    * DuckDB's JSON type.
+    * many; the variant column shreds/pushes down where parquet supports
+    * it). Both failure modes are tolerated row-wise, never query-wise:
+    * unparseable JSON → NULL variant (`try_parse_json`), wrong-typed or
+    * missing `$.k` → NULL long (`try_variant_get`), and either counts into
+    * `n_bad` — matching the oracle's TRY_CAST semantics exactly.
     */
   def variantJsonStats(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_type"), try_parse_json(col("props")).as("v"))
       .select(col("event_type"),
-        variant_get(col("v"), "$.k", "long").as("k"),
-        is_variant_null(col("v")).as("v_null"))
+        try_variant_get(col("v"), "$.k", "long").as("k"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        sum(when(col("k").isNull || col("v_null"), 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"),
         sum("k").as("k_sum"),
         min("k").as("k_min"),
         max("k").as("k_max"))

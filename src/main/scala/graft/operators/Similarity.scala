@@ -258,13 +258,27 @@ object Similarity {
       .orderBy("vec_id").collect()
       .map(r => (r.getAs[Long]("vec_id").toInt, r.getAs[Seq[Float]]("embedding").toArray))
     val centroid = udaf(new CentroidAggregator(64))
-    for (_ <- 1 to KmeansRounds) {
+    // standard epsilon-stopping: quit early once no centroid moves more than
+    // 0.1% of its own norm in a round — at corpus scale each round is a full
+    // pass, so a settled codebook should not buy three of them
+    var kmRound = 0
+    var moved = true
+    while (kmRound < KmeansRounds && moved) {
       val updated = assignCells(e, codebook)
         .groupBy("cell").agg(centroid(col("embedding")).as("c"))
         .collect()
         .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Double]]("c").map(_.toFloat).toArray))
         .toMap
+      moved = codebook.exists { case (cid, old) =>
+        updated.get(cid).exists { nw =>
+          val shift = math.sqrt(old.zip(nw).map { case (a, b) =>
+            (a - b).toDouble * (a - b) }.sum)
+          val norm = math.sqrt(old.map(v => v.toDouble * v).sum)
+          shift > 1e-3 * math.max(norm, 1e-12)
+        }
+      }
       codebook = codebook.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+      kmRound += 1
     }
     val assigned = assignCells(e, codebook)
     val q = assigned.filter(col("vec_id") % 100 === 0)

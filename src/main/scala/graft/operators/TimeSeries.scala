@@ -122,10 +122,16 @@ object TimeSeries {
         col("ts"))).over(byU))
       .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
         col("ts"))).over(byU))
+      // t1/t2/t3 are constant per user and the stream is already
+      // user_id-partitioned: reduce to one row per user FIRST (no new
+      // exchange) so the global conditional counts aggregate n_users rows —
+      // count_distinct over the raw stream would Expand every event row 3×
+      .groupBy("user_id")
+      .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
       .agg(
-        count_distinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
-        count_distinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
-        count_distinct(when(col("t3").isNotNull, col("user_id"))).as("n_full_funnel"))
+        count(when(col("t1").isNotNull, lit(1))).as("n_view"),
+        count(when(col("t2").isNotNull, lit(1))).as("n_view_click"),
+        count(when(col("t3").isNotNull, lit(1))).as("n_full_funnel"))
       .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
         expr("(n_full_funnel * 10000) div n_view").as("conv_bp"))
   }
@@ -146,8 +152,10 @@ object TimeSeries {
       |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
       |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
       |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel,
-      |  CAST(((SELECT count(*) FROM p) * 10000)
-      |       // (SELECT count(*) FROM v) AS BIGINT) AS conv_bp""".stripMargin
+      |  CASE WHEN (SELECT count(*) FROM v) = 0 THEN NULL
+      |       ELSE CAST(((SELECT count(*) FROM p) * 10000)
+      |            // (SELECT count(*) FROM v) AS BIGINT)
+      |  END AS conv_bp""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize_gaps" -> (sessionizeGaps _),
