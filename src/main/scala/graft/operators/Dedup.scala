@@ -174,15 +174,12 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     lshPairs(s, d).orderBy("doc_a", "doc_b")
 
-  /** The unordered LSH candidate-pair pipeline (mirrors the `lshpairs` SQL
-    * CTE) — shared by the ranked query above and [[dedupClusters]], which
-    * would otherwise pay the output sort only to discard it.
+  /** (doc_id, sig, band, bandsig) rows — the MinHash signature and its LSH
+    * banding as per-row array expressions: one scan, no shuffle. Shared by
+    * [[lshPairs]] (self-join) and [[dedupIncremental]] (batch-vs-history
+    * join).
     */
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    // Whole signature computed as per-row array expressions — one scan, no
-    // shuffle until the (band, bandsig) self-join; that join's build side is
-    // 4 small rows per doc, so at cluster scale the only wide exchange is
-    // keyed by band signature (i.e., proportional to docs, not pairs).
+  private def bandsDF(s: SparkSession, d: String): DataFrame = {
     val k = Portable.MinhashPerms.size
     val sigCols = Portable.MinhashPerms.map { case (a, b) =>
       expr(s"array_min(transform(hs, h -> ($a * h + $b) % ${Portable.MinhashPrime}))")
@@ -202,9 +199,22 @@ object Dedup {
           concat_ws("=", lit(2 * b + 1), element_at(col("sig"), 2 * b + 2)))
           .as("bandsig"))
     }
-    val bands = sig.select(col("doc_id"), col("sig"),
+    sig.select(col("doc_id"), col("sig"),
       explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("sig"), col("bs.band"), col("bs.bandsig"))
+  }
+
+  /** The unordered LSH candidate-pair pipeline (mirrors the `lshpairs` SQL
+    * CTE) — shared by the ranked query above and [[dedupClusters]], which
+    * would otherwise pay the output sort only to discard it.
+    */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    // Whole signature computed as per-row array expressions — one scan, no
+    // shuffle until the (band, bandsig) self-join; that join's build side is
+    // 4 small rows per doc, so at cluster scale the only wide exchange is
+    // keyed by band signature (i.e., proportional to docs, not pairs).
+    val k = Portable.MinhashPerms.size
+    val bands = bandsDF(s, d)
     // Estimate per collision row, then collapse multi-band collisions with a
     // cheap (doc_a, doc_b) aggregate — the previous distinct() hashed the
     // full 8-long signature arrays through the exchange for the same effect.
@@ -220,9 +230,9 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.5)
   }
 
-  /** The LSH candidate-pair pipeline as a CTE chain, shared by the
-    * minhash query's oracle and the clustering oracle's recursive CTE. */
-  private val lshPairsSqlCtes: String = {
+  /** The MinHash signature + banding CTE chain (through `bands`), shared by
+    * the pair oracles and the incremental oracle. */
+  private val bandsSqlCtes: String = {
     val permRows = Portable.MinhashPerms.zipWithIndex
       .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
     s"""$gramsSqlCte,
@@ -234,7 +244,13 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, CAST(j // 2 AS INTEGER) AS band,
        |         string_agg(j || '=' || mh, ':' ORDER BY j || '=' || mh) AS bandsig
-       |  FROM sig GROUP BY 1, 2),
+       |  FROM sig GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The LSH candidate-pair pipeline as a CTE chain, shared by the
+    * minhash query's oracle and the clustering oracle's recursive CTE. */
+  private val lshPairsSqlCtes: String = {
+    s"""$bandsSqlCtes,
        |candidates AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
@@ -320,6 +336,69 @@ object Dedup {
        |FROM sim p JOIN sim q ON p.doc_id < q.doc_id
        |WHERE bit_count(xor(p.simhash, q.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------- incremental
+  /** Incremental dedup — the shape a production dedup service actually
+    * runs: an incoming BATCH (doc_id % 10 >= 8, a deterministic 20% stand-in
+    * for "today's crawl") is checked against the HISTORICAL corpus
+    * (everything else) for exact duplicates (normalized-text fingerprint)
+    * and near-duplicates (shared MinHash LSH band), without ever comparing
+    * history against itself. Emits each flagged batch doc with its match
+    * type ('exact' wins over 'near') and the distinct history docs hit per
+    * mechanism.
+    *
+    * Scale posture: the batch is orders of magnitude smaller than history,
+    * so its fingerprint and band tables are BROADCAST and history STREAMS
+    * past them — one scan of history, no history-×-history work, no
+    * corpus-wide shuffle at all (the per-batch-doc aggregates key on batch
+    * doc ids). This is the O(batch) + one-history-pass cost an append-only
+    * corpus pays per increment, vs. re-running full-corpus dedup.
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val isBatch = col("doc_id") % 10 >= 8
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val fp = Tables.documents(s, d).select(col("doc_id"), md5(norm).as("fp"))
+    val bands = bandsDF(s, d).select("doc_id", "band", "bandsig")
+    val exact = fp.filter(!isBatch).as("h")
+      .join(broadcast(fp.filter(isBatch).as("b")), col("h.fp") === col("b.fp"))
+      .groupBy(col("b.doc_id").as("doc_id"))
+      .agg(count_distinct(col("h.doc_id")).as("n_exact"))
+    val near = bands.filter(!isBatch).as("h")
+      .join(broadcast(bands.filter(isBatch).as("b")),
+        col("h.band") === col("b.band") && col("h.bandsig") === col("b.bandsig"))
+      .groupBy(col("b.doc_id").as("doc_id"))
+      .agg(count_distinct(col("h.doc_id")).as("n_near"))
+    exact.join(near, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("n_exact").isNotNull, "exact").otherwise("near").as("match_type"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $bandsSqlCtes,
+       |fp AS (
+       |  SELECT doc_id,
+       |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM documents),
+       |bexact AS (
+       |  SELECT b.doc_id, count(DISTINCT h.doc_id) AS n_exact
+       |  FROM fp h JOIN fp b ON h.fp = b.fp
+       |  WHERE b.doc_id % 10 >= 8 AND h.doc_id % 10 < 8
+       |  GROUP BY 1),
+       |bnear AS (
+       |  SELECT b.doc_id, count(DISTINCT h.doc_id) AS n_near
+       |  FROM bands h JOIN bands b
+       |    ON h.band = b.band AND h.bandsig = b.bandsig
+       |  WHERE b.doc_id % 10 >= 8 AND h.doc_id % 10 < 8
+       |  GROUP BY 1)
+       |SELECT coalesce(e.doc_id, n.doc_id) AS doc_id,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact' ELSE 'near' END AS match_type,
+       |  CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+       |  CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near
+       |FROM bexact e FULL OUTER JOIN bnear n ON e.doc_id = n.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- span dedup
   /** Tokens per span and the corpus-occurrence count at which a span is
@@ -546,6 +625,7 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_spans" -> (dedupSpans _),
+    "dedup_incremental" -> (dedupIncremental _),
     "decontaminate_ngram" -> (decontaminateNgram _))
 
   def oracles: Map[String, String] = Map(
@@ -556,5 +636,6 @@ object Dedup {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_spans" -> dedupSpansSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "decontaminate_ngram" -> decontaminateNgramSql)
 }

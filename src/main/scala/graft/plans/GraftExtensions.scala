@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FloatVecDot, FloatVecNorm, SimHashBits}
+import graft.functions.{FloatVecDot, FloatVecNorm, SimHashBits, WordShingles}
 import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -47,6 +47,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "USER_RAISED_EXCEPTION",
           Map("errorMessage" ->
             ("simhash expects (array<string>) or (array<string>, INT literal in [1,28]); " +
+              s"got ${other.size} argument(s): ${other.map(_.sql).mkString(", ")}")))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (es: Seq[Expression]) => es match {
+        case Seq(arr, Literal(n: Int, _)) if n >= 1 => WordShingles(arr, n)
+        case Seq(arr, Literal(n: Long, _)) if n >= 1 => WordShingles(arr, n.toInt)
+        case other => throw new AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            ("word_shingles expects (array<string>, positive INT literal); " +
               s"got ${other.size} argument(s): ${other.map(_.sql).mkString(", ")}")))
       }))
   }

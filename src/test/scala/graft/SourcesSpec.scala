@@ -228,11 +228,13 @@ class SourcesSpec extends AnyFunSuite {
       """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
         |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
         |       vec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
-        |       simhash(array('the', 'quick', 'fox')) AS sh""".stripMargin)
+        |       simhash(array('the', 'quick', 'fox')) AS sh,
+        |       word_shingles(array('a', 'b', 'c'), 2) AS ws""".stripMargin)
       .collect()(0)
     assert(got.getAs[Double]("d") == 11.0)
     assert(got.getAs[Double]("n") == 5.0)
     assert(got.getAs[Long]("sh") >= 0L && got.getAs[Long]("sh") < (1L << 28))
+    assert(got.getSeq[String](got.fieldIndex("ws")).toSeq == Seq("a b", "b c"))
   }
 
   private implicit class DoubleOps(a: Double) {
