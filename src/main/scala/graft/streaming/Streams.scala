@@ -261,6 +261,86 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One emitted funnel snapshot: the user's deepest ordered stage so far
+    * (0 none / 1 view / 2 view→click / 3 full funnel) with the qualifying
+    * first-event timestamps (epoch µs; -1 = not reached).
+    */
+  case class FunnelStage(user_id: Long, stage: Int, t1: Long, t2: Long, t3: Long)
+
+  /** Streaming counterpart of `TimeSeries.eventFunnel` — the same ordered
+    * view → click → purchase semantics (a step qualifies only with an event
+    * STRICTLY AFTER the previous step's first qualifying event), maintained
+    * incrementally per user and INVARIANT TO ARRIVAL ORDER: a late-arriving
+    * earlier view lowers t1, which can re-qualify earlier clicks, so the
+    * state keeps the per-user evidence needed for exact revision — the
+    * minimum view time plus the click/purchase time sets — not just the
+    * current stage. Each batch that touches a user emits their refreshed
+    * snapshot (Update-style semantics on the Append channel, like the
+    * top-k processor's snapshots).
+    *
+    * State bound: min-view is O(1); the click/purchase sets grow with
+    * per-user funnel activity — the same per-key bound stream-stream joins
+    * carry. A production deployment bounds them with a funnel horizon
+    * ("convert within N days"): timestamps beyond the horizon of the
+    * current watermark can never qualify and are droppable, exactly like
+    * the watermark GC in [[latePanes]]; the fixture replay here runs
+    * horizonless because the parity target (`TimeSeries.eventFunnel`) is
+    * horizonless.
+    */
+  class FunnelProcessor
+      extends StatefulProcessor[Long, (Long, String, Long), FunnelStage] {
+    @transient private var minView: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var clicks: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var purchases: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      minView = getHandle.getValueState[Long]("minView", Encoders.scalaLong, TTLConfig.NONE)
+      clicks = getHandle.getListState[Long]("clicks", Encoders.scalaLong, TTLConfig.NONE)
+      purchases = getHandle.getListState[Long]("purchases", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long)],
+        tv: TimerValues): Iterator[FunnelStage] = {
+      var v = if (minView.exists()) minView.get() else Long.MaxValue
+      val cs = scala.collection.mutable.ArrayBuffer[Long]()
+      clicks.get().foreach(cs += _)
+      val ps = scala.collection.mutable.ArrayBuffer[Long]()
+      purchases.get().foreach(ps += _)
+      var newClicks = false
+      var newPurchases = false
+      rows.foreach {
+        case (_, "view", ts) => if (ts < v) v = ts
+        case (_, "click", ts) => cs += ts; newClicks = true
+        case (_, "purchase", ts) => ps += ts; newPurchases = true
+        case _ => // other event types don't participate in the funnel
+      }
+      if (v != Long.MaxValue) minView.update(v)
+      if (newClicks) { clicks.clear(); cs.foreach(clicks.appendValue) }
+      if (newPurchases) { purchases.clear(); ps.foreach(purchases.appendValue) }
+      val t1 = if (v == Long.MaxValue) -1L else v
+      val t2 = if (t1 < 0) -1L else cs.filter(_ > t1) match {
+        case e if e.isEmpty => -1L
+        case e => e.min
+      }
+      val t3 = if (t2 < 0) -1L else ps.filter(_ > t2) match {
+        case e if e.isEmpty => -1L
+        case e => e.min
+      }
+      val stage = if (t3 >= 0) 3 else if (t2 >= 0) 2 else if (t1 >= 0) 1 else 0
+      Iterator.single(FunnelStage(key, stage, t1, t2, t3))
+    }
+  }
+
+  /** Wire the funnel processor onto a (user_id, event_type, ts_micros)
+    * stream. */
+  def streamingFunnel(events: Dataset[(Long, String, Long)]): Dataset[FunnelStage] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new FunnelProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup (the training-pipeline counterpart of
     * `Dedup.dedupExact`): state keyed by the id columns, bounded by the
     * watermark — duplicates arriving within the horizon are dropped, state

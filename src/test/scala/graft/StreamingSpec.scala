@@ -197,6 +197,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel matches the batch funnel on out-of-order replay") {
+    val s2 = SparkTestSession.rocksDbSession("graft-funnel-test")
+    import s2.implicits._
+    implicit val ctx = s2.sqlContext
+    val sfDir = SparkTestSession.sf
+    val evs = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map { r =>
+        val i = r.getAs[Timestamp]("ts").toInstant
+        (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      }.toSeq
+    // the same ordered-funnel semantics computed independently as a fold
+    val expected = evs.groupBy(_._1).map { case (u, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      val t1 = if (views.isEmpty) -1L else views.min
+      val qClicks = if (t1 < 0) Seq.empty else es.filter(e => e._2 == "click" && e._3 > t1).map(_._3)
+      val t2 = if (qClicks.isEmpty) -1L else qClicks.min
+      val qPurch = if (t2 < 0) Seq.empty else es.filter(e => e._2 == "purchase" && e._3 > t2).map(_._3)
+      val t3 = if (qPurch.isEmpty) -1L else qPurch.min
+      val stage = if (t3 >= 0) 3 else if (t2 >= 0) 2 else if (t1 >= 0) 1 else 0
+      u -> ((stage, t1, t2, t3))
+    }
+    val in = MemoryStream[(Long, String, Long)]
+    val q = Streams.streamingFunnel(in.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // adversarial replay: shuffled arrival order across three batches, so
+      // late-arriving earlier views must revise already-emitted stages
+      val shuffled = new scala.util.Random(42).shuffle(evs)
+      shuffled.grouped(shuffled.size / 3 + 1).foreach { chunk =>
+        in.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      // snapshots are monotone (stage never decreases, times never rise),
+      // so the per-user final state is the best snapshot emitted
+      val finalByUser = s2.table("funnel_out").as[Streams.FunnelStage].collect()
+        .groupBy(_.user_id).map { case (u, snaps) =>
+          u -> snaps.map(s => (s.stage, s.t1, s.t2, s.t3))
+            .maxBy { case (st, a, b, c) => (st, -a, -b, -c) }
+        }
+      expected.foreach { case (u, exp) =>
+        assert(finalByUser(u) == exp, s"user $u: got ${finalByUser(u)}, want $exp")
+      }
+      // and the aggregate counts agree with the batch query itself
+      val batch = operators.TimeSeries.eventFunnel(spark, sfDir).collect()(0)
+      assert(batch.getAs[Long]("n_view") == expected.count(_._2._1 >= 1).toLong)
+      assert(batch.getAs[Long]("n_view_click") == expected.count(_._2._1 >= 2).toLong)
+      assert(batch.getAs[Long]("n_full_funnel") == expected.count(_._2._1 == 3).toLong)
+    } finally q.stop()
+  }
+
   test("batch/stream unification: demo2 transform works on a batch frame (O12)") {
     import spark.implicits._
     val batch = Seq(
