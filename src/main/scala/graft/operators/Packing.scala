@@ -119,11 +119,62 @@ object Packing {
        |  max(doc_id) AS last_doc
        |FROM o GROUP BY 1 ORDER BY bin_id""".stripMargin
 
+  // ------------------------------------------------------------- z-order
+  /** Bits per dimension of the Morton (z-order) code. */
+  val ZBits = 10
+
+  /** Z-order (Morton) data-layout audit: interleave the bits of two join/
+    * filter keys into one code, bucket the curve, and report each bucket's
+    * span in BOTH dimensions. This is the layout step for multi-dimensional
+    * scan pruning at 100 TB: writing the table `repartitionByRange(z) +
+    * sortWithinPartitions(z)` makes parquet row-group min/max statistics
+    * selective on BOTH keys simultaneously (a single-column sort gives
+    * pruning on one dimension and none on the other), so point/range
+    * predicates on either key skip most row groups. The z-code is pure
+    * bit arithmetic — codegen-friendly in Spark, reproduced verbatim by
+    * the DuckDB oracle — and the emitted per-bucket (min, max) spans of
+    * each dimension ARE the pruning evidence: every bucket covers a narrow
+    * slice of both key ranges.
+    */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    // shiftleft/shiftright function spelling (the operator forms are the
+    // DuckDB oracle's); same arithmetic bit for bit
+    val z = (0 until ZBits).map(i =>
+      s"shiftleft(shiftright(xk, $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright(yk, $i) & 1, ${2 * i})")
+      .mkString(" + ")
+    Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 1024).as("xk"), (col("l_partkey") % 1024).as("yk"))
+      .select(col("xk"), col("yk"), expr(z).as("zval"))
+      .groupBy(expr(s"zval div ${1L << (2 * ZBits - 8)}").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("xk").as("x_min"), max("xk").as("x_max"),
+        min("yk").as("y_min"), max("yk").as("y_max"))
+      .orderBy("bucket")
+  }
+
+  val zorderLayoutSql: String = {
+    val z = (0 until ZBits).map(i =>
+      s"(((xk >> $i) & 1) << ${2 * i + 1}) + (((yk >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+    s"""WITH k AS (
+       |  SELECT l_orderkey % 1024 AS xk, l_partkey % 1024 AS yk FROM lineitem),
+       |z AS (SELECT xk, yk, $z AS zval FROM k)
+       |SELECT zval // ${1L << (2 * ZBits - 8)} AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(xk) AS x_min, max(xk) AS x_max,
+       |  min(yk) AS y_min, max(yk) AS y_max
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "assign_row_ids" -> (assignRowIds _),
-    "pack_sequences" -> (packSequences _))
+    "pack_sequences" -> (packSequences _),
+    "zorder_layout" -> (zorderLayout _))
 
   def oracles: Map[String, String] = Map(
     "assign_row_ids" -> assignRowIdsSql,
-    "pack_sequences" -> packSequencesSql)
+    "pack_sequences" -> packSequencesSql,
+    "zorder_layout" -> zorderLayoutSql)
 }
