@@ -50,13 +50,22 @@ object Dedup {
        |   unnest(${Portable.shinglesSql(N)}) AS gram FROM words)""".stripMargin
 
   // ------------------------------------------------------------- exact
+  /** Normalized-text exact-duplicate fingerprint — ONE definition shared by
+    * [[dedupExact]] and [[dedupIncremental]] (and mirrored by [[normFpSql]]),
+    * so "exact duplicate" can never mean two different things. */
+  private def normFp: org.apache.spark.sql.Column =
+    md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+
+  /** DuckDB fragment computing the same fingerprint from column `text`. */
+  private val normFpSql: String =
+    """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
+
   /** Exact dedup: group on the normalized-text fingerprint, keep the lowest
     * doc_id as survivor. Output is the survivor set with multiplicity.
     */
   def dedupExact(s: SparkSession, d: String): DataFrame = {
-    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
     Tables.documents(s, d)
-      .select(col("doc_id"), md5(norm).as("fp"))
+      .select(col("doc_id"), normFp.as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_copies"))
       .groupBy()
@@ -67,8 +76,8 @@ object Dedup {
   }
 
   val dedupExactSql: String =
-    """WITH g AS (
-      |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+    s"""WITH g AS (
+      |  SELECT $normFpSql AS fp,
       |         min(doc_id) AS survivor_id, count(*) AS n_copies
       |  FROM documents GROUP BY 1)
       |SELECT CAST(count(*) AS BIGINT) AS n_unique,
@@ -184,7 +193,15 @@ object Dedup {
     val sigCols = Portable.MinhashPerms.map { case (a, b) =>
       expr(s"array_min(transform(hs, h -> ($a * h + $b) % ${Portable.MinhashPrime}))")
     }
+    // a gramless doc (< n tokens) has NO signature: every MinHash component
+    // would be array_min([]) = NULL and concat_ws would collapse all such
+    // docs onto ONE degenerate band signature, band-colliding them with each
+    // other. The SQL oracle's unnest of an empty gram list naturally emits
+    // zero rows for these docs; mirror that. (lshPairs was already immune —
+    // NULL-component comparisons score est_jaccard 0 — but consumers joining
+    // on raw band equality, like dedupIncremental, are not.)
     val sig = gramSetDF(s, d)
+      .filter(size(col("grams")) > 0)
       // hash each gram exactly once, then run the 8 permutations over longs
       .select(col("doc_id"),
         expr("transform(grams, g -> CAST(conv(substring(md5(g), 1, 7), 16, 10) AS BIGINT))")
@@ -349,15 +366,18 @@ object Dedup {
     *
     * Scale posture: the batch is orders of magnitude smaller than history,
     * so its fingerprint and band tables are BROADCAST and history STREAMS
-    * past them — one scan of history, no history-×-history work, no
-    * corpus-wide shuffle at all (the per-batch-doc aggregates key on batch
-    * doc ids). This is the O(batch) + one-history-pass cost an append-only
-    * corpus pays per increment, vs. re-running full-corpus dedup.
+    * past them — no history-×-history work and no corpus-wide shuffle (the
+    * per-batch-doc aggregates key on batch doc ids). History is scanned
+    * once PER MATCHING ARTIFACT — one fingerprint pass, one MinHash pass —
+    * since sharing a single scan would mean materializing corpus-sized
+    * text; a production increment would read both artifacts from the
+    * precomputed dedup index the previous increments already maintain.
+    * Either way the cost is O(batch) + O(history passes), vs. re-running
+    * full-corpus pair generation.
     */
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val isBatch = col("doc_id") % 10 >= 8
-    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
-    val fp = Tables.documents(s, d).select(col("doc_id"), md5(norm).as("fp"))
+    val fp = Tables.documents(s, d).select(col("doc_id"), normFp.as("fp"))
     val bands = bandsDF(s, d).select("doc_id", "band", "bandsig")
     val exact = fp.filter(!isBatch).as("h")
       .join(broadcast(fp.filter(isBatch).as("b")), col("h.fp") === col("b.fp"))
@@ -379,8 +399,7 @@ object Dedup {
   val dedupIncrementalSql: String =
     s"""WITH $bandsSqlCtes,
        |fp AS (
-       |  SELECT doc_id,
-       |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  SELECT doc_id, $normFpSql AS fp
        |  FROM documents),
        |bexact AS (
        |  SELECT b.doc_id, count(DISTINCT h.doc_id) AS n_exact

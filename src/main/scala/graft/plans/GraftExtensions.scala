@@ -54,7 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (es: Seq[Expression]) => es match {
         case Seq(arr, Literal(n: Int, _)) if n >= 1 => WordShingles(arr, n)
-        case Seq(arr, Literal(n: Long, _)) if n >= 1 => WordShingles(arr, n.toInt)
+        // bound BEFORE toInt: an unchecked narrowing would silently wrap
+        // (4294967297 -> 1) or trip the case-class require
+        case Seq(arr, Literal(n: Long, _)) if n >= 1 && n <= Int.MaxValue =>
+          WordShingles(arr, n.toInt)
         case other => throw new AnalysisException(
           "USER_RAISED_EXCEPTION",
           Map("errorMessage" ->

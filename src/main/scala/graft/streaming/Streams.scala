@@ -306,17 +306,16 @@ object Streams {
       clicks.get().foreach(cs += _)
       val ps = scala.collection.mutable.ArrayBuffer[Long]()
       purchases.get().foreach(ps += _)
-      var newClicks = false
-      var newPurchases = false
+      // the lists are unordered evidence sets: APPEND only the new arrivals
+      // (O(new events) state-store writes) — a clear+rewrite would make
+      // every batch cost O(total per-user history) forever
       rows.foreach {
         case (_, "view", ts) => if (ts < v) v = ts
-        case (_, "click", ts) => cs += ts; newClicks = true
-        case (_, "purchase", ts) => ps += ts; newPurchases = true
+        case (_, "click", ts) => cs += ts; clicks.appendValue(ts)
+        case (_, "purchase", ts) => ps += ts; purchases.appendValue(ts)
         case _ => // other event types don't participate in the funnel
       }
       if (v != Long.MaxValue) minView.update(v)
-      if (newClicks) { clicks.clear(); cs.foreach(clicks.appendValue) }
-      if (newPurchases) { purchases.clear(); ps.foreach(purchases.appendValue) }
       val t1 = if (v == Long.MaxValue) -1L else v
       val t2 = if (t1 < 0) -1L else cs.filter(_ > t1) match {
         case e if e.isEmpty => -1L
