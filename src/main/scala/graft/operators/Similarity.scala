@@ -89,15 +89,24 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16) % 2000001L) / 1000000.0 - 1.0
   }
 
-  /** Scale-path ANN: signs of projections onto NPlanes fixed pseudo-random
+  /** Scale-path ANN: signs of projections onto `nPlanes` fixed pseudo-random
     * hyperplanes form a bucket id; top-3 neighbors are searched only within
     * the query's bucket (may yield fewer than 3 — the recall/cost knob).
+    *
+    * `nPlanes` is THE scale knob: bucket count is 2^nPlanes, and a
+    * deployment sizes it so the expected bucket population stays constant
+    * as the corpus grows — nPlanes ≈ log2(corpus / target_bucket_size), a
+    * plan-build integer derived from a corpus count, not a fixture
+    * constant. The registered query pins the fixtures' value (6 → 64
+    * buckets over 5 k vectors ≈ 78/bucket) because the oracle replays the
+    * same plane weights; `LshRecallSpec`-style tests can call this with any
+    * plane count.
     */
-  def annLshTopk(s: SparkSession, d: String): DataFrame = {
+  def annLshTopk(s: SparkSession, d: String, nPlanes: Int = NPlanes): DataFrame = {
     // bucket bit p = sign of sum_i emb[i] * w(p, i); weights are literal
     // arrays (pure constants), so the per-row work is one fold per plane
     val bucketExpr = expr(
-      (0 until NPlanes).map { p =>
+      (0 until nPlanes).map { p =>
         val weights = (1 to 64).map(i => planeWeight(p, i)).mkString(", ")
         val dot =
           s"""aggregate(zip_with(embedding, array($weights),
@@ -371,7 +380,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
-    "ann_lsh_topk" -> (annLshTopk _),
+    "ann_lsh_topk" -> ((s: SparkSession, d: String) => annLshTopk(s, d)),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_trained_topk" -> (annIvfTrainedTopk _),
     "embedding_quantize" -> (embeddingQuantize _),

@@ -86,11 +86,67 @@ object TemporalJoins {
       |WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** Interval width (seconds) for the overlap join below — one hour, wide
+    * enough that the sparse fixture event stream produces a meaningful
+    * overlap population at every sf. */
+  val IntervalS = 3600L
+
+  /** Interval-overlap join (range × range — distinct from the point-probes-
+    * range shape of [[rangeJoinBinned]]): each view/purchase event spawns a
+    * [ts, ts + IntervalS] activity interval; count, per user, the (view,
+    * purchase) interval pairs that overlap. A naive theta join on the
+    * overlap predicate is a nested loop; binning the time axis at the
+    * interval width turns it into an equi-join on (user_id, bin) — each
+    * width-W interval covers exactly two W-bins, so the join fan-out is
+    * bounded and shuffles by key, scaling linearly.
+    *
+    * A pair can collide in both of its shared bins; instead of a post-join
+    * DISTINCT, a pair is kept only in the bin its overlap STARTS in
+    * (`floor(max(start_a, start_b) / W)`), which is unique per true pair —
+    * the same emit-once trick as SimHash's first-agreeing-chunk. The
+    * DuckDB oracle deliberately uses the NAIVE quadratic formulation, so
+    * the binned plan is validated against straight overlap semantics, not
+    * against its own binning.
+    */
+  def intervalOverlapJoin(s: SparkSession, d: String): DataFrame = {
+    val W = IntervalS
+    def iv(t: String) = Tables.events(s, d)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ss"))
+      .select(col("user_id"), col("event_id"), col("ss"), (col("ss") + W).as("ee"),
+        explode(array(expr(s"ss div $W"), expr(s"ss div $W + 1"))).as("bin"))
+    val views = iv("view").as("v")
+    val purch = iv("purchase").as("p")
+    views.join(purch,
+        col("v.user_id") === col("p.user_id") && col("v.bin") === col("p.bin") &&
+          col("v.ss") <= col("p.ee") && col("p.ss") <= col("v.ee") &&
+          col("v.bin") === expr(s"greatest(v.ss, p.ss) div $W"))
+      .groupBy(col("v.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_overlapping_pairs"))
+      .orderBy("user_id")
+  }
+
+  val intervalOverlapJoinSql: String =
+    s"""WITH iv AS (
+       |  SELECT user_id, event_id, event_type,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS ss,
+       |         CAST(floor(epoch(ts)) AS BIGINT) + $IntervalS AS ee
+       |  FROM events WHERE event_type IN ('view', 'purchase'))
+       |SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_overlapping_pairs
+       |FROM iv v JOIN iv p
+       |  ON v.user_id = p.user_id
+       | AND v.event_type = 'view' AND p.event_type = 'purchase'
+       | AND v.ss <= p.ee AND p.ss <= v.ee
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_join_binned" -> (rangeJoinBinned _),
-    "asof_latest_prior" -> (asofLatestPrior _))
+    "asof_latest_prior" -> (asofLatestPrior _),
+    "interval_overlap_join" -> (intervalOverlapJoin _))
 
   def oracles: Map[String, String] = Map(
     "range_join_binned" -> rangeJoinBinnedSql,
-    "asof_latest_prior" -> asofLatestPriorSql)
+    "asof_latest_prior" -> asofLatestPriorSql,
+    "interval_overlap_join" -> intervalOverlapJoinSql)
 }

@@ -622,7 +622,44 @@ object TextAnalysis {
        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
   }
 
+  /** Mixture rebalancing — the planning step after [[sourceMixReport]]:
+    * given a UNIFORM target token share across sources, compute each
+    * source's sampling keep-rate (capped at 100%) and the tokens the
+    * rebalanced mixture would draw from it. All arithmetic is integer
+    * basis points (no rounding-tie semantics); the per-source token table
+    * is vocabulary-of-sources-sized, so the global total/count ride back
+    * in as a broadcast. In a real pipeline the keep-rate feeds the
+    * deterministic hash sampler (`sample_split`'s mechanism) per source.
+    */
+  def mixtureRebalance(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"), size(Portable.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("n_tokens"))
+      .localCheckpoint()
+    per.crossJoin(broadcast(
+        per.agg(sum("n_tokens").as("total"), count(lit(1)).as("k"))))
+      .select(col("source"), col("n_tokens"),
+        expr("total div k").as("target_tokens"),
+        least(lit(10000L), expr("((total div k) * 10000) div n_tokens"))
+          .as("keep_rate_bp"))
+      .withColumn("planned_tokens", expr("(n_tokens * keep_rate_bp) div 10000"))
+      .orderBy("source")
+  }
+
+  val mixtureRebalanceSql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT sum(n_tokens) AS total, count(*) AS k FROM per)
+      |SELECT source, n_tokens,
+      |  CAST(total // k AS BIGINT) AS target_tokens,
+      |  CAST(least(10000, ((total // k) * 10000) // n_tokens) AS BIGINT) AS keep_rate_bp,
+      |  CAST((n_tokens * least(10000, ((total // k) * 10000) // n_tokens)) // 10000 AS BIGINT)
+      |    AS planned_tokens
+      |FROM per, tot ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mixture_rebalance" -> (mixtureRebalance _),
     "bpe_pair_counts" -> (bpePairCounts _),
     "heavy_hitters_exact" -> (heavyHittersExact _),
     "frequent_items_sketch" -> (frequentItemsSketch _),
@@ -640,6 +677,7 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "mixture_rebalance" -> mixtureRebalanceSql,
     "bpe_pair_counts" -> bpePairCountsSql,
     "heavy_hitters_exact" -> heavyHittersExactSql,
     "frequent_items_sketch" -> frequentItemsSketchSql,
