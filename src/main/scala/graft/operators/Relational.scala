@@ -237,6 +237,36 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Mergeable distinct-count SET OPERATIONS via Apache DataSketches HLL
+    * (Spark 3.5+ `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`)
+    * — the sketch the `approx_count_distinct` HLL++ CANNOT provide: its
+    * per-group state is not user-mergeable, while DataSketches sketches are
+    * first-class values that union across groups/days/partitions. Here:
+    * per-source distinct-document sketches over the `documents` table,
+    * merged into a corpus-wide union estimate — the cross-source overlap
+    * estimator (sum of per-source estimates minus union estimate ≈
+    * cross-source duplicate mass) a 100 TB curation pipeline keeps as a
+    * tiny persisted artifact instead of re-counting the corpus.
+    *
+    * Rows-only (sketch internals are engine-specific, same as
+    * `approx_distinct`); the spec bounds union and per-source estimates
+    * against exact distinct counts.
+    */
+  def hllUnionSources(s: SparkSession, d: String): DataFrame = {
+    val norm = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+    val per = Tables.documents(s, d)
+      .select(col("source"), norm.as("fp"))
+      .groupBy("source")
+      .agg(hll_sketch_agg(col("fp"), lit(12)).as("sk"))
+      .select(col("source"),
+        hll_sketch_estimate(col("sk")).cast("long").as("est_docs"), col("sk"))
+    per.agg(
+        sum("est_docs").as("sum_source_est"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("union_est"))
+      .select(col("sum_source_est"), col("union_est"),
+        (col("sum_source_est") - col("union_est")).as("est_cross_source_dups"))
+  }
+
   // ---------------------------------------------------------------- set ops
   /** UNION / EXCEPT / INTERSECT (distinct semantics) over the nation sets of
     * two market segments, reduced to one deterministic row of counts.
@@ -874,6 +904,7 @@ object Relational {
     "topk_orders" -> (topkOrders _),
     "distinct_agg" -> (distinctAgg _),
     "approx_distinct" -> (approxDistinct _),
+    "hll_union_sources" -> (hllUnionSources _),
     "setops" -> (setOps _),
     "window_rank" -> (windowRank _),
     "grouping_sets" -> (groupingSets _),

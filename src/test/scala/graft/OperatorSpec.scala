@@ -115,6 +115,23 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("hll union estimates bound exact distinct counts within sketch error") {
+    import org.apache.spark.sql.functions.{col, countDistinct, lower, md5, regexp_replace, trim}
+    val got = operators.Relational.hllUnionSources(spark, sf).collect()(0)
+    val exact = Tables.documents(spark, sf)
+      .select(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .agg(countDistinct(col("fp"))).collect()(0).getLong(0)
+    val unionEst = got.getAs[Long]("union_est")
+    // lgK=12 DataSketches HLL: relative standard error ~1.6%; allow 3 RSE
+    assert(math.abs(unionEst - exact).toDouble / exact < 0.05,
+      s"union_est $unionEst vs exact $exact")
+    // sum-of-sources minus union estimates cross-source duplicate mass; with
+    // independent estimation error it can dip slightly negative when there
+    // are no duplicates, but never beyond the combined sketch error
+    assert(got.getAs[Long]("est_cross_source_dups") >= -(0.05 * exact).toLong,
+      s"dup estimate ${got.getAs[Long]("est_cross_source_dups")} below combined error floor")
+  }
+
   test("row id assignment is dense and token offsets telescope") {
     val rows = operators.Packing.assignRowIds(spark, sf).collect()
       .sortBy(_.getAs[Long]("row_id"))
