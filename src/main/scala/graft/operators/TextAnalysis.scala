@@ -622,6 +622,83 @@ object TextAnalysis {
        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
   }
 
+  /** Quality-cutoff thresholds (basis points) swept by
+    * [[qualityThresholdSweep]]. */
+  val SweepThresholds: Seq[Long] = Seq(0L, 7000L, 8000L, 8500L, 9000L, 9500L)
+
+  /** Quality-threshold sweep — the retention curve a curation team reads to
+    * pick a cutoff: for each candidate threshold, the docs and tokens that
+    * would survive `quality_bp >= t` (the [[textQuality]] formula
+    * verbatim). One corpus scan computes each doc's (quality_bp, n_tokens)
+    * once; a 6-row literal threshold table cross-joins in (explode of a
+    * plan-time array — no second scan, no shuffle except the 6-group
+    * aggregate). All integer arithmetic.
+    */
+  def qualityThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s)
+    val w = Portable.tokens(col("text"))
+    val perDoc = Tables.documents(s, d)
+      .select(size(w).cast("long").as("n"),
+        size(filter(w, t => t === "the" || t === "a")).cast("long").as("nstop"),
+        size(array_distinct(w)).cast("long").as("ndist"))
+      .select(col("n"),
+        expr("((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) div (10 * n)")
+          .as("quality_bp"))
+    perDoc
+      .select(col("n"), col("quality_bp"),
+        explode(lit(SweepThresholds.toArray)).as("threshold_bp"))
+      .groupBy("threshold_bp")
+      .agg(
+        sum(when(col("quality_bp") >= col("threshold_bp"), 1L).otherwise(0L))
+          .as("n_docs_kept"),
+        sum(when(col("quality_bp") >= col("threshold_bp"), col("n")).otherwise(0L))
+          .as("n_tokens_kept"))
+      .orderBy("threshold_bp")
+  }
+
+  val qualityThresholdSweepSql: String = {
+    val ts = SweepThresholds.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT len(string_split(text, ' ')) AS n,
+       |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS nstop,
+       |    len(list_distinct(string_split(text, ' '))) AS ndist
+       |  FROM documents),
+       |q AS (
+       |  SELECT n,
+       |    ((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) // (10 * n) AS quality_bp
+       |  FROM t),
+       |th AS (SELECT unnest([$ts]) AS threshold_bp)
+       |SELECT CAST(threshold_bp AS BIGINT) AS threshold_bp,
+       |  CAST(sum(CASE WHEN quality_bp >= threshold_bp THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_kept,
+       |  CAST(sum(CASE WHEN quality_bp >= threshold_bp THEN n ELSE 0 END) AS BIGINT)
+       |    AS n_tokens_kept
+       |FROM q CROSS JOIN th
+       |GROUP BY 1 ORDER BY threshold_bp""".stripMargin
+  }
+
+  /** Token-length histogram (fixed 50-token buckets) — the length
+    * distribution every corpus report leads with; integer bucketing, one
+    * scan, one tiny aggregate.
+    */
+  def lengthHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(size(Portable.tokens(col("text"))).cast("long").as("n"))
+      .select(expr("n div 50").as("bucket"), col("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+        min("n").as("min_tokens"), max("n").as("max_tokens"))
+      .orderBy("bucket")
+
+  val lengthHistogramSql: String =
+    """WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents)
+      |SELECT CAST(n // 50 AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS n_tokens,
+      |  CAST(min(n) AS BIGINT) AS min_tokens,
+      |  CAST(max(n) AS BIGINT) AS max_tokens
+      |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Mixture rebalancing — the planning step after [[sourceMixReport]]:
     * given a UNIFORM target token share across sources, compute each
     * source's sampling keep-rate (capped at 100%) and the tokens the
@@ -659,6 +736,8 @@ object TextAnalysis {
       |FROM per, tot ORDER BY source""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_threshold_sweep" -> (qualityThresholdSweep _),
+    "length_histogram" -> (lengthHistogram _),
     "mixture_rebalance" -> (mixtureRebalance _),
     "bpe_pair_counts" -> (bpePairCounts _),
     "heavy_hitters_exact" -> (heavyHittersExact _),
@@ -677,6 +756,8 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "quality_threshold_sweep" -> qualityThresholdSweepSql,
+    "length_histogram" -> lengthHistogramSql,
     "mixture_rebalance" -> mixtureRebalanceSql,
     "bpe_pair_counts" -> bpePairCountsSql,
     "heavy_hitters_exact" -> heavyHittersExactSql,
