@@ -77,6 +77,31 @@ object StreamingSmoke {
     val dlq = spark.read.parquet(s"$base/dlq3").count()
     check("envelope_deadletter", sunk == 10L && dlq == 1L, s"sink=$sunk dlq=$dlq")
 
+    // streaming funnel leg: a deterministic 3-step user journey delivered
+    // OUT OF ORDER (purchase and click land before the view) — the final
+    // snapshot must still reach stage 3 with the revised t1/t2/t3
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // transformWithState requires a multi-column-family state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ctx = spark.sqlContext
+    val fin = MemoryStream[(Long, String, Long)]
+    val fq = Streams.streamingFunnel(fin.toDS())
+      .writeStream.format("memory").queryName("smoke_funnel")
+      .outputMode("append").start()
+    fin.addData((7L, "purchase", 300L), (7L, "click", 200L))
+    fq.processAllAvailable()
+    fin.addData((7L, "view", 100L)) // late-arriving earlier view
+    fq.processAllAvailable()
+    fq.stop()
+    val stages = spark.table("smoke_funnel")
+      .as[Streams.FunnelStage].collect().sortBy(_.stage)
+    val last = stages.last
+    check("streaming_funnel",
+      stages.head.stage == 0 && last.stage == 3 &&
+        last.t1 == 100L && last.t2 == 200L && last.t3 == 300L,
+      s"first=${stages.head.stage} last=(${last.stage},${last.t1},${last.t2},${last.t3})")
+
     spark.stop()
     if (failed) sys.exit(1)
   }
