@@ -46,6 +46,18 @@ object Portable {
   /** Whitespace tokenization shared by all text operators. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Normalized-text document fingerprint (md5 of the whitespace-collapsed,
+    * trimmed, lowercased `text` column) — THE exact-duplicate identity,
+    * shared by `dedup_exact`, `dedup_incremental`, `text_fingerprint`,
+    * `corpus_funnel`, `source_mix_report` and `hll_union_sources` so every
+    * estimator and dedup key means the same thing; [[docFingerprintSql]] is
+    * the DuckDB mirror. */
+  def docFingerprint: Column =
+    md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+
+  val docFingerprintSql: String =
+    """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
+
   /** Word n-gram (shingle) array from a pre-split token-array column.
     * Empty array when the document has fewer than n tokens. Native
     * single-pass expression ([[WordShingles]]): the earlier declarative

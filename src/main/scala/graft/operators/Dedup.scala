@@ -53,12 +53,10 @@ object Dedup {
   /** Normalized-text exact-duplicate fingerprint — ONE definition shared by
     * [[dedupExact]] and [[dedupIncremental]] (and mirrored by [[normFpSql]]),
     * so "exact duplicate" can never mean two different things. */
-  private def normFp: org.apache.spark.sql.Column =
-    md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+  private def normFp: org.apache.spark.sql.Column = Portable.docFingerprint
 
   /** DuckDB fragment computing the same fingerprint from column `text`. */
-  private val normFpSql: String =
-    """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
+  private val normFpSql: String = Portable.docFingerprintSql
 
   /** Exact dedup: group on the normalized-text fingerprint, keep the lowest
     * doc_id as survivor. Output is the survivor set with multiplicity.

@@ -253,9 +253,8 @@ object Relational {
     * against exact distinct counts.
     */
   def hllUnionSources(s: SparkSession, d: String): DataFrame = {
-    val norm = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
     val per = Tables.documents(s, d)
-      .select(col("source"), norm.as("fp"))
+      .select(col("source"), graft.functions.Portable.docFingerprint.as("fp"))
       .groupBy("source")
       .agg(hll_sketch_agg(col("fp"), lit(12)).as("sk"))
       .select(col("source"),

@@ -99,8 +99,9 @@ object Similarity {
     * plan-build integer derived from a corpus count, not a fixture
     * constant. The registered query pins the fixtures' value (6 → 64
     * buckets over 5 k vectors ≈ 78/bucket) because the oracle replays the
-    * same plane weights; `LshRecallSpec`-style tests can call this with any
-    * plane count.
+    * same plane weights; the OperatorSpec "lsh plane count" test drives a
+    * non-default count through the same code path (and
+    * [[annLshTopkSqlFor]] parameterizes the oracle identically).
     */
   def annLshTopk(s: SparkSession, d: String, nPlanes: Int = NPlanes): DataFrame = {
     // bucket bit p = sign of sum_i emb[i] * w(p, i); weights are literal
@@ -130,8 +131,9 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  val annLshTopkSql: String = {
-    val bucketSql = (0 until NPlanes).map { p =>
+  /** The oracle parameterized the same way as the operator. */
+  def annLshTopkSqlFor(nPlanes: Int): String = {
+    val bucketSql = (0 until nPlanes).map { p =>
       val dot =
         s"""list_sum(list_transform(range(1, len(embedding) + 1),
            |  i -> CAST(embedding[i] AS DOUBLE) * ${planeWeightSql(s"'$p'", "i")}))""".stripMargin
@@ -150,6 +152,8 @@ object Similarity {
        |SELECT qid, bucket, rank, vec_id, cosine FROM ranked
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
+
+  val annLshTopkSql: String = annLshTopkSqlFor(NPlanes)
 
   // ------------------------------------------------------- IVF
   private val IvfCells = 8

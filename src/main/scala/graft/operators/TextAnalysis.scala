@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The quality_bp formula — ONE definition over pre-computed columns
+    * (n, nstop, ndist), shared verbatim by [[textQuality]],
+    * [[corpusFunnel]] and [[qualityThresholdSweep]] (with
+    * [[QualityBpSqlFrag]] as the DuckDB mirror), so retention sweeps and
+    * funnel gates can never drift from the score they claim to apply. */
+  private def qualityBpExpr: org.apache.spark.sql.Column =
+    expr("((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) div (10 * n)")
+  private val QualityBpSqlFrag: String =
+    "((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) // (10 * n)"
+
   // ------------------------------------------------------------- token stats
   /** Per-document token statistics: counts, distinct counts, mean token
     * length — all array expressions over one whitespace split.
@@ -67,12 +77,12 @@ object TextAnalysis {
         col("doc_id"), col("lang"),
         expr("sn div n").as("stop_bp"),
         expr("((n - ndist) * 10000) div n").as("dup_bp"),
-        expr("((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) div (10 * n)").as("quality_bp"))
+        qualityBpExpr.as("quality_bp"))
       .orderBy("doc_id")
   }
 
   val textQualitySql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, lang,
       |    len(string_split(text, ' ')) AS n,
       |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS nstop,
@@ -81,7 +91,7 @@ object TextAnalysis {
       |SELECT doc_id, lang,
       |  CAST((nstop * 10000) // n AS BIGINT) AS stop_bp,
       |  CAST(((n - ndist) * 10000) // n AS BIGINT) AS dup_bp,
-      |  CAST(((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) // (10 * n) AS BIGINT) AS quality_bp
+      |  CAST(${QualityBpSqlFrag} AS BIGINT) AS quality_bp
       |FROM t ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- token count
@@ -116,9 +126,8 @@ object TextAnalysis {
     * fingerprint, not the full text, is what shuffles).
     */
   def textFingerprint(s: SparkSession, d: String): DataFrame = {
-    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
     Tables.documents(s, d)
-      .select(col("doc_id"), md5(norm).as("fingerprint"))
+      .select(col("doc_id"), Portable.docFingerprint.as("fingerprint"))
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
       .orderBy("min_doc_id")
@@ -420,10 +429,9 @@ object TextAnalysis {
         size(w).cast("long").as("n"),
         size(filter(w, t => t === "the" || t === "a")).cast("long").as("nstop"),
         size(array_distinct(w)).cast("long").as("ndist"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        Portable.docFingerprint.as("fp"))
       .select(col("doc_id"), col("n"), col("fp"),
-        expr("((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) div (10 * n)")
-          .as("quality_bp"))
+        qualityBpExpr.as("quality_bp"))
       .select(col("doc_id"), col("n"), col("fp"),
         (col("n") >= 40).as("pass_len"),
         (col("n") >= 40 && col("quality_bp") >= 8500).as("pass_q"))
@@ -490,7 +498,7 @@ object TextAnalysis {
       .select(
         col("source"),
         size(w).cast("long").as("n"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        Portable.docFingerprint.as("fp"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -642,8 +650,7 @@ object TextAnalysis {
         size(filter(w, t => t === "the" || t === "a")).cast("long").as("nstop"),
         size(array_distinct(w)).cast("long").as("ndist"))
       .select(col("n"),
-        expr("((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) div (10 * n)")
-          .as("quality_bp"))
+        qualityBpExpr.as("quality_bp"))
     perDoc
       .select(col("n"), col("quality_bp"),
         explode(lit(SweepThresholds.toArray)).as("threshold_bp"))
@@ -665,7 +672,7 @@ object TextAnalysis {
        |  FROM documents),
        |q AS (
        |  SELECT n,
-       |    ((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) // (10 * n) AS quality_bp
+       |    ${QualityBpSqlFrag} AS quality_bp
        |  FROM t),
        |th AS (SELECT unnest([$ts]) AS threshold_bp)
        |SELECT CAST(threshold_bp AS BIGINT) AS threshold_bp,

@@ -96,11 +96,16 @@ object StreamingSmoke {
     fq.stop()
     val stages = spark.table("smoke_funnel")
       .as[Streams.FunnelStage].collect().sortBy(_.stage)
-    val last = stages.last
-    check("streaming_funnel",
+    // guard emptiness so a silent no-snapshot regression prints this leg's
+    // FAIL line instead of dying on .head
+    val ok = stages.nonEmpty && {
+      val last = stages.last
       stages.head.stage == 0 && last.stage == 3 &&
-        last.t1 == 100L && last.t2 == 200L && last.t3 == 300L,
-      s"first=${stages.head.stage} last=(${last.stage},${last.t1},${last.t2},${last.t3})")
+        last.t1 == 100L && last.t2 == 200L && last.t3 == 300L
+    }
+    check("streaming_funnel", ok,
+      if (stages.isEmpty) "no snapshots emitted"
+      else s"first=${stages.head.stage} last=(${stages.last.stage},${stages.last.t1},${stages.last.t2},${stages.last.t3})")
 
     spark.stop()
     if (failed) sys.exit(1)

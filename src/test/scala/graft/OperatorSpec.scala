@@ -115,11 +115,27 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("lsh plane count scales buckets: more planes partition strictly finer") {
+    def buckets(planes: Int): Map[Long, Long] =
+      operators.Similarity.annLshTopk(spark, sf, planes).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("bucket"))).toMap
+    val coarse = buckets(4)
+    val fine = buckets(8)
+    assert(fine.values.toSet.size >= coarse.values.toSet.size,
+      "more planes must not coarsen the bucketing")
+    // plane p's bit is identical regardless of how many planes follow it, so
+    // an 8-plane bucket id refines the 4-plane one: low 4 bits must agree
+    fine.keySet.intersect(coarse.keySet).foreach { q =>
+      assert((fine(q) & 0xfL) == coarse(q),
+        s"query $q: 8-plane bucket ${fine(q)} does not refine 4-plane ${coarse(q)}")
+    }
+  }
+
   test("hll union estimates bound exact distinct counts within sketch error") {
-    import org.apache.spark.sql.functions.{col, countDistinct, lower, md5, regexp_replace, trim}
+    import org.apache.spark.sql.functions.{col, countDistinct}
     val got = operators.Relational.hllUnionSources(spark, sf).collect()(0)
     val exact = Tables.documents(spark, sf)
-      .select(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .select(functions.Portable.docFingerprint.as("fp"))
       .agg(countDistinct(col("fp"))).collect()(0).getLong(0)
     val unionEst = got.getAs[Long]("union_est")
     // lgK=12 DataSketches HLL: relative standard error ~1.6%; allow 3 RSE
