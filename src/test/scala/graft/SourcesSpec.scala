@@ -55,6 +55,28 @@ class SourcesSpec extends AnyFunSuite {
       orders.agg(sum("o_totalprice")).collect()(0).getDouble(0))
   }
 
+  test("parquet schema evolution: mergeSchema unions batches, old rows null-fill") {
+    // a corpus accretes columns over time (new quality signals, new
+    // provenance fields); the lake must read old and new batches as one
+    // table without rewriting history
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "gamma", 9500L)).toDF("doc_id", "text", "quality_bp")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet == Set("doc_id", "text", "quality_bp"))
+    assert(merged.count() == 3)
+    val byId = merged.collect().map(r =>
+      r.getAs[Long]("doc_id") -> Option(r.getAs[java.lang.Long]("quality_bp"))).toMap
+    assert(byId(1L).isEmpty && byId(2L).isEmpty, "pre-evolution rows null-fill")
+    assert(byId(3L).contains(9500L))
+    // and filters on the evolved column still prune: old files lack the
+    // column entirely, yet the unified scan answers the predicate
+    assert(merged.filter(col("quality_bp") >= 9000L).count() == 1)
+  }
+
   test("day-partitioned parquet sink + partition pruning on read (O11 sink parity)") {
     // the reference's BigQuery sink is day-partitioned on a time column
     // (google_bigquery.tf:17-21); the Spark twin is partitionBy(date) on
