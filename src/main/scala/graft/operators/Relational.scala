@@ -135,6 +135,50 @@ object Relational {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q18
+  /** TPC-H Q18-shaped (large-volume orders): a HAVING-filtered aggregate
+    * subquery (orders whose total quantity exceeds 300) drives the main
+    * join — the "derive a qualifying key set by aggregation, then enrich
+    * it" shape missing from the other TPC-H queries. Scale posture: the
+    * HAVING subquery is a partial+final HashAggregate over lineitem whose
+    * survivors are rare (p99 of order quantity is ~265) — but "rare
+    * fraction" still GROWS with the corpus, so there is deliberately NO
+    * explicit broadcast hint (the q5 lesson): this is AQE's sweet spot —
+    * the filtered aggregate's true size is known at runtime, and AQE
+    * re-plans the join to broadcast while it fits and a shuffled join when
+    * it doesn't. The quantity sum is rounded BEFORE the threshold
+    * comparison (and before re-aggregation) so both engines agree at the
+    * boundary.
+    */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val heavy = li(s, d)
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    ord(s, d)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"))
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q18Sql: String =
+    """WITH heavy AS (
+      |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING round(sum(l_quantity), 2) > 300)
+      |SELECT c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  round(o_totalprice, 2) AS o_totalprice, sum_qty
+      |FROM orders
+      |JOIN heavy ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- q6
   /** TPC-H Q6-shaped: pure filter + global aggregate — the predicate set is
     * fully pushed into the parquet scan.
@@ -898,6 +942,7 @@ object Relational {
     "q3_top_orders" -> (q3TopOrders _),
     "q5_nation_revenue" -> (q5NationRevenue _),
     "q6_filter_agg" -> (q6FilterAgg _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "topk_orders" -> (topkOrders _),
@@ -934,6 +979,7 @@ object Relational {
     "q3_top_orders" -> q3Sql,
     "q5_nation_revenue" -> q5Sql,
     "q6_filter_agg" -> q6Sql,
+    "q18_large_orders" -> q18Sql,
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
     "topk_orders" -> topkOrdersSql,
