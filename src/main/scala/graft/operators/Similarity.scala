@@ -155,6 +155,89 @@ object Similarity {
 
   val annLshTopkSql: String = annLshTopkSqlFor(NPlanes)
 
+  // ------------------------------------------------- embedding LSH dedup
+  /** Band structure for [[dedupEmbeddingLsh]]: [[DedupBands]] bands of
+    * [[DedupBandPlanes]] hyperplane sign bits each (planes drawn from the
+    * same portable md5-derived family as [[annLshTopk]]). A pair is a
+    * candidate iff SOME band's bits all agree — the standard banded-LSH
+    * amplification, sized here for the fixtures' unusually weak near-dup
+    * regime (the exact sibling's threshold is cosine 0.4 ≈ 63°, where a
+    * single plane agrees only ~65% of the time → 3-bit bands × 8 keeps
+    * fixture recall ≥ 0.9). A production near-dup bar of cosine ≥ 0.9
+    * (≈ 26°) makes the same bands ≥ 0.99-recall while pruning ~100× —
+    * band width is the knob, exactly like `nPlanes` on [[annLshTopk]].
+    */
+  private[operators] val DedupBandPlanes = 3
+  private[operators] val DedupBands = 8
+
+  /** Band `b`'s signature: [[DedupBandPlanes]] projection signs packed into
+    * an int. Weights are plan-time literals (see [[annLshTopk]]). */
+  private def bandSigExpr(b: Int): Column = expr(
+    (0 until DedupBandPlanes).map { j =>
+      val p = b * DedupBandPlanes + j
+      val weights = (1 to 64).map(i => planeWeight(p, i)).mkString(", ")
+      val dot =
+        s"""aggregate(zip_with(embedding, array($weights),
+           |  (x, w) -> CAST(x AS DOUBLE) * w),
+           |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+      s"(CASE WHEN ($dot) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + "))
+
+  /** Embedding near-dup pairs via banded hyperplane LSH — the scale sibling
+    * of `dedup_embedding` (which is the declared quadratic baseline): the
+    * pair join keys on (band, bandsig), so pairwise cosine work is
+    * proportional to band collisions, never corpus². Emit-once: a pair is
+    * produced only at its FIRST agreeing band (`array_position` over the
+    * zipped signature arrays), so multi-band collisions never need a
+    * distinct. The 64-float vectors ride through the 8-way band explode
+    * (2 KB/vector); at larger dims a deployment would band on ids only and
+    * re-fetch vectors for the surviving candidates. Output schema/threshold
+    * match `dedup_embedding`, so recall is directly measurable — the
+    * OperatorSpec asserts pairs ⊆ exact pairs and recall ≥ 0.9 on the
+    * fixtures.
+    */
+  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"),
+        expr("vec_norm(embedding)").as("nrm"),
+        array((0 until DedupBands).map(b => bandSigExpr(b).cast("int")): _*).as("sigs"))
+    val bands = e.select(col("vec_id"), col("embedding"), col("nrm"), col("sigs"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+    bands.as("p").join(bands.as("q"),
+        col("p.band") === col("q.band") && col("p.sig") === col("q.sig") &&
+          col("p.vec_id") < col("q.vec_id"))
+      .filter(expr("array_position(zip_with(p.sigs, q.sigs, (x, y) -> x = y), true)")
+        === col("p.band") + 1)
+      .select(col("p.vec_id").as("vec_a"), col("q.vec_id").as("vec_b"),
+        round(expr("vec_dot(p.embedding, q.embedding)") / (col("p.nrm") * col("q.nrm")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Oracle: any-band agreement (OR over band signatures) + the identical
+    * cosine/threshold — set-equal to the Spark side's first-band emit. */
+  val dedupEmbeddingLshSql: String = {
+    def sigSql(b: Int): String = (0 until DedupBandPlanes).map { j =>
+      val p = b * DedupBandPlanes + j
+      val dot =
+        s"""list_sum(list_transform(range(1, len(embedding) + 1),
+           |  i -> CAST(embedding[i] AS DOUBLE) * ${planeWeightSql(s"'$p'", "i")}))""".stripMargin
+      s"(CASE WHEN ($dot) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val sigCols = (0 until DedupBands).map(b => s"(${sigSql(b)}) AS s$b").mkString(",\n    ")
+    val orCond = (0 until DedupBands).map(b => s"p.s$b = q.s$b").mkString(" OR ")
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding,
+       |    $sigCols
+       |  FROM embeddings)
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT p.vec_id AS vec_a, q.vec_id AS vec_b, $cosineSqlPQ AS cosine
+       |  FROM s p JOIN s q ON p.vec_id < q.vec_id AND ($orCond))
+       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   // ------------------------------------------------------- IVF
   private val IvfCells = 8
 
@@ -387,6 +470,7 @@ object Similarity {
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => annLshTopk(s, d)),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_trained_topk" -> (annIvfTrainedTopk _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "embedding_quantize" -> (embeddingQuantize _),
     "centroid_by_label" -> (centroidByLabel _))
 
@@ -394,6 +478,7 @@ object Similarity {
     "ann_bruteforce_topk" -> annBruteforceTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
+    "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "centroid_by_label" -> centroidByLabelSql)
 }
