@@ -267,77 +267,138 @@ object Streams {
     */
   case class FunnelStage(user_id: Long, stage: Int, t1: Long, t2: Long, t3: Long)
 
+  /** Per-user funnel summary: the first qualifying view/click/purchase
+    * times so far (epoch µs; `Long.MaxValue` = step not reached). Each is
+    * monotone non-increasing as evidence accumulates, which is what makes
+    * the compaction in [[FunnelProcessor]] exact.
+    */
+  case class FunnelSummary(t1: Long, t2: Long, t3: Long)
+
   /** Streaming counterpart of `TimeSeries.eventFunnel` — the same ordered
     * view → click → purchase semantics (a step qualifies only with an event
     * STRICTLY AFTER the previous step's first qualifying event), maintained
     * incrementally per user and INVARIANT TO ARRIVAL ORDER: a late-arriving
-    * earlier view lowers t1, which can re-qualify earlier clicks, so the
-    * state keeps the per-user evidence needed for exact revision — the
-    * minimum view time plus the click/purchase time sets — not just the
-    * current stage. Each batch that touches a user emits their refreshed
-    * snapshot (Update-style semantics on the Append channel, like the
-    * top-k processor's snapshots).
+    * earlier view lowers t1, which can re-qualify earlier clicks, so state
+    * keeps the evidence needed for exact revision. Each batch that touches
+    * a user emits their refreshed snapshot (Update-style semantics on the
+    * Append channel, like the top-k processor's snapshots).
     *
-    * State bound: min-view is O(1); the click/purchase sets grow with
-    * per-user funnel activity — the same per-key bound stream-stream joins
-    * carry. A production deployment bounds them with a funnel horizon
-    * ("convert within N days"): timestamps beyond the horizon of the
-    * current watermark can never qualify and are droppable, exactly like
-    * the watermark GC in [[latePanes]]; the fixture replay here runs
-    * horizonless because the parity target (`TimeSeries.eventFunnel`) is
-    * horizonless.
+    * State bound (the 100 TB story): runs in `TimeMode.EventTime` behind a
+    * watermark whose delay is the funnel's lateness horizon. The summary is
+    * O(1) per user; the click/purchase lists hold only evidence that could
+    * still revise the summary, and everything older than the horizon is
+    * provably dead weight, because with watermark W (µs):
+    *  - t1 only decreases, and every future view arrives ≥ W, so
+    *    t1_final ≥ min(t1, W) =: L — a click ≤ L can never satisfy
+    *    "strictly after the first view". Clicks > t1 are already folded
+    *    into t2 (t2 = min click > t1, so none lie in (t1, t2)). Hence the
+    *    click list keeps exactly (L, t1].
+    *  - t2_final ≥ min(t2, min kept click, W) =: F (it is t2, a kept click
+    *    re-qualified by a lower t1, or a future arrival ≥ W), so a
+    *    purchase ≤ F can never qualify; purchases ≥ t3 can never beat the
+    *    monotone-decreasing t3. Hence the purchase list keeps (F, t3).
+    * Both kept intervals drain as W advances; an event-time timer at the
+    * newest kept timestamp re-runs the compaction when the watermark
+    * passes it (the [[latePanes]] GC pattern), so an idle user's lists
+    * empty instead of lingering. A hot user's lists are bounded by
+    * horizon × their arrival rate, never by lifetime history.
     */
   class FunnelProcessor
-      extends StatefulProcessor[Long, (Long, String, Long), FunnelStage] {
-    @transient private var minView: org.apache.spark.sql.streaming.ValueState[Long] = _
+      extends StatefulProcessor[Long, (Long, String, Long, Timestamp), FunnelStage] {
+    private val Inf = Long.MaxValue
+    @transient private var summary: org.apache.spark.sql.streaming.ValueState[FunnelSummary] = _
     @transient private var clicks: org.apache.spark.sql.streaming.ListState[Long] = _
     @transient private var purchases: org.apache.spark.sql.streaming.ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      minView = getHandle.getValueState[Long]("minView", Encoders.scalaLong, TTLConfig.NONE)
+      summary = getHandle.getValueState[FunnelSummary]("summary",
+        Encoders.product[FunnelSummary], TTLConfig.NONE)
       clicks = getHandle.getListState[Long]("clicks", Encoders.scalaLong, TTLConfig.NONE)
       purchases = getHandle.getListState[Long]("purchases", Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long)],
+    /** Drop evidence that can no longer change any future summary (proof in
+      * the class doc), rewrite the bounded lists, and arm one GC timer at
+      * the newest kept timestamp so the watermark's advance re-compacts
+      * idle keys. The rewrite is O(kept) = O(horizon window), not
+      * O(per-user history).
+      */
+    private def compact(s: FunnelSummary, cs: Seq[Long], ps: Seq[Long],
+        wmUs: Long): Unit = {
+      val lo = math.min(s.t1, wmUs)
+      val keepC = cs.filter(ts => ts > lo && ts <= s.t1).distinct
+      val floor2 = math.min(s.t2, math.min(if (keepC.isEmpty) Inf else keepC.min, wmUs))
+      val keepP = ps.filter(ts => ts > floor2 && ts < s.t3).distinct
+      if (keepC.isEmpty) clicks.clear() else clicks.put(keepC.toArray)
+      if (keepP.isEmpty) purchases.clear() else purchases.put(keepP.toArray)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      val pending = keepC ++ keepP
+      if (pending.nonEmpty) getHandle.registerTimer(pending.max / 1000L + 1L)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long, Timestamp)],
         tv: TimerValues): Iterator[FunnelStage] = {
-      var v = if (minView.exists()) minView.get() else Long.MaxValue
+      val st = if (summary.exists()) summary.get() else FunnelSummary(Inf, Inf, Inf)
+      var t1 = st.t1
       val cs = scala.collection.mutable.ArrayBuffer[Long]()
       clicks.get().foreach(cs += _)
       val ps = scala.collection.mutable.ArrayBuffer[Long]()
       purchases.get().foreach(ps += _)
-      // the lists are unordered evidence sets: APPEND only the new arrivals
-      // (O(new events) state-store writes) — a clear+rewrite would make
-      // every batch cost O(total per-user history) forever
       rows.foreach {
-        case (_, "view", ts) => if (ts < v) v = ts
-        case (_, "click", ts) => cs += ts; clicks.appendValue(ts)
-        case (_, "purchase", ts) => ps += ts; purchases.appendValue(ts)
+        case (_, "view", ts, _) => if (ts < t1) t1 = ts
+        case (_, "click", ts, _) => cs += ts
+        case (_, "purchase", ts, _) => ps += ts
         case _ => // other event types don't participate in the funnel
       }
-      if (v != Long.MaxValue) minView.update(v)
-      val t1 = if (v == Long.MaxValue) -1L else v
-      val t2 = if (t1 < 0) -1L else cs.filter(_ > t1) match {
-        case e if e.isEmpty => -1L
-        case e => e.min
+      // re-derive the monotone summary: a lower t1 can re-qualify kept
+      // clicks (lowering t2), which can re-qualify kept purchases
+      var t2 = st.t2
+      cs.foreach(ts => if (ts > t1 && ts < t2) t2 = ts)
+      var t3 = st.t3
+      ps.foreach(ts => if (ts > t2 && ts < t3) t3 = ts)
+      val s = FunnelSummary(t1, t2, t3)
+      summary.update(s)
+      compact(s, cs.toSeq, ps.toSeq, tv.getCurrentWatermarkInMs() * 1000L)
+      val stage = if (t3 < Inf) 3 else if (t2 < Inf) 2 else if (t1 < Inf) 1 else 0
+      Iterator.single(FunnelStage(key, stage,
+        if (t1 == Inf) -1L else t1,
+        if (t2 == Inf) -1L else t2,
+        if (t3 == Inf) -1L else t3))
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[FunnelStage] = {
+      // the watermark passed every kept timestamp: re-compaction empties the
+      // lists (dropped evidence can't change the summary, so nothing to emit)
+      if (summary.exists()) {
+        val cs = scala.collection.mutable.ArrayBuffer[Long]()
+        clicks.get().foreach(cs += _)
+        val ps = scala.collection.mutable.ArrayBuffer[Long]()
+        purchases.get().foreach(ps += _)
+        compact(summary.get(), cs.toSeq, ps.toSeq, tv.getCurrentWatermarkInMs() * 1000L)
       }
-      val t3 = if (t2 < 0) -1L else ps.filter(_ > t2) match {
-        case e if e.isEmpty => -1L
-        case e => e.min
-      }
-      val stage = if (t3 >= 0) 3 else if (t2 >= 0) 2 else if (t1 >= 0) 1 else 0
-      Iterator.single(FunnelStage(key, stage, t1, t2, t3))
+      Iterator.empty
     }
   }
 
   /** Wire the funnel processor onto a (user_id, event_type, ts_micros)
-    * stream. */
-  def streamingFunnel(events: Dataset[(Long, String, Long)]): Dataset[FunnelStage] = {
+    * stream. `horizon` is the lateness bound ("convert within N of the
+    * stream frontier"): events older than it are dropped at the watermark,
+    * and per-user evidence is GC'd behind it. An effectively-infinite
+    * horizon reproduces the horizonless batch semantics of
+    * `TimeSeries.eventFunnel` exactly (the parity spec's replay mode).
+    */
+  def streamingFunnel(events: Dataset[(Long, String, Long)],
+      horizon: String = "90 days"): Dataset[FunnelStage] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_._1)
+    events.toDF("user_id", "event_type", "ts_us")
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", horizon)
+      .as[(Long, String, Long, Timestamp)]
+      .groupByKey(_._1)
       .transformWithState(new FunnelProcessor,
-        TimeMode.None(), OutputMode.Append())
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming exact dedup (the training-pipeline counterpart of

@@ -250,6 +250,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel state stays bounded under the event-time horizon (timer GC)") {
+    val s2 = SparkTestSession.rocksDbSession("graft-funnel-bounded-test")
+    import s2.implicits._
+    implicit val ctx = s2.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val q = Streams.streamingFunnel(in.toDS(), horizon = "10 seconds")
+      .writeStream.format("memory").queryName("funnel_bounded_out")
+      .outputMode("append").start()
+    try {
+      val baseUs = 1704100000L * 1000000L
+      // a hot clicking user with NO view yet: every click is live revision
+      // evidence (a future view could make any of them t2) until the
+      // watermark passes it — the worst case for funnel state growth
+      for (b <- 0 until 20) {
+        val t = baseUs + b * 60L * 1000000L // stream frontier: 1 min per batch
+        in.addData((0 until 50).map(i => (1L, "click", t + i * 1000L)): _*)
+        q.processAllAvailable()
+      }
+      // 1000 clicks streamed; the 10 s horizon retains ≈ the last two batches
+      val hotRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(hotRows <= 300L,
+        s"state rows $hotRows not horizon-bounded after 1000 clicks")
+      // the view arrives at the frontier: only clicks STRICTLY after it
+      // qualify, so t2 must be the second click of the newest batch — the
+      // GC'd clicks are all ≤ watermark < t1 and could never have qualified
+      val tView = baseUs + 19L * 60L * 1000000L
+      in.addData((1L, "view", tView))
+      q.processAllAvailable()
+      in.addData((1L, "purchase", tView + 2000L))
+      q.processAllAvailable()
+      val best = s2.table("funnel_bounded_out").as[Streams.FunnelStage].collect()
+        .filter(_.user_id == 1L)
+        .maxBy(s => (s.stage, -s.t1, -s.t2, -s.t3))
+      assert(best == Streams.FunnelStage(1L, 3, tView, tView + 1000L, tView + 2000L),
+        s"got $best")
+      // idle-key GC: another user advances the watermark past user 1's kept
+      // evidence; the timer fires with no user-1 input and empties the lists
+      in.addData((2L, "view", tView + 600L * 1000000L))
+      q.processAllAvailable()
+      in.addData((2L, "view", tView + 601L * 1000000L))
+      q.processAllAvailable()
+      val idleRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(idleRows <= 10L,
+        s"state rows $idleRows after idle horizon — timer GC did not run")
+    } finally q.stop()
+  }
+
   test("batch/stream unification: demo2 transform works on a batch frame (O12)") {
     import spark.implicits._
     val batch = Seq(
