@@ -86,6 +86,70 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[FloatVecDot]]'s mixed-type sibling: `array<float>` data against
+  * `array<double>` weights (the LSH plane-projection shape, where the
+  * weights are plan-time double literals that must NOT be narrowed to
+  * float — the sign of a near-zero projection decides a bucket bit, and
+  * the DuckDB oracle computes it in double). Same sequential
+  * accumulation and null semantics as [[FloatVecDot]].
+  */
+case class FloatVecDotD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dotd"
+
+  override def nullable: Boolean = true
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (double) $a.getFloat($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sequential-order L2 norm of an `array<float>` column (double result).
   * A null element yields NULL, matching
   * `sqrt(aggregate(transform(a, x -> x*x), 0.0, +))` null propagation.
@@ -158,6 +222,8 @@ object VecFunctions {
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("vec_dot",
         es => FloatVecDot(es.head, es(1)), "built-in")
+      reg.createOrReplaceTempFunction("vec_dotd",
+        es => FloatVecDotD(es.head, es(1)), "built-in")
       reg.createOrReplaceTempFunction("vec_norm",
         es => FloatVecNorm(es.head), "built-in")
       spark.conf.set(registeredFlag, "true")

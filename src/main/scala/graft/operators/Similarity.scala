@@ -82,7 +82,7 @@ object Similarity {
   /** The md5-derived weight for (plane, dim) computed driver-side — same
     * value the oracle derives in SQL, but evaluated 384 times at plan-build
     * instead of ~768k times per pass inside a per-row lambda. */
-  private def planeWeight(p: Int, i: Int): Double = {
+  private[graft] def planeWeight(p: Int, i: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"plane_${p}_$i".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(7)
@@ -103,18 +103,28 @@ object Similarity {
     * non-default count through the same code path (and
     * [[annLshTopkSqlFor]] parameterizes the oracle identically).
     */
+  /** Codegen'd double-precision projection of the embedding onto plane `p`
+    * — [[FloatVecDotD]] against a directly-constructed literal weight
+    * array. Built through [[GraftBridge]] rather than a generated SQL
+    * string: a 24-plane signature rendered as SQL is ~30 KB of numeric
+    * literals whose parse + analyze + constant-fold cost recurs on every
+    * query build (it dominated this family's warm fixture times); direct
+    * `Literal` construction makes plan build O(plans), not O(text).
+    */
+  private def planeDot(p: Int): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val weights = typedLit((1 to 64).map(i => planeWeight(p, i)))
+    column(graft.functions.FloatVecDotD(expression(col("embedding")), expression(weights)))
+  }
+
   def annLshTopk(s: SparkSession, d: String, nPlanes: Int = NPlanes): DataFrame = {
     // bucket bit p = sign of sum_i emb[i] * w(p, i); weights are literal
-    // arrays (pure constants), so the per-row work is one fold per plane
-    val bucketExpr = expr(
-      (0 until nPlanes).map { p =>
-        val weights = (1 to 64).map(i => planeWeight(p, i)).mkString(", ")
-        val dot =
-          s"""aggregate(zip_with(embedding, array($weights),
-             |  (x, w) -> CAST(x AS DOUBLE) * w),
-             |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
-        s"(CASE WHEN ($dot) >= 0 THEN ${1 << p} ELSE 0 END)"
-      }.mkString(" + "))
+    // DOUBLE arrays (pure constants) driven through the codegen'd vec_dotd —
+    // one primitive loop per plane instead of an interpreted per-element
+    // lambda, same sequential double accumulation as the oracle
+    val bucketExpr = (0 until nPlanes)
+      .map(p => when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
     val e = Tables.parallelize(s, Tables.embeddings(s, d))
       .withColumn("bucket", bucketExpr.cast("long"))
     val q = e.filter(col("vec_id") % 100 === 0)
@@ -171,48 +181,102 @@ object Similarity {
   private[operators] val DedupBands = 8
 
   /** Band `b`'s signature: [[DedupBandPlanes]] projection signs packed into
-    * an int. Weights are plan-time literals (see [[annLshTopk]]). */
-  private def bandSigExpr(b: Int): Column = expr(
-    (0 until DedupBandPlanes).map { j =>
-      val p = b * DedupBandPlanes + j
-      val weights = (1 to 64).map(i => planeWeight(p, i)).mkString(", ")
-      val dot =
-        s"""aggregate(zip_with(embedding, array($weights),
-           |  (x, w) -> CAST(x AS DOUBLE) * w),
-           |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
-      s"(CASE WHEN ($dot) >= 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + "))
+    * an int. Weights are plan-time DOUBLE literals fed to the codegen'd
+    * `vec_dotd` (see [[planeDot]]) — the signature stage is the hot path
+    * of the designated 100 TB embedding-dedup route, so it must not pay
+    * the interpreted higher-order-function tax per plane per row. */
+  private def bandSigExpr(b: Int): Column =
+    (0 until DedupBandPlanes)
+      .map { j =>
+        val p = b * DedupBandPlanes + j
+        when(planeDot(p) >= 0, lit(1 << j)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+
+  /** The signed/packed signature frame shared by [[dedupEmbeddingLsh]] (and
+    * its profiling harness): per row, the 8 band signatures plus all of
+    * them packed 3 bits each into one long — the emit-once check on a
+    * candidate pair becomes integer ops on one XOR instead of an
+    * interpreted per-element array comparison, and it runs once per band
+    * COLLISION (the scale-dominant count), so it must codegen.
+    */
+  private[graft] def embeddingSigs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"),
+        expr("vec_norm(embedding)").as("nrm"),
+        array((0 until DedupBands).map(b => bandSigExpr(b).cast("int")): _*).as("sigs"))
+      .withColumn("sigpack",
+        (0 until DedupBands).map(b =>
+          col("sigs").getItem(b).cast("long") * (1L << (DedupBandPlanes * b)))
+          .reduce(_ + _))
+  }
 
   /** Embedding near-dup pairs via banded hyperplane LSH — the scale sibling
     * of `dedup_embedding` (which is the declared quadratic baseline): the
     * pair join keys on (band, bandsig), so pairwise cosine work is
     * proportional to band collisions, never corpus². Emit-once: a pair is
-    * produced only at its FIRST agreeing band (`array_position` over the
-    * zipped signature arrays), so multi-band collisions never need a
-    * distinct. The 64-float vectors ride through the 8-way band explode
-    * (2 KB/vector); at larger dims a deployment would band on ids only and
-    * re-fetch vectors for the surviving candidates. Output schema/threshold
-    * match `dedup_embedding`, so recall is directly measurable — the
+    * produced only at its FIRST agreeing band (lowest all-zero 3-bit group
+    * of the XOR of the packed signatures — integer ops, no per-element
+    * array walk), so multi-band collisions never need a distinct.
+    *
+    * The candidate join is probe-fat / build-LEAN: the probe side keeps
+    * its vector through the 8-way band explode (stream-side columns are
+    * free in a hash-join match loop — never copied per match), while the
+    * BUILD side carries only (vec_id, band, sig, sigpack) — 32-byte
+    * integer rows — and its vectors are re-fetched by id for the
+    * emit-once SURVIVORS only. So the highest-multiplicity stage (band
+    * collisions) iterates a lean hash relation, and each build vector
+    * crosses the wire once per surviving pair, not once per band. At
+    * fixture scale both builds fit the broadcast threshold and the whole
+    * query is one codegen stage with zero pre-sort exchanges; at 100 TB
+    * AQE degrades the same plan to shuffle joins keyed on (band, sig)
+    * and vec_id — nothing is forced. Output schema/threshold match
+    * `dedup_embedding`, so recall is directly measurable — the
     * OperatorSpec asserts pairs ⊆ exact pairs and recall ≥ 0.9 on the
     * fixtures.
+    *
+    * Measured honesty (sf0.1 fixture, 2000 vectors): the 0.4 cosine
+    * threshold sits in sign-LSH's dead zone. Background pairs are
+    * near-orthogonal (94% below cosine 0.2 → ~50% per-plane agreement)
+    * while threshold pairs agree on only ~63% of planes, and no (bits,
+    * bands) config amplifies that gap: 3 bits × 8 bands collides on 64.8%
+    * of ALL pairs at recall 0.91; every wider config that prunes harder
+    * (5×12: 33%, 6×10: 15%) drops recall to 0.74 / 0.49 — measured over
+    * raw AND median-centered planes, identical. So at fixture scale this
+    * variant evaluates ~0.65× the baseline's cosines plus join machinery
+    * and lands within ~1.1× of the quadratic baseline's wall time; its
+    * value is the shape (collision-proportional work, bounded per-task
+    * memory), not a fixture-scale speedup. A corpus whose near-dups sit
+    * at cosine ≥ 0.8 (real dedup practice) puts per-plane agreement at
+    * ~0.85+ where 8-bit bands prune >90% of pairs at recall ≥ 0.99 —
+    * band width per deployment threshold is THE tuning knob.
     */
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecFunctions.register(s)
-    val e = Tables.parallelize(s, Tables.embeddings(s, d))
-      .select(col("vec_id"), col("embedding"),
-        expr("vec_norm(embedding)").as("nrm"),
-        array((0 until DedupBands).map(b => bandSigExpr(b).cast("int")): _*).as("sigs"))
-    val bands = e.select(col("vec_id"), col("embedding"), col("nrm"), col("sigs"),
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val e = embeddingSigs(s, d)
+    val probe = e.select(col("vec_id"), col("embedding"), col("nrm"), col("sigpack"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
-    bands.as("p").join(bands.as("q"),
-        col("p.band") === col("q.band") && col("p.sig") === col("q.sig") &&
-          col("p.vec_id") < col("q.vec_id"))
-      .filter(expr("array_position(zip_with(p.sigs, q.sigs, (x, y) -> x = y), true)")
-        === col("p.band") + 1)
-      .select(col("p.vec_id").as("vec_a"), col("q.vec_id").as("vec_b"),
-        round(expr("vec_dot(p.embedding, q.embedding)") / (col("p.nrm") * col("q.nrm")), 4)
-          .as("cosine"))
+    val build = e.select(col("vec_id"), col("sigpack"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+    // first agreeing band of a pair = lowest all-zero 3-bit group of the XOR
+    val firstAgree = expr(
+      (0 until DedupBands).map(b =>
+        s"WHEN (shiftright(p.sigpack ^ q.sigpack, ${DedupBandPlanes * b}) & " +
+          s"${(1 << DedupBandPlanes) - 1}) = 0 THEN $b")
+        .mkString("CASE ", " ", " ELSE -1 END"))
+    val pairs = probe.as("p").join(build.as("q"),
+        col("p.band") === col("q.band") && col("p.sig") === col("q.sig"))
+      .filter(col("p.vec_id") < col("q.vec_id") && firstAgree === col("p.band"))
+      .select(col("p.vec_id").as("vec_a"), col("p.embedding").as("emb_a"),
+        col("p.nrm").as("nrm_a"), col("q.vec_id").as("vec_b"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val dot = column(graft.functions.FloatVecDot(
+      expression(col("emb_a")), expression(col("emb_b"))))
+    pairs.join(eb, "vec_b")
+      .withColumn("cosine", round(dot / (col("nrm_a") * col("nrm_b")), 4))
       .filter(col("cosine") >= 0.4)
+      .select("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
   }
 

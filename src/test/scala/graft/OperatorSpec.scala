@@ -444,4 +444,64 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.length == 1)
     assert(math.abs(got(0).getAs[Double]("centroid_val") - expected) < 1e-9)
   }
+
+  test("embedding LSH dedup: pairs subset of exact pairs, recall >= 0.9") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val exact = pairs(operators.Dedup.dedupEmbedding(spark, dir))
+      val lsh = pairs(operators.Similarity.dedupEmbeddingLsh(spark, dir))
+      assert(exact.nonEmpty, s"$dir: fixture has no exact near-dup pairs to recall")
+      // banded candidates are a strict filter on the same scored pair set
+      assert(lsh.subsetOf(exact),
+        s"$dir: LSH emitted non-exact pairs ${(lsh -- exact).take(5)}")
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.9, s"$dir: recall $recall over ${exact.size} exact pairs")
+    }
+  }
+
+  /** Root paths of every parquet relation in the optimized plan. */
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+    }
+
+  test("indexed incremental dedup: read path scans batch docs + index only, output identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-index-spec").toString
+    // maintenance half: derive history artifacts once
+    operators.Dedup.writeDedupIndex(spark, sf, dir)
+    // increment half: must never touch history TEXT again
+    val read = operators.Dedup.dedupIncrementalFromIndex(spark, sf, dir)
+    val docScans = scanPaths(read).filter(_.contains("documents.parquet"))
+    assert(docScans.size == 2,
+      s"read path has ${docScans.size} documents scans (want 2: batch fp + batch bands)")
+    val idxScans = scanPaths(read).filter(_.contains(dir))
+    assert(idxScans.exists(_.endsWith("/fp")) && idxScans.exists(_.endsWith("/bands")),
+      s"read path misses index artifacts: $idxScans")
+    // every documents scan sits under the batch filter — history rows are
+    // excluded before any join
+    val docFilters = read.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.child.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+          }.nonEmpty => f.condition.sql
+    }
+    assert(docFilters.count(_.contains("% 10L) >= 8L")) >= 2,
+      s"batch filters missing from documents scans: $docFilters")
+    // the from-scratch variant pays 4 documents scans (history + batch, ×2
+    // artifacts) — the index is exactly the 2 history scans it amortizes
+    val scratchDocScans =
+      scanPaths(operators.Dedup.dedupIncremental(spark, sf)).filter(_.contains("documents.parquet"))
+    assert(scratchDocScans.size == 4, s"expected 4 scans, got ${scratchDocScans.size}")
+    // and the increment's answer is identical either way
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("match_type"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("n_near"))).toSeq
+    assert(rows(read) == rows(operators.Dedup.dedupIncremental(spark, sf)))
+  }
 }
