@@ -136,30 +136,21 @@ object Packing {
     * each dimension ARE the pruning evidence: every bucket covers a narrow
     * slice of both key ranges.
     */
-  def zorderLayout(s: SparkSession, d: String): DataFrame = {
-    // shiftleft/shiftright function spelling (the operator forms are the
-    // DuckDB oracle's); same arithmetic bit for bit
-    val z = (0 until ZBits).map(i =>
-      s"shiftleft(shiftright(xk, $i) & 1, ${2 * i + 1}) + " +
-        s"shiftleft(shiftright(yk, $i) & 1, ${2 * i})")
-      .mkString(" + ")
-    Tables.lineitem(s, d)
-      .select((col("l_orderkey") % 1024).as("xk"), (col("l_partkey") % 1024).as("yk"))
-      .select(col("xk"), col("yk"), expr(z).as("zval"))
+  def zorderLayout(s: SparkSession, d: String): DataFrame =
+    zkeyed(s, d)
       .groupBy(expr(s"zval div ${1L << (2 * ZBits - 8)}").as("bucket"))
       .agg(
         count(lit(1)).as("n_rows"),
         min("xk").as("x_min"), max("xk").as("x_max"),
         min("yk").as("y_min"), max("yk").as("y_max"))
       .orderBy("bucket")
-  }
 
   val zorderLayoutSql: String = {
     val z = (0 until ZBits).map(i =>
       s"(((xk >> $i) & 1) << ${2 * i + 1}) + (((yk >> $i) & 1) << ${2 * i})")
       .mkString(" + ")
     s"""WITH k AS (
-       |  SELECT l_orderkey % 1024 AS xk, l_partkey % 1024 AS yk FROM lineitem),
+       |  SELECT l_orderkey % 1024 AS xk, l_partkey * 5 % 1024 AS yk FROM lineitem),
        |z AS (SELECT xk, yk, $z AS zval FROM k)
        |SELECT zval // ${1L << (2 * ZBits - 8)} AS bucket,
        |  CAST(count(*) AS BIGINT) AS n_rows,
@@ -168,13 +159,104 @@ object Packing {
        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  /** The z-keyed projection [[zorderLayout]] and both written layouts
+    * share: materialized (xk, yk, zval) keys + a payload measure, so
+    * predicates on the key columns are pushable into the parquet scan of
+    * the written files. shiftleft/shiftright function spelling (the
+    * operator forms are the DuckDB oracle's); same arithmetic bit for
+    * bit. */
+  private def zkeyed(s: SparkSession, d: String): DataFrame = {
+    val z = (0 until ZBits).map(i =>
+      s"shiftleft(shiftright(xk, $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright(yk, $i) & 1, ${2 * i})")
+      .mkString(" + ")
+    Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 1024).as("xk"), (col("l_partkey") * 5 % 1024).as("yk"),
+        col("l_quantity"))
+      .withColumn("zval", expr(z))
+  }
+
+  /** How many files (= row groups at fixture size) each layout is split
+    * into; per-file parquet min/max stats are the pruning granularity. */
+  val ZLayoutFiles = 16
+
+  /** Write the SAME rows twice under `out`: `out/zorder` clustered by the
+    * Morton code (`repartitionByRange(zval) + sortWithinPartitions(zval)`
+    * — the layout [[zorderLayout]]'s audit argues for), and `out/linear`
+    * clustered 1-D by `xk`. Each layout is [[ZLayoutFiles]] range-
+    * partitioned files whose parquet row-group min/max statistics are
+    * narrow in (xk AND yk) for the z-order layout but only in xk for the
+    * linear one — scan pruning against a 2-D predicate is then directly
+    * measurable (the PackingSpec asserts it via the scan's output-rows
+    * metric). At 100 TB this is the sink-side layout step (reference
+    * analog: day-partitioned sink, `google_bigquery.tf:17-21`): one wide
+    * exchange per rewrite, pruning forever after.
+    */
+  def writeZorderLayouts(s: SparkSession, d: String, out: String): Unit = {
+    val keyed = zkeyed(s, d)
+    keyed.repartitionByRange(ZLayoutFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(s"$out/zorder")
+    keyed.repartitionByRange(ZLayoutFiles, col("xk"))
+      .sortWithinPartitions("xk")
+      .write.mode("overwrite").parquet(s"$out/linear")
+  }
+
+  /** The 2-D pruning predicate the layout exists for: a narrow yk slice ×
+    * a moderate xk range (point-in-both-dimensions workloads). Constants
+    * are fixture-stable and shared with the oracle. */
+  val ZPredicate: String = "xk >= 100 AND xk < 400 AND yk >= 50 AND yk < 80"
+
+  /** End-to-end z-order proof query: write both layouts, read each BACK
+    * from parquet through the 2-D predicate, and emit one aggregate row
+    * per layout. Correctness: the two rows must agree with each other and
+    * with the oracle computing the same aggregate straight off `lineitem`
+    * — the layout must never change WHAT is read, only how little. The
+    * scan-level pruning inequality (z-order emits strictly fewer rows
+    * from the scan than the 1-D layout under this predicate) is asserted
+    * in the PackingSpec via executed-plan metrics; a hash-compared oracle
+    * row can't carry scan metrics.
+    */
+  def zorderPruning(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    writeZorderLayouts(s, d, out)
+    def agg(layout: String) =
+      s.read.parquet(s"$out/$layout").filter(expr(ZPredicate))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum("l_quantity").cast("long").as("sum_qty"),
+          min("zval").as("z_min"), max("zval").as("z_max"))
+        .select(lit(layout).as("layout"), col("n_rows"), col("sum_qty"),
+          col("z_min"), col("z_max"))
+    agg("linear").unionAll(agg("zorder")).orderBy("layout")
+  }
+
+  val zorderPruningSql: String = {
+    val z = (0 until ZBits).map(i =>
+      s"(((xk >> $i) & 1) << ${2 * i + 1}) + (((yk >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+    s"""WITH k AS (
+       |  SELECT l_orderkey % 1024 AS xk, l_partkey * 5 % 1024 AS yk, l_quantity
+       |  FROM lineitem),
+       |z AS (SELECT xk, yk, l_quantity, $z AS zval FROM k
+       |      WHERE ${ZPredicate.toLowerCase}),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |             CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       |             min(zval) AS z_min, max(zval) AS z_max FROM z)
+       |SELECT layout, n_rows, sum_qty, z_min, z_max
+       |FROM (SELECT 'linear' AS layout UNION ALL SELECT 'zorder'), a
+       |ORDER BY layout""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "assign_row_ids" -> (assignRowIds _),
     "pack_sequences" -> (packSequences _),
-    "zorder_layout" -> (zorderLayout _))
+    "zorder_layout" -> (zorderLayout _),
+    "zorder_pruning" -> (zorderPruning _))
 
   def oracles: Map[String, String] = Map(
     "assign_row_ids" -> assignRowIdsSql,
     "pack_sequences" -> packSequencesSql,
-    "zorder_layout" -> zorderLayoutSql)
+    "zorder_layout" -> zorderLayoutSql,
+    "zorder_pruning" -> zorderPruningSql)
 }

@@ -504,4 +504,34 @@ class OperatorSpec extends AnyFunSuite {
         r.getAs[Long]("n_exact"), r.getAs[Long]("n_near"))).toSeq
     assert(rows(read) == rows(operators.Dedup.dedupIncremental(spark, sf)))
   }
+
+  test("z-order layout: 2-D predicate prunes row groups a 1-D sort cannot") {
+    import org.apache.spark.sql.functions.expr
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val out = java.nio.file.Files.createTempDirectory("graft-zorder-spec").toString
+      operators.Packing.writeZorderLayouts(spark, dir, out)
+      // (result rows, rows the parquet scan emitted after row-group
+      // min/max pruning + pushdown — the layout-dependent number)
+      def run(layout: String): (Long, Long) = {
+        val df = spark.read.parquet(s"$out/$layout")
+          .filter(expr(operators.Packing.ZPredicate))
+        val result = df.collect().length.toLong
+        val scanned = df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.sum
+        (result, scanned)
+      }
+      val (zRes, zScan) = run("zorder")
+      val (lRes, lScan) = run("linear")
+      val total = spark.read.parquet(s"$out/zorder").count()
+      assert(zRes == lRes && zRes > 0, s"$dir: layouts disagree: $zRes vs $lRes")
+      // the z-order layout's row-group stats are narrow in BOTH keys: the
+      // scan must surface strictly fewer rows than under the xk-only sort,
+      // and both layouts must beat a full scan
+      assert(zScan < lScan,
+        s"$dir: z-order scanned $zScan rows, 1-D sort scanned $lScan")
+      assert(lScan < total, s"$dir: 1-D layout pruned nothing ($lScan of $total)")
+    }
+  }
 }
