@@ -47,6 +47,35 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("user_id"), col("cnt"))
 
+  /** Streaming twin of `BeamParity.slidingWindowCount` (5-minute windows,
+    * 1-minute slide): identical grouping and aggregate expressions, plus
+    * the watermark that lets Append mode fire each overlapping window when
+    * the event-time frontier passes its end. The StreamingSpec replays the
+    * events fixture through a MemoryStream and asserts the fired panes
+    * equal the batch twin's rows exactly.
+    */
+  def slidingWindowedCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .withWatermark("event_time", "2 minutes")
+      .groupBy(window(col("event_time"), "5 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Streaming twin of `BeamParity.sessionWindowCount` (5-minute gap
+    * sessions per user): `session_window` merges a user's state as events
+    * arrive — out of order included — and Append mode emits a session only
+    * once the watermark passes `session end + gap`, i.e. once no on-time
+    * event can extend it. Same StreamingSpec replay-parity contract.
+    */
+  def sessionWindowedCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .withWatermark("event_time", "2 minutes")
+      .groupBy(session_window(col("event_time"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("cnt"))
+
   // ------------------------------------------------------------- late panes
 
   case class Msg(event_time: Timestamp, user_id: Int)
@@ -461,6 +490,32 @@ object Streams {
       col("topic"),
       col("partition"),
       col("offset"))
+
+  /** The real message-bus connector behind the [[fromBusEnvelope]] seam
+    * (O1 — the reference subscribes to a Pub/Sub Lite topic,
+    * `Demo1.java:81-83`): constructs `spark.readStream.format("kafka")`
+    * with broker/topic bound through `Demos.resolve`, so a deployment
+    * defers them exactly like the reference's templated ValueProvider
+    * options (`--brokers env:KAFKA_BROKERS --topic env:EVENTS_TOPIC`).
+    * The connector emits the documented Kafka source schema — binary
+    * `key`/`value`, `topic` string, `partition` int, `offset` long,
+    * broker `timestamp` (+ `timestampType`, unused) — which is precisely
+    * the envelope shape [[fromBusEnvelope]] normalizes, so everything
+    * downstream of this call is identical between production Kafka and
+    * the file/memory test sources. Needs the `spark-sql-kafka-0-10`
+    * connector on the classpath (not bundled with core Spark); without
+    * it, source LOOKUP fails at `load()` with Spark's "Failed to find
+    * data source: kafka" guidance — the SourcesSpec pins that seam.
+    */
+  def fromKafka(spark: SparkSession, brokers: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    fromBusEnvelope(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", graft.tools.Demos.resolve(brokers))
+        .option("subscribe", graft.tools.Demos.resolve(topic))
+        .option("startingOffsets", startingOffsets)
+        .load())
 
   /** One micro-batch of the dead-letter sink contract, factored out so the
     * redelivery path is directly testable: rows passing `valid` land under

@@ -306,4 +306,78 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[Long]("cnt"))).toSet
     assert(out == Set(("2024-01-01 10:00:00.0", 2L), ("2024-01-01 10:01:00.0", 1L)))
   }
+
+  test("sliding windows streamed: replayed fixture equals the batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.unix_timestamp
+    implicit val ctx = spark.sqlContext
+    val sf = SparkTestSession.sf
+    // the full fixture — no truncation, so every batch-twin window is
+    // fully covered by the replay
+    val events = graft.Tables.events(spark, sf)
+      .select("ts", "event_type", "value")
+      .collect()
+      .map(r => (r.getAs[Timestamp]("ts"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    val maxTs = events.map(_._1.getTime).max
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = Streams.slidingWindowedCounts(
+        in.toDF().toDF("event_time", "event_type", "value"))
+      .writeStream.format("memory").queryName("sliding_replay")
+      .outputMode("append").start()
+    try {
+      in.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      // sentinel far past every window end + watermark delay: fires all panes
+      in.addData((new Timestamp(maxTs + 3600 * 1000L), "sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_replay")
+        .filter($"event_type" =!= "sentinel")
+        .select(unix_timestamp($"window_start").as("window_start_s"),
+          $"event_type", $"cnt", $"sum_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.operators.BeamParity.slidingWindowCount(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("window_start_s"), r.getAs[String]("event_type"),
+          r.getAs[Long]("cnt"), r.getAs[Double]("sum_value"))).toSet
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
+  test("session windows streamed: replayed fixture equals the batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.unix_timestamp
+    implicit val ctx = spark.sqlContext
+    val sf = SparkTestSession.sf
+    val events = graft.Tables.events(spark, sf)
+      .select("ts", "user_id")
+      .collect()
+      .map(r => (r.getAs[Timestamp]("ts"), r.getAs[Long]("user_id")))
+    val maxTs = events.map(_._1.getTime).max
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = Streams.sessionWindowedCounts(in.toDF().toDF("event_time", "user_id"))
+      .writeStream.format("memory").queryName("session_replay")
+      .outputMode("append").start()
+    try {
+      in.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      // close every session: later than any session end + gap + watermark
+      in.addData((new Timestamp(maxTs + 3600 * 1000L), -1L))
+      q.processAllAvailable()
+      val streamed = spark.table("session_replay")
+        .filter($"user_id" =!= -1L)
+        .select(unix_timestamp($"session_start").as("session_start_s"),
+          $"user_id", $"cnt")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.BeamParity.sessionWindowCount(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("session_start_s"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("cnt"))).toSet
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
 }
