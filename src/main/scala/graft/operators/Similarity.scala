@@ -506,6 +506,167 @@ object Similarity {
       |  CAST(list_max(qvec) AS BIGINT) AS q_max
       |FROM qq ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------- product quantization
+  /** Subspaces the 64-dim embedding splits into (8 dims each). */
+  private[operators] val PqSubspaces = 8
+  /** Centroids per subspace (4-bit codes). */
+  private[operators] val PqCentroids = 16
+  private val PqDims = 64 / PqSubspaces
+
+  /** Portable pseudo-random PQ centroid component for (subspace s,
+    * centroid j, dim i within the subspace), in [-0.35, 0.35) — the
+    * embedding components' observed range — via the same md5 derivation
+    * as [[planeWeight]], so the DuckDB oracle reproduces every centroid
+    * exactly. Like the untrained IVF codebook, these are fixed seeded
+    * centroids: the operator contract under test is the encode/ADC
+    * machinery; k-means-refined codebooks drop in the same way
+    * `ann_ivf_trained_topk` refines `ann_ivf_topk` (engine-specific, so
+    * no SQL oracle there by design).
+    */
+  private[graft] def pqCentroid(s: Int, j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"pq_${s}_${j}_$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(7)
+    ((java.lang.Long.parseLong(hex, 16) % 2000001L) / 1000000.0 - 1.0) * 0.35
+  }
+
+  /** Squared L2 distance between `v`'s subspace `s` slice and centroid
+    * `j`, as a direct Column tree (plan-build O(plans), not O(SQL text) —
+    * see [[planeDot]]). Sequential accumulation dim by dim, identical to
+    * the oracle's. */
+  private def pqDist(v: Column, s: Int, j: Int): Column =
+    (0 until PqDims).map { i =>
+      val e = v.getItem(s * PqDims + i).cast("double") - lit(pqCentroid(s, j, i))
+      e * e
+    }.reduce(_ + _)
+
+  /** Subspace `s`'s code for `v`: the index of the nearest centroid.
+    * `array_position(dists, array_min(dists))` compares the min against
+    * the SAME computed doubles, so the match is bitwise and both engines
+    * agree without rounding; ties (probability ~2^-50) would resolve to
+    * the lowest index in both. */
+  private def pqCode(v: Column, s: Int): Column =
+    (array_position(
+      array((0 until PqCentroids).map(j => pqDist(v, s, j)): _*),
+      array_min(array((0 until PqCentroids).map(j => pqDist(v, s, j)): _*)))
+      - 1).cast("int")
+
+  /** PQ codes frame shared by [[pqEncode]] and [[pqAdcTopk]]:
+    * (vec_id, code_0..code_7). One narrow map stage — the shape that
+    * encodes a 100 TB corpus embarrassingly parallel, after which the
+    * corpus is 8 BYTES per vector (4 bits × 8 codes, stored as ints
+    * here) for every downstream distance computation. */
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id") +:
+        (0 until PqSubspaces).map(sub =>
+          pqCode(col("embedding"), sub).as(s"code_$sub")): _*)
+
+  /** Product-quantization encode (the missing third of the IVF-PQ serving
+    * stack next to `ann_ivf_*` and `embedding_quantize`): 64 dims → 8
+    * subspace codes of 4 bits against the portable seeded codebook, plus
+    * the per-vector reconstruction error (the sum of the chosen cells'
+    * squared distances — THE quantization-quality metric a deployment
+    * monitors), rounded 4 dp for cross-engine hash parity.
+    */
+  def pqEncode(s: SparkSession, d: String): DataFrame = {
+    val err = (0 until PqSubspaces).map(sub =>
+      array_min(array((0 until PqCentroids).map(j =>
+        pqDist(col("embedding"), sub, j)): _*))).reduce(_ + _)
+    Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id") +:
+        (0 until PqSubspaces).map(sub =>
+          pqCode(col("embedding"), sub).as(s"code_$sub")) :+
+        round(err, 4).as("recon_err"): _*)
+      .orderBy("vec_id")
+  }
+
+  private def pqCentroidSqlList(s: Int, j: Int): String =
+    (0 until PqDims).map(i => s"${pqCentroid(s, j, i)}").mkString("[", ", ", "]")
+
+  private def pqDistSql(v: String, s: Int, j: Int): String =
+    (0 until PqDims).map { i =>
+      // explicit self-multiply, not power(x, 2): guarantees the identical
+      // single-rounding Spark's `e * e` performs
+      val e = s"(CAST($v[${s * PqDims + i + 1}] AS DOUBLE) - (${pqCentroid(s, j, i)}))"
+      s"$e * $e"
+    }.mkString("(", " + ", ")")
+
+  private def pqDistsSql(v: String, s: Int): String =
+    (0 until PqCentroids).map(j => pqDistSql(v, s, j)).mkString("[", ", ", "]")
+
+  val pqEncodeSql: String = {
+    val codes = (0 until PqSubspaces).map { s =>
+      s"CAST(list_position(d$s, list_min(d$s)) - 1 AS INTEGER) AS code_$s"
+    }.mkString(",\n  ")
+    val dists = (0 until PqSubspaces).map(s =>
+      s"${pqDistsSql("embedding", s)} AS d$s").mkString(",\n  ")
+    val err = (0 until PqSubspaces).map(s => s"list_min(d$s)").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT vec_id,
+       |  $dists
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |  $codes,
+       |  round($err, 4) AS recon_err
+       |FROM d ORDER BY vec_id""".stripMargin
+  }
+
+  /** ADC (asymmetric distance computation) top-k — the PQ serving
+    * pattern: each query vector computes one 16-entry distance table per
+    * subspace against the codebook (128 doubles per query, independent
+    * of corpus size), and every corpus vector is scored by EIGHT table
+    * lookups on its codes — the full-precision embedding column is never
+    * read on the corpus side. At scale the codes relation is the only
+    * corpus-sized input (8 bytes/vector), the query side broadcasts, and
+    * the scan is the cheapest possible: integer lookups into broadcast
+    * literals. Round-before-rank (4 dp) per the oracle-parity rules.
+    */
+  def pqAdcTopk(s: SparkSession, d: String): DataFrame = {
+    val codes = pqCodes(s, d)
+    val queries = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid") +:
+        (0 until PqSubspaces).map(sub =>
+          array((0 until PqCentroids).map(j =>
+            pqDist(col("embedding"), sub, j)): _*).as(s"dt_$sub")): _*)
+    val adc = (0 until PqSubspaces).map(sub =>
+      element_at(col(s"dt_$sub"), col(s"code_$sub") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
+    queries.join(codes, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(adc, 4).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "adc")
+      .orderBy("qid", "rank")
+  }
+
+  val pqAdcTopkSql: String = {
+    val dtables = (0 until PqSubspaces).map(s =>
+      s"${pqDistsSql("embedding", s)} AS dt_$s").mkString(",\n  ")
+    val codes = (0 until PqSubspaces).map { s =>
+      s"CAST(list_position(${pqDistsSql("embedding", s)}, list_min(${pqDistsSql("embedding", s)})) - 1 AS INTEGER) AS code_$s"
+    }.mkString(",\n  ")
+    val adc = (0 until PqSubspaces).map(s => s"q.dt_$s[c.code_$s + 1]").mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid,
+       |  $dtables
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |c AS (
+       |  SELECT vec_id,
+       |  $codes
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.qid, c.vec_id, round($adc, 4) AS adc
+       |  FROM q, c WHERE c.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, adc FROM ranked
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   // ------------------------------------------------------- centroid UDAF
   /** Per-label centroid via the custom `CentroidAggregator` (typed UDAF with
     * map-side partial aggregation), exploded to (label, dim, value) rows so
@@ -536,6 +697,8 @@ object Similarity {
     "ann_ivf_trained_topk" -> (annIvfTrainedTopk _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "embedding_quantize" -> (embeddingQuantize _),
+    "pq_encode" -> (pqEncode _),
+    "pq_adc_topk" -> (pqAdcTopk _),
     "centroid_by_label" -> (centroidByLabel _))
 
   def oracles: Map[String, String] = Map(
@@ -544,5 +707,7 @@ object Similarity {
     "ann_ivf_topk" -> annIvfTopkSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "embedding_quantize" -> embeddingQuantizeSql,
+    "pq_encode" -> pqEncodeSql,
+    "pq_adc_topk" -> pqAdcTopkSql,
     "centroid_by_label" -> centroidByLabelSql)
 }

@@ -505,6 +505,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows(read) == rows(operators.Dedup.dedupIncremental(spark, sf)))
   }
 
+  test("pq: ADC distance equals distance to the codes' reconstruction") {
+    val enc = operators.Similarity.pqEncode(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until 8).map(s => r.getAs[Int](s"code_$s")).toArray).toMap
+    assert(enc.nonEmpty && enc.values.forall(_.forall(c => c >= 0 && c < 16)))
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def recon(codes: Array[Int]): Array[Double] =
+      Array.tabulate(64)(i =>
+        operators.Similarity.pqCentroid(i / 8, codes(i / 8), i % 8))
+    val adc = operators.Similarity.pqAdcTopk(spark, sf).collect()
+    assert(adc.nonEmpty)
+    for (r <- adc.take(20)) {
+      val q = emb(r.getAs[Long]("qid"))
+      val rec = recon(enc(r.getAs[Long]("vec_id")))
+      // the asymmetric distance IS ||q - recon(x)||^2: eight table lookups
+      // must reproduce the full 64-dim sum against the reconstruction
+      val direct = q.zip(rec).map { case (a, b) =>
+        val e = a.toDouble - b; e * e
+      }.sum
+      assert(math.abs(r.getAs[Double]("adc") - direct) < 1e-4 + 1e-9,
+        s"qid=${r.getAs[Long]("qid")} vec=${r.getAs[Long]("vec_id")}: " +
+          s"adc=${r.getAs[Double]("adc")} direct=$direct")
+    }
+  }
+
   test("z-order layout: 2-D predicate prunes row groups a 1-D sort cannot") {
     import org.apache.spark.sql.functions.expr
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
