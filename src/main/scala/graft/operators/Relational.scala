@@ -935,8 +935,72 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // --------------------------------------------------------- merge / upsert
+  /** CDC merge (SQL MERGE / upsert semantics without a table format): apply
+    * a change batch — updates (op U, re-price ×1.1), deletes (op D),
+    * inserts (op I, new keys) — to an orders snapshot. Spark-first shape:
+    * the merged relation is `snapshot ANTI-JOIN changes` (rows the batch
+    * does not touch) unioned with the batch's surviving U/I rows — ONE
+    * equi-key wide edge total. At 100 TB the change batch is typically
+    * tiny relative to the snapshot, so Catalyst broadcasts it and the
+    * snapshot never shuffles; if a backfill-sized batch outgrows the
+    * threshold, AQE degrades to a shuffled anti join instead of failing —
+    * the q18/dedup_incremental posture, nothing forced. Emitted as
+    * per-provenance aggregates (kept / updated / inserted; the deleted
+    * mass is provably absent) with cent-integer price sums so both
+    * engines hash identical values.
+    */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val snapshot = orders.filter(col("o_orderkey") % 10 < 8)
+    val changes = orders.filter(expr("o_orderkey % 10 IN (0, 4, 6, 8)"))
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 6, "D")
+          .when(col("o_orderkey") % 10 === 8, "I")
+          .otherwise("U").as("op"),
+        when(col("o_orderkey") % 10 === 8, col("o_totalprice"))
+          .otherwise(col("o_totalprice") * 1.1).as("new_price"))
+    val kept = snapshot.join(changes, Seq("o_orderkey"), "left_anti")
+      .select(lit("kept").as("src"), col("o_totalprice").as("price"))
+    val applied = changes.filter(col("op") =!= "D")
+      .select(
+        when(col("op") === "I", "inserted").otherwise("updated").as("src"),
+        col("new_price").as("price"))
+    kept.unionAll(applied)
+      .groupBy("src")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        // truncating cast, not round: no decimal-tie semantics for the
+        // engines to disagree on (the embedding_quantize contract)
+        sum((col("price") * 100).cast("long")).as("sum_cents"))
+      .orderBy("src")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH snapshot AS (
+      |  SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+      |changes AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 6 THEN 'D'
+      |         WHEN o_orderkey % 10 = 8 THEN 'I' ELSE 'U' END AS op,
+      |    CASE WHEN o_orderkey % 10 = 8 THEN o_totalprice
+      |         ELSE o_totalprice * 1.1 END AS new_price
+      |  FROM orders WHERE o_orderkey % 10 IN (0, 4, 6, 8)),
+      |merged AS (
+      |  SELECT 'kept' AS src, o_totalprice AS price FROM snapshot
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+      |  UNION ALL
+      |  SELECT CASE WHEN op = 'I' THEN 'inserted' ELSE 'updated' END AS src,
+      |         new_price AS price
+      |  FROM changes WHERE op <> 'D')
+      |SELECT src,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(trunc(price * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM merged GROUP BY src ORDER BY src""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert" -> (mergeUpsert _),
     "percentile_tdigest" -> (percentileTdigest _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_orders" -> (q3TopOrders _),
@@ -975,6 +1039,7 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   def oracles: Map[String, String] = Map(
+    "merge_upsert" -> mergeUpsertSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders" -> q3Sql,
     "q5_nation_revenue" -> q5Sql,

@@ -505,6 +505,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows(read) == rows(operators.Dedup.dedupIncremental(spark, sf)))
   }
 
+  test("merge upsert: deleted keys absent, update/insert provenance counts exact") {
+    val r = operators.Relational.mergeUpsert(spark, sf).collect()
+      .map(x => x.getAs[String]("src") -> x.getAs[Long]("n_rows")).toMap
+    assert(r.keySet == Set("kept", "updated", "inserted"))
+    // first-principles expectations straight off the raw key column
+    val keys = Tables.orders(spark, sf).select("o_orderkey").collect().map(_.getLong(0))
+    val snapshot = keys.count(_ % 10 < 8)
+    val deleted = keys.count(_ % 10 == 6)
+    val updated = keys.count(k => k % 10 == 0 || k % 10 == 4)
+    val inserted = keys.count(_ % 10 == 8)
+    assert(r("kept") == snapshot - deleted - updated,
+      s"kept ${r("kept")} != $snapshot - $deleted - $updated")
+    assert(r("updated") == updated && r("inserted") == inserted)
+    assert(deleted > 0, "fixture exercises no deletes")
+  }
+
   test("pq: ADC distance equals distance to the codes' reconstruction") {
     val enc = operators.Similarity.pqEncode(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") ->
