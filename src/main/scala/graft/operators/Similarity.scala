@@ -667,6 +667,112 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  // ------------------------------------------------------- IVF-PQ (IVFADC)
+  /** Rounded-cosine cell assignment against a driver-held codebook as ONE
+    * narrow projection (the [[assignCells]] shape, plus the 6-dp rounding
+    * that lets the DuckDB oracle agree at every argmax boundary): each
+    * centroid becomes a literal float array, the argmax a `greatest` over
+    * (sim, -cid) structs — no join, no window, no shuffle.
+    */
+  private def assignCellRounded(
+      codebook: Seq[(Int, Array[Float])]): Column = {
+    val sims = codebook.map { case (cid, emb) =>
+      val cnrm = math.sqrt(emb.map(v => v.toDouble * v.toDouble).sum)
+      val dot = expr(
+        s"vec_dot(embedding, CAST(array(${emb.mkString(",")}) AS ARRAY<FLOAT>))")
+      struct(round(dot / (col("nrm") * lit(cnrm)), 6).as("sim"),
+        lit(-cid).as("negc"))
+    }
+    (greatest(sims: _*).getField("negc") * -1).cast("long")
+  }
+
+  /** IVF-PQ serving stack (the FAISS "IVFADC" composition — coarse cell
+    * routing from [[annIvfTopk]] + asymmetric-distance scoring from
+    * [[pqAdcTopk]]): ONE narrow encode pass reads the full-precision
+    * embedding and emits (cell, code_0..code_7) — ~12 bytes per corpus
+    * vector — after which the embedding column is never touched again.
+    * Queries (1% of rows) carry their cell plus eight 16-entry distance
+    * tables; candidates are only the query's own cell (work ∝ cell
+    * population, not corpus), each scored by eight integer table lookups.
+    * At 100 TB this is the shape that serves: the corpus-sized shuffle
+    * input is the codes relation, the coarse codebook is k×64 driver-held
+    * doubles, and recall is tuned by cells probed × PQ bits — both knobs
+    * orthogonal to corpus size. Fully deterministic (seeded centroids,
+    * rounded argmax/rank boundaries), so unlike most ANN engines the
+    * whole composition is DuckDB-oracle-checked, not just spec'd.
+    */
+  def annIvfPqTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val codebook: Seq[(Int, Array[Float])] = Tables.embeddings(s, d)
+      .filter(col("vec_id") < IvfCells).orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id").toInt,
+        r.getAs[Seq[Float]]("embedding").toArray)).toSeq
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"),
+        expr("vec_norm(embedding)").as("nrm"))
+    val corpus = e.select(
+      col("vec_id") +: assignCellRounded(codebook).as("cell") +:
+        (0 until PqSubspaces).map(sub =>
+          pqCode(col("embedding"), sub).as(s"code_$sub")): _*)
+    val q = e.filter(col("vec_id") % 100 === 0).select(
+      col("vec_id").as("qid") +: assignCellRounded(codebook).as("cell") +:
+        (0 until PqSubspaces).map(sub =>
+          array((0 until PqCentroids).map(j =>
+            pqDist(col("embedding"), sub, j)): _*).as(s"dt_$sub")): _*)
+    val adc = (0 until PqSubspaces).map(sub =>
+      element_at(col(s"dt_$sub"), col(s"code_$sub") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
+    q.join(corpus, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("cell"), col("vec_id"), round(adc, 4).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "cell", "rank", "vec_id", "adc")
+      .orderBy("qid", "rank")
+  }
+
+  val annIvfPqTopkSql: String = {
+    val cosPC =
+      """round(
+        |  list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |    i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(c.cemb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |  6)""".stripMargin
+    val codes = (0 until PqSubspaces).map { s =>
+      s"CAST(list_position(${pqDistsSql("e.embedding", s)}, list_min(${pqDistsSql("e.embedding", s)})) - 1 AS INTEGER) AS code_$s"
+    }.mkString(",\n  ")
+    val dtables = (0 until PqSubspaces).map(s =>
+      s"${pqDistsSql("e.embedding", s)} AS dt_$s").mkString(",\n  ")
+    val adc = (0 until PqSubspaces).map(s => s"q.dt_$s[c.code_$s + 1]").mkString(" + ")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $IvfCells),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY $cosPC DESC, c.cid) AS arn
+       |    FROM embeddings v CROSS JOIN cents c)
+       |  WHERE arn = 1),
+       |c AS (
+       |  SELECT e.vec_id, a.cell,
+       |  $codes
+       |  FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id),
+       |q AS (
+       |  SELECT e.vec_id AS qid, a.cell,
+       |  $dtables
+       |  FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
+       |  WHERE e.vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT q.qid, q.cell, c.vec_id, round($adc, 4) AS adc
+       |  FROM q JOIN c ON c.cell = q.cell AND c.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, cell, vec_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT qid, cell, rank, vec_id, adc FROM ranked
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   // ------------------------------------------------------- centroid UDAF
   /** Per-label centroid via the custom `CentroidAggregator` (typed UDAF with
     * map-side partial aggregation), exploded to (label, dim, value) rows so
@@ -699,6 +805,7 @@ object Similarity {
     "embedding_quantize" -> (embeddingQuantize _),
     "pq_encode" -> (pqEncode _),
     "pq_adc_topk" -> (pqAdcTopk _),
+    "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "centroid_by_label" -> (centroidByLabel _))
 
   def oracles: Map[String, String] = Map(
@@ -709,5 +816,6 @@ object Similarity {
     "embedding_quantize" -> embeddingQuantizeSql,
     "pq_encode" -> pqEncodeSql,
     "pq_adc_topk" -> pqAdcTopkSql,
+    "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "centroid_by_label" -> centroidByLabelSql)
 }

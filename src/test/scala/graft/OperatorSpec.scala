@@ -548,6 +548,57 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq: composition equals a plain-Scala IVFADC recompute") {
+    // Independent oracle: no Catalyst expressions — plain loops re-derive
+    // cell routing (rounded-cosine argmax over the first-8 codebook), PQ
+    // codes, distance tables, and the per-cell ADC top-3.
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+      .sortBy(_._1)
+    def round(x: Double, dp: Int) =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def norm(v: Array[Float]) = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    val cents = emb.filter(_._1 < 8)
+    def cell(v: Array[Float]): Int =
+      cents.map { case (cid, c) =>
+        val dot = v.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        (round(dot / (norm(v) * norm(c)), 6), -cid.toInt)
+      }.zipWithIndex.maxBy(_._1)._2
+    def dists(v: Array[Float], s: Int): Array[Double] =
+      Array.tabulate(16) { j =>
+        (0 until 8).map { i =>
+          val e = v(s * 8 + i).toDouble - operators.Similarity.pqCentroid(s, j, i)
+          e * e
+        }.sum
+      }
+    def codes(v: Array[Float]): Array[Int] =
+      Array.tabulate(8)(s => dists(v, s).zipWithIndex.minBy(_._1)._2)
+    val cellOf = emb.map { case (id, v) => id -> cell(v) }.toMap
+    val codeOf = emb.map { case (id, v) => id -> codes(v) }.toMap
+    val expected = emb.filter(_._1 % 100 == 0).flatMap { case (qid, qv) =>
+      val qc = cellOf(qid)
+      val dt = Array.tabulate(8)(s => dists(qv, s))
+      emb.filter { case (id, _) => id != qid && cellOf(id) == qc }
+        .map { case (id, _) =>
+          val adc = (0 until 8).map(s => dt(s)(codeOf(id)(s))).sum
+          (qid, qc, id, round(adc, 4))
+        }
+        .sortBy { case (_, _, id, adc) => (adc, id) }
+        .take(3).zipWithIndex
+        .map { case ((q, c, id, adc), i) => (q, c, i + 1, id, adc) }
+    }
+    val got = operators.Similarity.annIvfPqTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cell").toInt,
+        r.getAs[Int]("rank"), r.getAs[Long]("vec_id"), r.getAs[Double]("adc")))
+    assert(got.nonEmpty && got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 && g._4 == e._4,
+        s"row mismatch: got $g expected $e")
+      assert(math.abs(g._5 - e._5) < 1e-9, s"adc mismatch: got $g expected $e")
+    }
+  }
+
   test("z-order layout: 2-D predicate prunes row groups a 1-D sort cannot") {
     import org.apache.spark.sql.functions.expr
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
