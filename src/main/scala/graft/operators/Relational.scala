@@ -576,6 +576,40 @@ object Relational {
       |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Higher-order array functions — the lambda surface (`transform` /
+    * `filter` / `exists` / `slice` / `sort_array` / `array_join`) over the
+    * per-document token array, completing the array half of the "Array /
+    * map fns" §2.2 row (DuckDB mirror: `list_transform` / `list_filter` /
+    * `list_sort` / slicing / `array_to_string`). All lambdas run inside
+    * whole-stage codegen on one narrow scan: no shuffle until the final
+    * presentation sort, so the shape is a pure map stage at any corpus
+    * size. Array-valued intermediates are folded to scalars (joined
+    * string / counts / bool) before emit per the oracle-parity rules.
+    */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tok"),
+        size(expr("filter(toks, t -> length(t) > 4)")).as("n_long"),
+        expr("exists(toks, t -> length(t) > 8)").as("has_rare"),
+        array_join(expr("transform(slice(toks, 1, 5), t -> string(length(t)))"),
+          ",").as("head_lens"),
+        array_join(sort_array(expr("slice(toks, 1, 5)")), ",").as("head_sorted"))
+      .orderBy("doc_id")
+
+  val arrayFuncsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INTEGER) AS n_tok,
+      |  CAST(len(list_filter(toks, t -> length(t) > 4)) AS INTEGER) AS n_long,
+      |  len(list_filter(toks, t -> length(t) > 8)) > 0 AS has_rare,
+      |  array_to_string(list_transform(toks[1:5], t -> CAST(length(t) AS VARCHAR)), ',') AS head_lens,
+      |  array_to_string(list_sort(toks[1:5]), ',') AS head_sorted
+      |FROM t ORDER BY doc_id""".stripMargin
+
   def caseBuckets(s: SparkSession, d: String): DataFrame =
     ord(s, d)
       .select(
@@ -892,6 +926,42 @@ object Relational {
        |  min(CASE WHEN sampled THEN doc_id END) AS first_sampled_id
        |FROM b GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------ bottom-k sample
+  /** Consistent bottom-k sampling: per language stratum, the k=5 documents
+    * with the smallest (portable id-hash, doc_id) — an exact uniform
+    * without-replacement sample whose membership is a pure function of the
+    * ids. Unlike a reservoir, the bottom-k summary is MERGEABLE: the
+    * bottom-k of a union is the bottom-k of each side's bottom-k, so
+    * per-partition (and per-batch, for incremental corpora) pre-pruning to
+    * k rows is lossless. Catalyst plans the rank filter as
+    * `WindowGroupLimit`, which performs exactly that map-side prune —
+    * each task forwards ≤ k rows per group to the single `lang` shuffle,
+    * so at 100 TB the exchange carries O(groups × k), not the corpus.
+    */
+  def bottomkSample(s: SparkSession, d: String): DataFrame = {
+    val h = graft.functions.Portable.hash28(col("doc_id").cast("string"))
+    val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= 5)
+      .select("lang", "pos", "doc_id", "h")
+      .orderBy("lang", "pos")
+  }
+
+  val bottomkSampleSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    ${graft.functions.Portable.hash28Sql("doc_id::VARCHAR")} AS h
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT lang, doc_id, h,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+       |         AS INTEGER) AS pos
+       |  FROM b)
+       |SELECT lang, pos, doc_id, h FROM ranked
+       |WHERE pos <= 5 ORDER BY lang, pos""".stripMargin
+
   // ------------------------------------------------------ approx percentile
   /** Sketch-based percentile (`percentile_approx`, Greenwald-Khanna) next
     * to the exact value it approximates. No SQL oracle (sketch internals
@@ -998,9 +1068,75 @@ object Relational {
       |  CAST(sum(CAST(trunc(price * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM merged GROUP BY src ORDER BY src""".stripMargin
 
+  // ---------------------------------------------------------------- SCD2
+  /** SCD2 (type-2 slowly-changing-dimension) history build — the batch
+    * companion of [[mergeUpsert]]: each customer's order-priority history
+    * collapsed into effective-dated rows. Consecutive orders with the same
+    * priority fold into one version (lag-compare flag → running sum =
+    * version id, the `sessionize_gaps` machinery driven by value change
+    * instead of time gap); each version carries
+    * `[valid_from, valid_to)` with `valid_to` = next version's start
+    * (NULL ⇒ current). Ties on order date break by o_orderkey, so version
+    * boundaries are deterministic in both engines.
+    *
+    * Scale posture: one `o_custkey` shuffle feeds the lag, the running
+    * sum, the fold-to-versions aggregate, AND the lead — Catalyst chains
+    * all four on the same `HashPartitioning(o_custkey)` with per-key
+    * sorts, no second exchange. Work is per-dimension-key history length,
+    * never cross-key — the layout a 100 TB dimension build wants.
+    */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val byKey = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val bySeg = Window.partitionBy("o_custkey").orderBy("seg")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority").as("prio"))
+      .withColumn("chg",
+        when(lag("prio", 1).over(byKey).isNull ||
+          lag("prio", 1).over(byKey) =!= col("prio"), 1L).otherwise(0L))
+      .withColumn("seg", sum("chg").over(byKey))
+      .groupBy("o_custkey", "seg")
+      .agg(first("prio").as("prio"),
+        min("o_orderdate").as("valid_from"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("valid_to", lead("valid_from", 1).over(bySeg))
+      .select(col("o_custkey"), col("seg").as("version"), col("prio"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("n_orders"))
+      .orderBy("o_custkey", "version")
+  }
+
+  val scd2HistorySql: String =
+    """WITH flagged AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority AS prio,
+      |    CASE WHEN lag(o_orderpriority, 1) OVER w IS NULL
+      |           OR lag(o_orderpriority, 1) OVER w <> o_orderpriority
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |versions AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, prio,
+      |    sum(chg) OVER (PARTITION BY o_custkey
+      |                   ORDER BY o_orderdate, o_orderkey) AS seg
+      |  FROM flagged),
+      |folded AS (
+      |  SELECT o_custkey, CAST(seg AS BIGINT) AS version,
+      |    min(prio) AS prio, min(o_orderdate) AS valid_from,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM versions GROUP BY o_custkey, seg)
+      |SELECT o_custkey, version, prio, valid_from,
+      |  lead(valid_from, 1) OVER (PARTITION BY o_custkey ORDER BY version)
+      |    AS valid_to,
+      |  lead(valid_from, 1) OVER (PARTITION BY o_custkey ORDER BY version)
+      |    IS NULL AS is_current,
+      |  n_orders
+      |FROM folded ORDER BY o_custkey, version""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
+    "scd2_history" -> (scd2History _),
     "percentile_tdigest" -> (percentileTdigest _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_orders" -> (q3TopOrders _),
@@ -1024,6 +1160,7 @@ object Relational {
     "json_funcs" -> (jsonFuncs _),
     "variant_json_stats" -> (variantJsonStats _),
     "map_funcs" -> (mapFuncs _),
+    "array_funcs" -> (arrayFuncs _),
     "case_buckets" -> (caseBuckets _),
     "percentile_exact" -> (percentileExact _),
     "scalar_subquery" -> (scalarSubquery _),
@@ -1033,6 +1170,7 @@ object Relational {
     "group_concat" -> (groupConcat _),
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
+    "bottomk_sample" -> (bottomkSample _),
     "percentile_approx_sketch" -> (percentileApprox _),
     "pivot_events" -> (pivotEvents _),
     "unpivot_metrics" -> (unpivotMetrics _),
@@ -1040,6 +1178,7 @@ object Relational {
 
   def oracles: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
+    "scd2_history" -> scd2HistorySql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders" -> q3Sql,
     "q5_nation_revenue" -> q5Sql,
@@ -1060,6 +1199,7 @@ object Relational {
     "json_funcs" -> jsonFuncsSql,
     "variant_json_stats" -> variantJsonStatsSql,
     "map_funcs" -> mapFuncsSql,
+    "array_funcs" -> arrayFuncsSql,
     "case_buckets" -> caseBucketsSql,
     "percentile_exact" -> percentileExactSql,
     "scalar_subquery" -> scalarSubquerySql,
@@ -1069,6 +1209,7 @@ object Relational {
     "group_concat" -> groupConcatSql,
     "sample_split" -> sampleSplitSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "bottomk_sample" -> bottomkSampleSql,
     "pivot_events" -> pivotEventsSql,
     "unpivot_metrics" -> unpivotMetricsSql,
     "agg_stats" -> aggStatsSql)
