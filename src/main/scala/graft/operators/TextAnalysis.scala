@@ -630,6 +630,82 @@ object TextAnalysis {
        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
   }
 
+  /** Tokenizer APPLICATION — the other half of BPE next to
+    * [[bpePairCounts]]' training statistic: the learned top-20 merges are
+    * applied to every document in rank order, turning adjacent token
+    * pairs into single `a▁b` tokens. The merge table is collected to
+    * the driver (≤20 rows — the codebook pattern of `ann_ivf_trained`)
+    * and unrolled into ONE whole-stage-codegen projection of chained
+    * literal `replace` calls — no per-row interpretation, no UDF, one
+    * narrow corpus pass, which is how a 100 TB corpus gets tokenized:
+    * tiny broadcast vocabulary, embarrassingly parallel map.
+    *
+    * Merge semantics (pinned, engine-portable): each merge rewrites
+    * space-delimited occurrences left-to-right, non-overlapping, TWICE —
+    * the second sweep catches occurrences whose shared boundary space the
+    * first sweep consumed ("a b a b"). Both engines' `replace` scans
+    * identically, so parity holds by construction; chained re-merging
+    * cannot occur because learned pairs contain only original tokens
+    * (never `▁`). Word-level merges, trained once over the corpus —
+    * the word2phrase shape rather than character-level BPE training,
+    * whose per-iteration re-counting is [[bpePairCounts]] run k times.
+    */
+  def bpeApplyMerges(s: SparkSession, d: String): DataFrame = {
+    val sep = "▁"
+    val merges: Seq[String] =
+      bpePairCounts(s, d).collect().map(_.getString(0)).toSeq
+    val init = concat(lit(" "), col("text"), lit(" "))
+    val merged = merges.foldLeft(init) { (c, pair) =>
+      val pat = lit(s" $pair ")
+      val rep = lit(" " + pair.replace(" ", sep) + " ")
+      val once = call_function("replace", c, pat, rep)
+      call_function("replace", once, pat, rep)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), merged.as("s"))
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok_before"),
+        (size(split(col("s"), " ")) - 2).as("n_tok_after"),
+        (length(col("s")) - length(call_function("replace", col("s"), lit(sep), lit(""))))
+          .cast("long").as("n_merges_applied"),
+        get(expr(s"filter(split(s, ' '), t -> contains(t, '$sep'))"), lit(0))
+          .as("first_merged"))
+      .orderBy("doc_id")
+  }
+
+  val bpeApplyMergesSql: String = {
+    val shingles2 = Portable.shinglesSql(2)
+    s"""WITH RECURSIVE
+       |w AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |prs AS (SELECT unnest($shingles2) AS pair FROM w),
+       |top AS (
+       |  SELECT pair, count(*) AS cnt FROM prs GROUP BY 1
+       |  ORDER BY cnt DESC, pair LIMIT 20),
+       |m AS (
+       |  SELECT ' ' || pair || ' ' AS pat,
+       |    ' ' || replace(pair, ' ', '▁') || ' ' AS rep,
+       |    row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+       |  FROM top),
+       |apply(doc_id, s, i) AS (
+       |  SELECT doc_id, ' ' || text || ' ', 0 FROM documents
+       |  UNION ALL
+       |  SELECT a.doc_id, replace(replace(a.s, m.pat, m.rep), m.pat, m.rep),
+       |    a.i + 1
+       |  FROM apply a JOIN m ON m.rnk = a.i + 1),
+       |fin AS (
+       |  SELECT doc_id, s FROM apply WHERE i = (SELECT count(*) FROM m))
+       |SELECT f.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tok_before,
+       |  CAST(len(string_split(f.s, ' ')) - 2 AS INTEGER) AS n_tok_after,
+       |  CAST(length(f.s) - length(replace(f.s, '▁', '')) AS BIGINT)
+       |    AS n_merges_applied,
+       |  list_filter(string_split(f.s, ' '), t -> contains(t, '▁'))[1]
+       |    AS first_merged
+       |FROM fin f JOIN documents d ON d.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   /** Quality-cutoff thresholds (basis points) swept by
     * [[qualityThresholdSweep]]. */
   val SweepThresholds: Seq[Long] = Seq(0L, 7000L, 8000L, 8500L, 9000L, 9500L)
@@ -747,6 +823,7 @@ object TextAnalysis {
     "length_histogram" -> (lengthHistogram _),
     "mixture_rebalance" -> (mixtureRebalance _),
     "bpe_pair_counts" -> (bpePairCounts _),
+    "bpe_apply_merges" -> (bpeApplyMerges _),
     "heavy_hitters_exact" -> (heavyHittersExact _),
     "frequent_items_sketch" -> (frequentItemsSketch _),
     "source_mix_report" -> (sourceMixReport _),
@@ -767,6 +844,7 @@ object TextAnalysis {
     "length_histogram" -> lengthHistogramSql,
     "mixture_rebalance" -> mixtureRebalanceSql,
     "bpe_pair_counts" -> bpePairCountsSql,
+    "bpe_apply_merges" -> bpeApplyMergesSql,
     "heavy_hitters_exact" -> heavyHittersExactSql,
     "frequent_items_sketch" -> frequentItemsSketchSql,
     "source_mix_report" -> sourceMixReportSql,
