@@ -563,4 +563,63 @@ object Streams {
         deadLetterBatch(batch.toDF(), id, valid, reason, sinkPath, quarantinePath)
       }
       .start()
+
+  // ---------------------------------------------------- streaming CDC upsert
+  /** Latest committed snapshot version under `dir` (directories `v=<id>`),
+    * or None before the first batch. */
+  def latestSnapshotVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .sorted(Ordering[Long].reverse).headOption
+  }
+
+  /** The current snapshot as a DataFrame (latest version), for readers. */
+  def readSnapshot(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/v=${latestSnapshotVersion(spark, dir).get}")
+
+  /** One micro-batch of streaming CDC snapshot maintenance — the streaming
+    * twin of the batch `merge_upsert` query, factored out (the
+    * [[deadLetterBatch]] pattern) so redelivery is directly testable.
+    * `batch` carries (key, op ∈ I/U/D, payload…); version `id` is built
+    * from version `id-1` as snapshot-anti-join-changes ∪ surviving change
+    * rows — the same single wide equi-key edge as the batch query — and
+    * written to `dir/v=<id>`. Idempotence is by construction: a
+    * redelivered batch rebuilds `v=<id>` from the untouched `v=<id-1>`,
+    * byte-replacing its own prior output instead of double-applying.
+    * Versioned directories also give concurrent readers snapshot
+    * isolation ([[readSnapshot]] reads the latest complete version);
+    * retention/GC of old versions is an ops policy, not applied here.
+    *
+    * Scale posture: the rewrite cost is one equi-key shuffle of
+    * snapshot ∪ batch per micro-batch — the honest cost of parquet (no
+    * per-file MERGE); at 100 TB the snapshot would be partitioned by a
+    * key prefix so each batch rewrites only the partitions its keys
+    * touch, which composes with this versioning unchanged.
+    */
+  def upsertBatch(batch: DataFrame, id: Long, dir: String, key: String): Unit = {
+    val spark = batch.sparkSession
+    val applied = batch.filter(col("op") =!= "D").drop("op")
+    val prev = new java.io.File(s"$dir/v=${id - 1}")
+    val merged =
+      if (!prev.isDirectory) applied
+      else {
+        val base = spark.read.parquet(prev.getPath)
+        base.join(batch.select(col(key)), Seq(key), "left_anti")
+          .unionByName(applied)
+      }
+    merged.write.mode("overwrite").parquet(s"$dir/v=$id")
+  }
+
+  /** Streaming CDC apply: each micro-batch of change rows upserts the
+    * versioned parquet snapshot via [[upsertBatch]]. */
+  def streamUpsert(df: DataFrame, dir: String, key: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsertBatch(batch.toDF(), id, dir, key)
+      }
+      .start()
 }
