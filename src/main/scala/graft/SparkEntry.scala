@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     BeamParity.queries ++ Relational.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Skew.queries ++
-      TemporalJoins.queries ++ TimeSeries.queries ++ Packing.queries
+      TemporalJoins.queries ++ TimeSeries.queries ++ Packing.queries ++
+      DataQuality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     BeamParity.oracles ++ Relational.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Skew.oracles ++
-      TemporalJoins.oracles ++ TimeSeries.oracles ++ Packing.oracles
+      TemporalJoins.oracles ++ TimeSeries.oracles ++ Packing.oracles ++
+      DataQuality.oracles
 }

@@ -628,4 +628,45 @@ class OperatorSpec extends AnyFunSuite {
       assert(lScan < total, s"$dir: 1-D layout pruned nothing ($lScan of $total)")
     }
   }
+
+  test("column profile runs in ONE documents scan; stats agree with the frame") {
+    val prof = operators.DataQuality.profileColumns(spark, sf)
+    assert(scanPaths(prof).count(_.contains("documents.parquet")) == 1,
+      "profile must be a single-pass aggregate, not per-column re-scans")
+    val rows = prof.collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val docs = Tables.documents(spark, sf).cache()
+    try {
+      val n = docs.count()
+      assert(rows.keySet == Set("doc_id", "lang", "n_chars", "source", "text"))
+      rows.values.foreach(r => assert(r.getAs[Long]("n_rows") == n))
+      assert(rows("doc_id").getAs[Long]("n_distinct") == n) // ids unique
+      assert(rows("lang").getAs[Long]("n_nulls") == 0L)
+    } finally { docs.unpersist(); () }
+  }
+
+  test("mixture drift: KL terms sum >= 0, TV in [0, 1/2] per source") {
+    val rs = operators.DataQuality.mixtureDrift(spark, sf).collect()
+    assert(rs.nonEmpty)
+    // complete support on the fixture: no NULL (infinite) terms, and the
+    // term-sum of KL(A||B) over a full distribution is Gibbs-nonnegative
+    assert(rs.forall(!_.isNullAt(rs.head.fieldIndex("kl_term"))))
+    val kl = rs.map(_.getAs[Double]("kl_term")).sum
+    assert(kl >= -1e-9, s"KL sum $kl negative")
+    rs.foreach { r =>
+      val tv = r.getAs[Double]("tv_term")
+      assert(tv >= 0.0 && tv <= 0.5, s"tv term $tv out of range")
+    }
+  }
+
+  test("weighted sample: kept rate tracks mean weight per language") {
+    operators.DataQuality.sampleWeighted(spark, sf).collect().foreach { r =>
+      val rate = r.getAs[Double]("kept_rate")
+      val w = r.getAs[Double]("avg_weight")
+      val n = r.getAs[Long]("n_total")
+      // binomial tolerance: 4 sigma at the stratum's size
+      val tol = 4.0 * math.sqrt(w * (1 - w) / n) + 0.05
+      assert(math.abs(rate - w) <= tol,
+        s"lang ${r.getAs[String]("lang")}: kept $rate vs weight $w (n=$n)")
+    }
+  }
 }
