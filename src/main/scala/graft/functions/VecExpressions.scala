@@ -226,6 +226,10 @@ object VecFunctions {
         es => FloatVecDotD(es.head, es(1)), "built-in")
       reg.createOrReplaceTempFunction("vec_norm",
         es => FloatVecNorm(es.head), "built-in")
+      reg.createOrReplaceTempFunction("pq_encode",
+        es => PqEncodeExpr(es.head), "built-in")
+      reg.createOrReplaceTempFunction("pq_dist_tables",
+        es => PqDistTablesExpr(es.head), "built-in")
       spark.conf.set(registeredFlag, "true")
     }
   }

@@ -523,61 +523,44 @@ object Similarity {
     * `ann_ivf_trained_topk` refines `ann_ivf_topk` (engine-specific, so
     * no SQL oracle there by design).
     */
-  private[graft] def pqCentroid(s: Int, j: Int, i: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"pq_${s}_${j}_$i".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(7)
-    ((java.lang.Long.parseLong(hex, 16) % 2000001L) / 1000000.0 - 1.0) * 0.35
-  }
-
-  /** Squared L2 distance between `v`'s subspace `s` slice and centroid
-    * `j`, as a direct Column tree (plan-build O(plans), not O(SQL text) —
-    * see [[planeDot]]). Sequential accumulation dim by dim, identical to
-    * the oracle's. */
-  private def pqDist(v: Column, s: Int, j: Int): Column =
-    (0 until PqDims).map { i =>
-      val e = v.getItem(s * PqDims + i).cast("double") - lit(pqCentroid(s, j, i))
-      e * e
-    }.reduce(_ + _)
-
-  /** Subspace `s`'s code for `v`: the index of the nearest centroid.
-    * `array_position(dists, array_min(dists))` compares the min against
-    * the SAME computed doubles, so the match is bitwise and both engines
-    * agree without rounding; ties (probability ~2^-50) would resolve to
-    * the lowest index in both. */
-  private def pqCode(v: Column, s: Int): Column =
-    (array_position(
-      array((0 until PqCentroids).map(j => pqDist(v, s, j)): _*),
-      array_min(array((0 until PqCentroids).map(j => pqDist(v, s, j)): _*)))
-      - 1).cast("int")
+  private[graft] def pqCentroid(s: Int, j: Int, i: Int): Double =
+    graft.functions.PqKernels.centroid(s, j, i)
 
   /** PQ codes frame shared by [[pqEncode]] and [[pqAdcTopk]]:
     * (vec_id, code_0..code_7). One narrow map stage — the shape that
     * encodes a 100 TB corpus embarrassingly parallel, after which the
     * corpus is 8 BYTES per vector (4 bits × 8 codes, stored as ints
-    * here) for every downstream distance computation. */
-  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    * here) for every downstream distance computation. The encode itself
+    * is the native `pq_encode` kernel (`PqEncodeExpr`): the equivalent
+    * Column tree — distance arrays built term by term, twice per argmin —
+    * is ~12k expression nodes, which overflows janino's 64 KB method
+    * limit and forces the whole stage onto the interpreted evaluator.
+    */
+  private def pqCodes(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
     Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), expr("pq_encode(embedding)").as("enc"))
       .select(col("vec_id") +:
         (0 until PqSubspaces).map(sub =>
-          pqCode(col("embedding"), sub).as(s"code_$sub")): _*)
+          col("enc.codes").getItem(sub).as(s"code_$sub")): _*)
+  }
 
   /** Product-quantization encode (the missing third of the IVF-PQ serving
     * stack next to `ann_ivf_*` and `embedding_quantize`): 64 dims → 8
     * subspace codes of 4 bits against the portable seeded codebook, plus
     * the per-vector reconstruction error (the sum of the chosen cells'
     * squared distances — THE quantization-quality metric a deployment
-    * monitors), rounded 4 dp for cross-engine hash parity.
+    * monitors), rounded 4 dp for cross-engine hash parity. One
+    * `pq_encode` kernel call per row (see [[pqCodes]] for why native).
     */
   def pqEncode(s: SparkSession, d: String): DataFrame = {
-    val err = (0 until PqSubspaces).map(sub =>
-      array_min(array((0 until PqCentroids).map(j =>
-        pqDist(col("embedding"), sub, j)): _*))).reduce(_ + _)
+    graft.functions.VecFunctions.register(s)
     Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), expr("pq_encode(embedding)").as("enc"))
       .select(col("vec_id") +:
         (0 until PqSubspaces).map(sub =>
-          pqCode(col("embedding"), sub).as(s"code_$sub")) :+
-        round(err, 4).as("recon_err"): _*)
+          col("enc.codes").getItem(sub).as(s"code_$sub")) :+
+        round(col("enc.recon_err"), 4).as("recon_err"): _*)
       .orderBy("vec_id")
   }
 
@@ -623,15 +606,15 @@ object Similarity {
     * literals. Round-before-rank (4 dp) per the oracle-parity rules.
     */
   def pqAdcTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
     val codes = pqCodes(s, d)
     val queries = Tables.embeddings(s, d)
       .filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid") +:
-        (0 until PqSubspaces).map(sub =>
-          array((0 until PqCentroids).map(j =>
-            pqDist(col("embedding"), sub, j)): _*).as(s"dt_$sub")): _*)
+      .select(col("vec_id").as("qid"),
+        expr("pq_dist_tables(embedding)").as("dts"))
     val adc = (0 until PqSubspaces).map(sub =>
-      element_at(col(s"dt_$sub"), col(s"code_$sub") + 1)).reduce(_ + _)
+      element_at(element_at(col("dts"), sub + 1), col(s"code_$sub") + 1))
+      .reduce(_ + _)
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
     queries.join(codes, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), round(adc, 4).as("adc"))
@@ -710,17 +693,18 @@ object Similarity {
     val e = Tables.parallelize(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"),
         expr("vec_norm(embedding)").as("nrm"))
-    val corpus = e.select(
-      col("vec_id") +: assignCellRounded(codebook).as("cell") +:
+    val corpus = e
+      .select(col("vec_id"), assignCellRounded(codebook).as("cell"),
+        expr("pq_encode(embedding)").as("enc"))
+      .select(col("vec_id") +: col("cell") +:
         (0 until PqSubspaces).map(sub =>
-          pqCode(col("embedding"), sub).as(s"code_$sub")): _*)
+          col("enc.codes").getItem(sub).as(s"code_$sub")): _*)
     val q = e.filter(col("vec_id") % 100 === 0).select(
-      col("vec_id").as("qid") +: assignCellRounded(codebook).as("cell") +:
-        (0 until PqSubspaces).map(sub =>
-          array((0 until PqCentroids).map(j =>
-            pqDist(col("embedding"), sub, j)): _*).as(s"dt_$sub")): _*)
+      col("vec_id").as("qid"), assignCellRounded(codebook).as("cell"),
+      expr("pq_dist_tables(embedding)").as("dts"))
     val adc = (0 until PqSubspaces).map(sub =>
-      element_at(col(s"dt_$sub"), col(s"code_$sub") + 1)).reduce(_ + _)
+      element_at(element_at(col("dts"), sub + 1), col(s"code_$sub") + 1))
+      .reduce(_ + _)
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
     q.join(corpus, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
