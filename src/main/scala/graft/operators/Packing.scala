@@ -248,6 +248,42 @@ object Packing {
        |ORDER BY layout""".stripMargin
   }
 
+  // ------------------------------------------------- small-file compaction
+  /** Compact a directory of small parquet files into ~`targetBytes` output
+    * files — the table-maintenance pass every streaming/incremental sink
+    * eventually needs (each micro-batch appends a few files; a year of
+    * 1-minute batches is half a million files whose open/footer/seek
+    * overhead dominates scans long before data size does).
+    *
+    * The partition count is planned from FILE METADATA (a driver-side
+    * listing summing `len`), never from a data scan — at 100 TB the
+    * listing is O(files) name-node calls and the data is read exactly
+    * once, written exactly once. Round-robin `repartition` (not
+    * `coalesce`) is deliberate: coalesce would merge without a shuffle
+    * but chains unevenly-sized inputs into unevenly-sized outputs and,
+    * worse, caps the scan's parallelism at the output count; the shuffle
+    * buys evenly-sized files, which is the point of the pass.
+    * `maxRecordsPerFile` is the belt-and-braces bound for the skewed-row
+    * case (rows whose serialized size dwarfs the estimate).
+    *
+    * Returns the planned partition count; the PackingSpec asserts output
+    * file count, row preservation, and per-file row bounds.
+    */
+  def compactFiles(s: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long, maxRecordsPerFile: Long = 0L): Int = {
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(inPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val writer = s.read.parquet(inDir).repartition(parts).write.mode("overwrite")
+    (if (maxRecordsPerFile > 0L)
+      writer.option("maxRecordsPerFile", maxRecordsPerFile)
+    else writer).parquet(outDir)
+    parts
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "assign_row_ids" -> (assignRowIds _),
     "pack_sequences" -> (packSequences _),

@@ -629,6 +629,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("small-file compaction: metadata-planned file count, rows preserved, bounded files") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val smallDir = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+    // a streaming sink's pathology: 64 tiny files
+    Tables.documents(spark, sf).repartition(64).write.mode("overwrite").parquet(smallDir)
+    val nFilesIn = new java.io.File(smallDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFilesIn == 64)
+    val totalBytes = new java.io.File(smallDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val parts = operators.Packing.compactFiles(
+      spark, smallDir, outDir, targetBytes = totalBytes / 4)
+    val outFiles = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(outFiles.length == parts && parts < nFilesIn,
+      s"wanted $parts compacted files, got ${outFiles.length} (from $nFilesIn)")
+    // nothing lost, nothing duplicated, and round-robin kept files even
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == Tables.documents(spark, sf).count())
+    assert(back.select("doc_id").distinct().count() == back.count())
+    val perFile = back.groupBy(input_file_name()).count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(perFile.max <= 2L * perFile.min,
+      s"uneven compaction: ${perFile.toSeq.sorted}")
+  }
+
   test("column profile runs in ONE documents scan; stats agree with the frame") {
     val prof = operators.DataQuality.profileColumns(spark, sf)
     assert(scanPaths(prof).count(_.contains("documents.parquet")) == 1,
