@@ -27,6 +27,21 @@ object Sources {
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
+  /** Raw media ingest (the multimodal pipeline's entry point): every file
+    * under `dir` matching `glob` becomes one row of (path, modificationTime,
+    * length, content binary) — the built-in `binaryFile` format, which is
+    * how image/audio/video corpora enter Spark before `Multimodal`'s
+    * decode/chunk/feature stages. Scale posture: file listing distributes
+    * across executors, each file's bytes stay on the executor that read
+    * them (one row per file — pair with [[graft.operators.Multimodal]]
+    * chunking for files larger than a row should be), and
+    * `pathGlobFilter` prunes non-media files at listing time, before any
+    * byte is read.
+    */
+  def binaryFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+
   // ------------------------------------------------------------- streaming
   /** Unbounded file-directory source — the test/deploy stand-in for the
     * reference's Pub/Sub Lite read: files dropped into `dir` are consumed

@@ -55,6 +55,27 @@ class SourcesSpec extends AnyFunSuite {
       orders.agg(sum("o_totalprice")).collect()(0).getDouble(0))
   }
 
+  test("binaryFile source: media bytes land as binary rows, glob prunes at listing") {
+    val dir = Files.createTempDirectory("graft_media_in").toString
+    // two fake media files + one sidecar that the glob must prune unread
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    val wav = "RIFF0000WAVEfmt ".getBytes("UTF-8")
+    Files.write(java.nio.file.Paths.get(s"$dir/a.png"), png)
+    Files.write(java.nio.file.Paths.get(s"$dir/b.wav"), wav)
+    Files.write(java.nio.file.Paths.get(s"$dir/notes.txt"), "sidecar".getBytes)
+    val all = Sources.binaryFiles(spark, dir)
+    assert(all.count() == 3)
+    assert(all.schema("content").dataType == BinaryType)
+    val media = Sources.binaryFiles(spark, dir, glob = "*.{png,wav}")
+      .select(col("path"), col("length"), col("content"))
+      .collect().map(r => (r.getAs[String]("path").split('/').last,
+        r.getAs[Long]("length"), r.getAs[Array[Byte]]("content")))
+    assert(media.map(_._1).toSet == Set("a.png", "b.wav"))
+    val byName = media.map(m => m._1 -> m).toMap
+    assert(byName("a.png")._3.sameElements(png) && byName("a.png")._2 == png.length)
+    assert(byName("b.wav")._3.sameElements(wav))
+  }
+
   test("parquet schema evolution: mergeSchema unions batches, old rows null-fill") {
     // a corpus accretes columns over time (new quality signals, new
     // provenance fields); the lake must read old and new batches as one
