@@ -230,6 +230,8 @@ object VecFunctions {
         es => PqEncodeExpr(es.head), "built-in")
       reg.createOrReplaceTempFunction("pq_dist_tables",
         es => PqDistTablesExpr(es.head), "built-in")
+      reg.createOrReplaceTempFunction("asof_le",
+        es => graft.plans.AsofLE(es.head, es(1)), "built-in")
       spark.conf.set(registeredFlag, "true")
     }
   }

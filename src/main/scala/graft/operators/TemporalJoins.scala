@@ -86,6 +86,45 @@ object TemporalJoins {
       |WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** The same "latest signup at or before each purchase" question as
+    * [[asofLatestPrior]], answered by the NATIVE as-of join operator
+    * (`asof_le` marker → `AsofJoinStrategy` → `AsofJoinExec`; see
+    * `plans/AsofJoin.scala`). Semantics difference vs the window
+    * composition, pinned by the oracle: `asof_le` is a pure
+    * `rightTime <= leftTime` bound — a signup in the SAME epoch second as
+    * the purchase matches regardless of event-id order, so the oracle is
+    * the correlated `max(es) WHERE es <= es` form, not the union-window
+    * form. Scale shape: each side shuffles once on user_id, sorts on
+    * (user_id, es), and one forward merge pass emits exactly one row per
+    * purchase — no union materialization, no running-max window buffer.
+    */
+  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    graft.plans.GraftStrategies.register(s)
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
+    val signups = Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), unix_timestamp(col("ts")).as("s_es"))
+    purchases
+      .join(signups, expr("user_id = s_uid AND asof_le(es, s_es)"), "left")
+      .select(col("event_id"), col("user_id"), col("s_es").as("last_signup_s"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinNativeSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |  FROM events WHERE event_type = 'purchase'),
+      |s AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT p.event_id, p.user_id,
+      |  (SELECT max(s.es) FROM s
+      |   WHERE s.user_id = p.user_id AND s.es <= p.es) AS last_signup_s
+      |FROM p ORDER BY p.event_id""".stripMargin
+
   /** Interval width (seconds) for the overlap join below — one hour, wide
     * enough that the sparse fixture event stream produces a meaningful
     * overlap population at every sf. */
@@ -143,10 +182,12 @@ object TemporalJoins {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_join_binned" -> (rangeJoinBinned _),
     "asof_latest_prior" -> (asofLatestPrior _),
+    "asof_join_native" -> (asofJoinNative _),
     "interval_overlap_join" -> (intervalOverlapJoin _))
 
   def oracles: Map[String, String] = Map(
     "range_join_binned" -> rangeJoinBinnedSql,
     "asof_latest_prior" -> asofLatestPriorSql,
+    "asof_join_native" -> asofJoinNativeSql,
     "interval_overlap_join" -> intervalOverlapJoinSql)
 }

@@ -12,16 +12,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * [[VecFusionRule]] optimizer rule that rewrites hand-written
   * `aggregate(zip_with(...))` dot products onto the native fast path.
   *
-  * This is the full extent of planner customization the engine needs:
-  * SURVEY.md §4's audit found every reference operator maps to Catalyst
-  * built-ins (no custom Strategy/SparkPlan required), so the extension
-  * surface is deliberately limited to function injection and one
-  * optimization rule.
+  * Planner customization is deliberately minimal: SURVEY.md §4's audit
+  * found every REFERENCE operator maps to Catalyst built-ins, so the only
+  * whole-operator extension is [[AsofJoinStrategy]] → [[AsofJoinExec]] for
+  * the as-of join (an operator Spark lacks natively; see `AsofJoin.scala`
+  * for why the native merge beats the union+window composition), plus
+  * function injection and the [[VecFusionRule]] optimizer rule.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VecFusionRule)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    ext.injectFunction((
+      new FunctionIdentifier("asof_le"),
+      new ExpressionInfo(classOf[AsofLE].getName, "asof_le"),
+      (es: Seq[Expression]) => AsofLE(es.head, es(1))))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

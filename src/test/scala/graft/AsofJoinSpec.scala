@@ -1,0 +1,98 @@
+package graft
+
+import graft.plans.{AsofJoinExec, GraftStrategies}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native as-of join (marker predicate → strategy → SparkPlan):
+  * planner wiring, merge semantics at the edges the fixture can't pin
+  * (ties, no-match, right duplicates), and agreement with an independent
+  * per-row computation. Exact-value correctness at fixture scale is the
+  * driver's DuckDB oracle (`asof_join_native`).
+  */
+class AsofJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize any adaptive plan before inspecting it
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("strategy plans the marker join onto AsofJoinExec") {
+    val df = operators.TemporalJoins.asofJoinNative(spark, sf)
+    assert(planOf(df).contains("AsofJoin"),
+      "asof_le join condition was not planned by AsofJoinStrategy")
+  }
+
+  test("merge semantics: latest <=, inclusive ties, null before first match, dup keys collapse") {
+    GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    val probes = Seq(
+      // (id, key, t)
+      (1L, 10L, 100L), // before any right row for the key -> null
+      (2L, 10L, 200L), // exact tie with a right row at 200 -> inclusive
+      (3L, 10L, 350L), // between right rows -> latest prior (300), not 200
+      (4L, 99L, 500L), // key absent on the right -> null
+      (5L, 20L, 999L)  // right has DUPLICATE times; exactly one output row
+    ).toDF("id", "k", "t")
+    val quotes = Seq(
+      (10L, 200L, "a"),
+      (10L, 300L, "b"),
+      (10L, 400L, "c"), // after every probe for key 10 -> never matched
+      (20L, 50L, "x1"),
+      (20L, 50L, "x2")  // duplicate (key, time): one must win, no fan-out
+    ).toDF("rk", "rt", "tag")
+    val out = probes
+      .join(quotes, expr("k = rk AND asof_le(t, rt)"), "left")
+      .select($"id", $"rt", $"tag")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getAs[String]("tag"))).toMap
+    assert(out.size == 5, "as-of must emit exactly one row per left row")
+    assert(out(1L)._1.isEmpty)
+    assert(out(2L)._1.contains(200L) && out(2L)._2 == "a")
+    assert(out(3L)._1.contains(300L) && out(3L)._2 == "b")
+    assert(out(4L)._1.isEmpty)
+    assert(out(5L)._1.contains(50L) && out(5L)._2 == "x2") // latest in sort order wins
+  }
+
+  test("fixture agreement with an independent per-purchase computation") {
+    val got = operators.TemporalJoins.asofJoinNative(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    // independent oracle: collect signups per user, scan per purchase
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es")).collect()
+    val signups: Map[Long, Seq[Long]] = ev
+      .filter(_.getAs[String]("event_type") == "signup")
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(_.getAs[Long]("es")).toSeq.sorted).toMap
+    val purchases = ev.filter(_.getAs[String]("event_type") == "purchase")
+    assert(purchases.nonEmpty && got.size == purchases.length)
+    purchases.foreach { p =>
+      val es = p.getAs[Long]("es")
+      val expected = signups.getOrElse(p.getAs[Long]("user_id"), Seq.empty[Long])
+        .filter(_ <= es).lastOption
+      assert(got(p.getAs[Long]("event_id")) == expected,
+        s"event ${p.getAs[Long]("event_id")}")
+    }
+  }
+
+  test("unregistered strategy fails loudly, never silently fans out") {
+    graft.functions.VecFunctions.register(spark)
+    // a session WITHOUT the strategy: the Unevaluable marker must make the
+    // query error, because planning it as a plain predicate would emit one
+    // row per <=-match (wrong multiplicity)
+    val bare = spark.newSession()
+    graft.functions.VecFunctions.register(bare)
+    import bare.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L)).toDF("rk", "rt")
+    val ex = intercept[Exception] {
+      l.join(r, expr("k = rk AND asof_le(t, rt)"), "left").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}
