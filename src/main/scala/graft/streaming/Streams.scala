@@ -430,6 +430,30 @@ object Streams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Streaming data-quality monitor — the windowed twin of the batch
+    * `constraint_audit` (operators.DataQuality): per event-time window,
+    * the row count and one violation counter per named constraint, with
+    * the batch battery's null-safety rule (a predicate that evaluates to
+    * NULL counts as a violation — a null can never PROVE an expectation).
+    * Append mode emits each window's final audit when the watermark
+    * passes it; state is the windowed aggregate's, bounded by the
+    * watermark horizon. This is the shape a 100 TB ingest runs beside
+    * its transforms: violation counts are map-side combinable, so the
+    * monitor adds one tiny keyed aggregate, never a second scan.
+    */
+  def qualityMonitor(df: DataFrame, timeCol: String, delay: String,
+      windowDur: String,
+      constraints: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: constraints.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"v_$name")
+    }
+    df.withWatermark(timeCol, delay)
+      .groupBy(window(col(timeCol), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start") +: col("n_rows") +:
+        constraints.map { case (name, _) => col(s"v_$name") }: _*)
+  }
+
   /** Streaming exact dedup (the training-pipeline counterpart of
     * `Dedup.dedupExact`): state keyed by the id columns, bounded by the
     * watermark — duplicates arriving within the horizon are dropped, state

@@ -297,6 +297,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality monitor: per-window violation counts, null counts against") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, java.lang.Double)]
+    val monitored = Streams.qualityMonitor(
+      in.toDF().toDF("event_time", "value"),
+      timeCol = "event_time", delay = "1 minute", windowDur = "1 minute",
+      constraints = Seq(
+        "value_positive" -> (col("value") > 0.0),
+        "value_capped" -> (col("value") < 100.0)))
+    val q = monitored.writeStream.format("memory").queryName("quality_out")
+      .outputMode("append").start()
+    try {
+      def d(v: Double): java.lang.Double = java.lang.Double.valueOf(v)
+      in.addData(
+        (ts("2024-01-01 10:00:05"), d(5.0)),
+        (ts("2024-01-01 10:00:15"), d(-1.0)),              // violates positive
+        (ts("2024-01-01 10:00:25"), null: java.lang.Double), // null violates BOTH
+        (ts("2024-01-01 10:01:10"), d(250.0)),             // violates capped
+        (ts("2024-01-01 10:01:20"), d(7.0)))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:30:00"),
+        java.lang.Double.valueOf(1.0))) // advance watermark, fire panes
+      q.processAllAvailable()
+      val rows = spark.table("quality_out").collect()
+        .map(r => r.getAs[Timestamp]("window_start").toString ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("v_value_positive"),
+            r.getAs[Long]("v_value_capped"))).toMap
+      assert(rows("2024-01-01 10:00:00.0") == ((3L, 2L, 1L)))
+      assert(rows("2024-01-01 10:01:00.0") == ((2L, 0L, 1L)))
+    } finally q.stop()
+  }
+
   test("batch/stream unification: demo2 transform works on a batch frame (O12)") {
     import spark.implicits._
     val batch = Seq(
