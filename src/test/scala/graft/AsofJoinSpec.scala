@@ -3,6 +3,7 @@ package graft
 import graft.plans.{AsofJoinExec, GraftStrategies}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
 
 /** The native as-of join (marker predicate → strategy → SparkPlan):
   * planner wiring, merge semantics at the edges the fixture can't pin
@@ -55,6 +56,23 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(3L)._1.contains(300L) && out(3L)._2 == "b")
     assert(out(4L)._1.isEmpty)
     assert(out(5L)._1.contains(50L) && out(5L)._2 == "x2") // latest in sort order wins
+  }
+
+  test("timestamp-typed time columns plan and merge identically") {
+    GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    val l = Seq((1L, 7L, Timestamp.valueOf("2024-01-01 10:00:30")))
+      .toDF("id", "k", "t")
+    val r = Seq(
+      (7L, Timestamp.valueOf("2024-01-01 10:00:00"), "early"),
+      (7L, Timestamp.valueOf("2024-01-01 10:00:30"), "tie"),
+      (7L, Timestamp.valueOf("2024-01-01 10:01:00"), "late"))
+      .toDF("rk", "rt", "tag")
+    val df = l.join(r, expr("k = rk AND asof_le(t, rt)"), "left")
+      .select($"id", $"tag")
+    assert(planOf(df).contains("AsofJoin"))
+    assert(df.collect().map(_.getAs[String]("tag")).toSeq == Seq("tie"))
   }
 
   test("fixture agreement with an independent per-purchase computation") {

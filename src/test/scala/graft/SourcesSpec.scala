@@ -76,6 +76,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(byName("b.wav")._3.sameElements(wav))
   }
 
+  test("parquet bloom filter prunes row groups on point lookups where min/max cannot") {
+    val n = 1 << 18
+    // odd-multiplier mod-2^18 bijection scatters ids so EVERY row group
+    // spans nearly the full value range — min/max stats prune nothing and
+    // only a bloom filter can skip row groups on a point predicate (the
+    // complement of the z-order proof, which is min/max pruning's best case)
+    val scattered = spark.range(n)
+      .select(((col("id") * 123457L) % n).as("doc_id"), col("id").as("payload"))
+    val base = Files.createTempDirectory("graft_bloom").toString
+    scattered.coalesce(1).write
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(s"$base/plain")
+    scattered.coalesce(1).write
+      .option("parquet.block.size", (256 * 1024).toString)
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .parquet(s"$base/bloom")
+    val probe = (12345L * 123457L) % n
+    def scanned(layout: String): (Long, Long) = {
+      val df = spark.read.parquet(s"$base/$layout").filter(col("doc_id") === probe)
+      val hits = df.collect().length.toLong
+      val rows = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+      (hits, rows)
+    }
+    val (hitsPlain, rowsPlain) = scanned("plain")
+    val (hitsBloom, rowsBloom) = scanned("bloom")
+    assert(hitsPlain == 1L && hitsBloom == 1L) // layout never changes the answer
+    assert(rowsPlain > n / 2,
+      s"min/max unexpectedly pruned the scattered layout ($rowsPlain of $n)")
+    assert(rowsBloom * 4 < rowsPlain,
+      s"bloom filter failed to skip row groups: $rowsBloom vs $rowsPlain")
+  }
+
   test("parquet schema evolution: mergeSchema unions batches, old rows null-fill") {
     // a corpus accretes columns over time (new quality signals, new
     // provenance fields); the lake must read old and new batches as one
