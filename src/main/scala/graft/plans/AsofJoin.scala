@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.LeftOuter
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, TimestampType}
 
@@ -80,7 +80,12 @@ object AsofJoinStrategy extends SparkStrategy with PredicateHelper {
               rt.references.subsetOf(r.outputSet) &&
               timeTypes.contains(lt.dataType) && lt.dataType == rt.dataType =>
           val (lk, rk) = keyPairs.flatten.unzip
-          AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+          val broadcastRight = plan.asInstanceOf[Join].hint.rightHint
+            .exists(_.strategy.contains(BROADCAST))
+          if (broadcastRight)
+            AsofBroadcastJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+          else
+            AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
         case _ => Nil
       }
     case _ => Nil
@@ -177,6 +182,89 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
             keyOrd.compare(candKey, lKey) == 0
           resultProj(joined(l, if (matched) candRow else nullRight))
         }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast as-of join — the dimension-sized-right-side variant, chosen
+  * by the strategy when the right side carries an explicit `broadcast()`
+  * hint (deterministic, like the explicit hint path of broadcast equi
+  * joins). The left side keeps its existing partitioning — NO shuffle, no
+  * sort on either side: the broadcast rows are indexed per task into a
+  * hash map of per-key time-sorted arrays (O(|right| log |right|) per
+  * task — the `BroadcastHashJoinExec` build-cost shape, fine precisely
+  * when the right side is dimension-sized), and each left row does one
+  * hash probe + binary search. At 100 TB this is the as-of analogue of
+  * "broadcast the small dim": a quotes/config/rates table joins against
+  * the full fact stream with zero fact movement.
+  */
+case class AsofBroadcastJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val rTimeBound = BindReferences.bindReference(rightTime, right.output)
+      // per-task index build: key -> (sorted times, rows in that order)
+      val index = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+      broadcastRows.value.foreach { row =>
+        val t = rTimeBound.eval(row)
+        if (t != null) { // a null right time can never satisfy rt <= lt
+          val k = rKeyProj(row).copy()
+          var buf = index.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
+            index.put(k, buf)
+          }
+          buf += ((t.asInstanceOf[Long], row))
+        }
+      }
+      index.values().forEach { buf =>
+        val sorted = buf.sortBy(_._1) // stable: equal times keep input order
+        buf.clear(); buf ++= sorted; ()
+      }
+
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val lTimeBound = BindReferences.bindReference(leftTime, left.output)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(right.output.size)
+      val resultProj = UnsafeProjection.create(output, output)
+
+      lIter.map { l =>
+        val lTimeV = lTimeBound.eval(l)
+        val matched: InternalRow =
+          if (lTimeV == null) null
+          else {
+            val buf = index.get(lKeyProj(l))
+            if (buf == null) null
+            else {
+              // rightmost entry with time <= lTime (ties inclusive, last wins)
+              val lt = lTimeV.asInstanceOf[Long]
+              var lo = 0
+              var hi = buf.length // exclusive; invariant: buf(i)._1 <= lt for i < lo
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (buf(mid)._1 <= lt) lo = mid + 1 else hi = mid
+              }
+              if (lo == 0) null else buf(lo - 1)._2
+            }
+          }
+        resultProj(joined(l, if (matched != null) matched else nullRight))
       }
     }
   }

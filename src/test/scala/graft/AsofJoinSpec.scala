@@ -75,6 +75,28 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(df.collect().map(_.getAs[String]("tag")).toSeq == Seq("tie"))
   }
 
+  test("broadcast() hint plans the broadcast variant; results identical to the merge") {
+    GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    val probes = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 10L, 350L),
+      (4L, 99L, 500L), (5L, 20L, 999L)).toDF("id", "k", "t")
+    val quotes = Seq((10L, 200L, "a"), (10L, 300L, "b"), (10L, 400L, "c"),
+      (20L, 50L, "x1"), (20L, 50L, "x2")).toDF("rk", "rt", "tag")
+    def results(r: org.apache.spark.sql.DataFrame) = probes
+      .join(r, expr("k = rk AND asof_le(t, rt)"), "left")
+      .select($"id", $"rt").collect()
+      .map(x => x.getAs[Long]("id") -> Option(x.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    val bdf = probes.join(broadcast(quotes), expr("k = rk AND asof_le(t, rt)"), "left")
+    val plan = planOf(bdf)
+    assert(plan.contains("AsofBroadcastJoin"), s"hinted join not broadcast-planned:\n$plan")
+    assert(plan.contains("BroadcastExchange"))
+    assert(!plan.contains("AsofJoinExec"))
+    assert(results(broadcast(quotes)) == results(quotes),
+      "broadcast and merge variants disagree")
+  }
+
   test("fixture agreement with an independent per-purchase computation") {
     val got = operators.TemporalJoins.asofJoinNative(spark, sf).collect()
       .map(r => r.getAs[Long]("event_id") ->
