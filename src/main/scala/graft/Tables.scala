@@ -86,6 +86,19 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Register every fixture table as a temp view so a SQL-first consumer
+    * can drive the whole engine from `spark.sql(...)` — combined with the
+    * `GraftExtensions`/`VecFunctions` function registrations this is the
+    * complete pure-SQL surface (the DuckDB oracles in `SparkEntry.oracleSql`
+    * are near-verbatim runnable this way). Views are lazy plans over the
+    * parquet scans: pushdown/pruning behave exactly as the DataFrame path.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { name =>
+      val df = if (name == "events") events(spark, dir) else table(spark, dir, name)
+      df.createOrReplaceTempView(name)
+    }
+
   /** Round-robin repartition to the session's default parallelism, placed
     * in front of CPU-bound per-row stages (hashing, JSON round-trips,
     * vector math) and O(n²) pair joins — in LOCAL mode only.

@@ -343,6 +343,24 @@ class SourcesSpec extends AnyFunSuite {
       "redelivered batch must not double-apply")
   }
 
+  test("pure-SQL surface: fixture views + native functions drive queries from spark.sql") {
+    graft.functions.VecFunctions.register(spark)
+    Tables.registerViews(spark, sf)
+    // a TPC-H-ish aggregate, a streaming-fixture scan, and a native
+    // function — all from SQL alone, no DataFrame code
+    val q1 = spark.sql(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    assert(q1.collect().map(_.getAs[Long]("n")).sum ==
+      Tables.lineitem(spark, sf).count())
+    val ev = spark.sql("SELECT count(*) AS n FROM events WHERE event_type = 'view'")
+    assert(ev.collect()(0).getAs[Long]("n") > 0)
+    val vec = spark.sql(
+      "SELECT vec_id, round(vec_dot(embedding, embedding), 4) AS self_dot " +
+        "FROM embeddings ORDER BY vec_id LIMIT 3").collect()
+    assert(vec.length == 3 && vec.forall(_.getAs[Double]("self_dot") > 0.0))
+  }
+
   test("GraftExtensions: native functions callable from plain SQL") {
     import org.apache.spark.sql.SparkSession
     val _ = spark // ensure the shared context exists first
