@@ -193,13 +193,17 @@ object Packing {
     * exchange per rewrite, pruning forever after.
     */
   def writeZorderLayouts(s: SparkSession, d: String, out: String): Unit = {
-    val keyed = zkeyed(s, d)
-    keyed.repartitionByRange(ZLayoutFiles, col("zval"))
-      .sortWithinPartitions("zval")
-      .write.mode("overwrite").parquet(s"$out/zorder")
-    keyed.repartitionByRange(ZLayoutFiles, col("xk"))
-      .sortWithinPartitions("xk")
-      .write.mode("overwrite").parquet(s"$out/linear")
+    // both layout writes consume the same keyed projection; caching it
+    // scans lineitem (and evaluates the bit interleave) once, not twice
+    val keyed = zkeyed(s, d).persist()
+    try {
+      keyed.repartitionByRange(ZLayoutFiles, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(s"$out/zorder")
+      keyed.repartitionByRange(ZLayoutFiles, col("xk"))
+        .sortWithinPartitions("xk")
+        .write.mode("overwrite").parquet(s"$out/linear")
+    } finally { keyed.unpersist(); () }
   }
 
   /** The 2-D pruning predicate the layout exists for: a narrow yk slice ×
