@@ -187,7 +187,7 @@ object Packing {
     * partitioned files whose parquet row-group min/max statistics are
     * narrow in (xk AND yk) for the z-order layout but only in xk for the
     * linear one — scan pruning against a 2-D predicate is then directly
-    * measurable (the PackingSpec asserts it via the scan's output-rows
+    * measurable (the OperatorSpec z-order test asserts it via the scan's output-rows
     * metric). At 100 TB this is the sink-side layout step (reference
     * analog: day-partitioned sink, `google_bigquery.tf:17-21`): one wide
     * exchange per rewrite, pruning forever after.
@@ -218,7 +218,7 @@ object Packing {
     * — the layout must never change WHAT is read, only how little. The
     * scan-level pruning inequality (z-order emits strictly fewer rows
     * from the scan than the 1-D layout under this predicate) is asserted
-    * in the PackingSpec via executed-plan metrics; a hash-compared oracle
+    * in the OperatorSpec z-order test via executed-plan metrics; a hash-compared oracle
     * row can't carry scan metrics.
     */
   def zorderPruning(s: SparkSession, d: String): DataFrame = {
@@ -270,7 +270,7 @@ object Packing {
     * `maxRecordsPerFile` is the belt-and-braces bound for the skewed-row
     * case (rows whose serialized size dwarfs the estimate).
     *
-    * Returns the planned partition count; the PackingSpec asserts output
+    * Returns the planned partition count; the OperatorSpec compaction test asserts output
     * file count, row preservation, and per-file row bounds.
     */
   def compactFiles(s: SparkSession, inDir: String, outDir: String,
