@@ -35,6 +35,37 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(rows.contains(999999L) && rows(999999L) == null, "unknown key kept with null dim")
   }
 
+  test("stream-static as-of: each streamed fact enriched by its latest prior quote") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.plans.GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    // static quotes: per-key rate revisions over time
+    val quotes = Seq((10L, 100L, 1.0), (10L, 200L, 2.0), (20L, 150L, 9.0))
+      .toDF("rk", "rt", "rate")
+    val in = MemoryStream[(Long, Long)] // (key, t)
+    val q = in.toDF().toDF("k", "t")
+      .join(broadcast(quotes), expr("k = rk AND asof_le(t, rt)"), "left")
+      .select($"k", $"t", $"rate")
+      .writeStream.format("memory").queryName("asof_stream_out")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, 150L), (10L, 250L), (20L, 100L), (99L, 500L))
+      q.processAllAvailable()
+      // a later micro-batch re-plans the same join — same static snapshot
+      in.addData((10L, 199L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("asof_stream_out").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("t")) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(rows((10L, 150L)).contains(1.0)) // after first revision only
+    assert(rows((10L, 250L)).contains(2.0)) // after the second
+    assert(rows((10L, 199L)).contains(1.0)) // second micro-batch, same result
+    assert(rows((20L, 100L)).isEmpty)       // before the key's first quote
+    assert(rows((99L, 500L)).isEmpty)       // unknown key
+  }
+
   test("stream-stream join: clicks within 5 minutes of an impression") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
