@@ -166,12 +166,17 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           val lKey = lKeyProj(l)
           val lTime = timeOf(lTimeBound, l)
           // consume right rows that are behind-or-at this left position;
-          // equal-key rows with rTime <= lTime become the newest candidate
+          // equal-key rows with rTime <= lTime become the newest candidate.
+          // Null right times sort FIRST under the required ascending order
+          // and can never match any left row — skip them, or they would
+          // block the cursor in front of this key's real rows (found by
+          // the AsofJoinProps random interleavings, not the spec fixtures)
           var continue = rRow != null
           while (continue) {
             val c = keyOrd.compare(rKey, lKey)
             if (c < 0) advanceRight()
-            else if (c == 0 && rTime != null && lTime != null && rTime <= lTime) {
+            else if (c == 0 && rTime == null) advanceRight()
+            else if (c == 0 && lTime != null && rTime <= lTime) {
               candRow = rRow
               candKey = rKey
               advanceRight()
