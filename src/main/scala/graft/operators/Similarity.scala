@@ -371,6 +371,75 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** IVF with multi-cell probing (`nprobe = 2`) — THE recall/latency knob
+    * of IVF serving: each query searches its two nearest coarse cells
+    * instead of one, so a query sitting near a cell boundary still finds
+    * neighbors assigned to the adjacent cell. Corpus vectors keep exactly
+    * one cell, so probing two cells cannot duplicate a candidate; the
+    * candidate set just grows ∝ nprobe (work per query = nprobe × mean
+    * cell population — corpus size never enters). The OperatorSpec pins
+    * the monotonicity this knob exists for: recall@3 against the
+    * brute-force truth is >= the single-probe query's on the fixtures.
+    */
+  def annIvfNprobeTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val ranked = e.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        round(expr("vec_dot(embedding, cemb)") / (col("nrm") * col("cnrm")), 6).as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+    val corpus = ranked.filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+    val probes = ranked.filter(col("arn") <= 2 && col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("cid").as("cell"))
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    probes.join(corpus, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(expr("vec_dot(qemb, embedding)") / (col("qnrm") * col("nrm")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  val annIvfNprobeTopkSql: String = {
+    val cosPC =
+      """round(
+        |  list_sum(list_transform(range(1, len(v.embedding) + 1),
+        |    i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(c.cemb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |  6)""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $IvfCells),
+       |cellranks AS (
+       |  SELECT v.vec_id, v.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $cosPC DESC, c.cid) AS arn
+       |  FROM embeddings v CROSS JOIN cents c),
+       |corpus AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM cellranks WHERE arn = 1),
+       |probes AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM cellranks
+       |  WHERE arn <= 2 AND vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT p.vec_id AS qid, q.vec_id AS vec_id, $cosineSqlPQ AS cosine
+       |  FROM probes p JOIN corpus q ON p.cell = q.cell AND q.vec_id <> p.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   // ------------------------------------------------------- trained IVF
   private val KmeansRounds = 3
 
@@ -784,6 +853,7 @@ object Similarity {
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => annLshTopk(s, d)),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_nprobe_topk" -> (annIvfNprobeTopk _),
     "ann_ivf_trained_topk" -> (annIvfTrainedTopk _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "embedding_quantize" -> (embeddingQuantize _),
@@ -796,6 +866,7 @@ object Similarity {
     "ann_bruteforce_topk" -> annBruteforceTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
+    "ann_ivf_nprobe_topk" -> annIvfNprobeTopkSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "pq_encode" -> pqEncodeSql,

@@ -629,6 +629,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF nprobe=2 recall is >= single-probe recall against brute-force truth") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val truth = pairs(operators.Similarity.annBruteforceTopk(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("rank") <= 3))
+      val p1 = pairs(operators.Similarity.annIvfTopk(spark, dir))
+      val p2 = pairs(operators.Similarity.annIvfNprobeTopk(spark, dir))
+      val r1 = (p1 & truth).size.toDouble / truth.size
+      val r2 = (p2 & truth).size.toDouble / truth.size
+      assert(r2 >= r1, s"$dir: nprobe=2 recall $r2 below single-probe $r1")
+      assert(r2 > 0.0, s"$dir: nprobe recall degenerate")
+    }
+  }
+
   test("small-file compaction: metadata-planned file count, rows preserved, bounded files") {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val smallDir = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
