@@ -352,6 +352,83 @@ object Dedup {
        |WHERE bit_count(xor(p.simhash, q.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------- ensemble
+  /** Multi-signal dedup evidence — what a production dedup service emits
+    * per document to drive keep/drop decisions: the exact-copy count
+    * (normalized fingerprint), the MinHash near-neighbor count
+    * (est_jaccard >= 0.5) and the SimHash near-neighbor count
+    * (hamming <= 3), folded into one verdict per doc ('exact' beats
+    * 'near' beats 'unique'). Composes the three existing generators
+    * unchanged — every candidate stage is a banded/keyed equi-join (work
+    * ∝ collisions) and the fold is two pair-list explodes + one
+    * fp-partitioned window; nothing all-pairs, nothing new shuffles more
+    * than its standalone query already did.
+    */
+  def dedupEnsemble(s: SparkSession, d: String): DataFrame = {
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), normFp.as("fp"))
+      .withColumn("n_exact_copies", count(lit(1)).over(wFp))
+      .select("doc_id", "n_exact_copies")
+    def neighborCounts(pairs: DataFrame, alias: String): DataFrame = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as(alias))
+    val mh = neighborCounts(lshPairs(s, d), "n_mh_neighbors")
+    val sh = neighborCounts(dedupSimhash(s, d), "n_sh_neighbors")
+    base
+      .join(mh, Seq("doc_id"), "left")
+      .join(sh, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_exact_copies"),
+        coalesce(col("n_mh_neighbors"), lit(0L)).as("n_mh_neighbors"),
+        coalesce(col("n_sh_neighbors"), lit(0L)).as("n_sh_neighbors"))
+      .withColumn("verdict",
+        when(col("n_exact_copies") > 1, "exact")
+          .when(col("n_mh_neighbors") + col("n_sh_neighbors") > 0, "near")
+          .otherwise("unique"))
+      .orderBy("doc_id")
+  }
+
+  val dedupEnsembleSql: String =
+    s"""WITH $lshPairsSqlCtes,
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |shs AS (SELECT doc_id, ${Portable.hash28Sql("tok")} AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id, bit,
+       |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM shs CROSS JOIN (SELECT unnest(range(0, 28)) AS bit) b
+       |  GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1),
+       |shpairs AS (
+       |  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b
+       |  FROM sim p JOIN sim q ON p.doc_id < q.doc_id
+       |  WHERE bit_count(xor(p.simhash, q.simhash)) <= 3),
+       |fp AS (SELECT doc_id, $normFpSql AS fp FROM documents),
+       |exact AS (
+       |  SELECT doc_id, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_exact_copies
+       |  FROM fp),
+       |mh AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT doc_a AS doc_id FROM lshpairs
+       |    UNION ALL SELECT doc_b FROM lshpairs) GROUP BY 1),
+       |sh AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT doc_a AS doc_id FROM shpairs
+       |    UNION ALL SELECT doc_b FROM shpairs) GROUP BY 1)
+       |SELECT e.doc_id, e.n_exact_copies,
+       |  CAST(coalesce(mh.n, 0) AS BIGINT) AS n_mh_neighbors,
+       |  CAST(coalesce(sh.n, 0) AS BIGINT) AS n_sh_neighbors,
+       |  CASE WHEN e.n_exact_copies > 1 THEN 'exact'
+       |       WHEN coalesce(mh.n, 0) + coalesce(sh.n, 0) > 0 THEN 'near'
+       |       ELSE 'unique' END AS verdict
+       |FROM exact e
+       |LEFT JOIN mh ON e.doc_id = mh.doc_id
+       |LEFT JOIN sh ON e.doc_id = sh.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+
   // ------------------------------------------------------------- incremental
   /** Incremental dedup — the shape a production dedup service actually
     * runs: an incoming BATCH (doc_id % 10 >= 8, a deterministic 20% stand-in
@@ -704,6 +781,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ensemble" -> (dedupEnsemble _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -716,6 +794,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_ensemble" -> dedupEnsembleSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_incremental" -> dedupIncrementalSql,
