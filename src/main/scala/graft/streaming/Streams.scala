@@ -588,6 +588,60 @@ object Streams {
       }
       .start()
 
+  /** One micro-batch of streaming ingestion dedup against a PERSISTED
+    * fingerprint index — the streaming twin of
+    * `Dedup.dedupIncrementalFromIndex` (read artifacts, never re-derive
+    * history): rows whose `fp` already exists in the index are dropped,
+    * survivors land under `outDir/batch_id=<id>` and their fingerprints
+    * append to the index as (fp, batch_id).
+    *
+    * Redelivery safety (the pitfall this factoring exists to test): a
+    * naive fp-only index would make a REDELIVERED batch dedupe against
+    * its own previous append and emit an empty batch. Tagging index rows
+    * with the writing batch id and anti-joining against `batch_id <> id`
+    * makes redelivery reproduce the original survivors exactly, and the
+    * duplicate (fp, id) index rows it re-appends are harmless — index
+    * membership is a set query. State is the index parquet itself:
+    * corpus-lifetime fingerprints at 16 bytes a row, queried by one
+    * anti-join per batch — no executor state, no watermark bound needed.
+    */
+  def dedupIndexedBatch(batch: DataFrame, id: Long,
+      fp: org.apache.spark.sql.Column, indexDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val withFp = batch.withColumn("fp", fp)
+    val survivors = {
+      val hasIndex = Option(new java.io.File(indexDir).listFiles())
+        .exists(_.exists(_.getName.endsWith(".parquet")))
+      val seenElsewhere =
+        if (!hasIndex) null
+        else spark.read.parquet(indexDir)
+          .filter(col("batch_id") =!= id).select("fp")
+      val fresh =
+        if (seenElsewhere == null) withFp
+        else withFp.join(seenElsewhere, Seq("fp"), "left_anti")
+      fresh.dropDuplicates("fp") // intra-batch duplicates
+    }.persist()
+    try {
+      survivors.drop("fp").write.mode("overwrite")
+        .parquet(s"$outDir/batch_id=$id")
+      survivors.select(col("fp"), lit(id).as("batch_id"))
+        .write.mode("append").parquet(indexDir)
+    } finally { survivors.unpersist(); () }
+  }
+
+  /** Streaming ingestion dedup: every micro-batch drops rows whose
+    * fingerprint is already in the persisted index via
+    * [[dedupIndexedBatch]]. */
+  def streamDedupIndexed(df: DataFrame, fp: org.apache.spark.sql.Column,
+      indexDir: String, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        dedupIndexedBatch(batch.toDF(), id, fp, indexDir, outDir)
+      }
+      .start()
+
   // ---------------------------------------------------- streaming CDC upsert
   /** Latest committed snapshot version under `dir` (directories `v=<id>`),
     * or None before the first batch. */

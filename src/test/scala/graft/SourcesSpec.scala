@@ -312,6 +312,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(seen.keys.toSet.size == seen.size, "each batch id committed once")
   }
 
+  test("streaming indexed dedup: cross-batch drops, redelivery reproduces survivors") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_dedup_idx").toString
+    val out = Files.createTempDirectory("graft_dedup_out").toString
+    val fp = graft.functions.Portable.docFingerprint
+    def run(id: Long, docs: Seq[(Long, String)]): Unit =
+      graft.streaming.Streams.dedupIndexedBatch(
+        docs.toDF("doc_id", "text"), id, fp, idx, out)
+    def ids(id: Long): Set[Long] =
+      spark.read.parquet(s"$out/batch_id=$id").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+    // batch 0: two docs + an intra-batch duplicate of the first
+    run(0L, Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta")))
+    assert(ids(0L) == Set(1L, 2L))
+    // batch 1: one dup of batch 0, one fresh doc
+    run(1L, Seq((4L, "gamma delta"), (5L, "epsilon zeta")))
+    assert(ids(1L) == Set(5L))
+    // redelivered batch 1: must NOT dedupe against its own prior append
+    run(1L, Seq((4L, "gamma delta"), (5L, "epsilon zeta")))
+    assert(ids(1L) == Set(5L), "redelivery changed the survivor set")
+    // index holds every survivor fingerprint; duplicates are harmless
+    val idxFps = spark.read.parquet(idx).select("fp").distinct().count()
+    assert(idxFps == 3L, s"index should hold 3 distinct fps, got $idxFps")
+  }
+
   test("streaming CDC upsert maintains a versioned snapshot idempotently") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
