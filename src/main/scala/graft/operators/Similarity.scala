@@ -826,6 +826,83 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  // ------------------------------------------------------- outlier audit
+  /** Embedding-quality outlier audit: per label, the cosine of every
+    * vector against its label centroid, reduced to (count, mean, stddev,
+    * outliers below mean − 2σ) — the drift/mislabel check an embedding
+    * pipeline runs after every (re)encode. Determinism for the oracle:
+    * centroid components, cosines, and the mean/σ are each rounded to
+    * 6 dp BEFORE any comparison, so the outlier threshold is computed
+    * from identical doubles in both engines and no boundary can flip.
+    *
+    * Scale shape: centroid = one map-side-combinable per-(label, dim)
+    * average (the `CentroidAggregator` family's cost); the 5-row centroid
+    * frame broadcasts; the cosine pass is narrow; the stats and the
+    * outlier count are two more map-side-combinable aggregates over
+    * (label, cos) rows. No window over a label's full population — a hot
+    * label never serializes through one reducer.
+    */
+  def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast("double")), 6).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("label"),
+        expr("transform(dc, x -> x.c)").as("centroid"))
+      .withColumn("cnorm",
+        sqrt(expr("aggregate(centroid, 0d, (acc, x) -> acc + x * x)")))
+    val scored = e.join(broadcast(cent), Seq("label"))
+      .select(col("label"),
+        round(expr("vec_dotd(embedding, centroid)") /
+          (expr("vec_norm(embedding)") * col("cnorm")), 6).as("cos"))
+    val stats = scored.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("cos"), 6).as("avg_cos"),
+        round(stddev_samp(col("cos")), 6).as("std_cos"))
+    scored.join(broadcast(stats), Seq("label"))
+      .groupBy(col("label"), col("n_vecs"), col("avg_cos"), col("std_cos"))
+      .agg(sum(when(col("cos") < col("avg_cos") - lit(2.0) * col("std_cos"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select("label", "n_vecs", "avg_cos", "std_cos", "n_outliers")
+      .orderBy("label")
+  }
+
+  val embeddingOutliersSql: String =
+    """WITH dims AS (
+      |  SELECT label, dim, round(avg(v), 6) AS c FROM (
+      |    SELECT label, unnest(embedding) AS v,
+      |      generate_subscripts(embedding, 1) - 1 AS dim
+      |    FROM embeddings)
+      |  GROUP BY label, dim),
+      |cent AS (
+      |  SELECT label, list(c ORDER BY dim) AS centroid,
+      |    sqrt(list_sum(list_transform(list(c ORDER BY dim), x -> x * x))) AS cnorm
+      |  FROM dims GROUP BY label),
+      |scored AS (
+      |  SELECT e.label,
+      |    round(
+      |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+      |      / (sqrt(list_sum(list_transform(e.embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * c.cnorm),
+      |      6) AS cos
+      |  FROM embeddings e JOIN cent c ON e.label = c.label),
+      |stats AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |    round(avg(cos), 6) AS avg_cos,
+      |    round(stddev_samp(cos), 6) AS std_cos
+      |  FROM scored GROUP BY label)
+      |SELECT s.label, t.n_vecs, t.avg_cos, t.std_cos,
+      |  CAST(sum(CASE WHEN s.cos < t.avg_cos - 2.0 * t.std_cos
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM scored s JOIN stats t ON s.label = t.label
+      |GROUP BY s.label, t.n_vecs, t.avg_cos, t.std_cos
+      |ORDER BY s.label""".stripMargin
+
   // ------------------------------------------------------- centroid UDAF
   /** Per-label centroid via the custom `CentroidAggregator` (typed UDAF with
     * map-side partial aggregation), exploded to (label, dim, value) rows so
@@ -854,6 +931,7 @@ object Similarity {
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => annLshTopk(s, d)),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_nprobe_topk" -> (annIvfNprobeTopk _),
+    "embedding_outliers" -> (embeddingOutliers _),
     "ann_ivf_trained_topk" -> (annIvfTrainedTopk _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "embedding_quantize" -> (embeddingQuantize _),
@@ -867,6 +945,7 @@ object Similarity {
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_ivf_nprobe_topk" -> annIvfNprobeTopkSql,
+    "embedding_outliers" -> embeddingOutliersSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "pq_encode" -> pqEncodeSql,
