@@ -719,6 +719,80 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Two-stage PQ serving (ADC recall pass → exact rerank): the ADC scan
+    * produces a candidate pool (top-10 by approximate distance over the
+    * 8-byte codes), and only the pool's full-precision vectors are
+    * fetched and rescored by exact cosine for the final top-3 — the
+    * standard refine pattern that buys exact-ranking quality while the
+    * corpus-sized scan still touches nothing but codes. At 100 TB the
+    * rerank join fetches pool×queries rows by id (a semi-join against the
+    * corpus), so precision costs are proportional to the POOL, never the
+    * corpus. Fully deterministic (rounded ADC + rounded cosine + id
+    * tiebreaks) → DuckDB-oracle-checked end to end.
+    */
+  def pqAdcRerankTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val codes = pqCodes(s, d)
+    val queries = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        expr("pq_dist_tables(embedding)").as("dts"))
+    val adc = (0 until PqSubspaces).map(sub =>
+      element_at(element_at(col("dts"), sub + 1), col(s"code_$sub") + 1))
+      .reduce(_ + _)
+    val wPool = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
+    val pool = queries.join(codes, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qemb"), col("vec_id"), round(adc, 4).as("adc"))
+      .withColumn("prank", row_number().over(wPool))
+      .filter(col("prank") <= 10)
+      .select("qid", "qemb", "vec_id")
+    val wFinal = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+    pool
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qemb"), col("embedding")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  val pqAdcRerankTopkSql: String = {
+    val dtables = (0 until PqSubspaces).map(s =>
+      s"${pqDistsSql("embedding", s)} AS dt_$s").mkString(",\n  ")
+    val codes = (0 until PqSubspaces).map { s =>
+      s"CAST(list_position(${pqDistsSql("embedding", s)}, list_min(${pqDistsSql("embedding", s)})) - 1 AS INTEGER) AS code_$s"
+    }.mkString(",\n  ")
+    val adc = (0 until PqSubspaces).map(s => s"q.dt_$s[c.code_$s + 1]").mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding,
+       |  $dtables
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |c AS (
+       |  SELECT vec_id,
+       |  $codes
+       |  FROM embeddings),
+       |pool AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, c.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round($adc, 4), c.vec_id) AS prank
+       |    FROM q, c WHERE c.vec_id <> q.qid)
+       |  WHERE prank <= 10),
+       |rescored AS (
+       |  SELECT pool.qid, pool.vec_id, $cosineSqlPQ AS cosine
+       |  FROM pool
+       |  JOIN embeddings p ON p.vec_id = pool.qid
+       |  JOIN embeddings q ON q.vec_id = pool.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM rescored)
+       |SELECT qid, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   // ------------------------------------------------------- IVF-PQ (IVFADC)
   /** Rounded-cosine cell assignment against a driver-held codebook as ONE
     * narrow projection (the [[assignCells]] shape, plus the 6-dp rounding
@@ -937,6 +1011,7 @@ object Similarity {
     "embedding_quantize" -> (embeddingQuantize _),
     "pq_encode" -> (pqEncode _),
     "pq_adc_topk" -> (pqAdcTopk _),
+    "pq_adc_rerank_topk" -> (pqAdcRerankTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "centroid_by_label" -> (centroidByLabel _))
 
@@ -950,6 +1025,7 @@ object Similarity {
     "embedding_quantize" -> embeddingQuantizeSql,
     "pq_encode" -> pqEncodeSql,
     "pq_adc_topk" -> pqAdcTopkSql,
+    "pq_adc_rerank_topk" -> pqAdcRerankTopkSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "centroid_by_label" -> centroidByLabelSql)
 }
