@@ -818,7 +818,61 @@ object TextAnalysis {
       |    AS planned_tokens
       |FROM per, tot ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------- text chunking
+  /** Tokens per chunk window (the RAG/pretraining context budget). */
+  val ChunkWindow = 64
+  /** Window stride — `ChunkWindow - stride` tokens of overlap carry
+    * context across chunk boundaries. */
+  val ChunkStride = 48
+
+  /** Overlapping token-window chunking — the step that turns curated
+    * documents into retrieval/pretraining units: windows of [[ChunkWindow]]
+    * tokens starting every [[ChunkStride]] (16-token overlap), the last
+    * window truncated at the document end. Emits one row per chunk with
+    * its token span and a portable fingerprint of the chunk text (the
+    * dedup/lineage key a chunk store indexes on). Pure per-row expression
+    * work — `sequence` + `explode` + `slice`, no shuffle before the
+    * output sort; at 100 TB chunking is embarrassingly parallel and the
+    * fan-out (rows × ~n_tok/stride) is the honest output size.
+    */
+  def textChunks(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s) // the chunk explode's input is an expensive array
+    Tables.parallelize(s, Tables.documents(s, d))
+      .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / ChunkStride).cast("int").as("chunk_id"),
+        col("start").cast("long").as("chunk_start"),
+        least(lit(ChunkWindow), col("n") - col("start")).cast("long")
+          .as("n_chunk_tokens"),
+        graft.functions.Portable.hash28(
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(ChunkWindow))))
+          .as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val textChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |starts AS (
+       |  SELECT doc_id, toks, n, unnest(range(0, n, $ChunkStride)) AS start
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(start // $ChunkStride AS INTEGER) AS chunk_id,
+       |  CAST(start AS BIGINT) AS chunk_start,
+       |  CAST(least($ChunkWindow, n - start) AS BIGINT) AS n_chunk_tokens,
+       |  ${graft.functions.Portable.hash28Sql(
+            s"array_to_string(list_slice(toks, start + 1, start + $ChunkWindow), ' ')")}
+       |    AS chunk_fp
+       |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunks" -> (textChunks _),
     "quality_threshold_sweep" -> (qualityThresholdSweep _),
     "length_histogram" -> (lengthHistogram _),
     "mixture_rebalance" -> (mixtureRebalance _),
@@ -840,6 +894,7 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "text_chunks" -> textChunksSql,
     "quality_threshold_sweep" -> qualityThresholdSweepSql,
     "length_histogram" -> lengthHistogramSql,
     "mixture_rebalance" -> mixtureRebalanceSql,
