@@ -221,8 +221,14 @@ object Packing {
     * in the OperatorSpec z-order test via executed-plan metrics; a hash-compared oracle
     * row can't carry scan metrics.
     */
+  /** One scratch directory per JVM for the pruning proof's layout writes —
+    * each run OVERWRITES it, so repeated Verify/Bench invocations hold
+    * steady-state disk instead of accumulating a new 32-file tree per run. */
+  private lazy val zorderScratch: String =
+    java.nio.file.Files.createTempDirectory("graft_zorder").toString
+
   def zorderPruning(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val out = zorderScratch
     writeZorderLayouts(s, d, out)
     def agg(layout: String) =
       s.read.parquet(s"$out/$layout").filter(expr(ZPredicate))
@@ -277,9 +283,16 @@ object Packing {
       targetBytes: Long, maxRecordsPerFile: Long = 0L): Int = {
     val inPath = new org.apache.hadoop.fs.Path(inDir)
     val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(inPath)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // recursive: a partitioned layout (batch_id=N/... — exactly the
+    // streaming-sink shape this pass exists for) keeps its files in
+    // subdirectories; a top-level listing would see 0 bytes and plan one
+    // giant output partition
+    val files = fs.listFiles(inPath, true)
+    var totalBytes = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
+    }
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val writer = s.read.parquet(inDir).repartition(parts).write.mode("overwrite")
     (if (maxRecordsPerFile > 0L)

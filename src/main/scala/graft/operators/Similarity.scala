@@ -605,14 +605,20 @@ object Similarity {
     * is ~12k expression nodes, which overflows janino's 64 KB method
     * limit and forces the whole stage onto the interpreted evaluator.
     */
-  private def pqCodes(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, enc struct) — the ONE encode projection both [[pqCodes]] and
+    * [[pqEncode]] derive from, so the encode path can never diverge
+    * between the codes relation and the encode query. */
+  private def pqEnc(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecFunctions.register(s)
     Tables.parallelize(s, Tables.embeddings(s, d))
       .select(col("vec_id"), expr("pq_encode(embedding)").as("enc"))
+  }
+
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqEnc(s, d)
       .select(col("vec_id") +:
         (0 until PqSubspaces).map(sub =>
           col("enc.codes").getItem(sub).as(s"code_$sub")): _*)
-  }
 
   /** Product-quantization encode (the missing third of the IVF-PQ serving
     * stack next to `ann_ivf_*` and `embedding_quantize`): 64 dims → 8
@@ -622,16 +628,13 @@ object Similarity {
     * monitors), rounded 4 dp for cross-engine hash parity. One
     * `pq_encode` kernel call per row (see [[pqCodes]] for why native).
     */
-  def pqEncode(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecFunctions.register(s)
-    Tables.parallelize(s, Tables.embeddings(s, d))
-      .select(col("vec_id"), expr("pq_encode(embedding)").as("enc"))
+  def pqEncode(s: SparkSession, d: String): DataFrame =
+    pqEnc(s, d)
       .select(col("vec_id") +:
         (0 until PqSubspaces).map(sub =>
           col("enc.codes").getItem(sub).as(s"code_$sub")) :+
         round(col("enc.recon_err"), 4).as("recon_err"): _*)
       .orderBy("vec_id")
-  }
 
   private def pqCentroidSqlList(s: Int, j: Int): String =
     (0 until PqDims).map(i => s"${pqCentroid(s, j, i)}").mkString("[", ", ", "]")
@@ -929,10 +932,14 @@ object Similarity {
         expr("transform(dc, x -> x.c)").as("centroid"))
       .withColumn("cnorm",
         sqrt(expr("aggregate(centroid, 0d, (acc, x) -> acc + x * x)")))
+    // localCheckpoint: `scored` feeds BOTH the stats aggregate and the
+    // outlier count — without materializing it once, the whole
+    // posexplode→centroid→cosine subtree executes twice per action
     val scored = e.join(broadcast(cent), Seq("label"))
       .select(col("label"),
         round(expr("vec_dotd(embedding, centroid)") /
           (expr("vec_norm(embedding)") * col("cnorm")), 6).as("cos"))
+      .localCheckpoint()
     val stats = scored.groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         round(avg("cos"), 6).as("avg_cos"),

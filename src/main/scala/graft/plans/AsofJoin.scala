@@ -100,6 +100,15 @@ object AsofJoinStrategy extends SparkStrategy with PredicateHelper {
   * |left| + |right| row visits and one retained copy of the current
   * lookahead/candidate rows — no buffering of groups, no rewind, state
   * O(1) regardless of key skew.
+  *
+  * Tie semantics: the matched TIME is deterministic (the greatest
+  * `rtime <= ltime`), but among right rows sharing that exact (key, time)
+  * the surviving payload is unspecified — Spark's sort is not stable, and
+  * the broadcast variant resolves the same tie by broadcast-collection
+  * order, so the two execs may pick different tied rows. Callers needing
+  * a deterministic payload under duplicate (key, time) must make the time
+  * unique (e.g. a sequence-number low-order component) — the same
+  * contract as DuckDB's ASOF JOIN.
   */
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],

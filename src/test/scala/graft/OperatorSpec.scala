@@ -669,6 +669,23 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("count"))
     assert(perFile.max <= 2L * perFile.min,
       s"uneven compaction: ${perFile.toSeq.sorted}")
+    // partitioned input (the streaming-sink shape: files under subdirs) —
+    // sizing must see the nested files, not a 0-byte top level
+    val partDir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString
+    val partOut = java.nio.file.Files.createTempDirectory("graft-compact-pout").toString
+    Tables.documents(spark, sf).repartition(8)
+      .write.partitionBy("lang").mode("overwrite").parquet(partDir)
+    val partBytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length() else 0L }
+        else Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      walk(new java.io.File(partDir))
+    }
+    val pParts = operators.Packing.compactFiles(
+      spark, partDir, partOut, targetBytes = partBytes / 3)
+    assert(pParts > 1, "partitioned input sized as empty (planned 1 partition)")
+    assert(spark.read.parquet(partOut).count() ==
+      Tables.documents(spark, sf).count())
   }
 
   test("column profile runs in ONE documents scan; stats agree with the frame") {

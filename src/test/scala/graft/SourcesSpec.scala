@@ -319,7 +319,7 @@ class SourcesSpec extends AnyFunSuite {
     val fp = graft.functions.Portable.docFingerprint
     def run(id: Long, docs: Seq[(Long, String)]): Unit =
       graft.streaming.Streams.dedupIndexedBatch(
-        docs.toDF("doc_id", "text"), id, fp, idx, out)
+        docs.toDF("doc_id", "text"), id, fp, col("doc_id"), idx, out)
     def ids(id: Long): Set[Long] =
       spark.read.parquet(s"$out/batch_id=$id").collect()
         .map(_.getAs[Long]("doc_id")).toSet
@@ -366,6 +366,19 @@ class SourcesSpec extends AnyFunSuite {
     Streams.upsertBatch(redelivered, 1L, snap, "k")
     assert(state(Streams.readSnapshot(spark, snap)) == expected,
       "redelivered batch must not double-apply")
+    // multiple changes for one key in ONE batch: with a sequence column
+    // the LAST change wins — I-then-D deletes, U-then-U leaves one row
+    val multi = Seq(
+      (5L, "I", 50.0, 1L), (5L, "D", 0.0, 2L),   // net effect: absent
+      (6L, "U", 1.0, 1L), (6L, "U", 2.0, 2L),    // net effect: one row, 2.0
+      (1L, "D", 0.0, 1L))
+      .toDF("k", "op", "price", "seq")
+    Streams.upsertBatch(multi, 2L, snap, "k", seqCol = Some("seq"))
+    val v2 = state(Streams.readSnapshot(spark, snap))
+    assert(v2 == Set((2L, 25.0), (4L, 40.0), (6L, 2.0)),
+      s"intra-batch change sequences mis-applied: $v2")
+    assert(Streams.readSnapshot(spark, snap)
+      .filter(col("k") === 6L).count() == 1L, "duplicate key rows in snapshot")
   }
 
   test("pure-SQL surface: fixture views + native functions drive queries from spark.sql") {
