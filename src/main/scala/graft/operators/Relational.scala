@@ -1068,6 +1068,83 @@ object Relational {
       |  CAST(sum(CAST(trunc(price * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM merged GROUP BY src ORDER BY src""".stripMargin
 
+  /** CDC LOG apply — the multi-change companion of [[mergeUpsert]] (and
+    * the batch twin of `Streams.upsertBatch(seqCol = ...)`): the change
+    * relation is an ordered LOG that can carry several changes per key
+    * (U then U, U then D, I then nothing), and each key's LAST change by
+    * sequence number wins before the single-edge merge. The reduction is
+    * one `row_number` over (key, seq desc) — the same key-clustered
+    * exchange the merge itself needs, so Catalyst chains both on one
+    * shuffle. Net effects exercised: double-U keys take the second price,
+    * U-then-D keys vanish, single-I keys insert.
+    */
+  def cdcApplyLog(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val snapshot = orders.filter(col("o_orderkey") % 10 < 8)
+    val log = orders.filter(expr("o_orderkey % 10 IN (0, 4, 8)"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        explode(array(
+          struct(lit(1L).as("seq"),
+            when(col("o_orderkey") % 10 === 8, "I").otherwise("U").as("op"),
+            (col("o_totalprice") * 1.05).as("new_price")),
+          struct(lit(2L).as("seq"),
+            when(col("o_orderkey") % 10 === 4, "D").otherwise("U").as("op"),
+            when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 1.2)
+              .otherwise(col("o_totalprice") * 1.3).as("new_price")))).as("c"))
+      // inserted keys (% 10 = 8) carry a single-entry log
+      .filter(!(col("o_orderkey") % 10 === 8 && col("c.seq") === 2L))
+      .select(col("o_orderkey"), col("c.seq"), col("c.op"), col("c.new_price"))
+    val w = Window.partitionBy("o_orderkey").orderBy(col("seq").desc)
+    val last = log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val kept = snapshot
+      .join(last.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .select(lit("kept").as("src"), col("o_totalprice").as("price"))
+    val applied = last.filter(col("op") =!= "D")
+      .select(
+        when(col("op") === "I", "inserted").otherwise("updated").as("src"),
+        col("new_price").as("price"))
+    kept.unionAll(applied)
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("price") * 100).cast("long")).as("sum_cents"))
+      .orderBy("src")
+  }
+
+  val cdcApplyLogSql: String =
+    """WITH snapshot AS (
+      |  SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+      |log0 AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 10 IN (0, 4, 8)),
+      |changelog AS (
+      |  SELECT o_orderkey, 1 AS seq,
+      |    CASE WHEN o_orderkey % 10 = 8 THEN 'I' ELSE 'U' END AS op,
+      |    o_totalprice * 1.05 AS new_price
+      |  FROM log0
+      |  UNION ALL
+      |  SELECT o_orderkey, 2,
+      |    CASE WHEN o_orderkey % 10 = 4 THEN 'D' ELSE 'U' END,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.2
+      |         ELSE o_totalprice * 1.3 END
+      |  FROM log0 WHERE o_orderkey % 10 <> 8),
+      |last AS (
+      |  SELECT o_orderkey, op, new_price FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      |    FROM changelog)
+      |  WHERE rn = 1),
+      |merged AS (
+      |  SELECT 'kept' AS src, o_totalprice AS price FROM snapshot
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM last)
+      |  UNION ALL
+      |  SELECT CASE WHEN op = 'I' THEN 'inserted' ELSE 'updated' END AS src,
+      |         new_price AS price
+      |  FROM last WHERE op <> 'D')
+      |SELECT src,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(trunc(price * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM merged GROUP BY src ORDER BY src""".stripMargin
+
   // ---------------------------------------------------------------- SCD2
   /** SCD2 (type-2 slowly-changing-dimension) history build — the batch
     * companion of [[mergeUpsert]]: each customer's order-priority history
@@ -1136,6 +1213,7 @@ object Relational {
   // ---------------------------------------------------------------- registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
+    "cdc_apply_log" -> (cdcApplyLog _),
     "scd2_history" -> (scd2History _),
     "percentile_tdigest" -> (percentileTdigest _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -1178,6 +1256,7 @@ object Relational {
 
   def oracles: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
+    "cdc_apply_log" -> cdcApplyLogSql,
     "scd2_history" -> scd2HistorySql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders" -> q3Sql,
