@@ -454,6 +454,54 @@ object Streams {
         constraints.map { case (name, _) => col(s"v_$name") }: _*)
   }
 
+  /** Drift report over FIRED per-(window, source) counts — the windowed
+    * twin of the batch `mixture_drift` (operators.DataQuality): each
+    * source's observed share per window against a broadcast BASELINE
+    * distribution (`(source, p_base)` — yesterday's corpus mix), with its
+    * KL(observed‖baseline) term and total-variation contribution. A
+    * source absent from the baseline has infinite KL — surfaced as a
+    * NULL term (the batch query's convention), never a sentinel. Plain
+    * `DataFrame => DataFrame`, so it is directly testable and reusable
+    * batch-side.
+    */
+  def mixtureDriftReport(windowCounts: DataFrame, baseline: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("window_start")
+    val pObs = col("n") / sum("n").over(w)
+    windowCounts
+      .join(broadcast(baseline), Seq("source"), "left")
+      .select(
+        col("window_start"), col("source"), col("n"),
+        round(pObs, 6).as("p_obs"),
+        round(col("p_base"), 6).as("p_base"),
+        when(col("p_base").isNull, lit(null).cast("double"))
+          .otherwise(round(pObs * log(pObs / col("p_base")), 6))
+          .as("kl_term"),
+        round(abs(pObs - coalesce(col("p_base"), lit(0.0))) / 2.0, 6)
+          .as("tv_term"))
+  }
+
+  /** Streaming mixture-drift monitor: per event-time window, per-source
+    * counts aggregate behind the watermark and fire once, final, at
+    * window close (Append); because a window's rows fire TOGETHER in one
+    * micro-batch, the batch-local [[mixtureDriftReport]] sees each
+    * window's complete count set — its per-window window-function total
+    * runs over O(sources per window) fired rows, never corpus rows.
+    * `sink` receives each micro-batch's finished drift report.
+    */
+  def streamMixtureDrift(df: DataFrame, timeCol: String, delay: String,
+      windowDur: String, baseline: DataFrame,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.withWatermark(timeCol, delay)
+      .groupBy(window(col(timeCol), windowDur), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("source"), col("n"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(mixtureDriftReport(batch.toDF(), baseline), id)
+      }
+      .start()
+
   /** Streaming exact dedup (the training-pipeline counterpart of
     * `Dedup.dedupExact`): state keyed by the id columns, bounded by the
     * watermark — duplicates arriving within the horizon are dropped, state

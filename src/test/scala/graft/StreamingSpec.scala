@@ -331,6 +331,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming mixture drift: fired windows score KL/TV against the baseline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val baseline = Seq(("a", 0.5), ("b", 0.5)).toDF("source", "p_base")
+    val reports = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Streams.streamMixtureDrift(
+      in.toDF().toDF("event_time", "source"),
+      "event_time", "1 minute", "1 minute", baseline,
+      (report, _) => { reports ++= report.collect(); () })
+    try {
+      // window 10:00 — observed mix (a: 3/4, b: 1/4) vs baseline (1/2, 1/2)
+      in.addData(
+        (ts("2024-01-01 10:00:01"), "a"), (ts("2024-01-01 10:00:02"), "a"),
+        (ts("2024-01-01 10:00:03"), "a"), (ts("2024-01-01 10:00:04"), "b"),
+        // window 10:01 — a source UNKNOWN to the baseline
+        (ts("2024-01-01 10:01:01"), "c"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:30:00"), "a")) // advance watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val byKey = reports.map(r => (r.getAs[Timestamp]("window_start").toString,
+      r.getAs[String]("source")) -> r).toMap
+    val a = byKey(("2024-01-01 10:00:00.0", "a"))
+    assert(a.getAs[Double]("p_obs") == 0.75)
+    assert(a.getAs[Double]("kl_term") == math.rint(0.75 * math.log(1.5) * 1e6) / 1e6)
+    assert(a.getAs[Double]("tv_term") == 0.125)
+    val c = byKey(("2024-01-01 10:01:00.0", "c"))
+    assert(c.isNullAt(c.fieldIndex("kl_term")), "unknown source must report NULL KL")
+    assert(c.getAs[Double]("tv_term") == 0.5)
+  }
+
   test("batch/stream unification: demo2 transform works on a batch frame (O12)") {
     import spark.implicits._
     val batch = Seq(
