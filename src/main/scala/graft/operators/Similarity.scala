@@ -738,19 +738,26 @@ object Similarity {
     val codes = pqCodes(s, d)
     val queries = Tables.embeddings(s, d)
       .filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+      .select(col("vec_id").as("qid"),
         expr("pq_dist_tables(embedding)").as("dts"))
     val adc = (0 until PqSubspaces).map(sub =>
       element_at(element_at(col("dts"), sub + 1), col(s"code_$sub") + 1))
       .reduce(_ + _)
     val wPool = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
+    // the corpus-sized stage carries only (qid, vec_id, adc) — the query
+    // embedding re-joins AFTER the pool cut (10 rows/query), so the pool
+    // window's exchange stays codes-thin instead of dragging a 64-float
+    // qemb through every scored row
     val pool = queries.join(codes, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qemb"), col("vec_id"), round(adc, 4).as("adc"))
+      .select(col("qid"), col("vec_id"), round(adc, 4).as("adc"))
       .withColumn("prank", row_number().over(wPool))
       .filter(col("prank") <= 10)
-      .select("qid", "qemb", "vec_id")
+      .select("qid", "vec_id")
+    val qemb = Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
     val wFinal = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
     pool
+      .join(broadcast(qemb), Seq("qid"))
       .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         Seq("vec_id"))
       .select(col("qid"), col("vec_id"),

@@ -465,19 +465,28 @@ object Streams {
     * batch-side.
     */
   def mixtureDriftReport(windowCounts: DataFrame, baseline: DataFrame): DataFrame = {
+    // every fired window must report EVERY baseline source — a source with
+    // zero events in a window (an outage, the strongest drift signal) has
+    // no fired count row, so the expected (window × baseline) grid is
+    // built first and counts attach to it; observed-but-unknown sources
+    // survive through the full join with a NULL p_base
+    val grid = windowCounts.select("window_start").distinct()
+      .crossJoin(broadcast(baseline))
+    val full = grid.join(windowCounts, Seq("window_start", "source"), "full")
+      .select(col("window_start"), col("source"), col("p_base"),
+        coalesce(col("n"), lit(0L)).as("n"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("window_start")
     val pObs = col("n") / sum("n").over(w)
-    windowCounts
-      .join(broadcast(baseline), Seq("source"), "left")
-      .select(
-        col("window_start"), col("source"), col("n"),
-        round(pObs, 6).as("p_obs"),
-        round(col("p_base"), 6).as("p_base"),
-        when(col("p_base").isNull, lit(null).cast("double"))
-          .otherwise(round(pObs * log(pObs / col("p_base")), 6))
-          .as("kl_term"),
-        round(abs(pObs - coalesce(col("p_base"), lit(0.0))) / 2.0, 6)
-          .as("tv_term"))
+    full.select(
+      col("window_start"), col("source"), col("n"),
+      round(pObs, 6).as("p_obs"),
+      round(col("p_base"), 6).as("p_base"),
+      when(col("n") === 0L, 0.0) // 0·log 0 convention (the batch twin's)
+        .when(col("p_base").isNull, lit(null).cast("double"))
+        .otherwise(round(pObs * log(pObs / col("p_base")), 6))
+        .as("kl_term"),
+      round(abs(pObs - coalesce(col("p_base"), lit(0.0))) / 2.0, 6)
+        .as("tv_term"))
   }
 
   /** Streaming mixture-drift monitor: per event-time window, per-source
@@ -489,7 +498,7 @@ object Streams {
     * `sink` receives each micro-batch's finished drift report.
     */
   def streamMixtureDrift(df: DataFrame, timeCol: String, delay: String,
-      windowDur: String, baseline: DataFrame,
+      windowDur: String, baseline: DataFrame, checkpoint: String,
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.withWatermark(timeCol, delay)
@@ -497,6 +506,7 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("source"), col("n"))
       .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         sink(mixtureDriftReport(batch.toDF(), baseline), id)
       }
@@ -665,7 +675,7 @@ object Streams {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  def dedupIndexedBatch(batch: DataFrame, id: Long,
+  def dedupIndexedBatch(batch: DataFrame, id: Long, runId: String,
       fp: org.apache.spark.sql.Column, tieBreak: org.apache.spark.sql.Column,
       indexDir: String, outDir: String): Unit = {
     val spark = batch.sparkSession
@@ -674,10 +684,15 @@ object Streams {
       val (fs, idxPath) = stateFs(spark, indexDir)
       val hasIndex = fs.exists(idxPath) &&
         fs.listStatus(idxPath).exists(_.getPath.getName.endsWith(".parquet"))
+      // the redelivery exemption must key on (run, batch), not batch id
+      // alone: after a checkpoint reset batch ids restart at 0, and a
+      // batch-id-only exemption would let the NEW batch 0 skip dedup
+      // against the OLD run's batch-0 rows
       val seenElsewhere =
         if (!hasIndex) null
         else spark.read.parquet(indexDir)
-          .filter(col("batch_id") =!= id).select("fp")
+          .filter(!(col("run_id") === runId && col("batch_id") === id))
+          .select("fp")
       val fresh =
         if (seenElsewhere == null) withFp
         else withFp.join(seenElsewhere, Seq("fp"), "left_anti")
@@ -693,7 +708,7 @@ object Streams {
     try {
       survivors.drop("fp").write.mode("overwrite")
         .parquet(s"$outDir/batch_id=$id")
-      survivors.select(col("fp"), lit(id).as("batch_id"))
+      survivors.select(col("fp"), lit(runId).as("run_id"), lit(id).as("batch_id"))
         .write.mode("append").parquet(indexDir)
     } finally { survivors.unpersist(); () }
   }
@@ -702,17 +717,21 @@ object Streams {
     * fingerprint is already in the persisted index via
     * [[dedupIndexedBatch]]. `tieBreak` orders intra-batch rows sharing a
     * fingerprint; the first wins — deterministically, so a redelivered
-    * batch persists byte-identical survivors. */
+    * batch persists byte-identical survivors. Each `start()` mints a
+    * fresh run id for the redelivery exemption, so an index outlives any
+    * number of checkpoint resets without admitting duplicates. */
   def streamDedupIndexed(df: DataFrame, fp: org.apache.spark.sql.Column,
       tieBreak: org.apache.spark.sql.Column,
       indexDir: String, outDir: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val runId = java.util.UUID.randomUUID().toString
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        dedupIndexedBatch(batch.toDF(), id, fp, tieBreak, indexDir, outDir)
+        dedupIndexedBatch(batch.toDF(), id, runId, fp, tieBreak, indexDir, outDir)
       }
       .start()
+  }
 
   // ---------------------------------------------------- streaming CDC upsert
   /** Latest committed snapshot version under `dir` (directories `v=<id>`),
@@ -765,8 +784,12 @@ object Streams {
     val spark = batch.sparkSession
     val lastPerKey = seqCol match {
       case Some(sc) =>
+        // secondary key: a content hash, so two changes COLLIDING on seq
+        // still reduce to the same (arbitrary but deterministic) winner on
+        // redelivery — the tieBreak discipline of dedupIndexedBatch
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(key)).orderBy(col(sc).desc)
+          .partitionBy(col(key))
+          .orderBy(col(sc).desc, md5(to_json(struct(col("*")))).asc)
         batch.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn", sc)
       case None => batch

@@ -317,9 +317,9 @@ class SourcesSpec extends AnyFunSuite {
     val idx = Files.createTempDirectory("graft_dedup_idx").toString
     val out = Files.createTempDirectory("graft_dedup_out").toString
     val fp = graft.functions.Portable.docFingerprint
-    def run(id: Long, docs: Seq[(Long, String)]): Unit =
+    def run(id: Long, docs: Seq[(Long, String)], runId: String = "run-1"): Unit =
       graft.streaming.Streams.dedupIndexedBatch(
-        docs.toDF("doc_id", "text"), id, fp, col("doc_id"), idx, out)
+        docs.toDF("doc_id", "text"), id, runId, fp, col("doc_id"), idx, out)
     def ids(id: Long): Set[Long] =
       spark.read.parquet(s"$out/batch_id=$id").collect()
         .map(_.getAs[Long]("doc_id")).toSet
@@ -335,6 +335,12 @@ class SourcesSpec extends AnyFunSuite {
     // index holds every survivor fingerprint; duplicates are harmless
     val idxFps = spark.read.parquet(idx).select("fp").distinct().count()
     assert(idxFps == 3L, s"index should hold 3 distinct fps, got $idxFps")
+    // checkpoint reset: a NEW run's batch ids restart at 0 — its batch 0
+    // must still dedupe against the old run's batch-0 rows (the exemption
+    // keys on (run, batch), not batch id alone)
+    run(0L, Seq((6L, "alpha beta"), (7L, "eta theta")), runId = "run-2")
+    assert(ids(0L) == Set(7L),
+      "post-reset batch 0 readmitted the old run's batch-0 duplicates")
   }
 
   test("streaming CDC upsert maintains a versioned snapshot idempotently") {

@@ -338,9 +338,10 @@ class StreamingSpec extends AnyFunSuite {
     val baseline = Seq(("a", 0.5), ("b", 0.5)).toDF("source", "p_base")
     val reports = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
     val in = MemoryStream[(Timestamp, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_drift_ckpt").toString
     val q = Streams.streamMixtureDrift(
       in.toDF().toDF("event_time", "source"),
-      "event_time", "1 minute", "1 minute", baseline,
+      "event_time", "1 minute", "1 minute", baseline, ckpt,
       (report, _) => { reports ++= report.collect(); () })
     try {
       // window 10:00 — observed mix (a: 3/4, b: 1/4) vs baseline (1/2, 1/2)
@@ -362,6 +363,13 @@ class StreamingSpec extends AnyFunSuite {
     val c = byKey(("2024-01-01 10:01:00.0", "c"))
     assert(c.isNullAt(c.fieldIndex("kl_term")), "unknown source must report NULL KL")
     assert(c.getAs[Double]("tv_term") == 0.5)
+    // the VANISHED-source signal: window 10:01 saw zero 'a'/'b' events, yet
+    // both baseline sources must still report (n=0, kl 0.0, tv = p_base/2)
+    val vanished = byKey(("2024-01-01 10:01:00.0", "a"))
+    assert(vanished.getAs[Long]("n") == 0L)
+    assert(vanished.getAs[Double]("kl_term") == 0.0)
+    assert(vanished.getAs[Double]("tv_term") == 0.25,
+      "a source with zero events in a window must surface its full TV drift")
   }
 
   test("batch/stream unification: demo2 transform works on a batch frame (O12)") {
