@@ -224,6 +224,11 @@ object Packing {
   /** One scratch directory per JVM for the pruning proof's layout writes —
     * each run OVERWRITES it, so repeated Verify/Bench invocations hold
     * steady-state disk instead of accumulating a new 32-file tree per run. */
+  // One shared per-JVM scratch dir, overwritten by each zorderPruning
+  // call: assumes SINGLE-THREADED query execution (true for Verify/Bench
+  // and sbt test, which run suites sequentially). Two concurrent
+  // invocations in one JVM would race overwrite against read — if
+  // concurrent execution is ever enabled, key this per invocation.
   private lazy val zorderScratch: String =
     java.nio.file.Files.createTempDirectory("graft_zorder").toString
 

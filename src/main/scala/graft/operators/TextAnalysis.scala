@@ -840,6 +840,12 @@ object TextAnalysis {
     Tables.parallelize(s, Tables.documents(s, d))
       .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      // n = 0 would make sequence(0, n-1, stride) throw ("Illegal sequence
+      // boundaries") where the oracle's range(0, n, stride) silently emits
+      // nothing; unreachable while Portable.tokens maps "" to [""], but the
+      // filter keeps both sides at the same semantics (drop the document)
+      // if tokenization ever learns to drop empty tokens
+      .filter(col("n") > 0)
       .select(col("doc_id"), col("toks"), col("n"),
         explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as("start"))
       .select(

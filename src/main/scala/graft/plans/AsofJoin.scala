@@ -38,6 +38,15 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, TimestampTyp
   * as an ordinary predicate would silently produce one row per ≤-match —
   * wrong MULTIPLICITY, not just wrong values — so evaluation must be
   * impossible rather than plausible.
+  *
+  * Condition-shape contract (declines fail loudly via the Unevaluable
+  * marker, by design): every non-asof conjunct must be an equality with
+  * one side referencing only the left relation and the other only the
+  * right — i.e. a real cross-relation join key. Single-side predicates
+  * (`t > 5`) and constant equalities (`k = 5`) are NOT accepted as keys
+  * or residuals; filter each side *before* the join instead. NULL join
+  * keys follow SQL `=` semantics: a null key matches nothing, so a
+  * null-keyed left row gets the outer-join null match.
   */
 case class AsofLE(leftTime: Expression, rightTime: Expression)
     extends BinaryExpression with Unevaluable with Predicate {
@@ -66,10 +75,16 @@ object AsofJoinStrategy extends SparkStrategy with PredicateHelper {
         if cond.exists(_.isInstanceOf[AsofLE]) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val (asofs, rest) = conjuncts.partition(_.isInstanceOf[AsofLE])
+      // both sides must actually reference their relation — an empty
+      // reference set is a subset of anything, so without the nonEmpty
+      // guard a constant conjunct like `k = 5` would become a "key" that
+      // hash-clusters the whole right side onto one partition
       val keyPairs = rest.map {
-        case EqualTo(a, b) if a.references.subsetOf(l.outputSet) &&
+        case EqualTo(a, b) if a.references.nonEmpty && b.references.nonEmpty &&
+            a.references.subsetOf(l.outputSet) &&
             b.references.subsetOf(r.outputSet) => Some((a, b))
-        case EqualTo(a, b) if b.references.subsetOf(l.outputSet) &&
+        case EqualTo(a, b) if a.references.nonEmpty && b.references.nonEmpty &&
+            b.references.subsetOf(l.outputSet) &&
             a.references.subsetOf(r.outputSet) => Some((b, a))
         case _ => None
       }
@@ -160,19 +175,35 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         private var candRow: InternalRow = _
         private var candKey: InternalRow = _
 
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            val row = rIter.next().copy()
-            rRow = row
-            rKey = rKeyProj(row).copy()
-            rTime = timeOf(rTimeBound, row)
-          } else { rRow = null; rKey = null; rTime = null }
+        // skips right rows with any null key component: SQL `=` never
+        // matches on NULL, so they can match no left row — and letting
+        // them through would wrongly pair them with null-keyed left rows
+        // (the natural row ordering compares null == null as equal)
+        private def advanceRight(): Unit = {
+          var done = false
+          while (!done) {
+            if (rIter.hasNext) {
+              val row = rIter.next().copy()
+              val k = rKeyProj(row)
+              if (!k.anyNull) {
+                rRow = row
+                rKey = k.copy()
+                rTime = timeOf(rTimeBound, row)
+                done = true
+              }
+            } else { rRow = null; rKey = null; rTime = null; done = true }
+          }
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
+          // a null-keyed left row matches nothing (SQL `=` semantics) —
+          // emit the outer null match without touching the right cursor
+          // (null keys sort first, so the cursor has not passed anything)
+          if (lKey.anyNull) return resultProj(joined(l, nullRight))
           val lTime = timeOf(lTimeBound, l)
           // consume right rows that are behind-or-at this left position;
           // equal-key rows with rTime <= lTime become the newest candidate.
@@ -238,8 +269,12 @@ case class AsofBroadcastJoinExec(left: SparkPlan, right: SparkPlan,
       val index = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
       broadcastRows.value.foreach { row =>
         val t = rTimeBound.eval(row)
-        if (t != null) { // a null right time can never satisfy rt <= lt
-          val k = rKeyProj(row).copy()
+        val k0 = rKeyProj(row)
+        // a null right time can never satisfy rt <= lt, and a null key
+        // component can never satisfy `=` (the UnsafeRow hash map would
+        // otherwise match null keys byte-wise) — both stay out of the index
+        if (t != null && !k0.anyNull) {
+          val k = k0.copy()
           var buf = index.get(k)
           if (buf == null) {
             buf = scala.collection.mutable.ArrayBuffer.empty[(Long, InternalRow)]
@@ -261,10 +296,11 @@ case class AsofBroadcastJoinExec(left: SparkPlan, right: SparkPlan,
 
       lIter.map { l =>
         val lTimeV = lTimeBound.eval(l)
+        val lk = lKeyProj(l)
         val matched: InternalRow =
-          if (lTimeV == null) null
+          if (lTimeV == null || lk.anyNull) null // null time/key: no match
           else {
-            val buf = index.get(lKeyProj(l))
+            val buf = index.get(lk)
             if (buf == null) null
             else {
               // rightmost entry with time <= lTime (ties inclusive, last wins)

@@ -6,12 +6,16 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 
 /** Property-based check of the custom as-of execs against a brute-force
   * per-row reference: on random datasets — duplicate keys, duplicate and
-  * tied times, null times, keys on one side only, empty sides — both the
-  * sort-merge and the broadcast variants must return, per left row, the
-  * greatest right time <= the left time (null when none). The custom
-  * physical operator is where interleaving bugs would hide (key-boundary
-  * candidate reset, lookahead copy discipline, binary-search bounds);
-  * random data covers interleavings the handwritten specs cannot.
+  * tied times, null times, NULL KEYS (SQL `=` matches nothing on null, so
+  * a null-keyed left row must get the outer null match and a null-keyed
+  * right row must join nothing — the natural row ordering's null == null
+  * would silently say otherwise), keys on one side only, empty sides —
+  * both the sort-merge and the broadcast variants must return, per left
+  * row, the greatest right time <= the left time (null when none). The
+  * custom physical operator is where interleaving bugs would hide
+  * (key-boundary candidate reset, lookahead copy discipline,
+  * binary-search bounds); random data covers interleavings the
+  * handwritten specs cannot.
   */
 object AsofJoinProps extends Properties("AsofJoin") {
 
@@ -27,10 +31,15 @@ object AsofJoinProps extends Properties("AsofJoin") {
     s
   }
 
-  private val keyGen = Gen.chooseNum(0L, 6L) // few keys -> dense collisions
+  // few keys -> dense collisions; 1-in-6 null keys exercise the
+  // SQL-equality-never-matches-null paths on both sides
+  private val keyGen: Gen[Option[Long]] =
+    Gen.frequency(5 -> Gen.chooseNum(0L, 6L).map(Some(_)), 1 -> Gen.const(None))
   private val timeGen = Gen.option(Gen.chooseNum(0L, 40L)) // dup/tie-rich
 
-  private val datasets: Gen[(List[(Long, Option[Long])], List[(Long, Option[Long])])] =
+  private type Rows = List[(Option[Long], Option[Long])]
+
+  private val datasets: Gen[(Rows, Rows)] =
     for {
       nl <- Gen.chooseNum(0, 40)
       nr <- Gen.chooseNum(0, 40)
@@ -38,26 +47,31 @@ object AsofJoinProps extends Properties("AsofJoin") {
       r <- Gen.listOfN(nr, Gen.zip(keyGen, timeGen))
     } yield (l, r)
 
-  private def reference(left: List[(Long, Option[Long])],
-      right: List[(Long, Option[Long])]): List[((Long, Option[Long]), Option[Long])] =
+  private def reference(left: Rows, right: Rows)
+      : List[((Option[Long], Option[Long]), Option[Long])] =
     left.map { case (k, t) =>
-      val m = t.flatMap { lt =>
-        right.collect { case (`k`, Some(rt)) if rt <= lt => rt }
-          .maxOption
-      }
+      // SQL semantics: a match needs non-null equal keys AND rt <= lt
+      val m = for {
+        key <- k
+        lt <- t
+        best <- right.collect {
+          case (Some(`key`), Some(rt)) if rt <= lt => rt
+        }.maxOption
+      } yield best
       ((k, t), m)
     }
 
-  private def viaSpark(left: List[(Long, Option[Long])],
-      right: List[(Long, Option[Long])], useBroadcast: Boolean)
-      : List[((Long, Option[Long]), Option[Long])] = {
+  private def viaSpark(left: Rows, right: Rows, useBroadcast: Boolean)
+      : List[((Option[Long], Option[Long]), Option[Long])] = {
     val s = spark
     import s.implicits._
     // ids make left rows distinguishable through the join
     val l = left.zipWithIndex
-      .map { case ((k, t), i) => (i.toLong, k, t.map(Long.box).orNull) }
+      .map { case ((k, t), i) =>
+        (i.toLong, k.map(Long.box).orNull, t.map(Long.box).orNull) }
       .toDF("id", "k", "t")
-    val r0 = right.map { case (k, t) => (k, t.map(Long.box).orNull) }
+    val r0 = right
+      .map { case (k, t) => (k.map(Long.box).orNull, t.map(Long.box).orNull) }
       .toDF("rk", "rt")
     val r = if (useBroadcast) broadcast(r0) else r0
     l.join(r, expr("k = rk AND asof_le(t, rt)"), "left")
@@ -65,9 +79,10 @@ object AsofJoinProps extends Properties("AsofJoin") {
       .collect()
       .sortBy(_.getAs[Long]("id"))
       .map { row =>
+        val k = if (row.isNullAt(1)) None else Some(row.getLong(1))
         val t = if (row.isNullAt(2)) None else Some(row.getLong(2))
         val m = if (row.isNullAt(3)) None else Some(row.getLong(3))
-        ((row.getLong(1), t), m)
+        ((k, t), m)
       }.toList
   }
 

@@ -137,4 +137,31 @@ class AsofJoinSpec extends AnyFunSuite {
     }
     assert(ex.getMessage != null)
   }
+
+  test("constant / single-side conjuncts never become degenerate join keys") {
+    graft.plans.GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    val l = Seq((1L, 10L), (2L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L), (1L, 7L), (2L, 8L)).toDF("rk", "rt")
+    // Catalyst's PushPredicateThroughJoin moves single-side conjuncts
+    // (`rk = 1`, `rt > 6`) out of the join condition into child filters
+    // before the strategy runs, so the strategy sees only the real
+    // cross-relation equality — and the strategy's own nonEmpty-reference
+    // guard backstops any constant equality that survives to planning
+    // (without it, an empty reference set subsets both outputSets and the
+    // constant would hash-cluster the whole right side onto one
+    // partition). The queries must plan on the native exec and stay
+    // semantically right: filters apply BEFORE the as-of match.
+    val constDf = l.join(r, expr("k = rk AND rk = 1 AND asof_le(t, rt)"), "left")
+    assert(planOf(constDf).contains("AsofJoin"))
+    assert(constDf.select("k", "rt").collect().map(r0 =>
+      (r0.getLong(0), if (r0.isNullAt(1)) -1L else r0.getLong(1))).toSet ===
+      Set((1L, 7L), (2L, -1L))) // k=2 filtered off the right -> null match
+    val sideDf = l.join(r, expr("k = rk AND rt > 6 AND asof_le(t, rt)"), "left")
+    assert(planOf(sideDf).contains("AsofJoin"))
+    assert(sideDf.select("k", "rt").collect().map(r0 =>
+      (r0.getLong(0), if (r0.isNullAt(1)) -1L else r0.getLong(1))).toSet ===
+      Set((1L, 7L), (2L, 8L))) // rt=5 excluded pre-join, so k=1 matches 7
+  }
 }
