@@ -125,6 +125,88 @@ object TemporalJoins {
       |   WHERE s.user_id = p.user_id AND s.es <= p.es) AS last_signup_s
       |FROM p ORDER BY p.event_id""".stripMargin
 
+  /** Skew-safe salted pre-pass for the native as-of join — closes the one
+    * documented scale caveat of `AsofJoinExec`: as a custom physical node
+    * it sits outside AQE's skew-join splitting, so a hot probe-side key
+    * (one user producing 50× the median events) lands on one task and
+    * serializes the stage.
+    *
+    * Classic selective salting, adapted to as-of semantics. One map-side-
+    * combinable count over the left keys finds the keys whose row count
+    * crosses `hotThreshold`; hot LEFT rows spread across `buckets` salt
+    * values (deterministic murmur3 of key + time — reproducible run to
+    * run), hot RIGHT rows REPLICATE to every salt value (each salted
+    * probe partition must still see the key's full right history for
+    * "latest prior" to be exact — replication factor applies to hot keys
+    * only). Cold keys keep salt 0: no replication, no extra fan-out. The
+    * salt becomes one more equi-conjunct, so `AsofJoinStrategy` plans the
+    * SAME native exec, now clustered on (key, salt).
+    *
+    * Scale ledger: + one aggregation over left keys (partial-agg
+    * combined, output bounded by |left| / hotThreshold rows — the hot set
+    * is small by construction, which is what makes broadcasting the tag
+    * join safe); + |hot right rows| × buckets replication; − the stage's
+    * straggler. Addresses probe-side (left) skew — the fact-stream case.
+    * A key whose RIGHT side is hot is not helped (every salt bucket still
+    * carries that key's full history); that calls for time-range
+    * partitioning of the build side, a different operator.
+    *
+    * Left/right column names must be disjoint (same contract as the bare
+    * `asof_le` join condition). Output = left columns then right columns,
+    * salt dropped; row multiplicity identical to the unsalted native join
+    * (spec-pinned, and `asof_join_salted` carries the same DuckDB oracle
+    * as `asof_join_native`).
+    */
+  def asofSaltedLe(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      buckets: Int = 16, hotThreshold: Long = 100000L): DataFrame = {
+    require(buckets > 0 && leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
+    val hot = broadcast( // bounded: ≤ |left| / hotThreshold rows by construction
+      left.groupBy(leftKeys.map(col): _*).agg(count(lit(1)).as("__hot_n"))
+        .filter(col("__hot_n") > hotThreshold)
+        .select(leftKeys.map(col): _*))
+    val lSalted = left
+      .join(hot.withColumn("__hot", lit(1)), leftKeys, "left")
+      .withColumn("__lsalt",
+        when(col("__hot").isNotNull,
+          pmod(hash(leftKeys.map(col) :+ col(leftTime): _*), lit(buckets)))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val rHot = hot.toDF(rightKeys: _*).withColumn("__hot", lit(1))
+    val rSalted = right
+      .join(rHot, rightKeys, "left")
+      .withColumn("__rsalt", explode(
+        when(col("__hot").isNotNull, sequence(lit(0), lit(buckets - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__hot")
+    val cond = (leftKeys.zip(rightKeys).map { case (a, b) => s"$a = $b" } :+
+      "__lsalt = __rsalt" :+ s"asof_le($leftTime, $rightTime)").mkString(" AND ")
+    lSalted.join(rSalted, expr(cond), "left").drop("__lsalt", "__rsalt")
+  }
+
+  /** The `asof_join_native` question routed through [[asofSaltedLe]] with a
+    * threshold low enough that the fixture's busiest users actually take
+    * the salted branch — so the oracle pins the salted path's semantics
+    * (identical to the unsalted native join), not just the cold-key
+    * passthrough. Balance under engineered 50×-median skew is the
+    * `AsofJoinSpec` salting test's job.
+    */
+  def asofJoinSalted(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    graft.plans.GraftStrategies.register(s)
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
+    val signups = Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), unix_timestamp(col("ts")).as("s_es"))
+    asofSaltedLe(purchases, signups, Seq("user_id"), Seq("s_uid"),
+        "es", "s_es", buckets = 4, hotThreshold = 8L)
+      .select(col("event_id"), col("user_id"), col("s_es").as("last_signup_s"))
+      .orderBy("event_id")
+  }
+
   /** Interval width (seconds) for the overlap join below — one hour, wide
     * enough that the sparse fixture event stream produces a meaningful
     * overlap population at every sf. */
@@ -183,11 +265,15 @@ object TemporalJoins {
     "range_join_binned" -> (rangeJoinBinned _),
     "asof_latest_prior" -> (asofLatestPrior _),
     "asof_join_native" -> (asofJoinNative _),
+    "asof_join_salted" -> (asofJoinSalted _),
     "interval_overlap_join" -> (intervalOverlapJoin _))
 
   def oracles: Map[String, String] = Map(
     "range_join_binned" -> rangeJoinBinnedSql,
     "asof_latest_prior" -> asofLatestPriorSql,
     "asof_join_native" -> asofJoinNativeSql,
+    // the salted pre-pass must be value-identical to the unsalted native
+    // join, so it carries the SAME oracle
+    "asof_join_salted" -> asofJoinNativeSql,
     "interval_overlap_join" -> intervalOverlapJoinSql)
 }
