@@ -306,6 +306,92 @@ object Packing {
     parts
   }
 
+  /** Order-preserving compaction for SORTED layouts — the mode that
+    * composes with [[writeZorderLayouts]]. Round-robin [[compactFiles]]
+    * deliberately shuffles for even file sizes, which destroys any
+    * z-order/sort clustering the input had (each output file then spans
+    * the full key range, so parquet min/max pruning dies). This mode
+    * instead bin-packs ADJACENT files: a range-partitioned write names
+    * files in range order (`part-00000` < `part-00001` ⇒ key order), so a
+    * greedy walk over the SAME driver-side file-metadata listing
+    * [[compactFiles]] uses groups contiguous runs of files up to
+    * `targetBytes`. Each group is read and locally sorted on `sortCols`
+    * (a `coalesce(1)` + within-partition sort — NARROW: no exchange
+    * anywhere in the job), and every group writes exactly one file whose
+    * key range is the union of its members' adjacent ranges — contiguous
+    * and non-overlapping across output files, so the scan-pruning the
+    * layout bought is preserved (spec-asserted against the
+    * `zorder_pruning` inequality).
+    *
+    * Scale ledger: planning is the same O(files) listing; data is read
+    * once and written once with NO shuffle (vs. the round-robin mode's
+    * full exchange); each group sorts ~`targetBytes` locally (spill-safe
+    * — ExternalSorter spills a group that outgrows executor memory).
+    * Group legs are unioned `jobBatch` at a time so the physical plan
+    * stays bounded at very large group counts; batches append into
+    * `outDir`. Requires a flat directory of files from one sorted write —
+    * for a partitioned lakehouse layout, run per partition directory
+    * (which is how table-maintenance services schedule compaction anyway).
+    *
+    * One-partition-per-group mechanics: a `coalesce(1)` leg would be the
+    * obvious spelling, but at execution Spark unions same-partitioner
+    * coalesced legs partitioner-aware — 8 single-partition legs collapse
+    * into ONE output partition/file. Instead each leg scans its group
+    * with `spark.sql.files.maxPartitionBytes` raised (scoped to this
+    * write, restored after) so the whole group bin-packs into a single
+    * scan split naturally — no Repartition node anywhere, the union keeps
+    * one partition per group, and each partition writes exactly one file.
+    * A pathological single file larger than 4× `targetBytes` still splits
+    * (row-group aligned, so each piece covers a contiguous sub-range —
+    * ordering survives, just with more output files than planned).
+    * Mutating the session's read conf assumes the single-threaded
+    * execution Verify/Bench/sbt-test use (same contract as
+    * `zorderScratch` above).
+    */
+  def compactFilesOrdered(s: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long, sortCols: Seq[String], jobBatch: Int = 64): Int = {
+    require(sortCols.nonEmpty && targetBytes > 0L)
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(inPath).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName) // part numbers are zero-padded: name order = range order
+    require(files.nonEmpty, s"no parquet files under $inDir")
+    // greedy adjacent bin-packing: close a group when the next file would
+    // overflow targetBytes (a single oversized file forms its own group)
+    val groups = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    var acc = 0L
+    files.foreach { f =>
+      if (acc > 0L && acc + f.getLen > targetBytes) {
+        groups += scala.collection.mutable.ArrayBuffer.empty[String]
+        acc = 0L
+      }
+      groups.last += f.getPath.toString
+      acc += f.getLen
+    }
+    val schema = s.read.parquet(inDir).schema // stable schema across batches
+    val confKeys = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes", "spark.sql.files.minPartitionNum")
+    val prev = confKeys.map(k => k -> s.conf.getOption(k))
+    s.conf.set(confKeys.head, math.max(4L * targetBytes, 134217728L))
+    s.conf.set(confKeys(1), 0L)
+    // without this, maxSplitBytes shrinks to totalBytes/defaultParallelism
+    // and a group still fans out into several splits/files
+    s.conf.set(confKeys(2), 1L)
+    try groups.toSeq.grouped(jobBatch).zipWithIndex.foreach { case (batch, i) =>
+      batch.map { paths =>
+        s.read.schema(schema).parquet(paths.toSeq: _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      }.reduce(_ unionAll _)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(outDir)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    groups.size
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "assign_row_ids" -> (assignRowIds _),
     "pack_sequences" -> (packSequences _),

@@ -688,6 +688,83 @@ class OperatorSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
   }
 
+  test("order-preserving compaction composes with z-order: pruning inequality survives") {
+    import org.apache.spark.sql.functions.{col, expr, input_file_name, max => smax, min => smin}
+    val dir = "/root/testdata/sf0.01"
+    val out = java.nio.file.Files.createTempDirectory("graft-zcompact").toString
+    operators.Packing.writeZorderLayouts(spark, dir, out)
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // targetBytes = 2x the largest input file -> deterministic adjacent
+    // pairs: every output file merges exactly two neighboring range files
+    def compact(layout: String, sortCol: String): Int = {
+      val target = 2L * parquetFiles(s"$out/$layout").map(_.length()).max
+      operators.Packing.compactFilesOrdered(spark, s"$out/$layout",
+        s"$out/${layout}_c", target, Seq(sortCol))
+    }
+    val zGroups = compact("zorder", "zval")
+    val lGroups = compact("linear", "xk")
+    assert(zGroups == operators.Packing.ZLayoutFiles / 2 &&
+      parquetFiles(s"$out/zorder_c").length == zGroups,
+      s"expected ${operators.Packing.ZLayoutFiles / 2} merged files, planned $zGroups")
+    // nothing lost, and compaction kept sizes even (adjacent range files
+    // are ~equal, so pairs stay within 2x of each other)
+    val back = spark.read.parquet(s"$out/zorder_c")
+    val total = spark.read.parquet(s"$out/zorder").count()
+    assert(back.count() == total)
+    val perFile = back.groupBy(input_file_name()).count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(perFile.length == zGroups && perFile.max <= 2L * perFile.min,
+      s"uneven ordered compaction: ${perFile.toSeq.sorted}")
+    // ORDER preservation: each output file covers a contiguous zval slice,
+    // and the slices do not overlap across files — the property round-robin
+    // compaction destroys and min/max pruning depends on
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(smin("zval").as("lo"), smax("zval").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping zval ranges after compaction: $ranges")
+      case _ =>
+    }
+    // the inequality OperatorSpec's z-order test proves at 16 files must
+    // survive compaction to 8: the compacted z-order layout still scans
+    // strictly fewer rows than the compacted 1-D layout under the 2-D
+    // predicate, and both still beat a full scan
+    def scanned(layout: String): (Long, Long) = {
+      val df = spark.read.parquet(s"$out/$layout")
+        .filter(expr(operators.Packing.ZPredicate))
+      val res = df.collect().length.toLong
+      val sc = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+      (res, sc)
+    }
+    val (zRes, zScan) = scanned("zorder_c")
+    val (lRes, lScan) = scanned("linear_c")
+    assert(zRes == lRes && zRes > 0, s"compacted layouts disagree: $zRes vs $lRes")
+    assert(zScan < lScan,
+      s"ordered compaction lost z-order pruning: z scanned $zScan, linear $lScan")
+    assert(lScan < total, s"compacted 1-D layout pruned nothing ($lScan of $total)")
+    // and the round-robin mode on the same input, as documented, does NOT
+    // preserve the layout: its per-file zval ranges overlap
+    operators.Packing.compactFiles(spark, s"$out/zorder", s"$out/zorder_rr",
+      targetBytes = 2L * parquetFiles(s"$out/zorder").map(_.length()).max)
+    val rrRanges = spark.read.parquet(s"$out/zorder_rr")
+      .groupBy(input_file_name().as("f"))
+      .agg(smin("zval").as("lo"), smax("zval").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    val rrOverlaps = rrRanges.sliding(2).exists {
+      case Array((_, hi), (lo2, _)) => hi > lo2
+      case _ => false
+    }
+    assert(rrRanges.length <= 1 || rrOverlaps,
+      "round-robin compaction unexpectedly preserved range clustering")
+  }
+
   test("column profile runs in ONE documents scan; stats agree with the frame") {
     val prof = operators.DataQuality.profileColumns(spark, sf)
     assert(scanPaths(prof).count(_.contains("documents.parquet")) == 1,
