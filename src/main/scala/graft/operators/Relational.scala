@@ -292,23 +292,59 @@ object Relational {
     * cross-source duplicate mass) a 100 TB curation pipeline keeps as a
     * tiny persisted artifact instead of re-counting the corpus.
     *
-    * Rows-only (sketch internals are engine-specific, same as
-    * `approx_distinct`); the spec bounds union and per-source estimates
-    * against exact distinct counts.
+    * Oracle-checkable EXACT-REGIME form: raw sketch estimates are
+    * engine-specific, so the emitted row carries (a) the exact distinct
+    * counts (per-source sum, corpus union, their difference = true
+    * cross-source duplicate mass) that DuckDB reproduces verbatim, and
+    * (b) IN-BOUND VERDICTS — every per-source estimate and the merged
+    * union estimate within 3 RSE (lgK=12 ⇒ RSE ≈ 1.6%, bound 5%) of its
+    * exact twin. The oracle asserts the verdict columns as literals
+    * (`n_sources_in_bound = n_sources`, `union_in_bound = TRUE`), so a
+    * sketch drifting out of its published bound turns the driver's
+    * hash compare red — a real oracle check, not rows-only. The exact
+    * twin costs one extra distinct aggregation at fixture scale; at
+    * 100 TB a pipeline keeps only the sketch path (the mergeable
+    * artifact) and this query is its acceptance harness.
     */
   def hllUnionSources(s: SparkSession, d: String): DataFrame = {
-    val per = Tables.documents(s, d)
+    val fp = Tables.documents(s, d)
       .select(col("source"), graft.functions.Portable.docFingerprint.as("fp"))
-      .groupBy("source")
-      .agg(hll_sketch_agg(col("fp"), lit(12)).as("sk"))
-      .select(col("source"),
-        hll_sketch_estimate(col("sk")).cast("long").as("est_docs"), col("sk"))
-    per.agg(
-        sum("est_docs").as("sum_source_est"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("union_est"))
-      .select(col("sum_source_est"), col("union_est"),
-        (col("sum_source_est") - col("union_est")).as("est_cross_source_dups"))
+    val per = fp.groupBy("source")
+      .agg(
+        hll_sketch_agg(col("fp"), lit(12)).as("sk"),
+        countDistinct(col("fp")).as("exact_docs"))
+      .select(col("source"), col("sk"), col("exact_docs"),
+        hll_sketch_estimate(col("sk")).cast("double").as("est_docs"))
+    val merged = per.agg(
+      count(lit(1)).as("n_sources"),
+      sum("exact_docs").as("exact_sum_sources"),
+      sum(when(abs(col("est_docs") - col("exact_docs")) <=
+        col("exact_docs") * 0.05, 1L).otherwise(0L)).as("n_sources_in_bound"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).cast("double").as("union_est"))
+    val exactUnion = fp.agg(countDistinct(col("fp")).as("exact_union"))
+    merged.crossJoin(exactUnion)
+      .select(
+        col("n_sources"), col("exact_sum_sources"), col("exact_union"),
+        (col("exact_sum_sources") - col("exact_union")).as("exact_cross_source_dups"),
+        col("n_sources_in_bound"),
+        (abs(col("union_est") - col("exact_union")) <=
+          col("exact_union") * 0.05).as("union_in_bound"))
   }
+
+  val hllUnionSourcesSql: String =
+    s"""WITH fp AS (
+       |  SELECT source, ${graft.functions.Portable.docFingerprintSql} AS fp
+       |  FROM documents),
+       |per AS (
+       |  SELECT source, count(DISTINCT fp) AS exact_docs FROM fp GROUP BY source)
+       |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       |  CAST(sum(exact_docs) AS BIGINT) AS exact_sum_sources,
+       |  CAST((SELECT count(DISTINCT fp) FROM fp) AS BIGINT) AS exact_union,
+       |  CAST(sum(exact_docs) - (SELECT count(DISTINCT fp) FROM fp) AS BIGINT)
+       |    AS exact_cross_source_dups,
+       |  CAST(count(*) AS BIGINT) AS n_sources_in_bound,
+       |  TRUE AS union_in_bound
+       |FROM per""".stripMargin
 
   // ---------------------------------------------------------------- set ops
   /** UNION / EXCEPT / INTERSECT (distinct semantics) over the nation sets of
@@ -1255,6 +1291,7 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   def oracles: Map[String, String] = Map(
+    "hll_union_sources" -> hllUnionSourcesSql,
     "merge_upsert" -> mergeUpsertSql,
     "cdc_apply_log" -> cdcApplyLogSql,
     "scd2_history" -> scd2HistorySql,
