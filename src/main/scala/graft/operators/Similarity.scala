@@ -734,38 +734,55 @@ object Similarity {
     * tiebreaks) → DuckDB-oracle-checked end to end.
     */
   def pqAdcRerankTopk(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecFunctions.register(s)
-    val codes = pqCodes(s, d)
+    val (codes, emb) = pqServingCorpus(s, d)
     val queries = Tables.embeddings(s, d)
       .filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"),
-        expr("pq_dist_tables(embedding)").as("dts"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    adcRerank(queries, codes, emb).orderBy("qid", "rank")
+  }
+
+  /** The static PQ serving corpus: (codes relation, full-precision
+    * embeddings) — the pair every ADC consumer (batch [[pqAdcRerankTopk]],
+    * the streaming enrichment twin in `streaming.Streams`) probes. Codes
+    * are 8 bytes/vector; the embedding relation is touched only for
+    * rerank-pool fetches. */
+  private[graft] def pqServingCorpus(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    (pqCodes(s, d), Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** Shared ADC→rerank composition over an arbitrary query relation
+    * `(qid, qemb: array<float>)` — the seam that gives the batch query and
+    * its streaming micro-batch twin the IDENTICAL plan (replay-parity
+    * spec-pinned). Corpus-sized stage carries only (qid, vec_id, adc); the
+    * query embedding re-joins AFTER the pool cut (`poolN` rows/query), so
+    * the pool window's exchange stays codes-thin instead of dragging a
+    * 64-float qemb through every scored row. The pool join's query side
+    * (128 doubles/query) goes through autoBroadcastJoinThreshold — tiny
+    * micro-batches broadcast, a corpus-scale query set flips to the
+    * shuffle path; only the post-cut rerank fetch forces broadcast of the
+    * (by then pool-bounded) query embeddings.
+    */
+  private[graft] def adcRerank(queries: DataFrame, codes: DataFrame,
+      corpusEmb: DataFrame, poolN: Int = 10, k: Int = 3): DataFrame = {
+    graft.functions.VecFunctions.register(queries.sparkSession)
+    val q = queries.select(col("qid"), expr("pq_dist_tables(qemb)").as("dts"))
     val adc = (0 until PqSubspaces).map(sub =>
       element_at(element_at(col("dts"), sub + 1), col(s"code_$sub") + 1))
       .reduce(_ + _)
     val wPool = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
-    // the corpus-sized stage carries only (qid, vec_id, adc) — the query
-    // embedding re-joins AFTER the pool cut (10 rows/query), so the pool
-    // window's exchange stays codes-thin instead of dragging a 64-float
-    // qemb through every scored row
-    val pool = queries.join(codes, col("vec_id") =!= col("qid"))
+    val pool = q.join(codes, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), round(adc, 4).as("adc"))
       .withColumn("prank", row_number().over(wPool))
-      .filter(col("prank") <= 10)
+      .filter(col("prank") <= poolN)
       .select("qid", "vec_id")
-    val qemb = Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
     val wFinal = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
     pool
-      .join(broadcast(qemb), Seq("qid"))
-      .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-        Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .join(corpusEmb, Seq("vec_id"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qemb"), col("embedding")), 4).as("cosine"))
       .withColumn("rank", row_number().over(wFinal))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= k)
       .select("qid", "rank", "vec_id", "cosine")
-      .orderBy("qid", "rank")
   }
 
   val pqAdcRerankTopkSql: String = {

@@ -818,4 +818,45 @@ object Streams {
         upsertBatch(batch.toDF(), id, dir, key, seqCol)
       }
       .start()
+
+  // ------------------------------------------------ streaming ANN enrichment
+  /** One micro-batch of the streaming ANN enrichment leg — the online twin
+    * of the batch `pq_adc_rerank_topk` query: the batch's
+    * `(qid, qemb: array<float>)` rows probe the STATIC PQ serving corpus
+    * (8-byte codes for the ADC recall pass; full-precision embeddings only
+    * for the pool-bounded rerank fetch) through literally the same
+    * `Similarity.adcRerank` composition the batch query plans, and the
+    * enriched top-k rows land under `outDir/batch_id=<id>`. Enrichment is
+    * per-record — no cross-batch state — so replay parity with the batch
+    * query is exact (StreamingSpec pins it) and a redelivered batch
+    * byte-replaces its own directory instead of appending duplicates
+    * (the [[upsertBatch]] idempotence discipline).
+    */
+  def annEnrichBatch(batch: DataFrame, id: Long, codes: DataFrame,
+      corpusEmb: DataFrame, outDir: String, poolN: Int = 10, k: Int = 3): Unit =
+    graft.operators.Similarity.adcRerank(batch, codes, corpusEmb, poolN, k)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  /** Streaming ANN enrichment over micro-batches of query embeddings.
+    * The static corpus pair (codes + embeddings) is persisted once here —
+    * every micro-batch probes it, and without the persist each batch
+    * would re-run the corpus `pq_encode` scan. The cached relations live
+    * until the caller unpersists them (returned alongside the query so a
+    * long-lived serving job can manage their lifecycle; at 100 TB the
+    * codes relation is the 8-bytes-per-vector artifact a deployment pins
+    * in cluster memory by design — that is the point of PQ).
+    */
+  def streamAnnEnrich(df: DataFrame, spark: SparkSession, sfDir: String,
+      outDir: String, checkpoint: String, poolN: Int = 10, k: Int = 3)
+      : (org.apache.spark.sql.streaming.StreamingQuery, Seq[DataFrame]) = {
+    val (codes, emb) = graft.operators.Similarity.pqServingCorpus(spark, sfDir)
+    val cached = Seq(codes.persist(), emb.persist())
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        annEnrichBatch(batch.toDF(), id, cached.head, cached(1), outDir, poolN, k)
+      }
+      .start()
+    (q, cached)
+  }
 }

@@ -421,6 +421,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN enrichment: micro-batched queries equal the batch rerank twin") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = SparkTestSession.sf
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ann-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-ckpt").toString
+    // the batch query's fixture probes, replayed as THREE micro-batches so
+    // the parity covers the multi-batch path, not one degenerate batch
+    val probes = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray))
+    assert(probes.length >= 3)
+    val chunks = probes.grouped(2).toSeq
+    val in = MemoryStream[(Long, Array[Float])]
+    val (q, cached) = Streams.streamAnnEnrich(
+      in.toDF().toDF("qid", "qemb"), spark, sf, outDir, ckpt)
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val batchDirs = new java.io.File(outDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      assert(batchDirs.length == chunks.length,
+        s"expected ${chunks.length} micro-batch outputs, got ${batchDirs.length}")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))
+      val streamed = spark.read.parquet(outDir)
+        .select("qid", "rank", "vec_id", "cosine").collect().map(key).toSet
+      val batch = operators.Similarity.pqAdcRerankTopk(spark, sf)
+        .collect().map(key).toSet
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally {
+      q.stop()
+      cached.foreach(_.unpersist())
+    }
+  }
+
   test("session windows streamed: replayed fixture equals the batch twin") {
     import spark.implicits._
     import org.apache.spark.sql.functions.unix_timestamp
