@@ -129,7 +129,10 @@ object Dedup {
     * dropped-gram count is observable as the `jaccard_audit` metric
     * (`stop_grams_dropped`).
     */
-  def jaccardPairs(gramSets: DataFrame): DataFrame = {
+  /** The retained (doc_id, hashed-gram) stream after the stop-gram cap —
+    * the inverted-index input shared by [[jaccardPairs]] and the
+    * scaling-slope candidate counter. */
+  private def retainedGrams(gramSets: DataFrame): DataFrame = {
     val grams = gramSets
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("g"))
@@ -141,7 +144,11 @@ object Dedup {
       .filter(col("cnt") >= MaxPostingLen)
       .select("g")
     // stop-grams are RARE by construction → broadcast anti-join, narrow
-    val retained = grams.join(broadcast(hot), Seq("g"), "left_anti")
+    grams.join(broadcast(hot), Seq("g"), "left_anti")
+  }
+
+  def jaccardPairs(gramSets: DataFrame): DataFrame = {
+    val retained = retainedGrams(gramSets)
     val sizes = retained.groupBy("doc_id").agg(count(lit(1)).as("n"))
     retained.as("a")
       .join(retained.as("b"),
@@ -154,6 +161,35 @@ object Dedup {
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+  }
+
+  /** Candidate-pair count of the gram inverted index (distinct doc pairs
+    * sharing ≥1 retained gram) — the pairwise work [[jaccardPairs]] scores
+    * BEFORE any similarity threshold. Grows with co-occurring vocabulary
+    * (≈ quadratically in corpus size for natural text until the stop-gram
+    * cap bites); the ScalingSlopeSpec measures it at two corpus sizes
+    * against the banded paths' candidate counts. */
+  private[graft] def gramCandidateCount(s: SparkSession, d: String): Long = {
+    val retained = retainedGrams(gramSetDF(s, d))
+    retained.as("a")
+      .join(retained.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+  }
+
+  /** Candidate-pair count of the MinHash LSH banding (distinct doc pairs
+    * colliding on ≥1 band signature) — [[lshPairs]]'s pairwise work before
+    * the est-Jaccard threshold. Band signatures are 56-bit compound keys,
+    * so collisions track genuinely similar pairs, not corpus size — the
+    * ScalingSlopeSpec asserts this grows ~linearly while the quadratic
+    * baselines grow ~n². */
+  private[graft] def lshCandidateCount(s: SparkSession, d: String): Long = {
+    val bands = bandsDF(s, d)
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bandsig") === col("y.bandsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
   }
 
   val dedupNgramJaccardSql: String =
@@ -293,7 +329,15 @@ object Dedup {
     * within Hamming distance 3 are near-dups. Each doc collapses to one
     * integer before any join — the cheapest near-dup representation.
     */
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+  /** The SimHash chunk-collision candidate pairs (doc_a, doc_b, hamming),
+    * emit-once per pair, BEFORE the Hamming threshold — [[dedupSimhash]]'s
+    * pairwise work, exposed so the ScalingSlopeSpec can measure how chunk
+    * collisions grow with corpus size (≈ n²/2⁷ per chunk at fixed 7-bit
+    * chunk width: sub-quadratic by the bucket constant, not linear —
+    * production scaling widens the fingerprint so chunk bits grow with
+    * log n, which this 28-bit oracle-shared variant deliberately fixes).
+    */
+  private[graft] def simhashCandidates(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     val sim = parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
@@ -329,9 +373,12 @@ object Dedup {
       .filter(col("p.chunk") === firstAgreeingChunk)
       .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
         bit_count(xor).as("hamming"))
+  }
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    simhashCandidates(s, d)
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
-  }
 
   val dedupSimhashSql: String =
     s"""WITH toks AS (

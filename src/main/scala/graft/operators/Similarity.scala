@@ -252,6 +252,28 @@ object Similarity {
     * ~0.85+ where 8-bit bands prune >90% of pairs at recall ≥ 0.99 —
     * band width per deployment threshold is THE tuning knob.
     */
+  /** Band-collision candidate-pair count of the hyperplane LSH (emit-once
+    * per pair, BEFORE any cosine evaluation) — [[dedupEmbeddingLsh]]'s
+    * pairwise work, exposed for the ScalingSlopeSpec's two-point growth
+    * measurement. With 3-bit bands (8 buckets per band) collision counts
+    * grow ≈ n²/2³ per band at fixed width — the banding economics the
+    * scaladoc below documents; production scaling widens bands with
+    * log n. */
+  private[graft] def embeddingLshCandidateCount(s: SparkSession, d: String): Long = {
+    val e = embeddingSigs(s, d)
+    val side = e.select(col("vec_id"), col("sigpack"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+    val firstAgree = expr(
+      (0 until DedupBands).map(b =>
+        s"WHEN (shiftright(p.sigpack ^ q.sigpack, ${DedupBandPlanes * b}) & " +
+          s"${(1 << DedupBandPlanes) - 1}) = 0 THEN $b")
+        .mkString("CASE ", " ", " ELSE -1 END"))
+    side.as("p").join(side.as("q"),
+        col("p.band") === col("q.band") && col("p.sig") === col("q.sig"))
+      .filter(col("p.vec_id") < col("q.vec_id") && firstAgree === col("p.band"))
+      .count()
+  }
+
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     val e = embeddingSigs(s, d)

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Two-point scaling-slope evidence for the banded dedup paths — turns the
+  * "banded means scalable" claim into measured growth rates.
+  *
+  * Two complementary corpora:
+  *
+  * 1. CONTROLLED (constant duplicate structure): the sf0.01 corpus
+  *    replicated ×4 with disjoint vocabulary per copy (every token
+  *    suffixed with the copy index; embeddings circularly shifted by the
+  *    copy index, which preserves within-copy cosine structure exactly and
+  *    decorrelates across copies). True near-dup pairs grow exactly
+  *    linearly by construction, so candidate growth isolates the
+  *    ALGORITHM's scaling: MinHash-LSH candidates must grow ~linearly
+  *    (56-bit band signatures never saturate) while the all-pairs work of
+  *    the declared quadratic baselines (`dedup_embedding`,
+  *    `ann_bruteforce_topk`, and `dedup_ngram_jaccard`'s worst case) grows
+  *    ~r² by construction.
+  *
+  * 2. NATURAL (the sf0.1 fixture vs its deterministic 25% subsample): in
+  *    this corpus the TRUE near-dup mass itself grows ~quadratically
+  *    (documents are drawn from a finite template pool, so duplicate
+  *    clusters grow with corpus size) — candidate counts must track that
+  *    true-pair mass, which is the optimum for any exact-recall scheme.
+  *    The scale statement is that the candidate fraction of all pairs
+  *    stays constant (~6e-5): the banding's pruning power does not degrade
+  *    as the corpus grows.
+  *
+  * Fixed-width banding limits, measured and asserted rather than hidden:
+  * SimHash's 7-bit chunks (128 buckets) saturate — candidates grow ~×7 at
+  * ×4 rows (sub-quadratic by the bucket constant, super-linear) — and the
+  * embedding LSH's 3-bit bands collide on ~65% of ALL pairs at this
+  * fixture's dead-zone threshold (the Similarity scaladoc's documented
+  * economics), so its growth is ~r². Production scaling widens fingerprint
+  * and band widths with log n; the widths here are fixed because the
+  * DuckDB oracles share them.
+  */
+class ScalingSlopeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val base = "/root/testdata/sf0.01"
+  private val natural = "/root/testdata/sf0.1"
+
+  /** sf0.01 replicated `copies`× with disjoint vocabulary per copy. */
+  private def upsample(copies: Int): String = {
+    val out = java.nio.file.Files.createTempDirectory(s"graft-slope-x$copies").toString
+    Tables.documents(spark, base)
+      .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("k"))
+      .select(
+        (col("doc_id") + col("k") * 10000000L).as("doc_id"),
+        when(col("k") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1w"), col("k")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Tables.embeddings(spark, base)
+      .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("k"))
+      .select(
+        (col("vec_id") + col("k") * 10000000L).as("vec_id"),
+        expr("transform(sequence(0, size(embedding) - 1), " +
+          "i -> element_at(embedding, CAST((i + k) % size(embedding) AS INT) + 1))")
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
+  }
+
+  test("controlled x4 corpus: LSH candidates grow linearly, baselines quadratically") {
+    val r = 4
+    val d1 = upsample(1)
+    val d4 = upsample(r)
+    val n1 = Tables.documents(spark, d1).count()
+    val n4 = Tables.documents(spark, d4).count()
+    assert(n4 == r * n1)
+
+    // the quadratic baselines score ALL pairs by construction — their work
+    // ratio is C(rn,2)/C(n,2) ~ r^2 arithmetic, stated, not simulated
+    val bruteRatio = (n4 * (n4 - 1)).toDouble / (n1 * (n1 - 1))
+    assert(bruteRatio >= 0.9 * r * r)
+
+    // MinHash-LSH: candidates ~linear (measured 40 -> 133, ratio 3.3),
+    // true pairs (est_jaccard >= 0.5 output) exactly linear — no
+    // cross-copy band collision survives disjoint vocabulary
+    val m1 = operators.Dedup.lshCandidateCount(spark, d1)
+    val m4 = operators.Dedup.lshCandidateCount(spark, d4)
+    assert(m1 > 0)
+    val mRatio = m4.toDouble / m1
+    assert(mRatio <= 1.5 * r && mRatio >= 0.5 * r,
+      s"minhash candidate growth not ~linear: $m1 -> $m4 (ratio $mRatio) at x$r rows")
+    val out1 = operators.Dedup.dedupMinhashLsh(spark, d1).count()
+    val out4 = operators.Dedup.dedupMinhashLsh(spark, d4).count()
+    assert(out4 == r * out1,
+      s"true near-dup pairs must grow exactly linearly: $out1 -> $out4")
+
+    // gram inverted index: disjoint vocabulary keeps postings per copy, so
+    // candidates are linear here too (its quadratic regime is SHARED
+    // vocabulary — the natural-corpus test below)
+    val g1 = operators.Dedup.gramCandidateCount(spark, d1)
+    val g4 = operators.Dedup.gramCandidateCount(spark, d4)
+    val gRatio = g4.toDouble / g1
+    assert(gRatio <= 1.5 * r, s"gram candidates: $g1 -> $g4 (ratio $gRatio)")
+
+    // SimHash 7-bit chunks: 128 buckets/chunk partially saturate at 2000
+    // docs — measured ratio ~7.0: strictly sub-quadratic (bucket constant)
+    // but super-linear; the documented widen-with-log-n limit
+    val s1 = operators.Dedup.simhashCandidates(spark, d1).count()
+    val s4 = operators.Dedup.simhashCandidates(spark, d4).count()
+    val sRatio = s4.toDouble / s1
+    assert(sRatio < 0.7 * r * r && sRatio > r,
+      s"simhash candidate growth outside the documented saturation regime: " +
+        s"$s1 -> $s4 (ratio $sRatio)")
+
+    // embedding LSH 3-bit bands at the fixture's dead-zone threshold
+    // collide on ~65% of ALL pairs (Similarity scaladoc economics) — the
+    // fraction must hold at both scales, which makes its growth ~r^2 here
+    val e1 = Tables.embeddings(spark, d1).count()
+    val e4 = Tables.embeddings(spark, d4).count()
+    val l1 = operators.Similarity.embeddingLshCandidateCount(spark, d1)
+    val l4 = operators.Similarity.embeddingLshCandidateCount(spark, d4)
+    val frac1 = l1.toDouble / (e1 * (e1 - 1) / 2)
+    val frac4 = l4.toDouble / (e4 * (e4 - 1) / 2)
+    assert(frac1 > 0.5 && frac1 < 0.8 && frac4 > 0.5 && frac4 < 0.8,
+      s"embedding-LSH collision fraction drifted from the documented ~0.65: " +
+        s"x1=$frac1 x4=$frac4")
+  }
+
+  test("natural sf0.1 corpus: minhash pruning power does not degrade with scale") {
+    val small = java.nio.file.Files.createTempDirectory("graft-slope-nat").toString
+    Tables.documents(spark, natural).filter(col("doc_id") % 4 === 0)
+      .write.mode("overwrite").parquet(s"$small/documents.parquet")
+    val nS = Tables.documents(spark, small).count()
+    val nB = Tables.documents(spark, natural).count()
+    assert(nB == 4 * nS)
+    val cS = operators.Dedup.lshCandidateCount(spark, small)
+    val cB = operators.Dedup.lshCandidateCount(spark, natural)
+    // candidates vs all-pairs: the banding prunes >= 5000x at BOTH scales
+    // (measured ~16000x), and the reduction factor must not degrade as the
+    // corpus quadruples — candidate mass tracks the true near-dup mass
+    // (which grows ~n^2 in this template-pool fixture), never corpus pairs
+    val redS = (nS * (nS - 1) / 2).toDouble / cS
+    val redB = (nB * (nB - 1) / 2).toDouble / cB
+    assert(redS >= 5000 && redB >= 5000,
+      s"minhash banding reduction collapsed: small=$redS big=$redB")
+    assert(redB >= 0.8 * redS,
+      s"minhash pruning power degraded with scale: small=$redS big=$redB")
+  }
+}
