@@ -95,4 +95,38 @@ object AsofJoinProps extends Properties("AsofJoin") {
     Prop.forAll(datasets) { case (l, r) =>
       viaSpark(l, r, useBroadcast = true) == reference(l, r)
     }
+
+  /** The salted pre-pass must be value-invisible: on random data with a
+    * threshold low enough that several keys take the hot branch (and with
+    * null keys/times flowing through the salt hash and the replication
+    * explode), `asofSaltedLe` must equal the same brute-force reference —
+    * multiplicity included (the hot-side replication must never fan out a
+    * left row, and a null-keyed left row still gets exactly one outer
+    * null match).
+    */
+  property("salted pre-pass matches brute force under random skew") =
+    Prop.forAll(datasets) { case (l, r) =>
+      val s = spark
+      import s.implicits._
+      val ldf = l.zipWithIndex
+        .map { case ((k, t), i) =>
+          (i.toLong, k.map(Long.box).orNull, t.map(Long.box).orNull) }
+        .toDF("id", "k", "t")
+      val rdf = r
+        .map { case (k, t) => (k.map(Long.box).orNull, t.map(Long.box).orNull) }
+        .toDF("rk", "rt")
+      val got = operators.TemporalJoins
+        .asofSaltedLe(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt",
+          buckets = 3, hotThreshold = 5L)
+        .select($"id", $"k", $"t", $"rt")
+        .collect()
+        .sortBy(_.getAs[Long]("id"))
+        .map { row =>
+          val k = if (row.isNullAt(1)) None else Some(row.getLong(1))
+          val t = if (row.isNullAt(2)) None else Some(row.getLong(2))
+          val m = if (row.isNullAt(3)) None else Some(row.getLong(3))
+          ((k, t), m)
+        }.toList
+      got == reference(l, r)
+    }
 }
