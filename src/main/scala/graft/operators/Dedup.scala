@@ -147,14 +147,22 @@ object Dedup {
     grams.join(broadcast(hot), Seq("g"), "left_anti")
   }
 
-  def jaccardPairs(gramSets: DataFrame): DataFrame = {
-    val retained = retainedGrams(gramSets)
-    val sizes = retained.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  /** Per-pair shared-gram counts (doc_a, doc_b, inter) off the retained
+    * inverted index — THE candidate stage of [[jaccardPairs]], shared with
+    * the scaling-slope counter so the measurement can never drift from the
+    * production join. Takes the [[retainedGrams]] stream so callers
+    * materialize its localCheckpoint exactly once. */
+  private def gramPairCounts(retained: DataFrame): DataFrame =
     retained.as("a")
       .join(retained.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+
+  def jaccardPairs(gramSets: DataFrame): DataFrame = {
+    val retained = retainedGrams(gramSets)
+    val sizes = retained.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    gramPairCounts(retained)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -165,32 +173,23 @@ object Dedup {
 
   /** Candidate-pair count of the gram inverted index (distinct doc pairs
     * sharing ≥1 retained gram) — the pairwise work [[jaccardPairs]] scores
-    * BEFORE any similarity threshold. Grows with co-occurring vocabulary
-    * (≈ quadratically in corpus size for natural text until the stop-gram
-    * cap bites); the ScalingSlopeSpec measures it at two corpus sizes
-    * against the banded paths' candidate counts. */
-  private[graft] def gramCandidateCount(s: SparkSession, d: String): Long = {
-    val retained = retainedGrams(gramSetDF(s, d))
-    retained.as("a")
-      .join(retained.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
-  }
+    * BEFORE any similarity threshold, counted off the SAME
+    * [[gramPairCounts]] stage the production query plans. Grows with
+    * co-occurring vocabulary (≈ quadratically in corpus size for natural
+    * text until the stop-gram cap bites); the ScalingSlopeSpec measures it
+    * at two corpus sizes against the banded paths' candidate counts. */
+  private[graft] def gramCandidateCount(s: SparkSession, d: String): Long =
+    gramPairCounts(retainedGrams(gramSetDF(s, d))).count()
 
   /** Candidate-pair count of the MinHash LSH banding (distinct doc pairs
     * colliding on ≥1 band signature) — [[lshPairs]]'s pairwise work before
-    * the est-Jaccard threshold. Band signatures are 56-bit compound keys,
+    * the est-Jaccard threshold, counted off the SAME [[lshScored]] stage
+    * the production query plans. Band signatures are 56-bit compound keys,
     * so collisions track genuinely similar pairs, not corpus size — the
     * ScalingSlopeSpec asserts this grows ~linearly while the quadratic
     * baselines grow ~n². */
-  private[graft] def lshCandidateCount(s: SparkSession, d: String): Long = {
-    val bands = bandsDF(s, d)
-    bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bandsig") === col("y.bandsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
-  }
+  private[graft] def lshCandidateCount(s: SparkSession, d: String): Long =
+    lshScored(s, d).count()
 
   val dedupNgramJaccardSql: String =
     s"""WITH $gramsSqlCte,
@@ -259,7 +258,11 @@ object Dedup {
     * CTE) — shared by the ranked query above and [[dedupClusters]], which
     * would otherwise pay the output sort only to discard it.
     */
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+  /** One row per distinct banded candidate pair with its estimated
+    * Jaccard — [[lshPairs]] minus the threshold, shared with
+    * [[lshCandidateCount]] so the slope measurement and the production
+    * query are the same plan by construction. */
+  private def lshScored(s: SparkSession, d: String): DataFrame = {
     // Whole signature computed as per-row array expressions — one scan, no
     // shuffle until the (band, bandsig) self-join; that join's build side is
     // 4 small rows per doc, so at cluster scale the only wide exchange is
@@ -278,8 +281,10 @@ object Dedup {
           v => v)).cast("double") / k, 4).as("est_jaccard"))
       .groupBy("doc_a", "doc_b")
       .agg(first("est_jaccard").as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
   }
+
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    lshScored(s, d).filter(col("est_jaccard") >= 0.5)
 
   /** The MinHash signature + banding CTE chain (through `bands`), shared by
     * the pair oracles and the incremental oracle. */

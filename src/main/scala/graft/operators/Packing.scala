@@ -328,8 +328,10 @@ object Packing {
     * full exchange); each group sorts ~`targetBytes` locally (spill-safe
     * — ExternalSorter spills a group that outgrows executor memory).
     * Group legs are unioned `jobBatch` at a time so the physical plan
-    * stays bounded at very large group counts; batches append into
-    * `outDir`. Requires a flat directory of files from one sorted write —
+    * stays bounded at very large group counts; each batch stages and its
+    * files are renamed into one global part sequence, so the output is
+    * itself a valid ordered layout (re-compactable, loud-failure
+    * preconditions below). Requires a flat directory of files from one sorted write —
     * for a partitioned lakehouse layout, run per partition directory
     * (which is how table-maintenance services schedule compaction anyway).
     *
@@ -353,10 +355,30 @@ object Packing {
     require(sortCols.nonEmpty && targetBytes > 0L)
     val inPath = new org.apache.hadoop.fs.Path(inDir)
     val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(inPath).toSeq
+    // order by the NUMERIC part index, not the file name: zero-padding is
+    // only 5 digits, so a >=100k-file write would sort 'part-100000' before
+    // 'part-99999' lexicographically and silently group non-adjacent ranges
+    val partNum = "part-(\\d+)-.*".r
+    val listed = fs.listStatus(inPath).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName) // part numbers are zero-padded: name order = range order
-    require(files.nonEmpty, s"no parquet files under $inDir")
+    require(listed.nonEmpty, s"no parquet files under $inDir")
+    val numbered = listed.map { f =>
+      f.getPath.getName match {
+        case partNum(n) => (n.toLong, f)
+        case other => throw new IllegalArgumentException(
+          s"$other does not carry a part index — ordered compaction needs " +
+            "the files of ONE sorted/range-partitioned write (part-NNNNN-*)")
+      }
+    }
+    // duplicate part indices mean the directory holds MULTIPLE write jobs
+    // (e.g. this function's own multi-batch append output, where every
+    // batch restarts at part-00000) — adjacency across jobs is undefined,
+    // so grouping would silently interleave unrelated key ranges
+    require(numbered.map(_._1).distinct.size == numbered.size,
+      s"$inDir contains files from more than one write job (duplicate part " +
+        "indices) — name order no longer encodes range order; re-sort the " +
+        "table or compact each write's files separately")
+    val files = numbered.sortBy(_._1).map(_._2)
     // greedy adjacent bin-packing: close a group when the next file would
     // overflow targetBytes (a single oversized file forms its own group)
     val groups = scala.collection.mutable.ArrayBuffer(
@@ -379,12 +401,38 @@ object Packing {
     // without this, maxSplitBytes shrinks to totalBytes/defaultParallelism
     // and a group still fans out into several splits/files
     s.conf.set(confKeys(2), 1L)
-    try groups.toSeq.grouped(jobBatch).zipWithIndex.foreach { case (batch, i) =>
+    // every batch writes into a staging dir and its files are renamed into
+    // ONE global part sequence: a naive multi-batch `append` restarts part
+    // numbering at part-00000 per job, which would leave the OUTPUT with
+    // duplicate part indices — un-re-compactable under the adjacency
+    // precondition this function itself enforces above. Renames are
+    // metadata ops (parquet footers don't reference file names).
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (outFs.exists(outPath)) outFs.delete(outPath, true)
+    outFs.mkdirs(outPath)
+    val staging = new org.apache.hadoop.fs.Path(outPath, "_staging")
+    var seq = 0L
+    try groups.toSeq.grouped(jobBatch).foreach { batch =>
       batch.map { paths =>
         s.read.schema(schema).parquet(paths.toSeq: _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       }.reduce(_ unionAll _)
-        .write.mode(if (i == 0) "overwrite" else "append").parquet(outDir)
+        .write.mode("overwrite").parquet(staging.toString)
+      val written = outFs.listStatus(staging)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.getName match {
+          case partNum(n) => (n.toLong, f.getPath)
+          case _ => (Long.MaxValue, f.getPath)
+        })
+        .sortBy(_._1) // partition index order = group order within the batch
+      written.foreach { case (_, p) =>
+        outFs.rename(p,
+          new org.apache.hadoop.fs.Path(outPath,
+            f"part-$seq%09d-graft.snappy.parquet"))
+        seq += 1L
+      }
+      outFs.delete(staging, true)
     } finally prev.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None) => s.conf.unset(k)

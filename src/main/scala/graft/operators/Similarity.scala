@@ -252,30 +252,12 @@ object Similarity {
     * ~0.85+ where 8-bit bands prune >90% of pairs at recall ≥ 0.99 —
     * band width per deployment threshold is THE tuning knob.
     */
-  /** Band-collision candidate-pair count of the hyperplane LSH (emit-once
-    * per pair, BEFORE any cosine evaluation) — [[dedupEmbeddingLsh]]'s
-    * pairwise work, exposed for the ScalingSlopeSpec's two-point growth
-    * measurement. With 3-bit bands (8 buckets per band) collision counts
-    * grow ≈ n²/2³ per band at fixed width — the banding economics the
-    * scaladoc below documents; production scaling widens bands with
-    * log n. */
-  private[graft] def embeddingLshCandidateCount(s: SparkSession, d: String): Long = {
-    val e = embeddingSigs(s, d)
-    val side = e.select(col("vec_id"), col("sigpack"),
-      posexplode(col("sigs")).as(Seq("band", "sig")))
-    val firstAgree = expr(
-      (0 until DedupBands).map(b =>
-        s"WHEN (shiftright(p.sigpack ^ q.sigpack, ${DedupBandPlanes * b}) & " +
-          s"${(1 << DedupBandPlanes) - 1}) = 0 THEN $b")
-        .mkString("CASE ", " ", " ELSE -1 END"))
-    side.as("p").join(side.as("q"),
-        col("p.band") === col("q.band") && col("p.sig") === col("q.sig"))
-      .filter(col("p.vec_id") < col("q.vec_id") && firstAgree === col("p.band"))
-      .count()
-  }
-
-  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.GraftBridge.{column, expression}
+  /** The emit-once band-collision candidate pairs (vec_a, emb_a, nrm_a,
+    * vec_b) of the hyperplane LSH, BEFORE any cosine evaluation — the
+    * probe-fat/build-lean stage [[dedupEmbeddingLsh]] rescored, shared
+    * with [[embeddingLshCandidateCount]] so the slope measurement and the
+    * production query are the same plan by construction. */
+  private def embeddingLshCandidates(s: SparkSession, d: String): DataFrame = {
     val e = embeddingSigs(s, d)
     val probe = e.select(col("vec_id"), col("embedding"), col("nrm"), col("sigpack"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
@@ -287,15 +269,30 @@ object Similarity {
         s"WHEN (shiftright(p.sigpack ^ q.sigpack, ${DedupBandPlanes * b}) & " +
           s"${(1 << DedupBandPlanes) - 1}) = 0 THEN $b")
         .mkString("CASE ", " ", " ELSE -1 END"))
-    val pairs = probe.as("p").join(build.as("q"),
+    probe.as("p").join(build.as("q"),
         col("p.band") === col("q.band") && col("p.sig") === col("q.sig"))
       .filter(col("p.vec_id") < col("q.vec_id") && firstAgree === col("p.band"))
       .select(col("p.vec_id").as("vec_a"), col("p.embedding").as("emb_a"),
         col("p.nrm").as("nrm_a"), col("q.vec_id").as("vec_b"))
+  }
+
+  /** Band-collision candidate-pair count — the pairwise work the rescore
+    * stage pays, counted off the SAME [[embeddingLshCandidates]] stage the
+    * production query plans (ScalingSlopeSpec two-point growth
+    * measurement). With 3-bit bands (8 buckets per band) collision counts
+    * grow ≈ n²/2³ per band at fixed width — the banding economics the
+    * [[dedupEmbeddingLsh]] scaladoc documents; production scaling widens
+    * bands with log n. */
+  private[graft] def embeddingLshCandidateCount(s: SparkSession, d: String): Long =
+    embeddingLshCandidates(s, d).count()
+
+  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val e = embeddingSigs(s, d)
     val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     val dot = column(graft.functions.FloatVecDot(
       expression(col("emb_a")), expression(col("emb_b"))))
-    pairs.join(eb, "vec_b")
+    embeddingLshCandidates(s, d).join(eb, "vec_b")
       .withColumn("cosine", round(dot / (col("nrm_a") * col("nrm_b")), 4))
       .filter(col("cosine") >= 0.4)
       .select("vec_a", "vec_b", "cosine")

@@ -162,6 +162,11 @@ object TemporalJoins {
       leftTime: String, rightTime: String,
       buckets: Int = 16, hotThreshold: Long = 100000L): DataFrame = {
     require(buckets > 0 && leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
+    // the scratch columns must not clobber caller columns — fail loudly
+    // instead of silently dropping a same-named input column at the end
+    val scratch = Set("__hot", "__hot_n", "__lsalt", "__rsalt")
+    require((left.columns ++ right.columns).forall(c => !scratch.contains(c)),
+      s"input columns may not use the reserved names ${scratch.mkString(", ")}")
     val hot = broadcast( // bounded: ≤ |left| / hotThreshold rows by construction
       left.groupBy(leftKeys.map(col): _*).agg(count(lit(1)).as("__hot_n"))
         .filter(col("__hot_n") > hotThreshold)
@@ -180,8 +185,10 @@ object TemporalJoins {
         when(col("__hot").isNotNull, sequence(lit(0), lit(buckets - 1)))
           .otherwise(array(lit(0)))))
       .drop("__hot")
-    val cond = (leftKeys.zip(rightKeys).map { case (a, b) => s"$a = $b" } :+
-      "__lsalt = __rsalt" :+ s"asof_le($leftTime, $rightTime)").mkString(" AND ")
+    // backtick-quote caller names so dots/reserved words parse as plain
+    // column references, never as struct access or syntax
+    val cond = (leftKeys.zip(rightKeys).map { case (a, b) => s"`$a` = `$b`" } :+
+      "__lsalt = __rsalt" :+ s"asof_le(`$leftTime`, `$rightTime`)").mkString(" AND ")
     lSalted.join(rSalted, expr(cond), "left").drop("__lsalt", "__rsalt")
   }
 

@@ -178,17 +178,20 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         // skips right rows with any null key component: SQL `=` never
         // matches on NULL, so they can match no left row — and letting
         // them through would wrongly pair them with null-keyed left rows
-        // (the natural row ordering compares null == null as equal)
+        // (the natural row ordering compares null == null as equal).
+        // The null check runs on the iterator's REUSED buffer; only
+        // retained rows pay the copy, so a null-key-heavy right side
+        // skips allocation-free.
         private def advanceRight(): Unit = {
           var done = false
           while (!done) {
             if (rIter.hasNext) {
-              val row = rIter.next().copy()
+              val row = rIter.next()
               val k = rKeyProj(row)
               if (!k.anyNull) {
-                rRow = row
+                rRow = row.copy()
                 rKey = k.copy()
-                rTime = timeOf(rTimeBound, row)
+                rTime = timeOf(rTimeBound, rRow)
                 done = true
               }
             } else { rRow = null; rKey = null; rTime = null; done = true }

@@ -101,13 +101,12 @@ class AsofSaltedSpec extends AnyFunSuite {
         s"expected a straggler in the unsalted merge stage, " +
           s"got max=$bareMax median=$bareMed across ${bareReads.size} tasks")
 
-      // the salted plan must still be the native exec (salt is just one
-      // more equi-conjunct to the strategy) ...
-      salted.collect()
+      // no task may read more than ~2x the median task's rows, and the
+      // salted plan must still be the native exec (salt is just one more
+      // equi-conjunct to the strategy) — asserted on the measured run
+      val saltReads = mergeStageTaskReads { salted.collect() }
       assert(salted.queryExecution.executedPlan.toString.contains("AsofJoin"),
         "salted join no longer plans on the native exec")
-      // ... and no task may read more than ~2x the median task's rows
-      val saltReads = mergeStageTaskReads { salted.collect() }
       val saltMax = saltReads.max
       val saltMed = saltReads.sorted.apply(saltReads.size / 2).max(1L)
       assert(saltMax <= 2 * saltMed,

@@ -698,6 +698,7 @@ class OperatorSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.{col, expr, input_file_name, max => smax, min => smin}
     val dir = "/root/testdata/sf0.01"
     val out = java.nio.file.Files.createTempDirectory("graft-zcompact").toString
+    try {
     operators.Packing.writeZorderLayouts(spark, dir, out)
     def parquetFiles(p: String) = new java.io.File(p).listFiles()
       .filter(_.getName.endsWith(".parquet"))
@@ -769,6 +770,7 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(rrRanges.length <= 1 || rrOverlaps,
       "round-robin compaction unexpectedly preserved range clustering")
+    } finally SparkTestSession.deleteRecursively(out)
   }
 
   test("column profile runs in ONE documents scan; stats agree with the frame") {

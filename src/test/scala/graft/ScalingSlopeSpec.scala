@@ -71,6 +71,7 @@ class ScalingSlopeSpec extends AnyFunSuite {
     val r = 4
     val d1 = upsample(1)
     val d4 = upsample(r)
+    try {
     val n1 = Tables.documents(spark, d1).count()
     val n4 = Tables.documents(spark, d4).count()
     assert(n4 == r * n1)
@@ -124,10 +125,12 @@ class ScalingSlopeSpec extends AnyFunSuite {
     assert(frac1 > 0.5 && frac1 < 0.8 && frac4 > 0.5 && frac4 < 0.8,
       s"embedding-LSH collision fraction drifted from the documented ~0.65: " +
         s"x1=$frac1 x4=$frac4")
+    } finally Seq(d1, d4).foreach(SparkTestSession.deleteRecursively)
   }
 
   test("natural sf0.1 corpus: minhash pruning power does not degrade with scale") {
     val small = java.nio.file.Files.createTempDirectory("graft-slope-nat").toString
+    try {
     Tables.documents(spark, natural).filter(col("doc_id") % 4 === 0)
       .write.mode("overwrite").parquet(s"$small/documents.parquet")
     val nS = Tables.documents(spark, small).count()
@@ -145,5 +148,6 @@ class ScalingSlopeSpec extends AnyFunSuite {
       s"minhash banding reduction collapsed: small=$redS big=$redB")
     assert(redB >= 0.8 * redS,
       s"minhash pruning power degraded with scale: small=$redS big=$redB")
+    } finally SparkTestSession.deleteRecursively(small)
   }
 }

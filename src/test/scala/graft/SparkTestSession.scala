@@ -17,6 +17,20 @@ object SparkTestSession {
   }
   val sf: String = "/root/testdata/sf0.001"
 
+  /** Recursive delete for spec scratch dirs — repeated test runs hold
+    * steady-state disk instead of accumulating temp parquet trees (the
+    * `Packing.zorderScratch` discipline, applied to per-test dirs). */
+  def deleteRecursively(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+  }
+
   /** A second session on the RocksDB state-store provider (required by
     * transformWithState), without disturbing the shared default/active
     * session. Shared by the stateful-processor suites.

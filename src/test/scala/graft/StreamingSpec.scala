@@ -456,6 +456,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally {
       q.stop()
       cached.foreach(_.unpersist())
+      Seq(outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
     }
   }
 
