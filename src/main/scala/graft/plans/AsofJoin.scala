@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.LeftOuter
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, TimestampType}
 
 /** Native as-of join — the whole-operator custom path (SURVEY.md §7.3
@@ -129,6 +130,13 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
 
+  // standard operator observability (SQL UI / executedPlan.metrics):
+  // output rows always == left rows (as-of multiplicity contract);
+  // matched counts how many found a right row vs the outer null match
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -146,6 +154,8 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyTypes = leftKeys.map(_.dataType)
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // projections/orderings are per-partition state (not thread-safe)
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
@@ -206,7 +216,10 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           // a null-keyed left row matches nothing (SQL `=` semantics) —
           // emit the outer null match without touching the right cursor
           // (null keys sort first, so the cursor has not passed anything)
-          if (lKey.anyNull) return resultProj(joined(l, nullRight))
+          if (lKey.anyNull) {
+            numOutputRows += 1
+            return resultProj(joined(l, nullRight))
+          }
           val lTime = timeOf(lTimeBound, l)
           // consume right rows that are behind-or-at this left position;
           // equal-key rows with rTime <= lTime become the newest candidate.
@@ -228,6 +241,8 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           }
           val matched = candRow != null && lTime != null &&
             keyOrd.compare(candKey, lKey) == 0
+          numOutputRows += 1
+          if (matched) numMatchedRows += 1
           resultProj(joined(l, if (matched) candRow else nullRight))
         }
       }
@@ -255,6 +270,10 @@ case class AsofBroadcastJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -265,6 +284,8 @@ case class AsofBroadcastJoinExec(left: SparkPlan, right: SparkPlan,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     left.execute().mapPartitions { lIter =>
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
       val rTimeBound = BindReferences.bindReference(rightTime, right.output)
@@ -317,6 +338,8 @@ case class AsofBroadcastJoinExec(left: SparkPlan, right: SparkPlan,
               if (lo == 0) null else buf(lo - 1)._2
             }
           }
+        numOutputRows += 1
+        if (matched != null) numMatchedRows += 1
         resultProj(joined(l, if (matched != null) matched else nullRight))
       }
     }

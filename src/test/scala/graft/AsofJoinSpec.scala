@@ -138,6 +138,81 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("bucketed pre-sorted inputs plan the native as-of with zero exchange and zero sort") {
+    GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // since 3.0 Spark reports a bucketed scan's sortBy order only behind
+      // this conf (and only when each bucket is one file) — same lever an
+      // SMJ needs for full sort elision on bucketed inputs
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    spark.sql("DROP TABLE IF EXISTS asof_probes_b")
+    spark.sql("DROP TABLE IF EXISTS asof_quotes_b")
+    val probes = (0L until 400L).map(i => (i, i % 20L, i * 7L % 1000L))
+      .toDF("id", "k", "t")
+    val quotes = (0L until 100L).map(i => (i % 20L, i * 13L % 1000L, s"q$i"))
+      .toDF("rk", "rt", "tag")
+    // repartition by the bucket key first so each bucket is ONE file —
+    // the condition under which the scan reports its sortBy ordering and
+    // EnsureRequirements can elide the in-partition sorts too
+    probes.repartition(4, col("k"))
+      .write.format("parquet").bucketBy(4, "k").sortBy("k", "t")
+      .mode("overwrite").saveAsTable("asof_probes_b")
+    quotes.repartition(4, col("rk"))
+      .write.format("parquet").bucketBy(4, "rk").sortBy("rk", "rt")
+      .mode("overwrite").saveAsTable("asof_quotes_b")
+    try {
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      val joined = spark.table("asof_probes_b")
+        .join(spark.table("asof_quotes_b"), expr("k = rk AND asof_le(t, rt)"), "left")
+      val rows = joined.collect()
+      assert(rows.length == 400, "as-of multiplicity: one row per probe")
+      val plan = joined.queryExecution.executedPlan
+      val planStr = plan.toString
+      assert(planStr.contains("AsofJoin"), planStr)
+      // the 100 TB co-location story: pre-bucketed fact tables join as-of
+      // with NO shuffle on either side, and the per-bucket sortBy order
+      // satisfies requiredChildOrdering so no sort is inserted either —
+      // the scan feeds the merge directly
+      assert(!planStr.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed as-of join, got:\n$planStr")
+      assert(!planStr.contains("Sort "),
+        s"expected sort-free bucketed as-of join (sortBy order reused), got:\n$planStr")
+      // operator metrics: output == probe count, matched == probes whose
+      // key has any quote at or before their time (independent recompute).
+      // collect() does not descend through AQE wrappers/query stages —
+      // unwrap them explicitly
+      def findExec(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[graft.plans.AsofJoinExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findExec(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findExec(q.plan)
+        case e: graft.plans.AsofJoinExec =>
+          e +: e.children.flatMap(findExec)
+        case other => other.children.flatMap(findExec)
+      }
+      val exec = findExec(plan).head
+      val expectMatched = probes.collect().count { p =>
+        quotes.collect().exists(q =>
+          q.getLong(0) == p.getLong(1) && q.getLong(1) <= p.getLong(2))
+      }
+      assert(exec.metrics("numOutputRows").value == 400L)
+      assert(exec.metrics("numMatchedRows").value == expectMatched.toLong,
+        s"matched metric ${exec.metrics("numMatchedRows").value} != recomputed $expectMatched")
+    } finally {
+      prev.foreach {
+        case (c, Some(v)) => spark.conf.set(c, v)
+        case (c, None) => spark.conf.unset(c)
+      }
+      spark.sql("DROP TABLE IF EXISTS asof_probes_b")
+      spark.sql("DROP TABLE IF EXISTS asof_quotes_b")
+    }
+  }
+
   test("constant / single-side conjuncts never become degenerate join keys") {
     graft.plans.GraftStrategies.register(spark)
     graft.functions.VecFunctions.register(spark)
