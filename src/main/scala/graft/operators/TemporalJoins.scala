@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -214,6 +214,116 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
+  /** Time-sliced as-of join — the BUILD-side skew guard [[asofSaltedLe]]
+    * deliberately leaves out (its scaladoc names this operator): a key
+    * whose RIGHT side is hot (one instrument carrying 50× the median
+    * quote history) sorts its whole history on one task under the plain
+    * native exec, and salting cannot help — every salt bucket would need
+    * the full history replicated anyway. Slicing the TIME axis fixes it
+    * without replication:
+    *
+    *  1. every row (both sides) gets its floor(time / sliceWidth) bucket,
+    *     and the bucket joins the equi-key list — the native exec now
+    *     clusters on (key, bucket), so a hot key's history splits across
+    *     its time range;
+    *  2. "latest prior" may live in an EARLIER bucket, so each (key,
+    *     bucket) cluster is seeded with ONE carry-in row: the key's
+    *     latest right row from any strictly-earlier bucket. The carry
+    *     table is built on the per-(key, bucket) SUMMARY relation
+    *     (max_by row per bucket — |distinct key×bucket| rows, not
+    *     |right| rows) with one running-window pass per key, then
+    *     re-targeted at the LEFT side's buckets so empty-gap buckets are
+    *     covered too.
+    *
+    * Inside a cluster the merge picks the latest in-bucket row ≤ lt when
+    * one exists, else the carry row (whose time < bucket start ≤ lt by
+    * construction) — exactly the plain as-of answer, spec- and
+    * property-pinned, and `asof_join_sliced` shares `asof_join_native`'s
+    * DuckDB oracle. Scale ledger: + one summary aggregate over the right
+    * side (map-side combinable), + one small window over key×bucket
+    * rows, + |left buckets with a prior| carry rows unioned into the
+    * build side; − the hot key's single-task sort. Null semantics are
+    * inherited: null times bucket to null and match nothing; null keys
+    * take the exec's outer-null path. Tie payloads among equal times
+    * remain unspecified (the exec's documented contract).
+    */
+  def asofSlicedLe(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      sliceWidth: Long): DataFrame = {
+    require(sliceWidth > 0 && leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
+    val scratch = Set("__lbucket", "__rbucket", "__srow", "__isr", "__carry")
+    require((left.columns ++ right.columns).forall(c => !scratch.contains(c)),
+      s"input columns may not use the reserved names ${scratch.mkString(", ")}")
+    // exact floor division for any sign: (t - pmod(t, W)) is the greatest
+    // multiple of W <= t (pmod is non-negative), so the quotient is exact
+    // integer arithmetic — `div` would truncate toward zero for negatives
+    def bucketOf(t: Column): Column = (t - pmod(t, lit(sliceWidth))) / sliceWidth
+    val rCols = right.columns
+    // right rows that can never match (null key/time) are dropped up
+    // front: the exec would skip them anyway, and the summary pass must
+    // not see null buckets
+    val rB = right
+      .filter(col(rightTime).isNotNull &&
+        rightKeys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__rbucket", bucketOf(col(rightTime)).cast("long"))
+    // per-(key, bucket) latest right row — the summary the carry pass runs
+    // on; max_by resolves equal-time ties arbitrarily, matching the exec's
+    // unspecified-tie contract
+    val summary = rB.groupBy(rightKeys.map(col) :+ col("__rbucket"): _*)
+      .agg(max_by(struct(rCols.map(col): _*), col(rightTime)).as("__srow"))
+    // carry row per LEFT bucket: the latest summary row from any strictly
+    // earlier bucket. Left buckets (isr=0) sort before same-bucket summary
+    // rows (isr=1), so the running last() sees only earlier buckets.
+    val lBuckets = left
+      .filter(col(leftTime).isNotNull &&
+        leftKeys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__rbucket", bucketOf(col(leftTime)).cast("long"))
+      .select(leftKeys.map(col) :+ col("__rbucket"): _*)
+      .distinct()
+    val keyedUnion = summary
+      .select(rightKeys.map(col) :+ col("__rbucket") :+ col("__srow") :+
+        lit(1).as("__isr"): _*)
+      .unionByName(lBuckets.toDF(rightKeys :+ "__rbucket": _*)
+        .select(rightKeys.map(col) :+ col("__rbucket") :+
+          lit(null).cast(summary.schema("__srow").dataType).as("__srow") :+
+          lit(0).as("__isr"): _*))
+    val w = Window.partitionBy(rightKeys.map(col): _*)
+      .orderBy(col("__rbucket"), col("__isr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = keyedUnion
+      .withColumn("__carry", last(col("__srow"), ignoreNulls = true).over(w))
+      .filter(col("__isr") === 0 && col("__carry").isNotNull)
+      .select(col("__rbucket") +: rCols.map(c => col(s"__carry.$c").as(c)): _*)
+      .select(rCols.map(col) :+ col("__rbucket"): _*)
+    val rUnion = rB.select(rCols.map(col) :+ col("__rbucket"): _*)
+      .unionByName(carry)
+    val lSliced = left.withColumn("__lbucket", bucketOf(col(leftTime)).cast("long"))
+    val cond = (leftKeys.zip(rightKeys).map { case (a, b) => s"`$a` = `$b`" } :+
+      "__lbucket = __rbucket" :+ s"asof_le(`$leftTime`, `$rightTime`)").mkString(" AND ")
+    lSliced.join(rUnion, expr(cond), "left").drop("__lbucket", "__rbucket")
+  }
+
+  /** The `asof_join_native` question through [[asofSlicedLe]] with a slice
+    * width that puts the fixture's busiest users across several buckets —
+    * so the oracle pins the carry-in semantics (an earlier-bucket signup
+    * must still be found), not just the single-bucket degenerate case.
+    */
+  def asofJoinSliced(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    graft.plans.GraftStrategies.register(s)
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
+    val signups = Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), unix_timestamp(col("ts")).as("s_es"))
+    asofSlicedLe(purchases, signups, Seq("user_id"), Seq("s_uid"),
+        "es", "s_es", sliceWidth = 7L * 86400L)
+      .select(col("event_id"), col("user_id"), col("s_es").as("last_signup_s"))
+      .orderBy("event_id")
+  }
+
   /** Interval width (seconds) for the overlap join below — one hour, wide
     * enough that the sparse fixture event stream produces a meaningful
     * overlap population at every sf. */
@@ -273,14 +383,16 @@ object TemporalJoins {
     "asof_latest_prior" -> (asofLatestPrior _),
     "asof_join_native" -> (asofJoinNative _),
     "asof_join_salted" -> (asofJoinSalted _),
+    "asof_join_sliced" -> (asofJoinSliced _),
     "interval_overlap_join" -> (intervalOverlapJoin _))
 
   def oracles: Map[String, String] = Map(
     "range_join_binned" -> rangeJoinBinnedSql,
     "asof_latest_prior" -> asofLatestPriorSql,
     "asof_join_native" -> asofJoinNativeSql,
-    // the salted pre-pass must be value-identical to the unsalted native
-    // join, so it carries the SAME oracle
+    // the salted and sliced pre-passes must be value-identical to the
+    // unsalted native join, so they carry the SAME oracle
     "asof_join_salted" -> asofJoinNativeSql,
+    "asof_join_sliced" -> asofJoinNativeSql,
     "interval_overlap_join" -> intervalOverlapJoinSql)
 }

@@ -129,4 +129,35 @@ object AsofJoinProps extends Properties("AsofJoin") {
         }.toList
       got == reference(l, r)
     }
+
+  /** Same invisibility contract for the time-sliced variant: with random
+    * small slice widths over the 0–40 time range, most matches cross a
+    * bucket boundary and ride the carry-in row — the path handwritten
+    * fixtures undersample. Null keys and times bucket to null and must
+    * take the outer-null path.
+    */
+  property("sliced pre-pass matches brute force across bucket boundaries") =
+    Prop.forAll(datasets, Gen.chooseNum(1L, 15L)) { case ((l, r), width) =>
+      val s = spark
+      import s.implicits._
+      val ldf = l.zipWithIndex
+        .map { case ((k, t), i) =>
+          (i.toLong, k.map(Long.box).orNull, t.map(Long.box).orNull) }
+        .toDF("id", "k", "t")
+      val rdf = r
+        .map { case (k, t) => (k.map(Long.box).orNull, t.map(Long.box).orNull) }
+        .toDF("rk", "rt")
+      val got = operators.TemporalJoins
+        .asofSlicedLe(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt", width)
+        .select($"id", $"k", $"t", $"rt")
+        .collect()
+        .sortBy(_.getAs[Long]("id"))
+        .map { row =>
+          val k = if (row.isNullAt(1)) None else Some(row.getLong(1))
+          val t = if (row.isNullAt(2)) None else Some(row.getLong(2))
+          val m = if (row.isNullAt(3)) None else Some(row.getLong(3))
+          ((k, t), m)
+        }.toList
+      got == reference(l, r)
+    }
 }

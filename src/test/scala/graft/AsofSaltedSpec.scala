@@ -1,10 +1,8 @@
 package graft
 
 import graft.operators.TemporalJoins
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import scala.collection.mutable.ArrayBuffer
 
 /** Skew-safety of the salted as-of pre-pass (`TemporalJoins.asofSaltedLe`):
   * drives one engineered hot key (50× the median key's rows) through the
@@ -32,34 +30,8 @@ class AsofSaltedSpec extends AnyFunSuite {
   private def right = spark.range(0, 205)
     .select((col("id") % 41L).as("rk"), (col("id") * 11L).as("rt"))
 
-  /** Per-task shuffle-read record counts of the heaviest stage (the merge
-    * stage — it reads both sides' exchanges, so its total dominates) for
-    * the job executed inside `run`.
-    */
-  private def mergeStageTaskReads(run: => Unit): Seq[Long] = {
-    val events = ArrayBuffer.empty[(Int, Long)]
-    val lis = new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-        events.synchronized {
-          if (e.taskMetrics != null)
-            events += ((e.stageId, e.taskMetrics.shuffleReadMetrics.recordsRead))
-        }
-    }
-    spark.sparkContext.addSparkListener(lis)
-    try {
-      run
-      // the listener bus is async; wait until the event stream goes quiet
-      val deadline = System.nanoTime() + 5000000000L
-      var last = -1
-      var cur = events.synchronized(events.size)
-      while (System.nanoTime() < deadline && (cur != last || cur == 0)) {
-        last = cur; Thread.sleep(200)
-        cur = events.synchronized(events.size)
-      }
-    } finally spark.sparkContext.removeSparkListener(lis)
-    val byStage = events.synchronized(events.toList).groupBy(_._1)
-    byStage.maxBy(_._2.map(_._2).sum)._2.map(_._2)
-  }
+  private def mergeStageTaskReads(run: => Unit): Seq[Long] =
+    TaskMetricsProbe.mergeStageTaskReads(spark)(run)
 
   test("salted pre-pass balances a 50x hot key; bare native exec does not") {
     graft.plans.GraftStrategies.register(spark)
