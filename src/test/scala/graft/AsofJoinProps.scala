@@ -160,4 +160,38 @@ object AsofJoinProps extends Properties("AsofJoin") {
         }.toList
       got == reference(l, r)
     }
+
+  /** The staleness bound is exactly brute-force-with-a-filter: the latest
+    * prior is also the closest, so the post-projection in
+    * `asofToleranceLe` must equal filtering the reference match by
+    * `lt - rt <= tol`. Random small tolerances over the 0–40 time range
+    * hit both branches (kept and nulled) and the tol = 0 exact-tie edge.
+    */
+  property("tolerance bound equals brute force with a staleness filter") =
+    Prop.forAll(datasets, Gen.chooseNum(0L, 40L)) { case ((l, r), tol) =>
+      val s = spark
+      import s.implicits._
+      val ldf = l.zipWithIndex
+        .map { case ((k, t), i) =>
+          (i.toLong, k.map(Long.box).orNull, t.map(Long.box).orNull) }
+        .toDF("id", "k", "t")
+      val rdf = r
+        .map { case (k, t) => (k.map(Long.box).orNull, t.map(Long.box).orNull) }
+        .toDF("rk", "rt")
+      val got = operators.TemporalJoins
+        .asofToleranceLe(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt", tol)
+        .select($"id", $"k", $"t", $"rt")
+        .collect()
+        .sortBy(_.getAs[Long]("id"))
+        .map { row =>
+          val k = if (row.isNullAt(1)) None else Some(row.getLong(1))
+          val t = if (row.isNullAt(2)) None else Some(row.getLong(2))
+          val m = if (row.isNullAt(3)) None else Some(row.getLong(3))
+          ((k, t), m)
+        }.toList
+      val want = reference(l, r).map { case ((k, t), m) =>
+        ((k, t), m.filter(rt => t.exists(lt => lt - rt <= tol)))
+      }
+      got == want
+    }
 }
