@@ -397,6 +397,148 @@ object TemporalJoins {
       |     AND p.es - s.es <= 172800) AS last_signup_s
       |FROM p ORDER BY p.event_id""".stripMargin
 
+  /** Forward as-of join — the mirror of `asof_le`: per left row, the
+    * EARLIEST right row with `rightTime >= leftTime` (the "next quote"
+    * direction of pandas `merge_asof(direction='forward')`). No new exec:
+    * min(rt) subject to rt ≥ lt is exactly max(−rt) subject to −rt ≤ −lt,
+    * so negating both time columns routes the question through the
+    * unchanged native `asof_le` exec — same one-shuffle-per-side,
+    * one-merge-pass plan, same skew guards, same null semantics (a null
+    * time negates to null and matches nothing). Time columns must be
+    * numeric (epoch seconds in every graft query); negation has no
+    * meaning for TimestampType.
+    */
+  def asofForwardGe(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
+    val scratch = Set("__lneg", "__rneg")
+    require((left.columns ++ right.columns).forall(c => !scratch.contains(c)),
+      s"input columns may not use the reserved names ${scratch.mkString(", ")}")
+    val l2 = left.withColumn("__lneg", -col(leftTime))
+    val r2 = right.withColumn("__rneg", -col(rightTime))
+    val cond = (leftKeys.zip(rightKeys).map { case (a, b) => s"`$a` = `$b`" } :+
+      "asof_le(__lneg, __rneg)").mkString(" AND ")
+    l2.join(r2, expr(cond), "left").drop("__lneg", "__rneg")
+  }
+
+  /** Nearest as-of join — per left row, the right row minimizing
+    * `|rightTime − leftTime|`, ties broken toward the PRIOR row (pandas
+    * `merge_asof(direction='nearest')`). Composed as a two-pass pipeline
+    * over the native exec: the backward pass ([[asofJoinNative]]'s shape)
+    * widens each left row with its latest-prior match, the forward pass
+    * ([[asofForwardGe]]) widens it again with its earliest-next match,
+    * and one codegen'd projection keeps whichever side is closer. Both
+    * passes preserve left-row multiplicity (exactly one output row per
+    * left row is the exec's contract), so no row-id bookkeeping is
+    * needed — the pipeline is two key-shuffles and a projection, nothing
+    * else. Right columns come back under their original names, taken
+    * from the winning side (all null when neither side matched).
+    */
+  def asofNearest(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
+    val scratch = right.columns.flatMap(c => Seq(s"__p_$c", s"__n_$c")).toSet ++
+      Set("__lneg", "__rneg")
+    require((left.columns ++ right.columns).forall(c => !scratch.contains(c)),
+      s"input columns may not use the reserved names ${scratch.mkString(", ")}")
+    val pRight = right.columns.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"__p_$c"))
+    val condP = (leftKeys.zip(rightKeys).map { case (a, b) =>
+      s"`$a` = `__p_$b`" } :+
+      s"asof_le(`$leftTime`, `__p_$rightTime`)").mkString(" AND ")
+    val afterPrior = left.join(pRight, expr(condP), "left")
+    val nRight = right.columns.foldLeft(right)((d, c) =>
+        d.withColumnRenamed(c, s"__n_$c"))
+      .withColumn("__rneg", -col(s"__n_$rightTime"))
+    val condN = (leftKeys.zip(rightKeys).map { case (a, b) =>
+      s"`$a` = `__n_$b`" } :+
+      "asof_le(__lneg, __rneg)").mkString(" AND ")
+    val both = afterPrior.withColumn("__lneg", -col(leftTime))
+      .join(nRight, expr(condN), "left")
+      .drop("__lneg", "__rneg")
+    val pT = col(s"__p_$rightTime")
+    val nT = col(s"__n_$rightTime")
+    // tie (equal distance, including an exact rt == lt hit found by both
+    // passes) goes to the prior side; a missing side loses automatically
+    val usePrior = pT.isNotNull &&
+      (nT.isNull || col(leftTime) - pT <= nT - col(leftTime))
+    right.columns.foldLeft(both) { (d, c) =>
+      d.withColumn(c, when(usePrior, col(s"__p_$c")).otherwise(col(s"__n_$c")))
+    }.drop(right.columns.flatMap(c => Seq(s"__p_$c", s"__n_$c")): _*)
+  }
+
+  /** The native as-of question in the forward direction: for each
+    * purchase, the epoch of the same user's EARLIEST signup at or after
+    * it. Exercises the negation routing end-to-end against a min()
+    * oracle.
+    */
+  def asofJoinForward(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    graft.plans.GraftStrategies.register(s)
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
+    val signups = Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), unix_timestamp(col("ts")).as("s_es"))
+    asofForwardGe(purchases, signups, Seq("user_id"), Seq("s_uid"), "es", "s_es")
+      .select(col("event_id"), col("user_id"), col("s_es").as("next_signup_s"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinForwardSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |  FROM events WHERE event_type = 'purchase'),
+      |s AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT p.event_id, p.user_id,
+      |  (SELECT min(s.es) FROM s
+      |   WHERE s.user_id = p.user_id AND s.es >= p.es) AS next_signup_s
+      |FROM p ORDER BY p.event_id""".stripMargin
+
+  /** The nearest-signup question: both directions genuinely win rows on
+    * the fixture (a purchase early in a user's history sits closer to the
+    * NEXT signup than to any prior one), so the oracle pins the
+    * choose-the-closer projection and the prior-wins tie rule, not just
+    * one direction's passthrough.
+    */
+  def asofJoinNearest(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    graft.plans.GraftStrategies.register(s)
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
+    val signups = Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), unix_timestamp(col("ts")).as("s_es"))
+    asofNearest(purchases, signups, Seq("user_id"), Seq("s_uid"), "es", "s_es")
+      .select(col("event_id"), col("user_id"), col("s_es").as("nearest_signup_s"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinNearestSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |  FROM events WHERE event_type = 'purchase'),
+      |s AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |  FROM events WHERE event_type = 'signup'),
+      |b AS (
+      |  SELECT p.event_id, p.user_id, p.es,
+      |    (SELECT max(s.es) FROM s
+      |     WHERE s.user_id = p.user_id AND s.es <= p.es) AS pb,
+      |    (SELECT min(s.es) FROM s
+      |     WHERE s.user_id = p.user_id AND s.es >= p.es) AS nf
+      |  FROM p)
+      |SELECT event_id, user_id,
+      |  CASE WHEN pb IS NOT NULL AND (nf IS NULL OR es - pb <= nf - es)
+      |       THEN pb ELSE nf END AS nearest_signup_s
+      |FROM b ORDER BY event_id""".stripMargin
+
   /** Interval width (seconds) for the overlap join below — one hour, wide
     * enough that the sparse fixture event stream produces a meaningful
     * overlap population at every sf. */
@@ -458,6 +600,8 @@ object TemporalJoins {
     "asof_join_salted" -> (asofJoinSalted _),
     "asof_join_sliced" -> (asofJoinSliced _),
     "asof_join_tolerance" -> (asofJoinTolerance _),
+    "asof_join_forward" -> (asofJoinForward _),
+    "asof_join_nearest" -> (asofJoinNearest _),
     "interval_overlap_join" -> (intervalOverlapJoin _))
 
   def oracles: Map[String, String] = Map(
@@ -469,5 +613,7 @@ object TemporalJoins {
     "asof_join_salted" -> asofJoinNativeSql,
     "asof_join_sliced" -> asofJoinNativeSql,
     "asof_join_tolerance" -> asofJoinToleranceSql,
+    "asof_join_forward" -> asofJoinForwardSql,
+    "asof_join_nearest" -> asofJoinNearestSql,
     "interval_overlap_join" -> intervalOverlapJoinSql)
 }

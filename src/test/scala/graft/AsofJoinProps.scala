@@ -194,4 +194,88 @@ object AsofJoinProps extends Properties("AsofJoin") {
       }
       got == want
     }
+
+  /** Forward direction: the negation routing must return, per left row,
+    * the SMALLEST right time >= the left time — the exact mirror of
+    * `reference`, under the same null-key/null-time/tie/empty-side
+    * generator coverage.
+    */
+  private def referenceForward(left: Rows, right: Rows)
+      : List[((Option[Long], Option[Long]), Option[Long])] =
+    left.map { case (k, t) =>
+      val m = for {
+        key <- k
+        lt <- t
+        best <- right.collect {
+          case (Some(`key`), Some(rt)) if rt >= lt => rt
+        }.minOption
+      } yield best
+      ((k, t), m)
+    }
+
+  property("forward negation routing matches brute-force earliest-next") =
+    Prop.forAll(datasets) { case (l, r) =>
+      val s = spark
+      import s.implicits._
+      val ldf = l.zipWithIndex
+        .map { case ((k, t), i) =>
+          (i.toLong, k.map(Long.box).orNull, t.map(Long.box).orNull) }
+        .toDF("id", "k", "t")
+      val rdf = r
+        .map { case (k, t) => (k.map(Long.box).orNull, t.map(Long.box).orNull) }
+        .toDF("rk", "rt")
+      val got = operators.TemporalJoins
+        .asofForwardGe(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt")
+        .select($"id", $"k", $"t", $"rt")
+        .collect()
+        .sortBy(_.getAs[Long]("id"))
+        .map { row =>
+          val k = if (row.isNullAt(1)) None else Some(row.getLong(1))
+          val t = if (row.isNullAt(2)) None else Some(row.getLong(2))
+          val m = if (row.isNullAt(3)) None else Some(row.getLong(3))
+          ((k, t), m)
+        }.toList
+      got == referenceForward(l, r)
+    }
+
+  /** Nearest: the two-pass pipeline must pick whichever of the
+    * latest-prior / earliest-next candidates is closer, prior on ties —
+    * brute-force over both direction references. The 0–40 time range is
+    * dense enough that ties (equidistant prior and next) occur.
+    */
+  property("nearest two-pass pipeline matches brute force, prior wins ties") =
+    Prop.forAll(datasets) { case (l, r) =>
+      val s = spark
+      import s.implicits._
+      val ldf = l.zipWithIndex
+        .map { case ((k, t), i) =>
+          (i.toLong, k.map(Long.box).orNull, t.map(Long.box).orNull) }
+        .toDF("id", "k", "t")
+      val rdf = r
+        .map { case (k, t) => (k.map(Long.box).orNull, t.map(Long.box).orNull) }
+        .toDF("rk", "rt")
+      val got = operators.TemporalJoins
+        .asofNearest(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt")
+        .select($"id", $"k", $"t", $"rt")
+        .collect()
+        .sortBy(_.getAs[Long]("id"))
+        .map { row =>
+          val k = if (row.isNullAt(1)) None else Some(row.getLong(1))
+          val t = if (row.isNullAt(2)) None else Some(row.getLong(2))
+          val m = if (row.isNullAt(3)) None else Some(row.getLong(3))
+          ((k, t), m)
+        }.toList
+      val prior = reference(l, r).map(_._2)
+      val next = referenceForward(l, r).map(_._2)
+      val want = l.zip(prior.zip(next)).map { case ((k, t), (pb, nf)) =>
+        val m = (pb, nf) match {
+          case (Some(p), Some(n)) =>
+            val lt = t.get // both sides matched => lt is defined
+            if (lt - p <= n - lt) Some(p) else Some(n)
+          case (p, n) => p.orElse(n)
+        }
+        ((k, t), m)
+      }
+      got == want
+    }
 }
