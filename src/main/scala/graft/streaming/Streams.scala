@@ -859,4 +859,56 @@ object Streams {
       .start()
     (q, cached)
   }
+
+  // ----------------------------------------------- streaming as-of enrichment
+  /** The per-micro-batch plan of the streaming as-of enrichment leg — the
+    * online twin of the batch `asof_join_native` query (the feature-store
+    * serving pattern: each arriving purchase is stamped with the user's
+    * latest prior signup from the STATIC dimension). The dimension side
+    * carries an explicit `broadcast` hint, so `AsofJoinStrategy` plans
+    * `AsofBroadcastJoinExec`: the stream side is NEVER shuffled — each
+    * micro-batch probes a per-executor sorted index, which is the only
+    * sane plan when the probe side is a low-latency trickle and the
+    * dimension is the big-but-bounded artifact a serving job pins in
+    * cluster memory (StreamingSpec asserts both: the broadcast exec in the
+    * physical plan and zero probe-side exchanges). Enrichment is
+    * per-record (no cross-batch state), so replay parity with the batch
+    * query is exact (StreamingSpec pins it) and a redelivered batch
+    * byte-replaces its own `batch_id=<id>` directory instead of appending
+    * duplicates (the [[upsertBatch]] idempotence discipline).
+    */
+  def asofEnrichPlan(batch: DataFrame, dim: DataFrame): DataFrame =
+    batch
+      .join(broadcast(dim), expr("user_id = s_uid AND asof_le(es, s_es)"), "left")
+      .select(col("event_id"), col("user_id"), col("s_es").as("last_signup_s"))
+
+  def asofEnrichBatch(batch: DataFrame, id: Long, dim: DataFrame,
+      outDir: String): Unit =
+    asofEnrichPlan(batch, dim)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  /** Streaming as-of enrichment over micro-batches of purchase rows
+    * `(event_id, user_id, es)`. The signup dimension is read and persisted
+    * once — every micro-batch re-broadcasts from the cached relation
+    * instead of re-scanning parquet. Returned alongside the query so the
+    * caller manages the cache lifecycle (same contract as
+    * [[streamAnnEnrich]]).
+    */
+  def streamAsofEnrich(df: DataFrame, spark: SparkSession, sfDir: String,
+      outDir: String, checkpoint: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    graft.functions.VecFunctions.register(spark)
+    graft.plans.GraftStrategies.register(spark)
+    val dim = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), unix_timestamp(col("ts")).as("s_es"))
+      .persist()
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        asofEnrichBatch(batch.toDF(), id, dim, outDir)
+      }
+      .start()
+    (q, dim)
+  }
 }

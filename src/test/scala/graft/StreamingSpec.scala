@@ -460,6 +460,62 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming as-of enrichment: micro-batched purchases equal the batch native twin") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = SparkTestSession.sf
+    val outDir = java.nio.file.Files.createTempDirectory("graft-asof-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-asof-ckpt").toString
+    // the batch query's full purchase fixture, replayed as THREE
+    // micro-batches so parity covers the multi-batch path
+    val purchases = graft.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_timestamp(
+          org.apache.spark.sql.functions.col("ts")).as("es"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(purchases.length >= 3)
+    val chunks = purchases.grouped((purchases.length + 2) / 3).toSeq
+    assert(chunks.length == 3)
+    val in = MemoryStream[(Long, Long, Long)]
+    val (q, dim) = Streams.streamAsofEnrich(
+      in.toDF().toDF("event_id", "user_id", "es"), spark, sf, outDir, ckpt)
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val batchDirs = new java.io.File(outDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      assert(batchDirs.length == chunks.length,
+        s"expected ${chunks.length} micro-batch outputs, got ${batchDirs.length}")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      val streamed = spark.read.parquet(outDir)
+        .select("event_id", "user_id", "last_signup_s")
+        .collect().map(key).toSet
+      val batch = operators.TemporalJoins.asofJoinNative(spark, sf)
+        .select("event_id", "user_id", "last_signup_s")
+        .collect().map(key).toSet
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+      // the serving-plan claim: the broadcast hint routes each micro-batch
+      // through AsofBroadcastJoinExec, so the probe (stream) side sees NO
+      // exchange — the whole point of the pattern for a low-latency trickle
+      val planStr = Streams.asofEnrichPlan(
+        chunks.head.toSeq.toDF("event_id", "user_id", "es"), dim)
+        .queryExecution.executedPlan.toString
+      assert(planStr.contains("AsofBroadcastJoin"),
+        s"expected the broadcast as-of exec in the micro-batch plan:\n$planStr")
+      assert(!planStr.contains("Exchange hashpartitioning"),
+        s"expected a shuffle-free probe side:\n$planStr")
+    } finally {
+      q.stop()
+      dim.unpersist()
+      Seq(outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
+    }
+  }
+
   test("session windows streamed: replayed fixture equals the batch twin") {
     import spark.implicits._
     import org.apache.spark.sql.functions.unix_timestamp
