@@ -86,6 +86,23 @@ object TemporalJoins {
       |WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** Shared fixture extraction for the native as-of query family:
+    * registers the asof functions/strategy and returns (purchases,
+    * signups) with the epoch-second time columns every variant joins on.
+    */
+  private def purchasesAndSignups(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    graft.functions.VecFunctions.register(s)
+    graft.plans.GraftStrategies.register(s)
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
+    val signups = Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), unix_timestamp(col("ts")).as("s_es"))
+    (purchases, signups)
+  }
+
   /** The same "latest signup at or before each purchase" question as
     * [[asofLatestPrior]], answered by the NATIVE as-of join operator
     * (`asof_le` marker → `AsofJoinStrategy` → `AsofJoinExec`; see
@@ -99,14 +116,7 @@ object TemporalJoins {
     * purchase — no union materialization, no running-max window buffer.
     */
   def asofJoinNative(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecFunctions.register(s)
-    graft.plans.GraftStrategies.register(s)
-    val purchases = Tables.events(s, d)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
-    val signups = Tables.events(s, d)
-      .filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_uid"), unix_timestamp(col("ts")).as("s_es"))
+    val (purchases, signups) = purchasesAndSignups(s, d)
     purchases
       .join(signups, expr("user_id = s_uid AND asof_le(es, s_es)"), "left")
       .select(col("event_id"), col("user_id"), col("s_es").as("last_signup_s"))
@@ -200,14 +210,7 @@ object TemporalJoins {
     * `AsofJoinSpec` salting test's job.
     */
   def asofJoinSalted(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecFunctions.register(s)
-    graft.plans.GraftStrategies.register(s)
-    val purchases = Tables.events(s, d)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
-    val signups = Tables.events(s, d)
-      .filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_uid"), unix_timestamp(col("ts")).as("s_es"))
+    val (purchases, signups) = purchasesAndSignups(s, d)
     asofSaltedLe(purchases, signups, Seq("user_id"), Seq("s_uid"),
         "es", "s_es", buckets = 4, hotThreshold = 8L)
       .select(col("event_id"), col("user_id"), col("s_es").as("last_signup_s"))
@@ -256,9 +259,14 @@ object TemporalJoins {
     require((left.columns ++ right.columns).forall(c => !scratch.contains(c)),
       s"input columns may not use the reserved names ${scratch.mkString(", ")}")
     // exact floor division for any sign: (t - pmod(t, W)) is the greatest
-    // multiple of W <= t (pmod is non-negative), so the quotient is exact
-    // integer arithmetic — `div` would truncate toward zero for negatives
-    def bucketOf(t: Column): Column = (t - pmod(t, lit(sliceWidth))) / sliceWidth
+    // multiple of W <= t (pmod is non-negative), and integral `div` of an
+    // exact multiple divides exactly for ALL longs — `/` on long columns
+    // is DOUBLE division, exact only up to 2^53. Domain limit: the
+    // subtraction wraps for t < Long.MinValue + W (epoch-second times are
+    // nowhere near), which would break the monotone-bucketing invariant
+    // the carry-in pass depends on.
+    def bucketOf(t: Column): Column =
+      call_function("div", t - pmod(t, lit(sliceWidth)), lit(sliceWidth))
     val rCols = right.columns
     // right rows that can never match (null key/time) are dropped up
     // front: the exec would skip them anyway, and the summary pass must
@@ -310,14 +318,7 @@ object TemporalJoins {
     * must still be found), not just the single-bucket degenerate case.
     */
   def asofJoinSliced(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecFunctions.register(s)
-    graft.plans.GraftStrategies.register(s)
-    val purchases = Tables.events(s, d)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
-    val signups = Tables.events(s, d)
-      .filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_uid"), unix_timestamp(col("ts")).as("s_es"))
+    val (purchases, signups) = purchasesAndSignups(s, d)
     asofSlicedLe(purchases, signups, Seq("user_id"), Seq("s_uid"),
         "es", "s_es", sliceWidth = 7L * 86400L)
       .select(col("event_id"), col("user_id"), col("s_es").as("last_signup_s"))
@@ -370,14 +371,7 @@ object TemporalJoins {
     * (gap == bound is kept, gap == bound+1 is nulled).
     */
   def asofJoinTolerance(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecFunctions.register(s)
-    graft.plans.GraftStrategies.register(s)
-    val purchases = Tables.events(s, d)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
-    val signups = Tables.events(s, d)
-      .filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_uid"), unix_timestamp(col("ts")).as("s_es"))
+    val (purchases, signups) = purchasesAndSignups(s, d)
     asofToleranceLe(purchases, signups, Seq("user_id"), Seq("s_uid"),
         "es", "s_es", maxStaleness = 2L * 86400L)
       .select(col("event_id"), col("user_id"), col("s_es").as("last_signup_s"))
@@ -406,7 +400,12 @@ object TemporalJoins {
     * one-merge-pass plan, same skew guards, same null semantics (a null
     * time negates to null and matches nothing). Time columns must be
     * numeric (epoch seconds in every graft query); negation has no
-    * meaning for TimestampType.
+    * meaning for TimestampType. Domain limit: `-Long.MinValue` wraps to
+    * itself under non-ANSI long arithmetic, so a time of exactly
+    * `Long.MinValue` would mis-join silently — epoch-second data is 10
+    * orders of magnitude away, but a caller feeding sentinel extremes
+    * must screen them first (same caveat for [[asofNearest]]'s forward
+    * pass).
     */
   def asofForwardGe(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
@@ -439,6 +438,12 @@ object TemporalJoins {
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
+    // the restore-to-original-names projection at the end would silently
+    // OVERWRITE a left column sharing a right column's name (the bare
+    // asof_le join fails loudly on the same input) — refuse up front
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"left/right column names must be disjoint (shared: ${shared.mkString(", ")})")
     val scratch = right.columns.flatMap(c => Seq(s"__p_$c", s"__n_$c")).toSet ++
       Set("__lneg", "__rneg")
     require((left.columns ++ right.columns).forall(c => !scratch.contains(c)),
@@ -475,14 +480,7 @@ object TemporalJoins {
     * oracle.
     */
   def asofJoinForward(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecFunctions.register(s)
-    graft.plans.GraftStrategies.register(s)
-    val purchases = Tables.events(s, d)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
-    val signups = Tables.events(s, d)
-      .filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_uid"), unix_timestamp(col("ts")).as("s_es"))
+    val (purchases, signups) = purchasesAndSignups(s, d)
     asofForwardGe(purchases, signups, Seq("user_id"), Seq("s_uid"), "es", "s_es")
       .select(col("event_id"), col("user_id"), col("s_es").as("next_signup_s"))
       .orderBy("event_id")
@@ -507,14 +505,7 @@ object TemporalJoins {
     * one direction's passthrough.
     */
   def asofJoinNearest(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecFunctions.register(s)
-    graft.plans.GraftStrategies.register(s)
-    val purchases = Tables.events(s, d)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
-    val signups = Tables.events(s, d)
-      .filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_uid"), unix_timestamp(col("ts")).as("s_es"))
+    val (purchases, signups) = purchasesAndSignups(s, d)
     asofNearest(purchases, signups, Seq("user_id"), Seq("s_uid"), "es", "s_es")
       .select(col("event_id"), col("user_id"), col("s_es").as("nearest_signup_s"))
       .orderBy("event_id")

@@ -61,20 +61,25 @@ object AsofJoinProps extends Properties("AsofJoin") {
       ((k, t), m)
     }
 
-  private def viaSpark(left: Rows, right: Rows, useBroadcast: Boolean)
+  /** Shared harness for every property: builds the `(id, k, t)` /
+    * `(rk, rt)` frames from a dataset pair (ids make left rows
+    * distinguishable through the join), runs `op` on them, and decodes
+    * the result back into the reference's row shape.
+    */
+  private def runOperator(left: Rows, right: Rows)(
+      op: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
+        => org.apache.spark.sql.DataFrame)
       : List[((Option[Long], Option[Long]), Option[Long])] = {
     val s = spark
     import s.implicits._
-    // ids make left rows distinguishable through the join
-    val l = left.zipWithIndex
+    val ldf = left.zipWithIndex
       .map { case ((k, t), i) =>
         (i.toLong, k.map(Long.box).orNull, t.map(Long.box).orNull) }
       .toDF("id", "k", "t")
-    val r0 = right
+    val rdf = right
       .map { case (k, t) => (k.map(Long.box).orNull, t.map(Long.box).orNull) }
       .toDF("rk", "rt")
-    val r = if (useBroadcast) broadcast(r0) else r0
-    l.join(r, expr("k = rk AND asof_le(t, rt)"), "left")
+    op(ldf, rdf)
       .select($"id", $"k", $"t", $"rt")
       .collect()
       .sortBy(_.getAs[Long]("id"))
@@ -85,6 +90,13 @@ object AsofJoinProps extends Properties("AsofJoin") {
         ((k, t), m)
       }.toList
   }
+
+  private def viaSpark(left: Rows, right: Rows, useBroadcast: Boolean)
+      : List[((Option[Long], Option[Long]), Option[Long])] =
+    runOperator(left, right) { (l, r0) =>
+      val r = if (useBroadcast) broadcast(r0) else r0
+      l.join(r, expr("k = rk AND asof_le(t, rt)"), "left")
+    }
 
   property("sort-merge exec matches brute force on random interleavings") =
     Prop.forAll(datasets) { case (l, r) =>
@@ -106,28 +118,9 @@ object AsofJoinProps extends Properties("AsofJoin") {
     */
   property("salted pre-pass matches brute force under random skew") =
     Prop.forAll(datasets) { case (l, r) =>
-      val s = spark
-      import s.implicits._
-      val ldf = l.zipWithIndex
-        .map { case ((k, t), i) =>
-          (i.toLong, k.map(Long.box).orNull, t.map(Long.box).orNull) }
-        .toDF("id", "k", "t")
-      val rdf = r
-        .map { case (k, t) => (k.map(Long.box).orNull, t.map(Long.box).orNull) }
-        .toDF("rk", "rt")
-      val got = operators.TemporalJoins
-        .asofSaltedLe(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt",
-          buckets = 3, hotThreshold = 5L)
-        .select($"id", $"k", $"t", $"rt")
-        .collect()
-        .sortBy(_.getAs[Long]("id"))
-        .map { row =>
-          val k = if (row.isNullAt(1)) None else Some(row.getLong(1))
-          val t = if (row.isNullAt(2)) None else Some(row.getLong(2))
-          val m = if (row.isNullAt(3)) None else Some(row.getLong(3))
-          ((k, t), m)
-        }.toList
-      got == reference(l, r)
+      runOperator(l, r)(operators.TemporalJoins.asofSaltedLe(
+        _, _, Seq("k"), Seq("rk"), "t", "rt",
+        buckets = 3, hotThreshold = 5L)) == reference(l, r)
     }
 
   /** Same invisibility contract for the time-sliced variant: with random
@@ -138,27 +131,8 @@ object AsofJoinProps extends Properties("AsofJoin") {
     */
   property("sliced pre-pass matches brute force across bucket boundaries") =
     Prop.forAll(datasets, Gen.chooseNum(1L, 15L)) { case ((l, r), width) =>
-      val s = spark
-      import s.implicits._
-      val ldf = l.zipWithIndex
-        .map { case ((k, t), i) =>
-          (i.toLong, k.map(Long.box).orNull, t.map(Long.box).orNull) }
-        .toDF("id", "k", "t")
-      val rdf = r
-        .map { case (k, t) => (k.map(Long.box).orNull, t.map(Long.box).orNull) }
-        .toDF("rk", "rt")
-      val got = operators.TemporalJoins
-        .asofSlicedLe(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt", width)
-        .select($"id", $"k", $"t", $"rt")
-        .collect()
-        .sortBy(_.getAs[Long]("id"))
-        .map { row =>
-          val k = if (row.isNullAt(1)) None else Some(row.getLong(1))
-          val t = if (row.isNullAt(2)) None else Some(row.getLong(2))
-          val m = if (row.isNullAt(3)) None else Some(row.getLong(3))
-          ((k, t), m)
-        }.toList
-      got == reference(l, r)
+      runOperator(l, r)(operators.TemporalJoins.asofSlicedLe(
+        _, _, Seq("k"), Seq("rk"), "t", "rt", width)) == reference(l, r)
     }
 
   /** The staleness bound is exactly brute-force-with-a-filter: the latest
@@ -169,26 +143,8 @@ object AsofJoinProps extends Properties("AsofJoin") {
     */
   property("tolerance bound equals brute force with a staleness filter") =
     Prop.forAll(datasets, Gen.chooseNum(0L, 40L)) { case ((l, r), tol) =>
-      val s = spark
-      import s.implicits._
-      val ldf = l.zipWithIndex
-        .map { case ((k, t), i) =>
-          (i.toLong, k.map(Long.box).orNull, t.map(Long.box).orNull) }
-        .toDF("id", "k", "t")
-      val rdf = r
-        .map { case (k, t) => (k.map(Long.box).orNull, t.map(Long.box).orNull) }
-        .toDF("rk", "rt")
-      val got = operators.TemporalJoins
-        .asofToleranceLe(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt", tol)
-        .select($"id", $"k", $"t", $"rt")
-        .collect()
-        .sortBy(_.getAs[Long]("id"))
-        .map { row =>
-          val k = if (row.isNullAt(1)) None else Some(row.getLong(1))
-          val t = if (row.isNullAt(2)) None else Some(row.getLong(2))
-          val m = if (row.isNullAt(3)) None else Some(row.getLong(3))
-          ((k, t), m)
-        }.toList
+      val got = runOperator(l, r)(operators.TemporalJoins.asofToleranceLe(
+        _, _, Seq("k"), Seq("rk"), "t", "rt", tol))
       val want = reference(l, r).map { case ((k, t), m) =>
         ((k, t), m.filter(rt => t.exists(lt => lt - rt <= tol)))
       }
@@ -215,27 +171,8 @@ object AsofJoinProps extends Properties("AsofJoin") {
 
   property("forward negation routing matches brute-force earliest-next") =
     Prop.forAll(datasets) { case (l, r) =>
-      val s = spark
-      import s.implicits._
-      val ldf = l.zipWithIndex
-        .map { case ((k, t), i) =>
-          (i.toLong, k.map(Long.box).orNull, t.map(Long.box).orNull) }
-        .toDF("id", "k", "t")
-      val rdf = r
-        .map { case (k, t) => (k.map(Long.box).orNull, t.map(Long.box).orNull) }
-        .toDF("rk", "rt")
-      val got = operators.TemporalJoins
-        .asofForwardGe(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt")
-        .select($"id", $"k", $"t", $"rt")
-        .collect()
-        .sortBy(_.getAs[Long]("id"))
-        .map { row =>
-          val k = if (row.isNullAt(1)) None else Some(row.getLong(1))
-          val t = if (row.isNullAt(2)) None else Some(row.getLong(2))
-          val m = if (row.isNullAt(3)) None else Some(row.getLong(3))
-          ((k, t), m)
-        }.toList
-      got == referenceForward(l, r)
+      runOperator(l, r)(operators.TemporalJoins.asofForwardGe(
+        _, _, Seq("k"), Seq("rk"), "t", "rt")) == referenceForward(l, r)
     }
 
   /** Nearest: the two-pass pipeline must pick whichever of the
@@ -245,26 +182,8 @@ object AsofJoinProps extends Properties("AsofJoin") {
     */
   property("nearest two-pass pipeline matches brute force, prior wins ties") =
     Prop.forAll(datasets) { case (l, r) =>
-      val s = spark
-      import s.implicits._
-      val ldf = l.zipWithIndex
-        .map { case ((k, t), i) =>
-          (i.toLong, k.map(Long.box).orNull, t.map(Long.box).orNull) }
-        .toDF("id", "k", "t")
-      val rdf = r
-        .map { case (k, t) => (k.map(Long.box).orNull, t.map(Long.box).orNull) }
-        .toDF("rk", "rt")
-      val got = operators.TemporalJoins
-        .asofNearest(ldf, rdf, Seq("k"), Seq("rk"), "t", "rt")
-        .select($"id", $"k", $"t", $"rt")
-        .collect()
-        .sortBy(_.getAs[Long]("id"))
-        .map { row =>
-          val k = if (row.isNullAt(1)) None else Some(row.getLong(1))
-          val t = if (row.isNullAt(2)) None else Some(row.getLong(2))
-          val m = if (row.isNullAt(3)) None else Some(row.getLong(3))
-          ((k, t), m)
-        }.toList
+      val got = runOperator(l, r)(operators.TemporalJoins.asofNearest(
+        _, _, Seq("k"), Seq("rk"), "t", "rt"))
       val prior = reference(l, r).map(_._2)
       val next = referenceForward(l, r).map(_._2)
       val want = l.zip(prior.zip(next)).map { case ((k, t), (pb, nf)) =>

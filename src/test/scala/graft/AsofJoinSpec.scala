@@ -196,8 +196,9 @@ class AsofJoinSpec extends AnyFunSuite {
         case other => other.children.flatMap(findExec)
       }
       val exec = findExec(plan).head
+      val quoteRows = quotes.collect()
       val expectMatched = probes.collect().count { p =>
-        quotes.collect().exists(q =>
+        quoteRows.exists(q =>
           q.getLong(0) == p.getLong(1) && q.getLong(1) <= p.getLong(2))
       }
       assert(exec.metrics("numOutputRows").value == 400L)
@@ -238,5 +239,20 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(sideDf.select("k", "rt").collect().map(r0 =>
       (r0.getLong(0), if (r0.isNullAt(1)) -1L else r0.getLong(1))).toSet ===
       Set((1L, 7L), (2L, 8L))) // rt=5 excluded pre-join, so k=1 matches 7
+  }
+
+  test("asofNearest refuses shared left/right column names loudly") {
+    graft.plans.GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    // the bare asof_le join fails on ambiguous references for the same
+    // input; without the guard, nearest's restore-to-original-names
+    // projection would instead silently OVERWRITE the left 'price'
+    val l = Seq((1L, 10L, 99.0)).toDF("k", "t", "price")
+    val r = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "price")
+    val e = intercept[IllegalArgumentException] {
+      operators.TemporalJoins.asofNearest(l, r, Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(e.getMessage.contains("price"), e.getMessage)
   }
 }

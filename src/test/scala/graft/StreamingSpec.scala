@@ -478,7 +478,9 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(purchases.length >= 3)
     val chunks = purchases.grouped((purchases.length + 2) / 3).toSeq
-    assert(chunks.length == 3)
+    // ceil(n/ceil(n/3)) is 3 for most n but 2 at n=4 — multi-batch replay
+    // is what the parity claim needs, not exactly three
+    assert(chunks.length >= 2 && chunks.length <= 3)
     val in = MemoryStream[(Long, Long, Long)]
     val (q, dim) = Streams.streamAsofEnrich(
       in.toDF().toDF("event_id", "user_id", "es"), spark, sf, outDir, ckpt)
