@@ -333,8 +333,10 @@ object TemporalJoins {
     * also the CLOSEST prior, so if IT exceeds the bound every other
     * candidate does too — the bound is exact as a post-projection over
     * the unchanged native as-of join. Zero extra shuffles, zero extra
-    * scans, stays inside whole-stage codegen; inherits the exec's skew
-    * guards ([[asofSaltedLe]] / [[asofSlicedLe]] compose the same way).
+    * scans, stays inside whole-stage codegen; the projection is exposed
+    * as [[withStalenessBound]] so it composes with the skew guards —
+    * `AsofJoinProps` pins the salted and sliced compositions against the
+    * filtered brute-force reference.
     *
     * Time columns must be numeric (epoch seconds in every graft query) so
     * the staleness subtraction is a plain long difference. Unmatched and
@@ -346,19 +348,32 @@ object TemporalJoins {
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
       maxStaleness: Long): DataFrame = {
-    require(maxStaleness >= 0 && leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
-    val scratch = "__within"
-    require(!(left.columns ++ right.columns).contains(scratch),
-      s"input columns may not use the reserved name $scratch")
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
     val cond = (leftKeys.zip(rightKeys).map { case (a, b) => s"`$a` = `$b`" } :+
       s"asof_le(`$leftTime`, `$rightTime`)").mkString(" AND ")
+    withStalenessBound(left.join(right, expr(cond), "left"),
+      right.columns, leftTime, rightTime, maxStaleness)
+  }
+
+  /** The staleness post-projection on its own — the seam that lets the
+    * bound compose with ANY as-of variant producing latest-prior matches
+    * under the original right column names ([[asofSaltedLe]] and
+    * [[asofSlicedLe]] qualify; `AsofJoinProps` pins both compositions
+    * against the filtered brute-force reference). Nulls every column in
+    * `rightCols` on rows whose match is older than `maxStaleness`.
+    */
+  def withStalenessBound(joined: DataFrame, rightCols: Seq[String],
+      leftTime: String, rightTime: String, maxStaleness: Long): DataFrame = {
+    require(maxStaleness >= 0)
+    val scratch = "__within"
+    require(!joined.columns.contains(scratch),
+      s"input columns may not use the reserved name $scratch")
     // the flag is materialized BEFORE the right columns are nulled so the
     // per-column projection below can't see its own overwrites
-    val j = left.join(right, expr(cond), "left")
-      .withColumn(scratch,
-        col(rightTime).isNotNull &&
-          col(leftTime) - col(rightTime) <= lit(maxStaleness))
-    right.columns.foldLeft(j) { (df, c) =>
+    val j = joined.withColumn(scratch,
+      col(rightTime).isNotNull &&
+        col(leftTime) - col(rightTime) <= lit(maxStaleness))
+    rightCols.foldLeft(j) { (df, c) =>
       df.withColumn(c, when(col(scratch), col(c)))
     }.drop(scratch)
   }

@@ -141,14 +141,40 @@ object AsofJoinProps extends Properties("AsofJoin") {
     * `lt - rt <= tol`. Random small tolerances over the 0–40 time range
     * hit both branches (kept and nulled) and the tol = 0 exact-tie edge.
     */
+  private def toleranceReference(l: Rows, r: Rows, tol: Long)
+      : List[((Option[Long], Option[Long]), Option[Long])] =
+    reference(l, r).map { case ((k, t), m) =>
+      ((k, t), m.filter(rt => t.exists(lt => lt - rt <= tol)))
+    }
+
   property("tolerance bound equals brute force with a staleness filter") =
     Prop.forAll(datasets, Gen.chooseNum(0L, 40L)) { case ((l, r), tol) =>
-      val got = runOperator(l, r)(operators.TemporalJoins.asofToleranceLe(
-        _, _, Seq("k"), Seq("rk"), "t", "rt", tol))
-      val want = reference(l, r).map { case ((k, t), m) =>
-        ((k, t), m.filter(rt => t.exists(lt => lt - rt <= tol)))
+      runOperator(l, r)(operators.TemporalJoins.asofToleranceLe(
+        _, _, Seq("k"), Seq("rk"), "t", "rt", tol)) ==
+        toleranceReference(l, r, tol)
+    }
+
+  /** The scaladoc claim that the staleness bound composes with the skew
+    * guards, exercised: `withStalenessBound` over the salted AND the
+    * sliced pre-passes must both equal the same filtered reference the
+    * bare tolerance join satisfies.
+    */
+  property("staleness bound composes with the salted and sliced skew guards") =
+    Prop.forAll(datasets, Gen.chooseNum(0L, 40L)) { case ((l, r), tol) =>
+      val want = toleranceReference(l, r, tol)
+      val viaSalted = runOperator(l, r) { (ldf, rdf) =>
+        operators.TemporalJoins.withStalenessBound(
+          operators.TemporalJoins.asofSaltedLe(ldf, rdf, Seq("k"), Seq("rk"),
+            "t", "rt", buckets = 3, hotThreshold = 5L),
+          Seq("rk", "rt"), "t", "rt", tol)
       }
-      got == want
+      val viaSliced = runOperator(l, r) { (ldf, rdf) =>
+        operators.TemporalJoins.withStalenessBound(
+          operators.TemporalJoins.asofSlicedLe(ldf, rdf, Seq("k"), Seq("rk"),
+            "t", "rt", sliceWidth = 5L),
+          Seq("rk", "rt"), "t", "rt", tol)
+      }
+      viaSalted == want && viaSliced == want
     }
 
   /** Forward direction: the negation routing must return, per left row,
