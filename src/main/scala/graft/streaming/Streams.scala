@@ -911,4 +911,120 @@ object Streams {
       .start()
     (q, dim)
   }
+
+  // ------------------------------------------- stream-stream as-of join
+  /** Tagged union row for [[streamAsofJoin]]: `side` is "L" (probe) or
+    * "R" (build); `event_id` is carried for probes only (right rows pass
+    * any value). `es` is epoch seconds — the same numeric time every
+    * batch as-of query joins on.
+    */
+  case class AsofTagged(user_id: Long, side: String, event_id: Long,
+      es: Long, event_time: Timestamp)
+  case class PendingProbe(event_id: Long, es: Long)
+  case class AsofEnriched(event_id: Long, user_id: Long,
+      last_signup_s: Option[Long])
+
+  /** Stream-STREAM as-of join with a staleness horizon — both sides
+    * unbounded, per-key state bounded, and the semantics EXACT by
+    * construction: the horizon is simultaneously the staleness bound and
+    * the state-eviction bound, so the completed stream's output is
+    * row-identical to the batch `asofToleranceLe(maxStaleness = horizon)`
+    * over the same inputs (the oracle-checked `asof_join_tolerance`
+    * shape; StreamingSpec pins the parity). This identity is the whole
+    * design: an UNBOUNDED-staleness stream-stream as-of join cannot bound
+    * its build state (the latest prior may be arbitrarily old), so the
+    * honest streaming contract is the tolerance variant, not the bare
+    * one — exactly the trade a feature-store serving join wants anyway.
+    *
+    * Mechanics (one [[StatefulProcessor]] per key, event-time timers):
+    * probes buffer in state until the watermark passes their time — any
+    * right row arriving later must carry a later time and can never be a
+    * prior, so emission at the watermark is final, never revised. Right
+    * rows buffer in a horizon-bounded list. Eviction is exact, not
+    * approximate: every still-pending probe has `es·10⁶ > wm`, so any
+    * right row it can keep within staleness has `rt > wm − horizon` —
+    * dropping `rt ≤ wm − horizon` can never change an answer. State per
+    * key is therefore O(probes within the watermark delay) + O(rights
+    * within the horizon window), independent of stream length; an idle
+    * key's leftovers are GC'd by a timer armed at the moment its newest
+    * right row ages out (the bounded-state spec drives a hot key and
+    * counts state rows).
+    */
+  class AsofStreamProcessor(horizonS: Long)
+      extends StatefulProcessor[Long, AsofTagged, AsofEnriched] {
+    @transient private var rights: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var probes: org.apache.spark.sql.streaming.ListState[PendingProbe] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      rights = getHandle.getListState[Long]("rights", Encoders.scalaLong,
+        TTLConfig.NONE)
+      probes = getHandle.getListState[PendingProbe]("probes",
+        Encoders.product[PendingProbe], TTLConfig.NONE)
+    }
+
+    /** Emit every probe the watermark finalized, rewrite both bounded
+      * lists, and arm the timer for whatever the watermark must finalize
+      * next: the earliest pending probe, else the newest right's age-out.
+      */
+    private def flush(key: Long, rs: Seq[Long], ps: Seq[PendingProbe],
+        wmUs: Long, expiredMs: Long = Long.MinValue): Iterator[AsofEnriched] = {
+      val (ready, pending) = ps.partition(_.es * 1000000L <= wmUs)
+      val out = ready.map { p =>
+        val m = rs.filter(_ <= p.es).maxOption.filter(rt => p.es - rt <= horizonS)
+        AsofEnriched(p.event_id, key, m)
+      }
+      val keepR = rs.filter(rt => rt * 1000000L > wmUs - horizonS * 1000000L)
+      if (keepR.isEmpty) rights.clear() else rights.put(keepR.toArray)
+      if (pending.isEmpty) probes.clear() else probes.put(pending.toArray)
+      // the timer that just fired is already consumed — deleting it again
+      // only logs a spurious WARN
+      getHandle.listTimers().filter(_ != expiredMs).foreach(getHandle.deleteTimer)
+      if (pending.nonEmpty)
+        getHandle.registerTimer(pending.map(_.es).min * 1000L + 1L)
+      else if (keepR.nonEmpty)
+        getHandle.registerTimer((keepR.max + horizonS) * 1000L + 1L)
+      out.iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[AsofTagged],
+        tv: TimerValues): Iterator[AsofEnriched] = {
+      val rs = scala.collection.mutable.ArrayBuffer[Long]()
+      rights.get().foreach(rs += _)
+      val ps = scala.collection.mutable.ArrayBuffer[PendingProbe]()
+      probes.get().foreach(ps += _)
+      rows.foreach { r =>
+        if (r.side == "R") rs += r.es
+        else ps += PendingProbe(r.event_id, r.es)
+      }
+      flush(key, rs.toSeq, ps.toSeq, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[AsofEnriched] = {
+      val rs = scala.collection.mutable.ArrayBuffer[Long]()
+      rights.get().foreach(rs += _)
+      val ps = scala.collection.mutable.ArrayBuffer[PendingProbe]()
+      probes.get().foreach(ps += _)
+      flush(key, rs.toSeq, ps.toSeq, tv.getCurrentWatermarkInMs() * 1000L,
+        expiredMs = info.getExpiryTimeInMs())
+    }
+  }
+
+  /** Wire [[AsofStreamProcessor]] onto a tagged-union stream of
+    * `(user_id, side, event_id, es)` rows. `delay` is the out-of-order
+    * tolerance (watermark delay): a probe is answered — finally, exactly
+    * once — when the watermark passes its event time.
+    */
+  def streamAsofJoin(tagged: Dataset[(Long, String, Long, Long)],
+      horizonS: Long, delay: String = "1 second"): Dataset[AsofEnriched] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged.toDF("user_id", "side", "event_id", "es")
+      .withColumn("event_time", timestamp_seconds(col("es")))
+      .as[AsofTagged]
+      .withWatermark("event_time", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new AsofStreamProcessor(horizonS),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

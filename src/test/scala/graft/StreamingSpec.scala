@@ -518,6 +518,90 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream as-of join: completed replay equals the batch tolerance twin") {
+    val s2 = SparkTestSession.rocksDbSession("graft-asof-ss-test")
+    import s2.implicits._
+    implicit val ctx = s2.sqlContext
+    val sf = SparkTestSession.sf
+    val horizon = 2L * 86400L // the asof_join_tolerance bound
+    // tagged union of the batch query's exact inputs, replayed in event
+    // order (the operator's in-order contract; the 1 s default watermark
+    // delay covers same-second ties split across micro-batches)
+    val ev = graft.Tables.events(s2, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("purchase", "signup"))
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_timestamp(
+          org.apache.spark.sql.functions.col("ts")).as("es"))
+      .collect()
+      .map(r => (r.getLong(2), if (r.getString(0) == "purchase") "L" else "R",
+        r.getLong(1), r.getLong(3)))
+      .sortBy(_._4)
+    val chunks = ev.grouped((ev.length + 3) / 4).toSeq
+    val in = MemoryStream[(Long, String, Long, Long)]
+    val q = Streams.streamAsofJoin(in.toDS(), horizon)
+      .writeStream.format("memory").queryName("asof_ss_out")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      // a far-future right row flushes the watermark past every probe
+      in.addData((-1L, "R", 0L, ev.map(_._4).max + 10L * 86400L))
+      q.processAllAvailable()
+      val got = s2.table("asof_ss_out").as[Streams.AsofEnriched].collect()
+        .map(e => (e.event_id, e.user_id, e.last_signup_s)).toSet
+      val want = operators.TemporalJoins.asofJoinTolerance(s2, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(got == want,
+        s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
+  test("stream-stream as-of state stays horizon-bounded under a hot build side") {
+    val s2 = SparkTestSession.rocksDbSession("graft-asof-ss-bounded")
+    import s2.implicits._
+    implicit val ctx = s2.sqlContext
+    val in = MemoryStream[(Long, String, Long, Long)]
+    val horizon = 100L // seconds
+    val q = Streams.streamAsofJoin(in.toDS(), horizon)
+      .writeStream.format("memory").queryName("asof_ss_bounded_out")
+      .outputMode("append").start()
+    try {
+      val base = 1704100000L
+      // one hot instrument: 50 quotes per batch, frontier advancing 60 s
+      // per batch, 20 batches = 1000 right rows; the 100 s horizon must
+      // retain only the newest ~2 batches regardless of history length
+      for (b <- 0 until 20) {
+        val t = base + b * 60L
+        in.addData((0 until 50).map(i => (1L, "R", 0L, t + i)): _*)
+        q.processAllAvailable()
+      }
+      val hotRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(hotRows <= 300L,
+        s"state rows $hotRows not horizon-bounded after 1000 right rows")
+      // a probe at the frontier still matches the newest in-horizon quote
+      val tLast = base + 19L * 60L + 49L
+      in.addData((1L, "L", 42L, tLast + 1L))
+      q.processAllAvailable()
+      in.addData((1L, "R", 0L, tLast + 301L)) // flush watermark past it
+      q.processAllAvailable()
+      val got = s2.table("asof_ss_bounded_out").as[Streams.AsofEnriched]
+        .collect().filter(_.event_id == 42L)
+      assert(got.length == 1 && got.head.last_signup_s == Some(tLast),
+        s"got ${got.toSeq}")
+      // idle-key GC: another key advances the watermark past key 1's
+      // newest right + horizon; the age-out timer must empty its list
+      in.addData((2L, "R", 0L, tLast + 1000L)); q.processAllAvailable()
+      in.addData((2L, "R", 0L, tLast + 1001L)); q.processAllAvailable()
+      val idleRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(idleRows <= 10L,
+        s"state rows $idleRows after idle horizon — age-out timer did not run")
+    } finally q.stop()
+  }
+
   test("session windows streamed: replayed fixture equals the batch twin") {
     import spark.implicits._
     import org.apache.spark.sql.functions.unix_timestamp
