@@ -241,6 +241,45 @@ class AsofJoinSpec extends AnyFunSuite {
       Set((1L, 7L), (2L, 8L))) // rt=5 excluded pre-join, so k=1 matches 7
   }
 
+  test("composite keys: all equi-conjuncts cluster the native exec together") {
+    graft.plans.GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    val l = Seq((1L, 1L, 10L), (1L, 2L, 10L), (2L, 1L, 10L)).toDF("k1", "k2", "t")
+    val r = Seq((1L, 1L, 5L), (1L, 2L, 7L), (1L, 2L, 11L), (2L, 2L, 6L))
+      .toDF("rk1", "rk2", "rt")
+    val df = l.join(r, expr("k1 = rk1 AND k2 = rk2 AND asof_le(t, rt)"), "left")
+    assert(planOf(df).contains("AsofJoin"))
+    // (1,2) must NOT see (1,1)'s or (2,2)'s history — a partial-key
+    // cluster would return 6 for (2,1) or 5 for (1,2)
+    assert(df.select("k1", "k2", "rt").collect().map(r0 =>
+      (r0.getLong(0), r0.getLong(1),
+        if (r0.isNullAt(2)) -1L else r0.getLong(2))).toSet ===
+      Set((1L, 1L, 5L), (1L, 2L, 7L), (2L, 1L, -1L)))
+  }
+
+  test("nearest pipeline re-uses the probe-side exchange: one hash exchange for two merge passes") {
+    graft.plans.GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    def occurrences(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+    val r = Seq((1L, 5L), (2L, 25L)).toDF("rk", "rt")
+    // AQE's toString prints the plan twice (Final + Initial) — count only
+    // the final section
+    val planStr = planOf(operators.TemporalJoins
+      .asofNearest(l, r, Seq("k"), Seq("rk"), "t", "rt"))
+      .split("== Initial Plan ==")(0)
+    // two merge passes...
+    assert(occurrences(planStr, "AsofJoin") == 2, planStr)
+    // ...but only THREE hash exchanges: probe once + each right leg once.
+    // AsofJoinExec reports outputPartitioning = left's, so the second
+    // pass re-uses the first's probe-side clustering and inserts only a
+    // Sort — the PLANS.md single-probe-exchange claim, pinned
+    assert(occurrences(planStr, "Exchange hashpartitioning") == 3, planStr)
+  }
+
   test("asofNearest refuses shared left/right column names loudly") {
     graft.plans.GraftStrategies.register(spark)
     graft.functions.VecFunctions.register(spark)
