@@ -438,6 +438,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.getAs[Double]("n") == 5.0)
     assert(got.getAs[Long]("sh") >= 0L && got.getAs[Long]("sh") < (1L << 28))
     assert(got.getSeq[String](got.fieldIndex("ws")).toSeq == Seq("a b", "b c"))
+    // the whole-operator SQL surface: a plain-SQL LEFT JOIN with asof_le
+    // in the ON clause must plan the injected AsofJoinStrategy's native
+    // exec — a pure-SQL consumer gets the as-of operator with no Scala
+    import s2.implicits._
+    Seq((1L, 10L), (2L, 3L)).toDF("k", "t").createOrReplaceTempView("probes_sql")
+    Seq((1L, 5L), (1L, 8L), (2L, 9L)).toDF("rk", "rt")
+      .createOrReplaceTempView("quotes_sql")
+    val j = s2.sql(
+      """SELECT k, t, rt FROM probes_sql LEFT JOIN quotes_sql
+        |ON k = rk AND asof_le(t, rt)""".stripMargin)
+    assert(j.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    assert(j.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSet ===
+      Set((1L, 8L), (2L, -1L))) // latest prior; no quote <= t=3 for k=2
   }
 
   test("kafka source wiring: real connector construction behind the envelope seam") {
