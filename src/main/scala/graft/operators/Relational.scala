@@ -1104,19 +1104,67 @@ object Relational {
       |  CAST(sum(CAST(trunc(price * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM merged GROUP BY src ORDER BY src""".stripMargin
 
+  /** Generic CDC ordered-log apply — the reusable operator behind
+    * `cdc_apply_log`: collapse a `(key, seq, op, payload…)` changelog to
+    * each key's LAST change, then merge onto the snapshot. 'D' drops the
+    * key, any other op upserts its payload, untouched snapshot rows pass
+    * through. Provenance lands in `__cdc_src` ('kept' | 'updated' |
+    * 'inserted' — decided by snapshot PRESENCE, never by trusting the op
+    * marker). Log payload columns must carry the snapshot's payload
+    * column names (enforced loudly).
+    *
+    * Scale shape: the last-change reduction is one `max(struct(seq, op,
+    * payload…))` aggregate — partial+final (map-side combinable; Spark
+    * plans SortAggregate for struct buffers, but the partial_max still
+    * collapses each key to ONE row before the shuffle), NEVER a window
+    * over raw log rows — followed by one full-outer merge on the same
+    * key clustering. Duplicate sequence numbers resolve by the struct's
+    * lexicographic order (seq, then op, then payload) — deterministic
+    * run-to-run, but semantically arbitrary, so give changes unique
+    * seqs. `CdcProps` pins the operator against a sequential in-memory
+    * fold under random op interleavings, duplicate seqs included.
+    */
+  def applyChangeLog(snapshot: DataFrame, log: DataFrame, key: String,
+      seqCol: String, opCol: String): DataFrame = {
+    val payload = snapshot.columns.filterNot(_ == key).toSeq
+    val logPayload = log.columns.filterNot(Set(key, seqCol, opCol)).toSeq
+    require(logPayload.sorted == payload.sorted,
+      s"log payload columns ${logPayload.mkString(",")} must equal snapshot " +
+        s"payload columns ${payload.mkString(",")}")
+    require(!snapshot.columns.contains("__cdc_src"),
+      "snapshot may not already carry the reserved column __cdc_src")
+    val last = log.groupBy(col(key))
+      .agg(max(struct((seqCol +: opCol +: payload).map(col): _*)).as("__c"))
+      .select(col(key), col(s"__c.$opCol").as("__op"),
+        struct(payload.map(c => col(s"__c.$c").as(c)): _*).as("__new"))
+    val snap = snapshot
+      .select(col(key), struct(payload.map(col): _*).as("__old"))
+    val merged = snap.join(last, Seq(key), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .withColumn("__cdc_src",
+        when(col("__op").isNull, "kept")
+          .when(col("__old").isNotNull, "updated")
+          .otherwise("inserted"))
+      .withColumn("__row",
+        when(col("__op").isNull, col("__old")).otherwise(col("__new")))
+    merged.select(
+      col(key) +: payload.map(c => col(s"__row.$c").as(c)) :+ col("__cdc_src"): _*)
+  }
+
   /** CDC LOG apply — the multi-change companion of [[mergeUpsert]] (and
     * the batch twin of `Streams.upsertBatch(seqCol = ...)`): the change
     * relation is an ordered LOG that can carry several changes per key
     * (U then U, U then D, I then nothing), and each key's LAST change by
-    * sequence number wins before the single-edge merge. The reduction is
-    * one `row_number` over (key, seq desc) — the same key-clustered
-    * exchange the merge itself needs, so Catalyst chains both on one
-    * shuffle. Net effects exercised: double-U keys take the second price,
-    * U-then-D keys vanish, single-I keys insert.
+    * sequence number wins before the single-edge merge — the
+    * [[applyChangeLog]] operator, whose last-change reduction is a
+    * map-side-combinable hash aggregate chained on the merge's own key
+    * exchange (no window sort). Net effects exercised: double-U keys
+    * take the second price, U-then-D keys vanish, single-I keys insert.
     */
   def cdcApplyLog(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
     val snapshot = orders.filter(col("o_orderkey") % 10 < 8)
+      .select(col("o_orderkey"), col("o_totalprice").as("price"))
     val log = orders.filter(expr("o_orderkey % 10 IN (0, 4, 8)"))
       .select(col("o_orderkey"), col("o_totalprice"),
         explode(array(
@@ -1129,19 +1177,10 @@ object Relational {
               .otherwise(col("o_totalprice") * 1.3).as("new_price")))).as("c"))
       // inserted keys (% 10 = 8) carry a single-entry log
       .filter(!(col("o_orderkey") % 10 === 8 && col("c.seq") === 2L))
-      .select(col("o_orderkey"), col("c.seq"), col("c.op"), col("c.new_price"))
-    val w = Window.partitionBy("o_orderkey").orderBy(col("seq").desc)
-    val last = log.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-    val kept = snapshot
-      .join(last.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
-      .select(lit("kept").as("src"), col("o_totalprice").as("price"))
-    val applied = last.filter(col("op") =!= "D")
-      .select(
-        when(col("op") === "I", "inserted").otherwise("updated").as("src"),
-        col("new_price").as("price"))
-    kept.unionAll(applied)
-      .groupBy("src")
+      .select(col("o_orderkey"), col("c.seq"), col("c.op"),
+        col("c.new_price").as("price"))
+    applyChangeLog(snapshot, log, "o_orderkey", "seq", "op")
+      .groupBy(col("__cdc_src").as("src"))
       .agg(count(lit(1)).as("n_rows"),
         sum((col("price") * 100).cast("long")).as("sum_cents"))
       .orderBy("src")

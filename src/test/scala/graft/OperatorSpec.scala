@@ -813,4 +813,30 @@ class OperatorSpec extends AnyFunSuite {
         s"lang ${r.getAs[String]("lang")}: kept $rate vs weight $w (n=$n)")
     }
   }
+
+  test("applyChangeLog plans a combinable hash aggregate, never a window sort") {
+    import spark.implicits._
+    val snap = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val log = Seq((1L, 1L, "U", 11L), (3L, 1L, "I", 30L)).toDF("k", "seq", "op", "v")
+    val plan = operators.Relational.applyChangeLog(snap, log, "k", "seq", "op")
+      .queryExecution.executedPlan.toString
+    // the last-change reduction must be a partial+final aggregate (the
+    // map-side-combinable scaladoc claim — partial_max collapses each key
+    // before the shuffle; struct buffers plan SortAggregate, not Hash);
+    // a row_number formulation would plan a Window over every raw log row
+    assert(plan.contains("partial_max"), plan)
+    assert(!plan.contains("Window"), plan)
+    // loud preconditions: payload mismatch and reserved-name collisions
+    val bad = Seq((1L, 1L, "U", 11L)).toDF("k", "seq", "op", "other")
+    val e1 = intercept[IllegalArgumentException] {
+      operators.Relational.applyChangeLog(snap, bad, "k", "seq", "op")
+    }
+    assert(e1.getMessage.contains("payload"))
+    val e2 = intercept[IllegalArgumentException] {
+      operators.Relational.applyChangeLog(
+        snap.withColumn("__cdc_src",
+          org.apache.spark.sql.functions.lit("x")), log, "k", "seq", "op")
+    }
+    assert(e2.getMessage.contains("__cdc_src"))
+  }
 }
