@@ -454,6 +454,34 @@ object Streams {
         constraints.map { case (name, _) => col(s"v_$name") }: _*)
   }
 
+  /** Streaming windowed-percentile monitor — the streaming twin of the
+    * t-digest percentile family (`percentile_tdigest`): per event-time
+    * window, quantile estimates from the SAME mergeable
+    * [[graft.functions.TDigestAggregator]] the batch query uses. A UDAF
+    * is usable inside a streaming windowed aggregation precisely BECAUSE
+    * the sketch is mergeable — partial digests combine map-side, across
+    * tasks, and across a window's successive state updates, so state per
+    * window is one bounded digest (≤ compression centroids), never the
+    * raw values. Append mode emits each window's final digest when the
+    * watermark passes it. This is the latency/size-distribution monitor
+    * a 100 TB ingest runs beside its transforms: percentiles are the
+    * quality signal averages hide, and the sketch keeps the monitor's
+    * state O(windows × compression) regardless of row volume.
+    */
+  def percentileMonitor(df: DataFrame, timeCol: String, valueCol: String,
+      delay: String, windowDur: String,
+      quantiles: Seq[Double] = Seq(0.5, 0.95),
+      compression: Int = 100): DataFrame = {
+    val td = udaf(new graft.functions.TDigestAggregator(quantiles, compression))
+    df.withWatermark(timeCol, delay)
+      .groupBy(window(col(timeCol), windowDur))
+      .agg(count(lit(1)).as("n_rows"), td(col(valueCol)).as("qs"))
+      .select(col("window.start").as("window_start") +: col("n_rows") +:
+        quantiles.zipWithIndex.map { case (q, i) =>
+          element_at(col("qs"), i + 1).as(s"p${(q * 100).round}")
+        }: _*)
+  }
+
   /** Drift report over FIRED per-(window, source) counts — the windowed
     * twin of the batch `mixture_drift` (operators.DataQuality): each
     * source's observed share per window against a broadcast BASELINE

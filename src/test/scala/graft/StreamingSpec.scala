@@ -297,6 +297,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming percentile monitor: per-window t-digest quantiles track exact") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val monitored = Streams.percentileMonitor(
+      in.toDF().toDF("event_time", "latency_ms"),
+      timeCol = "event_time", valueCol = "latency_ms",
+      delay = "1 minute", windowDur = "1 minute")
+    val q = monitored.writeStream.format("memory").queryName("pct_out")
+      .outputMode("append").start()
+    try {
+      // window 1: 1..20 ms (p50 between 10 and 11, p95 near 19-20);
+      // window 2: a skewed tail — 19×1 ms plus one 1000 ms spike
+      val w1 = (1 to 20).map(i => (ts("2024-01-01 10:00:05"), i.toDouble))
+      val w2 = (1 to 19).map(_ => (ts("2024-01-01 10:01:10"), 1.0)) :+
+        (ts("2024-01-01 10:01:20"), 1000.0)
+      in.addData(w1 ++ w2: _*)
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:30:00"), 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("pct_out").collect()
+        .map(r => r.getAs[Timestamp]("window_start").toString ->
+          (r.getAs[Long]("n_rows"), r.getAs[Double]("p50"),
+            r.getAs[Double]("p95"))).toMap
+      val (n1, p50a, p95a) = rows("2024-01-01 10:00:00.0")
+      assert(n1 == 20L)
+      assert(p50a >= 10.0 && p50a <= 11.0, s"w1 p50 $p50a")
+      assert(p95a >= 18.0 && p95a <= 20.0, s"w1 p95 $p95a")
+      val (n2, p50b, p95b) = rows("2024-01-01 10:01:00.0")
+      assert(n2 == 20L)
+      // the median must ignore the spike; the p95 must see it
+      assert(p50b == 1.0, s"w2 p50 $p50b")
+      assert(p95b > 100.0, s"w2 p95 $p95b — tail spike lost")
+    } finally q.stop()
+  }
+
   test("streaming quality monitor: per-window violation counts, null counts against") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
