@@ -355,27 +355,41 @@ object TemporalJoins {
       right.columns, leftTime, rightTime, maxStaleness)
   }
 
-  /** The staleness post-projection on its own — the seam that lets the
-    * bound compose with ANY as-of variant producing latest-prior matches
-    * under the original right column names ([[asofSaltedLe]] and
-    * [[asofSlicedLe]] qualify; `AsofJoinProps` pins both compositions
-    * against the filtered brute-force reference). Nulls every column in
-    * `rightCols` on rows whose match is older than `maxStaleness`.
+  /** The match-bound post-projection in its general form: null every
+    * column in `rightCols` on rows where `keep` is not true. The exactness
+    * argument is each direction's closest-match property — the match an
+    * as-of variant returns is the closest qualifying row in its
+    * direction, so if IT violates a distance bound every other candidate
+    * does too, and the bound is exact as a projection. Composes with ANY
+    * variant producing matches under the original right column names
+    * ([[asofSaltedLe]] / [[asofSlicedLe]] included — `AsofJoinProps` pins
+    * those compositions).
     */
-  def withStalenessBound(joined: DataFrame, rightCols: Seq[String],
-      leftTime: String, rightTime: String, maxStaleness: Long): DataFrame = {
-    require(maxStaleness >= 0)
+  def withMatchBound(joined: DataFrame, rightCols: Seq[String],
+      keep: Column): DataFrame = {
     val scratch = "__within"
     require(!joined.columns.contains(scratch),
       s"input columns may not use the reserved name $scratch")
     // the flag is materialized BEFORE the right columns are nulled so the
     // per-column projection below can't see its own overwrites
-    val j = joined.withColumn(scratch,
-      col(rightTime).isNotNull &&
-        col(leftTime) - col(rightTime) <= lit(maxStaleness))
+    val j = joined.withColumn(scratch, keep)
     rightCols.foldLeft(j) { (df, c) =>
       df.withColumn(c, when(col(scratch), col(c)))
     }.drop(scratch)
+  }
+
+  /** Backward-direction staleness bound ([[withMatchBound]] instance):
+    * the pandas `merge_asof(tolerance=...)` contract for the latest-prior
+    * direction. The forward twin bounds `rightTime − leftTime`, the
+    * nearest twin bounds `abs(rightTime − leftTime)` — all three pinned
+    * by `AsofJoinProps` tolerance properties.
+    */
+  def withStalenessBound(joined: DataFrame, rightCols: Seq[String],
+      leftTime: String, rightTime: String, maxStaleness: Long): DataFrame = {
+    require(maxStaleness >= 0)
+    withMatchBound(joined, rightCols,
+      col(rightTime).isNotNull &&
+        col(leftTime) - col(rightTime) <= lit(maxStaleness))
   }
 
   /** The native as-of question with a two-day staleness bound — chosen

@@ -154,6 +154,41 @@ object AsofJoinProps extends Properties("AsofJoin") {
         toleranceReference(l, r, tol)
     }
 
+  /** The full pandas `merge_asof(direction, tolerance)` matrix: the
+    * generic [[withMatchBound]] projection must equal filtering each
+    * direction's brute-force match by its distance — forward bounds
+    * `rt − lt`, nearest bounds `|rt − lt|`. Exact for the same reason in
+    * every direction: the returned match is the CLOSEST qualifying row,
+    * so if it violates the bound all others do too.
+    */
+  property("tolerance composes with the forward and nearest directions") =
+    Prop.forAll(datasets, Gen.chooseNum(0L, 40L)) { case ((l, r), tol) =>
+      import org.apache.spark.sql.functions.{abs => sqlAbs, col, lit}
+      val fwd = runOperator(l, r) { (ldf, rdf) =>
+        operators.TemporalJoins.withMatchBound(
+          operators.TemporalJoins.asofForwardGe(ldf, rdf, Seq("k"), Seq("rk"),
+            "t", "rt"),
+          Seq("rk", "rt"),
+          col("rt").isNotNull && col("rt") - col("t") <= lit(tol))
+      }
+      val fwdWant = referenceForward(l, r).map { case ((k, t), m) =>
+        ((k, t), m.filter(rt => t.exists(lt => rt - lt <= tol)))
+      }
+      val near = runOperator(l, r) { (ldf, rdf) =>
+        operators.TemporalJoins.withMatchBound(
+          operators.TemporalJoins.asofNearest(ldf, rdf, Seq("k"), Seq("rk"),
+            "t", "rt"),
+          Seq("rk", "rt"),
+          col("rt").isNotNull && sqlAbs(col("rt") - col("t")) <= lit(tol))
+      }
+      val nearWant = nearestReference(l, r).map { case ((k, t), m) =>
+        ((k, t), m.filter(rt => t.exists(lt => math.abs(rt - lt) <= tol)))
+      }
+      val fwdOk = Prop(fwd == fwdWant) :| s"forward: $fwd vs $fwdWant"
+      val nearOk = Prop(near == nearWant) :| s"nearest: $near vs $nearWant"
+      fwdOk && nearOk
+    }
+
   /** The scaladoc claim that the staleness bound composes with the skew
     * guards, exercised: `withStalenessBound` over the salted AND the
     * sliced pre-passes must both equal the same filtered reference the
@@ -206,21 +241,24 @@ object AsofJoinProps extends Properties("AsofJoin") {
     * brute-force over both direction references. The 0–40 time range is
     * dense enough that ties (equidistant prior and next) occur.
     */
+  private def nearestReference(l: Rows, r: Rows)
+      : List[((Option[Long], Option[Long]), Option[Long])] = {
+    val prior = reference(l, r).map(_._2)
+    val next = referenceForward(l, r).map(_._2)
+    l.zip(prior.zip(next)).map { case ((k, t), (pb, nf)) =>
+      val m = (pb, nf) match {
+        case (Some(p), Some(n)) =>
+          val lt = t.get // both sides matched => lt is defined
+          if (lt - p <= n - lt) Some(p) else Some(n)
+        case (p, n) => p.orElse(n)
+      }
+      ((k, t), m)
+    }
+  }
+
   property("nearest two-pass pipeline matches brute force, prior wins ties") =
     Prop.forAll(datasets) { case (l, r) =>
-      val got = runOperator(l, r)(operators.TemporalJoins.asofNearest(
-        _, _, Seq("k"), Seq("rk"), "t", "rt"))
-      val prior = reference(l, r).map(_._2)
-      val next = referenceForward(l, r).map(_._2)
-      val want = l.zip(prior.zip(next)).map { case ((k, t), (pb, nf)) =>
-        val m = (pb, nf) match {
-          case (Some(p), Some(n)) =>
-            val lt = t.get // both sides matched => lt is defined
-            if (lt - p <= n - lt) Some(p) else Some(n)
-          case (p, n) => p.orElse(n)
-        }
-        ((k, t), m)
-      }
-      got == want
+      runOperator(l, r)(operators.TemporalJoins.asofNearest(
+        _, _, Seq("k"), Seq("rk"), "t", "rt")) == nearestReference(l, r)
     }
 }
