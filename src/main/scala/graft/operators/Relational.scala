@@ -1111,7 +1111,9 @@ object Relational {
     * through. Provenance lands in `__cdc_src` ('kept' | 'updated' |
     * 'inserted' — decided by snapshot PRESENCE, never by trusting the op
     * marker). Log payload columns must carry the snapshot's payload
-    * column names (enforced loudly).
+    * column names (enforced loudly), and a null op value raises at
+    * runtime — the merge reads a null `__op` as "untouched", so a silent
+    * pass-through would misclassify the row.
     *
     * Scale shape: the last-change reduction is one `max(struct(seq, op,
     * payload…))` aggregate — partial+final (map-side combinable; Spark
@@ -1134,8 +1136,15 @@ object Relational {
     require(!snapshot.columns.contains("__cdc_src"),
       "snapshot may not already carry the reserved column __cdc_src")
     val last = log.groupBy(col(key))
-      .agg(max(struct((seqCol +: opCol +: payload).map(col): _*)).as("__c"))
-      .select(col(key), col(s"__c.$opCol").as("__op"),
+      .agg(max(struct((seqCol +: opCol +: payload).map(col): _*)).as("__c"),
+        // a null op is invalid input, not a silent no-op: 'kept' is how
+        // the merge reads a null __op, so letting one through would
+        // misclassify the row — refuse at runtime, every log row checked
+        max(col(opCol).isNull).as("__badop"))
+      .select(col(key),
+        when(col("__badop"), raise_error(
+          lit(s"applyChangeLog: null $opCol in changelog")))
+          .otherwise(col(s"__c.$opCol")).as("__op"),
         struct(payload.map(c => col(s"__c.$c").as(c)): _*).as("__new"))
     val snap = snapshot
       .select(col(key), struct(payload.map(col): _*).as("__old"))

@@ -472,6 +472,9 @@ object Streams {
       delay: String, windowDur: String,
       quantiles: Seq[Double] = Seq(0.5, 0.95),
       compression: Int = 100): DataFrame = {
+    val labels = quantiles.map(q => s"p${(q * 100).round}")
+    require(labels.nonEmpty && labels.distinct.size == labels.size,
+      s"quantiles must map to distinct column labels, got ${labels.mkString(", ")}")
     val td = udaf(new graft.functions.TDigestAggregator(quantiles, compression))
     df.withWatermark(timeCol, delay)
       .groupBy(window(col(timeCol), windowDur))
@@ -965,21 +968,28 @@ object Streams {
     * one — exactly the trade a feature-store serving join wants anyway.
     *
     * Mechanics (one [[StatefulProcessor]] per key, event-time timers):
-    * probes buffer in state until the watermark passes their time — any
-    * right row arriving later must carry a later time and can never be a
-    * prior, so emission at the watermark is final, never revised. Right
-    * rows buffer in a horizon-bounded list. Eviction is exact, not
-    * approximate: every still-pending probe has `es·10⁶ > wm`, so any
-    * right row it can keep within staleness has `rt > wm − horizon` —
-    * dropping `rt ≤ wm − horizon` can never change an answer. State per
-    * key is therefore O(probes within the watermark delay) + O(rights
-    * within the horizon window), independent of stream length; an idle
-    * key's leftovers are GC'd by a timer armed at the moment its newest
-    * right row ages out (the bounded-state spec drives a hot key and
-    * counts state rows).
+    * probes buffer in state until the watermark reaches their time. The
+    * boundary is exact because of Spark's late-row admission rule —
+    * rows with `eventTime <= watermark` are dropped BEFORE the stateful
+    * operator (equality included; StreamingSpec pins this empirically) —
+    * so when a flush runs at watermark `wm`, every future right arrival
+    * has `rt > wm`: finalizing probes with `es <= wm` can never lose a
+    * match, and emission is final, never revised. Eviction is exact for
+    * the same reason: every still-admissible future probe has `es > wm`,
+    * so any right row it can keep within staleness has
+    * `rt > wm − horizon` — dropping `rt <= wm − horizon` can never
+    * change an answer (a probe already IN a flush matches against the
+    * full list before that flush's eviction). State per key is
+    * O(probes within the watermark delay) + O(rights within the horizon
+    * window), independent of stream length; an idle key's leftovers are
+    * GC'd by a timer armed at the moment its newest right row ages out.
+    * Steady-state writes are O(arrivals), not O(state): unchanged lists
+    * are appended to (or left alone), never rewritten, and the timer is
+    * re-registered only when its fire time moves.
     */
   class AsofStreamProcessor(horizonS: Long)
       extends StatefulProcessor[Long, AsofTagged, AsofEnriched] {
+    require(horizonS >= 0, s"horizonS must be non-negative, got $horizonS")
     @transient private var rights: org.apache.spark.sql.streaming.ListState[Long] = _
     @transient private var probes: org.apache.spark.sql.streaming.ListState[PendingProbe] = _
 
@@ -990,50 +1000,73 @@ object Streams {
         Encoders.product[PendingProbe], TTLConfig.NONE)
     }
 
-    /** Emit every probe the watermark finalized, rewrite both bounded
-      * lists, and arm the timer for whatever the watermark must finalize
-      * next: the earliest pending probe, else the newest right's age-out.
+    /** Emit every probe the watermark strictly finalized, update both
+      * bounded lists (append-only when nothing shrank), and arm the timer
+      * for whatever the watermark must finalize next: the earliest
+      * pending probe, else the newest right's age-out.
       */
-    private def flush(key: Long, rs: Seq[Long], ps: Seq[PendingProbe],
+    private def flush(key: Long, oldR: Seq[Long], newR: Seq[Long],
+        oldP: Seq[PendingProbe], newP: Seq[PendingProbe],
         wmUs: Long, expiredMs: Long = Long.MinValue): Iterator[AsofEnriched] = {
-      val (ready, pending) = ps.partition(_.es * 1000000L <= wmUs)
+      val rs = oldR ++ newR
+      val (ready, pending) = (oldP ++ newP).partition(_.es * 1000000L <= wmUs)
       val out = ready.map { p =>
         val m = rs.filter(_ <= p.es).maxOption.filter(rt => p.es - rt <= horizonS)
         AsofEnriched(p.event_id, key, m)
       }
       val keepR = rs.filter(rt => rt * 1000000L > wmUs - horizonS * 1000000L)
-      if (keepR.isEmpty) rights.clear() else rights.put(keepR.toArray)
-      if (pending.isEmpty) probes.clear() else probes.put(pending.toArray)
-      // the timer that just fired is already consumed — deleting it again
-      // only logs a spurious WARN
-      getHandle.listTimers().filter(_ != expiredMs).foreach(getHandle.deleteTimer)
-      if (pending.nonEmpty)
-        getHandle.registerTimer(pending.map(_.es).min * 1000L + 1L)
-      else if (keepR.nonEmpty)
-        getHandle.registerTimer((keepR.max + horizonS) * 1000L + 1L)
+      if (keepR.size == rs.size) {
+        if (newR.nonEmpty) rights.appendList(newR.toArray)
+      } else if (keepR.isEmpty) rights.clear()
+      else rights.put(keepR.toArray)
+      if (ready.isEmpty) {
+        if (newP.nonEmpty) probes.appendList(newP.toArray)
+      } else if (pending.isEmpty) probes.clear()
+      else probes.put(pending.toArray)
+      // one wanted timer; touch timer state only when it moves (the timer
+      // that just fired is already consumed — deleting it would only log
+      // a spurious WARN)
+      val want: Option[Long] =
+        if (pending.nonEmpty) Some(pending.map(_.es).min * 1000L + 1L)
+        else if (keepR.nonEmpty) Some((keepR.max + horizonS) * 1000L + 1L)
+        else None
+      val have = getHandle.listTimers().filter(_ != expiredMs).toSeq
+      if (have != want.toSeq) {
+        have.filterNot(want.contains).foreach(getHandle.deleteTimer)
+        want.filterNot(have.contains).foreach(getHandle.registerTimer)
+      }
       out.iterator
+    }
+
+    private def stateLists(): (Seq[Long], Seq[PendingProbe]) = {
+      val rs = scala.collection.mutable.ArrayBuffer[Long]()
+      rights.get().foreach(rs += _)
+      val ps = scala.collection.mutable.ArrayBuffer[PendingProbe]()
+      probes.get().foreach(ps += _)
+      (rs.toSeq, ps.toSeq)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[AsofTagged],
         tv: TimerValues): Iterator[AsofEnriched] = {
-      val rs = scala.collection.mutable.ArrayBuffer[Long]()
-      rights.get().foreach(rs += _)
-      val ps = scala.collection.mutable.ArrayBuffer[PendingProbe]()
-      probes.get().foreach(ps += _)
+      val newR = scala.collection.mutable.ArrayBuffer[Long]()
+      val newP = scala.collection.mutable.ArrayBuffer[PendingProbe]()
       rows.foreach { r =>
-        if (r.side == "R") rs += r.es
-        else ps += PendingProbe(r.event_id, r.es)
+        r.side match {
+          case "R" => newR += r.es
+          case "L" => newP += PendingProbe(r.event_id, r.es)
+          case other => throw new IllegalArgumentException(
+            s"streamAsofJoin side tag must be 'L' or 'R', got '$other'")
+        }
       }
-      flush(key, rs.toSeq, ps.toSeq, tv.getCurrentWatermarkInMs() * 1000L)
+      val (oldR, oldP) = stateLists()
+      flush(key, oldR, newR.toSeq, oldP, newP.toSeq,
+        tv.getCurrentWatermarkInMs() * 1000L)
     }
 
     override def handleExpiredTimer(key: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[AsofEnriched] = {
-      val rs = scala.collection.mutable.ArrayBuffer[Long]()
-      rights.get().foreach(rs += _)
-      val ps = scala.collection.mutable.ArrayBuffer[PendingProbe]()
-      probes.get().foreach(ps += _)
-      flush(key, rs.toSeq, ps.toSeq, tv.getCurrentWatermarkInMs() * 1000L,
+      val (oldR, oldP) = stateLists()
+      flush(key, oldR, Nil, oldP, Nil, tv.getCurrentWatermarkInMs() * 1000L,
         expiredMs = info.getExpiryTimeInMs())
     }
   }
@@ -1041,10 +1074,11 @@ object Streams {
   /** Wire [[AsofStreamProcessor]] onto a tagged-union stream of
     * `(user_id, side, event_id, es)` rows. `delay` is the out-of-order
     * tolerance (watermark delay): a probe is answered — finally, exactly
-    * once — when the watermark passes its event time.
+    * once — when the watermark strictly passes its event time.
     */
   def streamAsofJoin(tagged: Dataset[(Long, String, Long, Long)],
       horizonS: Long, delay: String = "1 second"): Dataset[AsofEnriched] = {
+    require(horizonS >= 0, s"horizonS must be non-negative, got $horizonS")
     val spark = tagged.sparkSession
     import spark.implicits._
     tagged.toDF("user_id", "side", "event_id", "es")

@@ -838,5 +838,13 @@ class OperatorSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.lit("x")), log, "k", "seq", "op")
     }
     assert(e2.getMessage.contains("__cdc_src"))
+    // a null op is invalid input, not a silent 'kept' — raises at runtime
+    val nullOp = Seq((1L, 1L, "U", 11L), (1L, 2L, null.asInstanceOf[String], 12L))
+      .toDF("k", "seq", "op", "v")
+    val e3 = intercept[Exception] {
+      operators.Relational.applyChangeLog(snap, nullOp, "k", "seq", "op").collect()
+    }
+    assert(e3.getMessage != null && e3.getMessage.contains("null op"),
+      s"expected the null-op raise, got: ${e3.getMessage}")
   }
 }

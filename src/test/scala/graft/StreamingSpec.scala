@@ -330,6 +330,14 @@ class StreamingSpec extends AnyFunSuite {
       // the median must ignore the spike; the p95 must see it
       assert(p50b == 1.0, s"w2 p50 $p50b")
       assert(p95b > 100.0, s"w2 p95 $p95b — tail spike lost")
+      // quantiles that round to the same column label are refused loudly
+      // instead of producing a duplicate-column frame
+      val dup = intercept[IllegalArgumentException] {
+        Streams.percentileMonitor(in.toDF().toDF("event_time", "latency_ms"),
+          "event_time", "latency_ms", "1 minute", "1 minute",
+          quantiles = Seq(0.95, 0.954))
+      }
+      assert(dup.getMessage.contains("distinct"), dup.getMessage)
     } finally q.stop()
   }
 
@@ -593,6 +601,43 @@ class StreamingSpec extends AnyFunSuite {
           if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
       assert(got == want,
         s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
+  test("stream-stream as-of admission boundary: watermark-equal rows are dropped before the operator") {
+    // the flush boundaries (finalize es <= wm, evict rt <= wm - horizon)
+    // are exact ONLY IF Spark's late filter drops rows with
+    // eventTime <= watermark — equality included — before the stateful
+    // operator. This pins that admission rule empirically: a probe
+    // arriving AT the watermark produces no output row ever (it was
+    // dropped, not mismatched), while a probe one second above the
+    // watermark is admitted and answers exactly.
+    val s2 = SparkTestSession.rocksDbSession("graft-asof-ss-boundary")
+    import s2.implicits._
+    implicit val ctx = s2.sqlContext
+    val in = MemoryStream[(Long, String, Long, Long)]
+    val q = Streams.streamAsofJoin(in.toDS(), horizonS = 10L)
+      .writeStream.format("memory").queryName("asof_ss_boundary_out")
+      .outputMode("append").start()
+    try {
+      val base = 1704100000L
+      in.addData((1L, "R", 0L, base - 6L), (99L, "R", 0L, base + 1L))
+      q.processAllAvailable() // wm = base (1 s delay)
+      in.addData((1L, "L", 7L, base))      // es == wm: dropped by Spark
+      in.addData((1L, "L", 8L, base + 1L)) // es == wm + 1: admitted
+      q.processAllAvailable()
+      in.addData((1L, "R", 0L, base + 1L)) // same-second right for probe 8
+      q.processAllAvailable()
+      in.addData((99L, "R", 0L, base + 3600L)) // flush watermark
+      q.processAllAvailable()
+      in.addData((99L, "R", 0L, base + 3700L)) // drain any timer batch
+      q.processAllAvailable()
+      val got = s2.table("asof_ss_boundary_out").as[Streams.AsofEnriched]
+        .collect().map(e => e.event_id -> e.last_signup_s).toMap
+      assert(!got.contains(7L),
+        s"a watermark-equal probe must be dropped pre-operator, got ${got.get(7L)}")
+      assert(got.get(8L) == Some(Some(base + 1L)),
+        s"the admitted probe must match its same-second right row, got ${got.get(8L)}")
     } finally q.stop()
   }
 
