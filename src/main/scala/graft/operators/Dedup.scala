@@ -728,7 +728,20 @@ object Dedup {
     * count. Iterations ∝ component diameter; near-dup clusters are
     * shallow (the 20-round cap is a safety net, not a tuning knob).
     */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    clusterLabels(s, d)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max("doc_id").as("max_doc_id"))
+      .orderBy("cluster_id")
+
+  /** Connected-component labels over the LSH candidate-pair graph:
+    * one row per doc that appears in ANY near-dup pair, `label` = min
+    * doc_id reachable. Docs in no pair are absent (callers treat them as
+    * singleton clusters labelled by their own id). Shared by
+    * [[dedupClusters]] (cluster census) and [[splitLeakageSafe]]
+    * (cluster-keyed split assignment).
+    */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint
     val edges = lshPairs(s, d).select("doc_a", "doc_b")
     val sym = edges.union(
@@ -772,9 +785,7 @@ object Dedup {
     // worse than a loud failure
     if (changed > 0) throw new IllegalStateException(
       s"dedupClusters did not converge after $maxRounds rounds ($changed labels still moving)")
-    labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"), max("doc_id").as("max_doc_id"))
-      .orderBy("cluster_id")
+    labels
   }
 
   val dedupClustersSql: String =
@@ -791,6 +802,82 @@ object Dedup {
        |  max(a) AS max_doc_id
        |FROM (SELECT a, min(b) AS min_b FROM reach GROUP BY a)
        |GROUP BY 1 ORDER BY cluster_id""".stripMargin
+
+  // ------------------------------------------------- leakage-safe split
+  /** Cluster-aware train/val/test split: the 80/10/10 hash split of
+    * `Relational.sampleSplit`, but keyed on the near-dup CLUSTER label
+    * (min reachable doc_id over the LSH pair graph) instead of the doc id,
+    * so a near-duplicate family can never straddle the train/eval
+    * boundary — the leakage mode a doc-keyed split cannot prevent (a doc
+    * in train with its near-copy in test inflates eval). Singletons label
+    * as themselves, so their assignment is identical to the naive split.
+    *
+    * Per split: doc and cluster counts, how many docs sit in multi-doc
+    * clusters, and `n_docs_rescued` — docs whose doc-keyed split would
+    * have differed from their cluster's home, i.e. the leaks this
+    * operator closed.
+    *
+    * Scale shape: the label frame is proportional to near-dup density
+    * (pairs, not corpus), so the corpus-side cost is one left join against
+    * it — broadcast-by-threshold at real scale — after which every row's
+    * split is decided row-locally by the portable hash; the per-split
+    * audit aggregate is the only corpus-wide exchange (count-distinct is
+    * the standard two-phase partial_count plan).
+    */
+  def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val b = graft.functions.Portable.hash28(c.cast("string")) % 10
+      when(b < 8, "train").when(b === 8, "val").otherwise("test")
+    }
+    Tables.documents(s, d).select("doc_id")
+      .join(clusterLabels(s, d), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("label"),
+        col("label").isNotNull.as("in_cluster"))
+      .select(col("doc_id"), col("label"), col("in_cluster"),
+        splitOf(col("label")).as("split"),
+        splitOf(col("doc_id")).as("naive_split"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("label")).as("n_clusters"),
+        sum(when(col("in_cluster"), 1L).otherwise(0L)).as("n_neardup_docs"),
+        sum(when(col("split") =!= col("naive_split"), 1L).otherwise(0L))
+          .as("n_docs_rescued"))
+      .orderBy("split")
+  }
+
+  val splitLeakageSafeSql: String = {
+    def caseOf(e: String) =
+      s"""CASE WHEN ${graft.functions.Portable.hash28Sql(e)} % 10 < 8 THEN 'train'
+         |       WHEN ${graft.functions.Portable.hash28Sql(e)} % 10 = 8 THEN 'val'
+         |       ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE $lshPairsSqlCtes,
+       |sym AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM lshpairs
+       |  UNION SELECT doc_b, doc_a FROM lshpairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+       |  UNION
+       |  SELECT s.a, r.b FROM sym s JOIN reach r ON s.b = r.a),
+       |labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a),
+       |assigned AS (
+       |  SELECT d.doc_id,
+       |    coalesce(l.label, d.doc_id) AS label,
+       |    l.doc_id IS NOT NULL AS in_cluster
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |marked AS (
+       |  SELECT doc_id, label, in_cluster,
+       |    ${caseOf("label::VARCHAR")} AS split,
+       |    ${caseOf("doc_id::VARCHAR")} AS naive_split
+       |  FROM assigned)
+       |SELECT split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT label) AS BIGINT) AS n_clusters,
+       |  CAST(sum(CASE WHEN in_cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_docs,
+       |  CAST(sum(CASE WHEN split <> naive_split THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_rescued
+       |FROM marked GROUP BY 1 ORDER BY split""".stripMargin
+  }
 
   // ------------------------------------------------------------- embedding
   /** Embedding-cosine near-dup pairs (cosine >= 0.4, double precision,
@@ -832,6 +919,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClusters _),
+    "split_leakage_safe" -> (splitLeakageSafe _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ensemble" -> (dedupEnsemble _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -845,6 +933,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
+    "split_leakage_safe" -> splitLeakageSafeSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ensemble" -> dedupEnsembleSql,
     "dedup_embedding" -> dedupEmbeddingSql,

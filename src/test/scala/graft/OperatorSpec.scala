@@ -374,6 +374,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("leakage-safe split: no cluster straddles splits, real straddlers rescued") {
+    val rows = operators.Dedup.splitLeakageSafe(spark, sf).collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == Tables.documents(spark, sf).count(), "every doc gets exactly one split")
+    // the fixture's near-dup families make the operator do real work: at
+    // least one doc's naive (doc-keyed) split differs from its cluster's home
+    assert(rows.map(_.getAs[Long]("n_docs_rescued")).sum > 0,
+      "fixture should contain clusters the naive split would have straddled")
+    val clusters = operators.Dedup.dedupClusters(spark, sf).collect()
+    val clustered = clusters.map(_.getAs[Long]("n_docs")).sum
+    assert(rows.map(_.getAs[Long]("n_neardup_docs")).sum == clustered,
+      "near-dup doc census must match the cluster census")
+    // the no-leakage proof: per-split distinct-label counts sum to the GLOBAL
+    // label count (singletons + multi-doc clusters) — if any cluster reached
+    // two splits it would be counted twice and the sum would exceed it
+    val nClusters = rows.map(_.getAs[Long]("n_clusters")).sum
+    assert(nClusters == (nDocs - clustered) + clusters.length,
+      "a near-dup cluster straddles the split boundary")
+  }
+
   test("sessionize: session event counts sum to total events, sessions ordered") {
     val sessions = operators.TimeSeries.sessionizeGaps(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
