@@ -27,6 +27,17 @@ object Portable {
   def hash28Sql(expr: String): String =
     s"(('0x' || substring(md5($expr), 1, 7))::BIGINT)"
 
+  /** JVM-side twin of [[hash28]] — for aggregator internals that hash per
+    * element outside the Column world (e.g. the count-min sketch buckets).
+    * Must stay bit-identical to the Column/SQL forms; pinned by
+    * `PortableProps`.
+    */
+  def hash28Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 7), 16)
+  }
+
   /** 60-bit portable hash (fingerprinting; no arithmetic on top). */
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")

@@ -346,6 +346,74 @@ object Relational {
        |  TRUE AS union_in_bound
        |FROM per""".stripMargin
 
+  // -------------------------------------------------------------- count-min
+  /** Count-min point-frequency estimates for every user in the events
+    * table, next to the exact counts — the mergeable frequency sketch
+    * ([[graft.functions.CountMinAggregator]]) completing the sketch family
+    * (HLL: distinct; Misra–Gries: which items are heavy; CMS: how heavy is
+    * THIS item). 150 users into width-64 rows forces real collisions, so
+    * `overcount` is non-zero for some rows and the grid genuinely exercises
+    * the min-over-rows estimate.
+    *
+    * Because buckets come from the portable md5 hash, the DuckDB oracle
+    * rebuilds the IDENTICAL grid with a group-by and compares estimates
+    * value-for-value — full hash equality on a sketch, not a verdict
+    * literal (the `hll_union_sources` pattern upgraded). The probabilistic
+    * contract (overcount-only, `≤ e/width · N` with prob `1 − e^−depth`)
+    * rides in `in_bound`, identically computed both sides; merge exactness
+    * and overcount-only are `CmsProps` properties. The parallelize forces a
+    * multi-partition plan so partial grids genuinely merge.
+    */
+  def cmsUserCounts(s: SparkSession, d: String): DataFrame = {
+    val depth = 3; val width = 64
+    val cms = udaf(new graft.functions.CountMinAggregator(depth, width),
+      org.apache.spark.sql.Encoders.STRING)
+    val ev = Tables.parallelize(s,
+      Tables.events(s, d).select(col("user_id").cast("string").as("item")))
+    val sk = ev.agg(cms(col("item")).as("sk"))
+    val users = ev.groupBy("item").agg(count(lit(1)).as("exact_count"))
+    val ests = (0 until depth).map { dd =>
+      element_at(col("sk.table"),
+        (lit(dd * width) +
+          (graft.functions.Portable.hash28(concat(lit(s"$dd:"), col("item"))) % width) +
+          lit(1)).cast("int"))
+    }
+    users.crossJoin(sk) // sk is one row: broadcast, not a real product
+      .select(col("item").cast("long").as("user_id"), col("exact_count"),
+        ests.reduce(least(_, _)).as("est_count"),
+        col("sk.total").as("sketch_total"))
+      .select(col("user_id"), col("exact_count"), col("est_count"),
+        (col("est_count") - col("exact_count")).as("overcount"),
+        (col("est_count") - col("exact_count") <=
+          floor(col("sketch_total") * lit(2.71828) / lit(width))).as("in_bound"))
+      .orderBy("user_id")
+  }
+
+  val cmsUserCountsSql: String = {
+    def h(e: String) = graft.functions.Portable.hash28Sql(e)
+    s"""WITH ev AS (SELECT user_id::VARCHAR AS item FROM events),
+       |ds(d) AS (SELECT * FROM (VALUES (0), (1), (2))),
+       |cells AS (
+       |  SELECT d, ${h("d::VARCHAR || ':' || item")} % 64 AS b, count(*) AS c
+       |  FROM ev CROSS JOIN ds GROUP BY 1, 2),
+       |users AS (SELECT item, count(*) AS exact_count FROM ev GROUP BY 1),
+       |probes AS (
+       |  SELECT u.item, u.exact_count, min(c.c) AS est_count
+       |  FROM users u
+       |  CROSS JOIN ds
+       |  JOIN cells c
+       |    ON c.d = ds.d
+       |   AND c.b = ${h("ds.d::VARCHAR || ':' || u.item")} % 64
+       |  GROUP BY 1, 2)
+       |SELECT CAST(item AS BIGINT) AS user_id,
+       |  CAST(exact_count AS BIGINT) AS exact_count,
+       |  CAST(est_count AS BIGINT) AS est_count,
+       |  CAST(est_count - exact_count AS BIGINT) AS overcount,
+       |  (est_count - exact_count) <=
+       |    floor((SELECT count(*) FROM ev) * 2.71828 / 64) AS in_bound
+       |FROM probes ORDER BY user_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- set ops
   /** UNION / EXCEPT / INTERSECT (distinct semantics) over the nation sets of
     * two market segments, reduced to one deterministic row of counts.
@@ -1311,6 +1379,7 @@ object Relational {
     "distinct_agg" -> (distinctAgg _),
     "approx_distinct" -> (approxDistinct _),
     "hll_union_sources" -> (hllUnionSources _),
+    "cms_user_counts" -> (cmsUserCounts _),
     "setops" -> (setOps _),
     "window_rank" -> (windowRank _),
     "grouping_sets" -> (groupingSets _),
@@ -1340,6 +1409,7 @@ object Relational {
 
   def oracles: Map[String, String] = Map(
     "hll_union_sources" -> hllUnionSourcesSql,
+    "cms_user_counts" -> cmsUserCountsSql,
     "merge_upsert" -> mergeUpsertSql,
     "cdc_apply_log" -> cdcApplyLogSql,
     "scd2_history" -> scd2HistorySql,

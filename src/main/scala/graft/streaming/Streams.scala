@@ -485,6 +485,42 @@ object Streams {
         }: _*)
   }
 
+  /** Streaming windowed-frequency monitor — the streaming twin of the
+    * count-min family (`cms_user_counts`): per event-time window, one
+    * count-min grid from the SAME mergeable
+    * [[graft.functions.CountMinAggregator]] the batch query uses, with
+    * point estimates projected for a fixed watch-list of keys (the items
+    * an operator actually alerts on: abusive users, hot shards, tracked
+    * cohorts). The grid is why a frequency monitor survives 100 TB/day
+    * where a per-key aggregate cannot: the key universe is unbounded,
+    * the grid is O(depth × width) per window — and because the merge is
+    * an exact pointwise sum, partial grids combine map-side, across
+    * tasks, AND across a window's successive micro-batch state updates
+    * into the grid a single pass would build. Watch-list buckets are
+    * resolved at PLAN time (literal indices via the portable JVM hash),
+    * so the projection is a handful of array reads per fired window.
+    * Append mode emits each window's final estimates at watermark close.
+    */
+  def frequencyMonitor(df: DataFrame, timeCol: String, keyCol: String,
+      delay: String, windowDur: String, watch: Seq[String],
+      depth: Int = 3, width: Int = 64): DataFrame = {
+    require(watch.nonEmpty && watch.distinct.size == watch.size,
+      s"watch list must be non-empty and distinct, got ${watch.mkString(", ")}")
+    val cms = udaf(new graft.functions.CountMinAggregator(depth, width),
+      org.apache.spark.sql.Encoders.STRING)
+    df.withWatermark(timeCol, delay)
+      .groupBy(window(col(timeCol), windowDur))
+      .agg(count(lit(1)).as("n_rows"),
+        cms(col(keyCol).cast("string")).as("sk"))
+      .select(col("window.start").as("window_start") +: col("n_rows") +:
+        watch.map { item =>
+          (0 until depth).map { dd =>
+            element_at(col("sk.table"), lit(dd * width +
+              (graft.functions.Portable.hash28Jvm(s"$dd:$item") % width).toInt + 1))
+          }.reduce(least(_, _)).as(s"est_$item")
+        }: _*)
+  }
+
   /** Drift report over FIRED per-(window, source) counts — the windowed
     * twin of the batch `mixture_drift` (operators.DataQuality): each
     * source's observed share per window against a broadcast BASELINE

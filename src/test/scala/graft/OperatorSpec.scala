@@ -834,6 +834,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min grid aggregates map-side partials (mergeable-sketch plan shape)") {
+    val df = operators.Relational.cmsUserCounts(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the merge-exactness claim at plan level: the UDAF must plan a
+    // partial ObjectHashAggregate per input partition (executor-local
+    // grids) with one final merge — not a single-partition pass
+    assert(plan.contains("partial_countminaggregator"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    val rows = df.collect()
+    assert(rows.length == Tables.events(spark, sf)
+      .select("user_id").distinct().count().toInt)
+    // overcount-only guarantee on the real fixture, and every row in bound
+    assert(rows.forall(_.getAs[Long]("overcount") >= 0L))
+    assert(rows.forall(_.getAs[Boolean]("in_bound")))
+  }
+
   test("applyChangeLog plans a combinable hash aggregate, never a window sort") {
     import spark.implicits._
     val snap = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")

@@ -297,6 +297,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming frequency monitor: per-window count-min grid equals a single pass") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val monitored = Streams.frequencyMonitor(
+      in.toDF().toDF("event_time", "user"),
+      timeCol = "event_time", keyCol = "user",
+      delay = "1 minute", windowDur = "1 minute",
+      watch = Seq("u1", "u2"), depth = 3, width = 16)
+    val q = monitored.writeStream.format("memory").queryName("freq_out")
+      .outputMode("append").start()
+    try {
+      // window 1 arrives across TWO micro-batches, so the window's state
+      // grid must merge partial grids; noise keys share the small grid so
+      // real collisions are in play
+      val w1a = Seq.fill(5)((ts("2024-01-01 10:00:05"), "u1")) ++
+        (1 to 7).map(i => (ts("2024-01-01 10:00:10"), s"noise$i"))
+      val w1b = Seq.fill(3)((ts("2024-01-01 10:00:20"), "u2")) ++
+        Seq.fill(2)((ts("2024-01-01 10:00:25"), "u1"))
+      val w2 = Seq.fill(4)((ts("2024-01-01 10:01:10"), "u2"))
+      in.addData(w1a: _*); q.processAllAvailable()
+      in.addData(w1b ++ w2: _*); q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:30:00"), "u9")); q.processAllAvailable()
+      // reference: ONE single-pass grid per window from the same aggregator
+      // — cross-micro-batch state merge must be indistinguishable from it
+      def ref(rows: Seq[String]): Map[String, Long] = {
+        val a = new graft.functions.CountMinAggregator(3, 16)
+        val sk = a.finish(rows.foldLeft(a.zero)(a.reduce))
+        Seq("u1", "u2").map { item =>
+          item -> (0 until 3).map { d =>
+            sk.table(d * 16 +
+              (graft.functions.Portable.hash28Jvm(s"$d:$item") % 16).toInt)
+          }.min
+        }.toMap
+      }
+      val exp1 = ref((w1a ++ w1b).map(_._2))
+      val exp2 = ref(w2.map(_._2))
+      val rows = spark.table("freq_out").collect()
+        .map(r => r.getAs[Timestamp]("window_start").toString ->
+          ((r.getAs[Long]("n_rows"), r.getAs[Long]("est_u1"),
+            r.getAs[Long]("est_u2")))).toMap
+      assert(rows("2024-01-01 10:00:00.0") == ((17L, exp1("u1"), exp1("u2"))))
+      assert(rows("2024-01-01 10:01:00.0") == ((4L, exp2("u1"), exp2("u2"))))
+      // overcount-only on the true per-window counts
+      assert(exp1("u1") >= 7L && exp1("u2") >= 3L && exp2("u2") >= 4L)
+      // duplicate watch keys would silently alias columns — refused loudly
+      val dup = intercept[IllegalArgumentException] {
+        Streams.frequencyMonitor(in.toDF().toDF("event_time", "user"),
+          "event_time", "user", "1 minute", "1 minute", watch = Seq("a", "a"))
+      }
+      assert(dup.getMessage.contains("distinct"), dup.getMessage)
+    } finally q.stop()
+  }
+
   test("streaming percentile monitor: per-window t-digest quantiles track exact") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
