@@ -4,12 +4,20 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** A finished count-min sketch: `table` is a row-major `depth × width`
-  * grid of counters, `total` the number of inserts. Point estimate for an
-  * item = min over rows d of `table(d * width + bucket_d(item))`; the
-  * classic guarantee is `exact <= est <= exact + e/width * total` with
-  * probability `1 - e^-depth` (Cormode & Muthukrishnan 2005).
+  * grid of counters, `total` the number of inserts. The classic guarantee
+  * is `exact <= estimate <= exact + e/width * total` with probability
+  * `1 - e^-depth` (Cormode & Muthukrishnan 2005). Carrying depth/width in
+  * the sketch makes a wrong-geometry probe unrepresentable JVM-side;
+  * Column-side probes (`cms_user_counts`, `Streams.frequencyMonitor`)
+  * mirror [[estimate]]'s index arithmetic and must stay in sync with it.
   */
-case class CmsSketch(total: Long, table: Seq[Long])
+case class CmsSketch(depth: Int, width: Int, total: Long, table: Seq[Long]) {
+  /** Point estimate: min over grid rows of this item's counter. */
+  def estimate(item: String): Long =
+    (0 until depth).map { d =>
+      table(d * width + (Portable.hash28Jvm(s"$d:$item") % width).toInt)
+    }.min
+}
 
 /** Count-min frequency sketch as a typed UDAF — the mergeable
   * point-frequency summary completing the sketch family next to HLL
@@ -51,7 +59,7 @@ class CountMinAggregator(depth: Int, width: Int)
   }
 
   override def finish(r: (Array[Long], Long)): CmsSketch =
-    CmsSketch(r._2, r._1.toSeq)
+    CmsSketch(depth, width, r._2, r._1.toSeq)
 
   override def bufferEncoder: Encoder[(Array[Long], Long)] =
     Encoders.tuple(CmsEnc.longArray, Encoders.scalaLong)

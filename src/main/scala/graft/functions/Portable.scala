@@ -27,15 +27,26 @@ object Portable {
   def hash28Sql(expr: String): String =
     s"(('0x' || substring(md5($expr), 1, 7))::BIGINT)"
 
-  /** JVM-side twin of [[hash28]] — for aggregator internals that hash per
-    * element outside the Column world (e.g. the count-min sketch buckets).
-    * Must stay bit-identical to the Column/SQL forms; pinned by
-    * `PortableProps`.
+  /** JVM-side twin of [[hash28]] — for aggregator internals and
+    * plan-build constants that hash outside the Column world (count-min
+    * buckets, ANN plane weights). The 28-bit value is read straight off
+    * the first 3.5 digest bytes (the same bit-twiddle
+    * `SimHashExpression` uses; its equality with the hex-string parse —
+    * and hence with the Column/SQL forms — is pinned by
+    * `PortableProps`), with a thread-local reused digest so per-row
+    * callers pay no allocation or hex formatting.
     */
   def hash28Jvm(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    val md = Md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
+  }
+
+  private val Md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
   /** 60-bit portable hash (fingerprinting; no arithmetic on top). */

@@ -825,10 +825,9 @@ object Dedup {
     * the standard two-phase partial_count plan).
     */
   def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
-    def splitOf(c: org.apache.spark.sql.Column) = {
-      val b = graft.functions.Portable.hash28(c.cast("string")) % 10
-      when(b < 8, "train").when(b === 8, "val").otherwise("test")
-    }
+    // the ONE 80/10/10 rule — naive_split is only a meaningful audit while
+    // it stays bit-identical to sampleSplit's assignment
+    import Relational.splitOf
     Tables.documents(s, d).select("doc_id")
       .join(clusterLabels(s, d), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -848,10 +847,7 @@ object Dedup {
   }
 
   val splitLeakageSafeSql: String = {
-    def caseOf(e: String) =
-      s"""CASE WHEN ${graft.functions.Portable.hash28Sql(e)} % 10 < 8 THEN 'train'
-         |       WHEN ${graft.functions.Portable.hash28Sql(e)} % 10 = 8 THEN 'val'
-         |       ELSE 'test' END""".stripMargin
+    def h(e: String) = graft.functions.Portable.hash28Sql(e)
     s"""WITH RECURSIVE $lshPairsSqlCtes,
        |sym AS (
        |  SELECT doc_a AS a, doc_b AS b FROM lshpairs
@@ -866,11 +862,16 @@ object Dedup {
        |    coalesce(l.label, d.doc_id) AS label,
        |    l.doc_id IS NOT NULL AS in_cluster
        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |buckets AS (
+       |  SELECT doc_id, label, in_cluster,
+       |    ${h("label::VARCHAR")} % 10 AS cb,
+       |    ${h("doc_id::VARCHAR")} % 10 AS nb
+       |  FROM assigned),
        |marked AS (
        |  SELECT doc_id, label, in_cluster,
-       |    ${caseOf("label::VARCHAR")} AS split,
-       |    ${caseOf("doc_id::VARCHAR")} AS naive_split
-       |  FROM assigned)
+       |    ${Relational.splitCaseSql("cb")} AS split,
+       |    ${Relational.splitCaseSql("nb")} AS naive_split
+       |  FROM buckets)
        |SELECT split,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(count(DISTINCT label) AS BIGINT) AS n_clusters,

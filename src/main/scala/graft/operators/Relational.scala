@@ -975,12 +975,23 @@ object Relational {
     * assignment is stable across runs and engines, and no shuffle happens
     * until the tiny audit aggregate.
     */
+  /** The 80/10/10 portable-hash split rule — ONE definition shared by
+    * [[sampleSplit]] (doc-keyed) and `Dedup.splitLeakageSafe` (cluster-
+    * keyed, whose `naive_split` audit column is only meaningful while it
+    * stays bit-identical to this rule).
+    */
+  private[operators] def splitOf(key: Column): Column = {
+    val b = graft.functions.Portable.hash28(key.cast("string")) % 10
+    when(b < 8, "train").when(b === 8, "val").otherwise("test")
+  }
+
+  /** SQL twin of [[splitOf]] over a precomputed `hash28 % 10` bucket. */
+  private[operators] def splitCaseSql(bucket: String): String =
+    s"CASE WHEN $bucket < 8 THEN 'train' WHEN $bucket = 8 THEN 'val' ELSE 'test' END"
+
   def sampleSplit(s: SparkSession, d: String): DataFrame = {
-    val bucket = graft.functions.Portable.hash28(col("doc_id").cast("string")) % 10
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        when(bucket < 8, "train").when(bucket === 8, "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
@@ -992,8 +1003,7 @@ object Relational {
        |  SELECT doc_id,
        |    ${graft.functions.Portable.hash28Sql("doc_id::VARCHAR")} % 10 AS bucket
        |  FROM documents)
-       |SELECT CASE WHEN bucket < 8 THEN 'train'
-       |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       |SELECT ${splitCaseSql("bucket")} AS split,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
        |FROM b GROUP BY 1 ORDER BY split""".stripMargin

@@ -82,12 +82,8 @@ object Similarity {
   /** The md5-derived weight for (plane, dim) computed driver-side — same
     * value the oracle derives in SQL, but evaluated 384 times at plan-build
     * instead of ~768k times per pass inside a per-row lambda. */
-  private[graft] def planeWeight(p: Int, i: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"plane_${p}_$i".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(7)
-    (java.lang.Long.parseLong(hex, 16) % 2000001L) / 1000000.0 - 1.0
-  }
+  private[graft] def planeWeight(p: Int, i: Int): Double =
+    (Portable.hash28Jvm(s"plane_${p}_$i") % 2000001L) / 1000000.0 - 1.0
 
   /** Scale-path ANN: signs of projections onto `nPlanes` fixed pseudo-random
     * hyperplanes form a bucket id; top-3 neighbors are searched only within

@@ -23,21 +23,15 @@ object CmsProps extends Properties("CountMin") {
         4 -> Gen.const("hot"),
         6 -> Gen.chooseNum(1, 60).map(i => s"t$i"))))
 
-  private def estimate(sk: graft.functions.CmsSketch, item: String): Long =
-    (0 until depth).map { d =>
-      sk.table(d * width +
-        (graft.functions.Portable.hash28Jvm(s"$d:$item") % width).toInt)
-    }.min
-
   property("estimates never undercount; total tracks inserts") =
     Prop.forAll(items) { vs =>
       val a = agg
       val sk = a.finish(vs.foldLeft(a.zero)(a.reduce))
       val truth = vs.groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
       sk.total == vs.size &&
-        truth.forall { case (k, c) => estimate(sk, k) >= c } &&
+        truth.forall { case (k, c) => sk.estimate(k) >= c } &&
         // a never-seen item can only hit counters other rows filled
-        estimate(sk, "never-inserted-item") <= vs.size
+        sk.estimate("never-inserted-item") <= vs.size
     }
 
   property("any split-and-merge plan builds the identical grid") =

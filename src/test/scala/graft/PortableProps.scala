@@ -37,6 +37,13 @@ object PortableProps extends Properties("Portable") {
       viaBits == java.lang.Long.parseLong(hex, 16)
     }
 
+  property("hash28Jvm bit-twiddle equals hex-string parse for any token") =
+    Prop.forAll(word) { tok =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Portable.hash28Jvm(tok) == java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+
   property("publisher fixture: count invariant over any user/size choice") =
     Prop.forAll(Gen.chooseNum(1, 5), Gen.chooseNum(1, 20)) { (users, perUser) =>
       val lines = graft.tools.Publisher.messageLines(0 until users, perUser, 1704100000L)

@@ -23,6 +23,19 @@ class PortableSpec extends AnyFunSuite {
     assert(got.forall(h => h >= 0 && h < (1L << 28)))
   }
 
+  test("hash28Jvm equals the Column form and the md5-hex-prefix definition") {
+    import spark.implicits._
+    // the JVM twin must stay bit-identical to the Column/SQL forms — a
+    // drift surfaces here as a named primitive failure, not as a confusing
+    // downstream oracle mismatch (cms buckets, ANN plane weights)
+    val words = Seq("abc", "0:42", "2:user_17", "plane_3_61", "", "key agg row")
+    val viaColumn = words.toDF("s")
+      .select(Portable.hash28(org.apache.spark.sql.functions.col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(words.map(Portable.hash28Jvm) == viaColumn)
+    assert(words.map(Portable.hash28Jvm) == words.map(md5Prefix(_, 7)))
+  }
+
   test("shingles: n-gram count and content") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

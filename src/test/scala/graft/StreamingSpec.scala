@@ -325,12 +325,7 @@ class StreamingSpec extends AnyFunSuite {
       def ref(rows: Seq[String]): Map[String, Long] = {
         val a = new graft.functions.CountMinAggregator(3, 16)
         val sk = a.finish(rows.foldLeft(a.zero)(a.reduce))
-        Seq("u1", "u2").map { item =>
-          item -> (0 until 3).map { d =>
-            sk.table(d * 16 +
-              (graft.functions.Portable.hash28Jvm(s"$d:$item") % 16).toInt)
-          }.min
-        }.toMap
+        Seq("u1", "u2").map(item => item -> sk.estimate(item)).toMap
       }
       val exp1 = ref((w1a ++ w1b).map(_._2))
       val exp2 = ref(w2.map(_._2))
