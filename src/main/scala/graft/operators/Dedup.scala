@@ -824,15 +824,24 @@ object Dedup {
     * audit aggregate is the only corpus-wide exchange (count-distinct is
     * the standard two-phase partial_count plan).
     */
-  def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
-    // the ONE 80/10/10 rule — naive_split is only a meaningful audit while
-    // it stays bit-identical to sampleSplit's assignment
-    import Relational.splitOf
+  /** Every document with its cluster label (singletons label as
+    * themselves) and whether it sits in a multi-doc near-dup cluster.
+    * The corpus-side cost is one left join against the
+    * pair-density-sized label frame — shared by [[splitLeakageSafe]]
+    * and [[dedupSoftWeights]].
+    */
+  private def labeledDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select("doc_id")
       .join(clusterLabels(s, d), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("label"),
         col("label").isNotNull.as("in_cluster"))
+
+  def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
+    // the ONE 80/10/10 rule — naive_split is only a meaningful audit while
+    // it stays bit-identical to sampleSplit's assignment
+    import Relational.splitOf
+    labeledDocs(s, d)
       .select(col("doc_id"), col("label"), col("in_cluster"),
         splitOf(col("label")).as("split"),
         splitOf(col("doc_id")).as("naive_split"))
@@ -880,6 +889,54 @@ object Dedup {
        |FROM marked GROUP BY 1 ORDER BY split""".stripMargin
   }
 
+  // ------------------------------------------------------- soft dedup
+  /** Soft dedup — the down-WEIGHT alternative to dropping near-dups: each
+    * doc gets sampling weight `1 / |its cluster|`, so a family of five
+    * near-copies contributes one document's worth of probability mass to
+    * a training mix instead of five (hard dedup's keep-one-survivor is
+    * the `weight ∈ {0, 1}` special case; soft weighting keeps intra-
+    * family variation available while removing the multiplicity bias).
+    * Reported as the cluster-size histogram a curation run reads:
+    * per size, how many clusters and docs, the per-doc weight, and the
+    * total retained mass — whose grand total equals the number of
+    * clusters, i.e. the corpus "effective size" after weighting.
+    *
+    * Scale shape: [[labeledDocs]]' one corpus-side left join, then a
+    * count per label (partial+final, O(clusters) out) and the tiny
+    * histogram aggregate — no new corpus exchange beyond the label join.
+    */
+  def dedupSoftWeights(s: SparkSession, d: String): DataFrame =
+    labeledDocs(s, d)
+      .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        round(lit(1.0) / col("cluster_size"), 6).as("doc_weight"),
+        round(col("n_docs") / col("cluster_size"), 6).as("retained_mass"))
+      .orderBy("cluster_size")
+
+  val dedupSoftWeightsSql: String =
+    s"""WITH RECURSIVE $lshPairsSqlCtes,
+       |sym AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM lshpairs
+       |  UNION SELECT doc_b, doc_a FROM lshpairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+       |  UNION
+       |  SELECT s.a, r.b FROM sym s JOIN reach r ON s.b = r.a),
+       |labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a),
+       |assigned AS (
+       |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS label
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |sizes AS (SELECT label, count(*) AS cluster_size FROM assigned GROUP BY 1)
+       |SELECT cluster_size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+       |  round(1.0 / cluster_size, 6) AS doc_weight,
+       |  round(count(*) * cluster_size / cluster_size, 6) AS retained_mass
+       |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   // ------------------------------------------------------------- embedding
   /** Embedding-cosine near-dup pairs (cosine >= 0.4, double precision,
     * rounded before thresholding so both engines agree at the boundary).
@@ -921,6 +978,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_clusters" -> (dedupClusters _),
     "split_leakage_safe" -> (splitLeakageSafe _),
+    "dedup_soft_weights" -> (dedupSoftWeights _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ensemble" -> (dedupEnsemble _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -935,6 +993,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
     "split_leakage_safe" -> splitLeakageSafeSql,
+    "dedup_soft_weights" -> dedupSoftWeightsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ensemble" -> dedupEnsembleSql,
     "dedup_embedding" -> dedupEmbeddingSql,

@@ -394,6 +394,22 @@ class OperatorSpec extends AnyFunSuite {
       "a near-dup cluster straddles the split boundary")
   }
 
+  test("soft dedup weights: docs conserved, retained mass equals cluster count") {
+    val rows = operators.Dedup.dedupSoftWeights(spark, sf).collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == Tables.documents(spark, sf).count(), "every doc is weighted")
+    val clusters = operators.Dedup.dedupClusters(spark, sf).collect()
+    val clustered = clusters.map(_.getAs[Long]("n_docs")).sum
+    // total retained mass = corpus "effective size" = number of clusters
+    // (each family contributes exactly one document's worth of mass)
+    val mass = rows.map(_.getAs[Double]("retained_mass")).sum
+    val nClusters = (nDocs - clustered) + clusters.length
+    assert(math.abs(mass - nClusters) < 1e-6, s"mass $mass vs clusters $nClusters")
+    // the fixture has real multi-doc families, so weighting does real work
+    assert(rows.exists(r => r.getAs[Long]("cluster_size") > 1L &&
+      r.getAs[Double]("doc_weight") < 1.0))
+  }
+
   test("sessionize: session event counts sum to total events, sessions ordered") {
     val sessions = operators.TimeSeries.sessionizeGaps(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
