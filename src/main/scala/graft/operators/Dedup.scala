@@ -788,20 +788,33 @@ object Dedup {
     labels
   }
 
+  /** The ONE SQL definition of component labeling (symmetric closure →
+    * transitive reach → min-label → corpus assignment with singleton
+    * fallback), shared by every cluster-derived oracle so the labeling
+    * rule cannot silently diverge between them. The SQL twin of
+    * [[clusterLabels]] + [[labeledDocs]].
+    */
+  private val componentLabelsSqlCtes: String =
+    """sym AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM lshpairs
+      |  UNION SELECT doc_b, doc_a FROM lshpairs),
+      |reach(a, b) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      |  UNION
+      |  SELECT s.a, r.b FROM sym s JOIN reach r ON s.b = r.a),
+      |labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a),
+      |assigned AS (
+      |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS label,
+      |    l.doc_id IS NOT NULL AS in_cluster
+      |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)""".stripMargin
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE $lshPairsSqlCtes,
-       |sym AS (
-       |  SELECT doc_a AS a, doc_b AS b FROM lshpairs
-       |  UNION SELECT doc_b, doc_a FROM lshpairs),
-       |reach(a, b) AS (
-       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-       |  UNION
-       |  SELECT s.a, r.b FROM sym s JOIN reach r ON s.b = r.a)
-       |SELECT min_b AS cluster_id,
+       |$componentLabelsSqlCtes
+       |SELECT label AS cluster_id,
        |  CAST(count(*) AS BIGINT) AS n_docs,
-       |  max(a) AS max_doc_id
-       |FROM (SELECT a, min(b) AS min_b FROM reach GROUP BY a)
-       |GROUP BY 1 ORDER BY cluster_id""".stripMargin
+       |  max(doc_id) AS max_doc_id
+       |FROM labels GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
   // ------------------------------------------------- leakage-safe split
   /** Cluster-aware train/val/test split: the 80/10/10 hash split of
@@ -858,19 +871,7 @@ object Dedup {
   val splitLeakageSafeSql: String = {
     def h(e: String) = graft.functions.Portable.hash28Sql(e)
     s"""WITH RECURSIVE $lshPairsSqlCtes,
-       |sym AS (
-       |  SELECT doc_a AS a, doc_b AS b FROM lshpairs
-       |  UNION SELECT doc_b, doc_a FROM lshpairs),
-       |reach(a, b) AS (
-       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-       |  UNION
-       |  SELECT s.a, r.b FROM sym s JOIN reach r ON s.b = r.a),
-       |labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a),
-       |assigned AS (
-       |  SELECT d.doc_id,
-       |    coalesce(l.label, d.doc_id) AS label,
-       |    l.doc_id IS NOT NULL AS in_cluster
-       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |$componentLabelsSqlCtes,
        |buckets AS (
        |  SELECT doc_id, label, in_cluster,
        |    ${h("label::VARCHAR")} % 10 AS cb,
@@ -913,28 +914,22 @@ object Dedup {
         (count(lit(1)) * col("cluster_size")).as("n_docs"))
       .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
         round(lit(1.0) / col("cluster_size"), 6).as("doc_weight"),
-        round(col("n_docs") / col("cluster_size"), 6).as("retained_mass"))
+        // per size bucket, retained mass = n_clusters by definition: each
+        // cluster contributes exactly one document's worth of mass
+        col("n_clusters").cast("double").as("retained_mass"))
       .orderBy("cluster_size")
 
   val dedupSoftWeightsSql: String =
     s"""WITH RECURSIVE $lshPairsSqlCtes,
-       |sym AS (
-       |  SELECT doc_a AS a, doc_b AS b FROM lshpairs
-       |  UNION SELECT doc_b, doc_a FROM lshpairs),
-       |reach(a, b) AS (
-       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-       |  UNION
-       |  SELECT s.a, r.b FROM sym s JOIN reach r ON s.b = r.a),
-       |labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a),
-       |assigned AS (
-       |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS label
-       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |$componentLabelsSqlCtes,
        |sizes AS (SELECT label, count(*) AS cluster_size FROM assigned GROUP BY 1)
        |SELECT cluster_size,
        |  CAST(count(*) AS BIGINT) AS n_clusters,
        |  CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
        |  round(1.0 / cluster_size, 6) AS doc_weight,
-       |  round(count(*) * cluster_size / cluster_size, 6) AS retained_mass
+       |  -- per size bucket, retained mass = n_clusters by definition:
+       |  -- each cluster contributes exactly one document's worth of mass
+       |  CAST(count(*) AS DOUBLE) AS retained_mass
        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
   // ------------------------------------------------------------- embedding
