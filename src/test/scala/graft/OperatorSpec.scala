@@ -394,6 +394,24 @@ class OperatorSpec extends AnyFunSuite {
       "a near-dup cluster straddles the split boundary")
   }
 
+  test("skew diagnostic: single-row-broadcast median, map-side partial counts") {
+    // sf0.01: the sf0.001 orders slice has no key above 2x median, so the
+    // materiality assertion needs the bigger fixture (3 hot keys there,
+    // re-checked by the DuckDB oracle at both SFs)
+    val df = operators.Skew.skewDiagnostic(spark, "/root/testdata/sf0.01")
+    val plan = df.queryExecution.executedPlan.toString
+    // the scaladoc's plan claims, enforced: the median attaches as a
+    // single-row broadcast (never a real product) and per-key counts
+    // combine map-side before their exchange
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count"), plan)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "fixture orders should contain >2x-median custkeys")
+    // every reported key is >2x median, so its salt factor is at least 3
+    assert(rows.forall(_.getAs[Long]("salt_factor") >= 3L))
+  }
+
   test("soft dedup weights: docs conserved, retained mass equals cluster count") {
     val rows = operators.Dedup.dedupSoftWeights(spark, sf).collect()
     val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
