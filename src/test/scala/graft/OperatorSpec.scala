@@ -876,6 +876,9 @@ class OperatorSpec extends AnyFunSuite {
     // grids) with one final merge — not a single-partition pass
     assert(plan.contains("partial_countminaggregator"), plan)
     assert(plan.contains("ObjectHashAggregate"), plan)
+    // the single-row sketch attaches as a broadcast, never a real product
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
     val rows = df.collect()
     assert(rows.length == Tables.events(spark, sf)
       .select("user_id").distinct().count().toInt)
