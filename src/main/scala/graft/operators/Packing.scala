@@ -221,19 +221,28 @@ object Packing {
     * in the OperatorSpec z-order test via executed-plan metrics; a hash-compared oracle
     * row can't carry scan metrics.
     */
-  /** One scratch directory per JVM for the pruning proof's layout writes —
-    * each run OVERWRITES it, so repeated Verify/Bench invocations hold
-    * steady-state disk instead of accumulating a new 32-file tree per run. */
-  // One shared per-JVM scratch dir, overwritten by each zorderPruning
-  // call: assumes SINGLE-THREADED query execution (true for Verify/Bench
-  // and sbt test, which run suites sequentially). Two concurrent
-  // invocations in one JVM would race overwrite against read — if
-  // concurrent execution is ever enabled, key this per invocation.
-  private lazy val zorderScratch: String =
-    java.nio.file.Files.createTempDirectory("graft_zorder").toString
+  /** Parent scratch directory for the pruning proof's layout writes.
+    * Every [[zorderPruning]] call gets its OWN UUID subdir beneath it, so
+    * concurrent invocations in one JVM cannot race a layout overwrite
+    * against another call's read (the returned DataFrame reads the layout
+    * parquet lazily). The whole tree is deleted by a JVM shutdown hook —
+    * a long-lived JVM accumulates one small subtree per call, bounded by
+    * the handful of invocations Verify/Bench/test actually make. */
+  private lazy val zorderScratchParent: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_zorder")
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount) // children before parents
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      catch { case _: java.io.IOException => () } // best-effort cleanup
+    }
+    p
+  }
 
   def zorderPruning(s: SparkSession, d: String): DataFrame = {
-    val out = zorderScratch
+    val out = java.nio.file.Files
+      .createTempDirectory(zorderScratchParent, "run").toString
     writeZorderLayouts(s, d, out)
     def agg(layout: String) =
       s.read.parquet(s"$out/$layout").filter(expr(ZPredicate))
@@ -423,13 +432,19 @@ object Packing {
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(f => f.getPath.getName match {
           case partNum(n) => (n.toLong, f.getPath)
-          case _ => (Long.MaxValue, f.getPath)
+          case other => throw new IllegalStateException(
+            s"unrecognized staging file name '$other' — cannot place it in " +
+              "the global part sequence")
         })
         .sortBy(_._1) // partition index order = group order within the batch
       written.foreach { case (_, p) =>
-        outFs.rename(p,
-          new org.apache.hadoop.fs.Path(outPath,
-            f"part-$seq%09d-graft.snappy.parquet"))
+        val dest = new org.apache.hadoop.fs.Path(outPath,
+          f"part-$seq%09d-graft.snappy.parquet")
+        // FileSystem.rename signals failure by returning false (dest exists,
+        // parent missing, cross-FS move) — a dropped rename here would lose a
+        // whole compacted group silently
+        if (!outFs.rename(p, dest))
+          throw new java.io.IOException(s"rename $p -> $dest failed")
         seq += 1L
       }
       outFs.delete(staging, true)

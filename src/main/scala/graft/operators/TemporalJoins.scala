@@ -199,7 +199,11 @@ object TemporalJoins {
     // column references, never as struct access or syntax
     val cond = (leftKeys.zip(rightKeys).map { case (a, b) => s"`$a` = `$b`" } :+
       "__lsalt = __rsalt" :+ s"asof_le(`$leftTime`, `$rightTime`)").mkString(" AND ")
-    lSalted.join(rSalted, expr(cond), "left").drop("__lsalt", "__rsalt")
+    // the using-column tag joins above moved the join keys to the front of
+    // the left block; restore the caller's column order so positional
+    // consumers see exactly what the bare asof_le join produces
+    lSalted.join(rSalted, expr(cond), "left")
+      .select((left.columns ++ right.columns).map(c => col(s"`$c`")): _*)
   }
 
   /** The `asof_join_native` question routed through [[asofSaltedLe]] with a

@@ -58,6 +58,11 @@ class AsofSaltedSpec extends AnyFunSuite {
         .map(x => (x.getLong(0), x.getLong(1),
           if (x.isNullAt(3)) -1L else x.getLong(3)))
         .sorted.toSeq
+      // scaladoc contract: output column ORDER is left columns then right
+      // columns, exactly what the bare join produces (the internal tag
+      // joins must not leak their key-first reordering)
+      assert(salted.columns.toSeq == bare.columns.toSeq,
+        s"column order diverged: ${salted.columns.toSeq} vs ${bare.columns.toSeq}")
       val bareRows = bare.select("k", "t", "rk", "rt").collect()
       val saltedRows = salted.select("k", "t", "rk", "rt").collect()
       assert(bareRows.length == 9000 && saltedRows.length == 9000,

@@ -689,6 +689,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("zorderPruning: two concurrent invocations do not race their scratch dirs") {
+    // each call writes its layouts into its own UUID subdir, so neither
+    // run's OVERWRITE can clobber the other's lazy parquet read
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val expected = operators.Packing.zorderPruning(spark, sf).collect().map(_.toSeq)
+    val runs = Seq(
+      Future(operators.Packing.zorderPruning(spark, sf).collect().map(_.toSeq)),
+      Future(operators.Packing.zorderPruning(spark, sf).collect().map(_.toSeq)))
+    Await.result(Future.sequence(runs), 5.minutes).foreach { got =>
+      assert(got.toSeq == expected.toSeq,
+        s"concurrent run diverged: ${got.toSeq} vs ${expected.toSeq}")
+    }
+  }
+
   test("IVF nprobe=2 recall is >= single-probe recall against brute-force truth") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet

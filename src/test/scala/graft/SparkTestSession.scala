@@ -19,7 +19,7 @@ object SparkTestSession {
 
   /** Recursive delete for spec scratch dirs — repeated test runs hold
     * steady-state disk instead of accumulating temp parquet trees (the
-    * `Packing.zorderScratch` discipline, applied to per-test dirs). */
+    * `Packing.zorderScratchParent` discipline, applied to per-test dirs). */
   def deleteRecursively(dir: String): Unit = {
     import java.nio.file.{Files, Paths}
     val p = Paths.get(dir)
