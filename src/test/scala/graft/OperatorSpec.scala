@@ -28,12 +28,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("approx_count_distinct within 10% of exact (HLL contract)") {
-    val rows = operators.Relational.approxDistinct(spark, sf).collect()
-    rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.10, s"approx=$approx exact=$exact")
+  test("approx_count_distinct within 5% of exact (HLL contract, in-query verdict)") {
+    // the 5% bound lives IN the query as a verdict column the DuckDB
+    // oracle asserts as TRUE; here we assert it holds at two SFs
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.Relational.approxDistinct(spark, dir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("exact_parts") > 0L)
+        assert(r.getAs[Boolean]("approx_in_bound"),
+          s"$dir: sketch drifted out of bound on ${r.getAs[String]("l_returnflag")}")
+      }
     }
   }
 
@@ -298,25 +303,28 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
-  test("percentile_approx within 1% of exact at p50 and p95 (sketch contract)") {
-    val rows = operators.Relational.percentileApprox(spark, sf).collect()
-    rows.foreach { r =>
-      for ((a, e) <- Seq(("p50_approx", "p50_exact"), ("p95_approx", "p95_exact"))) {
-        val approx = r.getAs[Double](a)
-        val exact = r.getAs[Double](e)
-        assert(math.abs(approx - exact) / exact < 0.01, s"$a=$approx $e=$exact")
+  test("percentile_approx within 1% of exact at p50 and p95 (sketch contract, in-query verdict)") {
+    // the 1% bound lives IN the query as verdict columns the DuckDB
+    // oracle asserts as TRUE; assert they hold at two SFs
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.Relational.percentileApprox(spark, dir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[Double]("p50_exact") > 0 && r.getAs[Double]("p95_exact") > 0)
+        assert(r.getAs[Boolean]("p50_in_bound") && r.getAs[Boolean]("p95_in_bound"),
+          s"$dir: GK sketch out of bound on ${r.getAs[String]("l_returnflag")}")
       }
     }
   }
 
-  test("t-digest within 1% of exact at p50 and p95 (sketch contract)") {
-    val rows = operators.Relational.percentileTdigest(spark, sf).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      for ((a, e) <- Seq(("p50_tdigest", "p50_exact"), ("p95_tdigest", "p95_exact"))) {
-        val approx = r.getAs[Double](a)
-        val exact = r.getAs[Double](e)
-        assert(math.abs(approx - exact) / exact < 0.01, s"$a=$approx $e=$exact")
+  test("t-digest within 1% of exact at p50 and p95 (sketch contract, in-query verdict)") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.Relational.percentileTdigest(spark, dir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[Double]("p50_exact") > 0 && r.getAs[Double]("p95_exact") > 0)
+        assert(r.getAs[Boolean]("p50_in_bound") && r.getAs[Boolean]("p95_in_bound"),
+          s"$dir: t-digest out of bound on ${r.getAs[String]("l_returnflag")}")
       }
     }
   }
