@@ -221,6 +221,89 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
+  /** Diagnostic-DRIVEN salted as-of join: [[asofSaltedLe]] with the hot
+    * set, and a per-key salt factor, derived from the data the way
+    * `Skew.skewDiagnostic` derives them — per-key probe counts against
+    * the median key's count — instead of caller-supplied constants. This
+    * wires the detection pass into the mitigation it was built for: the
+    * caller states a POLICY (`skewRatio`: how many × median counts as
+    * hot; `maxFactor`: replication cap), not per-dataset tuning numbers.
+    *
+    * Differences from the manual form, each scale-motivated:
+    *  - the hot set is `count > skewRatio × median(count)` — the
+    *    diagnostic's rule — so the threshold tracks the data; the median
+    *    runs as `percentile_approx` on the per-key COUNTS frame (one row
+    *    per key; the approx form is the stated extreme-cardinality
+    *    posture of the diagnostic, exercised here);
+    *  - each hot key gets its OWN salt factor `ceil(count / median)`
+    *    capped at `maxFactor` (the diagnostic's `salt_factor` column),
+    *    so a 50×-median key fans out ~50 ways while a 5×-median key
+    *    replicates its history only 5× — per-key-proportional balance
+    *    the one-global-bucket-count form cannot give without paying the
+    *    hottest key's replication on every hot key.
+    *
+    * Same exactness argument as [[asofSaltedLe]]: the salt is derived
+    * from left columns only, hot right histories are replicated into
+    * every salt bucket of their key, so "latest prior" is exact;
+    * `asof_join_salted_auto` carries `asof_join_native`'s DuckDB oracle
+    * and `AsofSaltedSpec` pins balance parity with the manual
+    * configuration on the engineered 50×-median fixture. Output columns:
+    * left then right, caller order.
+    */
+  def asofSaltedAutoLe(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      skewRatio: Double = 4.0, maxFactor: Int = 64): DataFrame = {
+    require(skewRatio >= 1.0 && maxFactor > 0 &&
+      leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
+    val scratch = Set("__n", "__med", "__sf", "__lsalt", "__rsalt")
+    require((left.columns ++ right.columns).forall(c => !scratch.contains(c)),
+      s"input columns may not use the reserved names ${scratch.mkString(", ")}")
+    val counts = left.groupBy(leftKeys.map(col): _*).agg(count(lit(1)).as("__n"))
+    val med = counts.agg(
+      expr("percentile_approx(CAST(__n AS DOUBLE), 0.5, 10000)").as("__med"))
+    // bounded: a hot key holds > skewRatio × median rows, so there are
+    // fewer than |left| / (skewRatio × median) of them — small by
+    // construction, which is what makes the broadcast tag join safe
+    val hot = broadcast(
+      counts.crossJoin(med) // med is one row: broadcast, not a real product
+        .filter(col("__n") > col("__med") * skewRatio)
+        .select(leftKeys.map(col) :+
+          least(ceil(col("__n") / col("__med")), lit(maxFactor.toLong))
+            .cast("int").as("__sf"): _*))
+    val lSalted = left
+      .join(hot, leftKeys, "left")
+      .withColumn("__lsalt",
+        when(col("__sf").isNotNull,
+          pmod(hash(leftKeys.map(col) :+ col(leftTime): _*), col("__sf")))
+          .otherwise(lit(0)))
+      .drop("__sf")
+    val rHot = hot.toDF(rightKeys :+ "__sf": _*)
+    val rSalted = right
+      .join(rHot, rightKeys, "left")
+      .withColumn("__rsalt", explode(
+        when(col("__sf").isNotNull, sequence(lit(0), col("__sf") - 1))
+          .otherwise(array(lit(0)))))
+      .drop("__sf")
+    val cond = (leftKeys.zip(rightKeys).map { case (a, b) => s"`$a` = `$b`" } :+
+      "__lsalt = __rsalt" :+ s"asof_le(`$leftTime`, `$rightTime`)").mkString(" AND ")
+    lSalted.join(rSalted, expr(cond), "left")
+      .select((left.columns ++ right.columns).map(c => col(s"`$c`")): _*)
+  }
+
+  /** The `asof_join_native` question through [[asofSaltedAutoLe]] with a
+    * skew ratio low enough that the fixture's busiest users are detected
+    * as hot BY THE DIAGNOSTIC RULE (no per-dataset constants) — so the
+    * oracle pins the auto-derived path's semantics end to end.
+    */
+  def asofJoinSaltedAuto(s: SparkSession, d: String): DataFrame = {
+    val (purchases, signups) = purchasesAndSignups(s, d)
+    asofSaltedAutoLe(purchases, signups, Seq("user_id"), Seq("s_uid"),
+        "es", "s_es", skewRatio = 1.5, maxFactor = 8)
+      .select(col("event_id"), col("user_id"), col("s_es").as("last_signup_s"))
+      .orderBy("event_id")
+  }
+
   /** Time-sliced as-of join — the BUILD-side skew guard [[asofSaltedLe]]
     * deliberately leaves out (its scaladoc names this operator): a key
     * whose RIGHT side is hot (one instrument carrying 50× the median
@@ -622,6 +705,7 @@ object TemporalJoins {
     "asof_latest_prior" -> (asofLatestPrior _),
     "asof_join_native" -> (asofJoinNative _),
     "asof_join_salted" -> (asofJoinSalted _),
+    "asof_join_salted_auto" -> (asofJoinSaltedAuto _),
     "asof_join_sliced" -> (asofJoinSliced _),
     "asof_join_tolerance" -> (asofJoinTolerance _),
     "asof_join_forward" -> (asofJoinForward _),
@@ -635,6 +719,7 @@ object TemporalJoins {
     // the salted and sliced pre-passes must be value-identical to the
     // unsalted native join, so they carry the SAME oracle
     "asof_join_salted" -> asofJoinNativeSql,
+    "asof_join_salted_auto" -> asofJoinNativeSql,
     "asof_join_sliced" -> asofJoinNativeSql,
     "asof_join_tolerance" -> asofJoinToleranceSql,
     "asof_join_forward" -> asofJoinForwardSql,

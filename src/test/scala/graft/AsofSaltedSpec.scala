@@ -96,6 +96,67 @@ class AsofSaltedSpec extends AnyFunSuite {
     }
   }
 
+  test("diagnostic-driven auto salting matches manual balance and output on the 50x fixture") {
+    graft.plans.GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val l = skewedLeft.cache(); val r = right.cache()
+      l.count(); r.count()
+      val manual = TemporalJoins.asofSaltedLe(l, r, Seq("k"), Seq("rk"),
+        "t", "rt", buckets = 25, hotThreshold = 1000L)
+      // NO per-dataset constants: the hot set (key 0, 50x median) and its
+      // salt factor (ceil(5000/100) = 50, capped 64) come from the
+      // skew-diagnostic rule applied to the data itself
+      val auto = TemporalJoins.asofSaltedAutoLe(l, r, Seq("k"), Seq("rk"),
+        "t", "rt")
+      assert(auto.columns.toSeq == (l.columns ++ r.columns).toSeq)
+      // value parity: auto output row-identical to the manual salted form
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(x => (x.getLong(0), x.getLong(1),
+          if (x.isNullAt(3)) -1L else x.getLong(3)))
+        .sorted.toSeq
+      val autoRows = auto.select("k", "t", "rk", "rt").collect()
+      assert(autoRows.length == 9000,
+        "as-of must emit exactly one row per left row")
+      assert(key(autoRows) == key(manual.select("k", "t", "rk", "rt").collect()),
+        "auto-salted and manually-salted as-of joins disagree")
+      // balance parity with the manual configuration's bound: no merge
+      // task reads more than ~2x the median task's rows
+      val reads = mergeStageTaskReads { auto.collect() }
+      assert(auto.queryExecution.executedPlan.toString.contains("AsofJoin"),
+        "auto-salted join no longer plans on the native exec")
+      val mx = reads.max
+      val md = reads.sorted.apply(reads.size / 2).max(1L)
+      assert(mx <= 2 * md,
+        s"auto-salted merge stage still skewed: max=$mx median=$md " +
+          s"reads=${reads.sorted.mkString(",")}")
+      l.unpersist(); r.unpersist()
+    } finally prev.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+  }
+
+  test("auto salting on cold-only data detects no hot keys: salt-0 passthrough") {
+    graft.plans.GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    // uniform keys: no count exceeds skewRatio x median, hot set is empty
+    val l = spark.range(0, 400)
+      .select((col("id") % 40L).as("k"), (col("id") * 3L).as("t"))
+    val auto = TemporalJoins.asofSaltedAutoLe(l, right, Seq("k"), Seq("rk"),
+      "t", "rt")
+    val bare = l.join(right, expr("k = rk AND asof_le(t, rt)"), "left")
+    assert(auto.count() == 400)
+    assert(auto.select("k", "t", "rt").collect().map(_.toString).sorted.toSeq ==
+      bare.select("k", "t", "rt").collect().map(_.toString).sorted.toSeq)
+  }
+
   test("cold-only data takes the salt-0 passthrough: no replication, same rows") {
     graft.plans.GraftStrategies.register(spark)
     graft.functions.VecFunctions.register(spark)
