@@ -491,20 +491,20 @@ object Similarity {
     * cells must recall brute-force top-3 neighbors at least as well as the
     * untrained first-k codebook.
     */
-  def annIvfTrainedTopk(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecFunctions.register(s)
-    val e = Tables.parallelize(s, Tables.embeddings(s, d))
-      .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
-      .localCheckpoint()
-    // deterministic seeds: the first k vectors (what the untrained variant
-    // serves with) — k-means can only improve on them
+  /** The distributed k-means training loop shared by the in-memory query
+    * ([[annIvfTrainedTopk]]) and the persisted index builder
+    * ([[writeAnnIndex]]). Deterministic seeds (the first k vectors, what
+    * the untrained variant serves with — k-means can only improve on
+    * them) + epsilon stopping: quit early once no centroid moves more
+    * than 0.1% of its own norm in a round — at corpus scale each round is
+    * a full pass, so a settled codebook should not buy three of them.
+    * The driver holds ONLY the codebook (k×64 doubles per round).
+    */
+  private def trainCodebook(e: DataFrame): Seq[(Int, Array[Float])] = {
     var codebook: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < IvfCells)
       .orderBy("vec_id").collect()
       .map(r => (r.getAs[Long]("vec_id").toInt, r.getAs[Seq[Float]]("embedding").toArray))
     val centroid = udaf(new CentroidAggregator(64))
-    // standard epsilon-stopping: quit early once no centroid moves more than
-    // 0.1% of its own norm in a round — at corpus scale each round is a full
-    // pass, so a settled codebook should not buy three of them
     var kmRound = 0
     var moved = true
     while (kmRound < KmeansRounds && moved) {
@@ -524,16 +524,17 @@ object Similarity {
       codebook = codebook.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
       kmRound += 1
     }
-    val assigned = assignCells(e, codebook)
-    val q = assigned.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-        col("nrm").as("qnrm"), col("cell"))
+    codebook
+  }
+
+  /** The serving-side join shared by [[annIvfTrainedTopk]] and
+    * [[annFromIndex]]: probes (qid, qemb, qnrm, cell) against the
+    * cell-assigned corpus, self-match excluded, cosine top-3 per probe.
+    */
+  private def serveCells(q: DataFrame, corpus: DataFrame): DataFrame = {
     val wRank = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    // `e`'s checkpoint blocks back the returned plan too, so they are not
-    // unpersisted here (unlike dedupClusters' superseded per-round labels);
-    // they die with the session or the block manager's LRU.
-    q.join(assigned, Seq("cell"))
+    q.join(corpus, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("cell"), col("vec_id"),
         round(expr("vec_dot(qemb, embedding)") / (col("qnrm") * col("nrm")), 4).as("cosine"))
@@ -541,6 +542,77 @@ object Similarity {
       .filter(col("rank") <= 3)
       .select("qid", "cell", "rank", "vec_id", "cosine")
       .orderBy("qid", "rank")
+  }
+
+  def annIvfTrainedTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
+      .localCheckpoint()
+    val codebook = trainCodebook(e)
+    val assigned = assignCells(e, codebook)
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("cell"))
+    // `e`'s checkpoint blocks back the returned plan too, so they are not
+    // unpersisted here (unlike dedupClusters' superseded per-round labels);
+    // they die with the session or the block manager's LRU.
+    serveCells(q, assigned)
+  }
+
+  // ------------------------------------------------- persisted ANN index
+  /** Build and PERSIST the trained-IVF index: the k-means codebook and
+    * the cell-assigned corpus (vec_id, embedding, norm, cell) as parquet
+    * under `indexDir` — the serving-path completion of the
+    * `dedup_incremental_indexed` pattern. [[annIvfTrainedTopk]] retrains
+    * per invocation, which is fine as a query but wrong as a 100 TB
+    * serving story: training is a multiple-full-pass batch job that
+    * should run once per index build, while serving a probe batch should
+    * read ONLY the index (codebook + its cells) and the probes.
+    * The corpus parquet is partitioned by `cell`, so a probe batch that
+    * hits few cells prunes to few partitions at the scan.
+    */
+  def writeAnnIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    graft.functions.VecFunctions.register(s)
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
+      .localCheckpoint()
+    val codebook = trainCodebook(e)
+    import s.implicits._
+    codebook.map { case (cid, emb) => (cid, emb.toSeq) }
+      .toDF("cell", "centroid")
+      .repartition(1) // k×64 floats: one tiny file, read whole at serve time
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    assignCells(e, codebook)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/corpus")
+  }
+
+  /** Serve a probe batch from a PERSISTED index (see [[writeAnnIndex]]):
+    * no k-means, no corpus re-encode — the codebook is one bounded
+    * driver read (k×64 floats, the sanctioned collect), probe cell
+    * assignment is the same literal-centroid argmax projection as the
+    * in-memory path, and the only corpus bytes touched are the index's
+    * cell partitions. `probes` must carry (vec_id, embedding). Results
+    * are row-identical to [[annIvfTrainedTopk]] on the same corpus and
+    * probe set (same deterministic training, same serving join —
+    * `AnnIndexSpec` pins identity AND that the plan scans the embeddings
+    * table only for the probes, zero corpus re-reads).
+    */
+  def annFromIndex(s: SparkSession, probes: DataFrame, indexDir: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val codebook = s.read.parquet(s"$indexDir/codebook")
+      .orderBy("cell").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Float]]("centroid").toArray))
+      .toSeq
+    val corpus = s.read.parquet(s"$indexDir/corpus")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val q = assignCells(
+        probes.select(col("vec_id"), col("embedding"),
+          expr("vec_norm(embedding)").as("nrm")),
+        codebook)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("cell"))
+    serveCells(q, corpus)
   }
 
   // ------------------------------------------------------- quantization
