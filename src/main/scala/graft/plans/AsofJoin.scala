@@ -66,8 +66,27 @@ case class AsofLE(leftTime: Expression, rightTime: Expression)
   * references only `l`; any conjunct that straddles sides non-equi (or a
   * second asof marker) makes the strategy decline — the Unevaluable marker
   * then fails the query loudly instead of running with wrong semantics.
+  *
+  * Physical selection mirrors Spark's own `JoinSelection` posture (the
+  * q5/q18 rule — thresholds and AQE, hints only where schema-bounded):
+  * [[AsofBroadcastJoinExec]] is chosen when the right side carries an
+  * explicit `broadcast()` hint (hint wins, as for equi joins) OR when its
+  * plan-time size estimate sits under
+  * `spark.sql.autoBroadcastJoinThreshold`; otherwise the sort-merge
+  * [[AsofJoinExec]]. Either way the broadcast build is guarded by a
+  * documented ROW budget (`graft.asof.maxBroadcastRows`, default 10M):
+  * each task builds a hash index over the broadcast rows, so a hinted
+  * fact-scale side must fail loudly at build time — with a message naming
+  * the budget and the fix — rather than OOM an executor.
   */
 object AsofJoinStrategy extends SparkStrategy with PredicateHelper {
+
+  /** Session conf key for the broadcast-build row budget (see above). */
+  val MaxBroadcastRowsKey = "graft.asof.maxBroadcastRows"
+
+  /** Default budget: 10M rows ≈ hundreds of MB of per-task index — past
+    * this the merge exec's two shuffles are the cheaper, safer plan. */
+  val MaxBroadcastRowsDefault = 10000000L
 
   private val timeTypes: Set[DataType] = Set(LongType, TimestampType)
 
@@ -96,11 +115,20 @@ object AsofJoinStrategy extends SparkStrategy with PredicateHelper {
               rt.references.subsetOf(r.outputSet) &&
               timeTypes.contains(lt.dataType) && lt.dataType == rt.dataType =>
           val (lk, rk) = keyPairs.flatten.unzip
-          val broadcastRight = plan.asInstanceOf[Join].hint.rightHint
+          val conf = org.apache.spark.sql.internal.SQLConf.get
+          val hinted = plan.asInstanceOf[Join].hint.rightHint
             .exists(_.strategy.contains(BROADCAST))
-          if (broadcastRight)
-            AsofBroadcastJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
-          else
+          // the JoinSelection size rule: a non-negative estimate under the
+          // threshold auto-selects broadcast, no hint needed
+          val threshold = conf.autoBroadcastJoinThreshold
+          val bySize = threshold > 0 && r.stats.sizeInBytes >= 0 &&
+            r.stats.sizeInBytes <= threshold
+          if (hinted || bySize) {
+            val budget = conf.getConfString(
+              MaxBroadcastRowsKey, MaxBroadcastRowsDefault.toString).toLong
+            AsofBroadcastJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
+              budget) :: Nil
+          } else
             AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
         case _ => Nil
       }
@@ -255,20 +283,29 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
 }
 
 /** Broadcast as-of join — the dimension-sized-right-side variant, chosen
-  * by the strategy when the right side carries an explicit `broadcast()`
-  * hint (deterministic, like the explicit hint path of broadcast equi
-  * joins). The left side keeps its existing partitioning — NO shuffle, no
-  * sort on either side: the broadcast rows are indexed per task into a
-  * hash map of per-key time-sorted arrays (O(|right| log |right|) per
-  * task — the `BroadcastHashJoinExec` build-cost shape, fine precisely
-  * when the right side is dimension-sized), and each left row does one
-  * hash probe + binary search. At 100 TB this is the as-of analogue of
-  * "broadcast the small dim": a quotes/config/rates table joins against
-  * the full fact stream with zero fact movement.
+  * by the strategy on an explicit `broadcast()` hint OR when the right
+  * side's size estimate sits under `autoBroadcastJoinThreshold` (the
+  * equi-join selection posture). The left side keeps its existing
+  * partitioning — NO shuffle, no sort on either side: the broadcast rows
+  * are indexed per task into a hash map of per-key time-sorted arrays
+  * (O(|right| log |right|) per task — the `BroadcastHashJoinExec`
+  * build-cost shape, fine precisely when the right side is
+  * dimension-sized), and each left row does one hash probe + binary
+  * search. At 100 TB this is the as-of analogue of "broadcast the small
+  * dim": a quotes/config/rates table joins against the full fact stream
+  * with zero fact movement.
+  *
+  * `maxBuildRows` (from `graft.asof.maxBroadcastRows` at planning time)
+  * guards the build: a hinted side that arrives bigger than the budget
+  * fails the task with a diagnosis naming the budget and the fix,
+  * BEFORE the per-task index allocates — loud failure, not an executor
+  * OOM (`AsofJoinSpec` pins the error path).
   */
 case class AsofBroadcastJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    maxBuildRows: Long = AsofJoinStrategy.MaxBroadcastRowsDefault)
+    extends BinaryExecNode {
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -286,7 +323,18 @@ case class AsofBroadcastJoinExec(left: SparkPlan, right: SparkPlan,
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     val numOutputRows = longMetric("numOutputRows")
     val numMatchedRows = longMetric("numMatchedRows")
+    val budget = maxBuildRows
     left.execute().mapPartitions { lIter =>
+      // budget guard BEFORE the index allocates: the broadcast itself is
+      // already resident (Spark's exchange enforces its own 8 GB/512M-row
+      // caps), but the per-task hash index roughly doubles that footprint
+      // per running task — the thing that OOMs first on a mis-hinted side
+      if (broadcastRows.value.length > budget)
+        throw new IllegalStateException(
+          s"as-of broadcast build side has ${broadcastRows.value.length} rows, " +
+            s"over the ${AsofJoinStrategy.MaxBroadcastRowsKey}=$budget budget: " +
+            "remove the broadcast() hint (the sort-merge exec handles any size) " +
+            "or raise the budget for a genuinely dimension-sized table")
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
       val rTimeBound = BindReferences.bindReference(rightTime, right.output)
       // per-task index build: key -> (sorted times, rows in that order)

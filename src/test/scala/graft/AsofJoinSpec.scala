@@ -20,9 +20,15 @@ class AsofJoinSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
-  test("strategy plans the marker join onto AsofJoinExec") {
+  /** True when either native exec (sort-merge `AsofJoin` or
+    * `AsofBroadcastJoin`) appears — which one is the size rule's choice;
+    * selection itself is pinned by the dedicated selection tests. */
+  private def asofPlanned(plan: String): Boolean =
+    plan.contains("AsofJoin [") || plan.contains("AsofBroadcastJoin [")
+
+  test("strategy plans the marker join onto a native asof exec") {
     val df = operators.TemporalJoins.asofJoinNative(spark, sf)
-    assert(planOf(df).contains("AsofJoin"),
+    assert(asofPlanned(planOf(df)),
       "asof_le join condition was not planned by AsofJoinStrategy")
   }
 
@@ -73,7 +79,7 @@ class AsofJoinSpec extends AnyFunSuite {
       .toDF("rk", "rt", "tag")
     val df = l.join(r, expr("k = rk AND asof_le(t, rt)"), "left")
       .select($"id", $"tag")
-    assert(planOf(df).contains("AsofJoin"))
+    assert(asofPlanned(planOf(df)))
     assert(df.collect().map(_.getAs[String]("tag")).toSeq == Seq("tie"))
   }
 
@@ -95,8 +101,71 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(plan.contains("AsofBroadcastJoin"), s"hinted join not broadcast-planned:\n$plan")
     assert(plan.contains("BroadcastExchange"))
     assert(!plan.contains("AsofJoinExec"))
-    assert(results(broadcast(quotes)) == results(quotes),
+    // force the merge exec on the unhinted leg: with auto-broadcast
+    // selection a tiny right side would otherwise broadcast too
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val merged = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      results(quotes)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(results(broadcast(quotes)) == merged,
       "broadcast and merge variants disagree")
+  }
+
+  test("right side under autoBroadcastJoinThreshold auto-selects the broadcast variant") {
+    GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    val probes = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 999L))
+      .toDF("id", "k", "t")
+    val quotes = Seq((10L, 200L, "a"), (10L, 300L, "b"), (20L, 50L, "x"))
+      .toDF("rk", "rt", "tag")
+    val unhinted = probes.join(quotes, expr("k = rk AND asof_le(t, rt)"), "left")
+    // NO hint: the JoinSelection size rule picks the broadcast exec
+    val auto = planOf(unhinted)
+    assert(auto.contains("AsofBroadcastJoin"),
+      s"small unhinted right side not auto-broadcast:\n$auto")
+    // threshold off: the same join plans the sort-merge exec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merge = planOf(
+        probes.join(quotes, expr("k = rk AND asof_le(t, rt)"), "left"))
+      assert(merge.contains("AsofJoin [") && !merge.contains("AsofBroadcastJoin"),
+        s"threshold=-1 still broadcast-planned:\n$merge")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // and the auto-broadcast results match the merge exec's (same rows as
+    // the hinted-variant agreement above, re-checked on this shape)
+    val got = unhinted.select($"id", $"rt").collect()
+      .map(x => x.getAs[Long]("id") -> Option(x.get(1))).toMap
+    assert(got == Map(1L -> None, 2L -> Some(200L), 3L -> Some(50L)))
+  }
+
+  test("hinted broadcast side over the documented row budget fails loudly, not OOM") {
+    GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    val probes = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
+    val quotes = Seq((10L, 50L, "a"), (10L, 60L, "b"), (10L, 70L, "c"),
+      (10L, 80L, "d"), (10L, 90L, "e")).toDF("rk", "rt", "tag")
+    val prev = spark.conf.getOption(plans.AsofJoinStrategy.MaxBroadcastRowsKey)
+    try {
+      spark.conf.set(plans.AsofJoinStrategy.MaxBroadcastRowsKey, "3")
+      val ex = intercept[Exception] {
+        probes.join(broadcast(quotes), expr("k = rk AND asof_le(t, rt)"), "left")
+          .collect()
+      }
+      // the diagnosis must name the budget conf and the fix
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      val all = messages(ex).mkString("\n")
+      assert(all.contains(plans.AsofJoinStrategy.MaxBroadcastRowsKey) &&
+        all.contains("remove the broadcast() hint"),
+        s"budget violation not diagnosed:\n$all")
+    } finally prev match {
+      case Some(v) => spark.conf.set(plans.AsofJoinStrategy.MaxBroadcastRowsKey, v)
+      case None => spark.conf.unset(plans.AsofJoinStrategy.MaxBroadcastRowsKey)
+    }
   }
 
   test("fixture agreement with an independent per-purchase computation") {
@@ -230,12 +299,12 @@ class AsofJoinSpec extends AnyFunSuite {
     // partition). The queries must plan on the native exec and stay
     // semantically right: filters apply BEFORE the as-of match.
     val constDf = l.join(r, expr("k = rk AND rk = 1 AND asof_le(t, rt)"), "left")
-    assert(planOf(constDf).contains("AsofJoin"))
+    assert(asofPlanned(planOf(constDf)))
     assert(constDf.select("k", "rt").collect().map(r0 =>
       (r0.getLong(0), if (r0.isNullAt(1)) -1L else r0.getLong(1))).toSet ===
       Set((1L, 7L), (2L, -1L))) // k=2 filtered off the right -> null match
     val sideDf = l.join(r, expr("k = rk AND rt > 6 AND asof_le(t, rt)"), "left")
-    assert(planOf(sideDf).contains("AsofJoin"))
+    assert(asofPlanned(planOf(sideDf)))
     assert(sideDf.select("k", "rt").collect().map(r0 =>
       (r0.getLong(0), if (r0.isNullAt(1)) -1L else r0.getLong(1))).toSet ===
       Set((1L, 7L), (2L, 8L))) // rt=5 excluded pre-join, so k=1 matches 7
@@ -249,7 +318,7 @@ class AsofJoinSpec extends AnyFunSuite {
     val r = Seq((1L, 1L, 5L), (1L, 2L, 7L), (1L, 2L, 11L), (2L, 2L, 6L))
       .toDF("rk1", "rk2", "rt")
     val df = l.join(r, expr("k1 = rk1 AND k2 = rk2 AND asof_le(t, rt)"), "left")
-    assert(planOf(df).contains("AsofJoin"))
+    assert(asofPlanned(planOf(df)))
     // (1,2) must NOT see (1,1)'s or (2,2)'s history — a partial-key
     // cluster would return 6 for (2,1) or 5 for (1,2)
     assert(df.select("k1", "k2", "rt").collect().map(r0 =>
@@ -266,11 +335,16 @@ class AsofJoinSpec extends AnyFunSuite {
       hay.sliding(needle.length).count(_ == needle)
     val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
     val r = Seq((1L, 5L), (2L, 25L)).toDF("rk", "rt")
+    // merge-exec-specific claim: force the sort-merge path (the size rule
+    // would broadcast these tiny local relations)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     // AQE's toString prints the plan twice (Final + Initial) — count only
     // the final section
-    val planStr = planOf(operators.TemporalJoins
+    val planStr = try planOf(operators.TemporalJoins
       .asofNearest(l, r, Seq("k"), Seq("rk"), "t", "rt"))
       .split("== Initial Plan ==")(0)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     // two merge passes...
     assert(occurrences(planStr, "AsofJoin") == 2, planStr)
     // ...but only THREE hash exchanges: probe once + each right leg once.
