@@ -135,6 +135,33 @@ object TemporalJoins {
       |   WHERE s.user_id = p.user_id AND s.es <= p.es) AS last_signup_s
       |FROM p ORDER BY p.event_id""".stripMargin
 
+  /** A backward as-of engine: returns `left` LEFT-joined with, per left
+    * row, the latest right row whose `rightTime <= leftTime` under equal
+    * keys — exactly one output row per left row, right columns under
+    * their original names, null-filled when no right row qualifies. The
+    * bare native join ([[asofLe]]) and both skew guards ([[asofSaltedLe]]
+    * / [[asofSaltedAutoLe]] with their policy parameters bound,
+    * [[asofSlicedLe]] with its width bound) all satisfy this contract, so
+    * the DIRECTION routings ([[asofForwardGe]], [[asofNearest]]) take the
+    * engine as a parameter: any direction composes with any skew guard,
+    * and `AsofJoinProps` pins every cell of that matrix against brute
+    * force under random skew.
+    */
+  type AsofLeEngine =
+    (DataFrame, DataFrame, Seq[String], Seq[String], String, String) => DataFrame
+
+  /** The bare backward as-of join — the identity [[AsofLeEngine]]: one
+    * `asof_le` conjunct over the equi-keys, planned by `AsofJoinStrategy`
+    * into the native sort-merge (or size/hint-selected broadcast) exec.
+    */
+  val asofLe: AsofLeEngine = (left, right, leftKeys, rightKeys,
+      leftTime, rightTime) => {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
+    val cond = (leftKeys.zip(rightKeys).map { case (a, b) => s"`$a` = `$b`" } :+
+      s"asof_le(`$leftTime`, `$rightTime`)").mkString(" AND ")
+    left.join(right, expr(cond), "left")
+  }
+
   /** Skew-safe salted pre-pass for the native as-of join — closes the one
     * documented scale caveat of `AsofJoinExec`: as a custom physical node
     * it sits outside AQE's skew-join splitting, so a hot probe-side key
@@ -512,29 +539,33 @@ object TemporalJoins {
     * direction of pandas `merge_asof(direction='forward')`). No new exec:
     * min(rt) subject to rt ≥ lt is exactly max(−rt) subject to −rt ≤ −lt,
     * so negating both time columns routes the question through the
-    * unchanged native `asof_le` exec — same one-shuffle-per-side,
-    * one-merge-pass plan, same skew guards, same null semantics (a null
-    * time negates to null and matches nothing). Time columns must be
-    * numeric (epoch seconds in every graft query); negation has no
-    * meaning for TimestampType. Domain limit: `-Long.MinValue` wraps to
-    * itself under non-ANSI long arithmetic, so a time of exactly
-    * `Long.MinValue` would mis-join silently — epoch-second data is 10
-    * orders of magnitude away, but a caller feeding sentinel extremes
-    * must screen them first (same caveat for [[asofNearest]]'s forward
-    * pass).
+    * unchanged backward machinery — same one-shuffle-per-side,
+    * one-merge-pass plan, same null semantics (a null time negates to
+    * null and matches nothing). The backward machinery is the `engine`
+    * parameter (default: the bare native join), so every skew guard
+    * composes mechanically: pass [[asofSaltedLe]] / [[asofSlicedLe]] with
+    * their policy parameters bound and the guard runs on the negated
+    * times — `AsofJoinProps` pins each composition against brute force
+    * under random skew. Time columns must be numeric (epoch seconds in
+    * every graft query); negation has no meaning for TimestampType.
+    * Domain limit: `-Long.MinValue` wraps to itself under non-ANSI long
+    * arithmetic, so a time of exactly `Long.MinValue` would mis-join
+    * silently — epoch-second data is 10 orders of magnitude away, but a
+    * caller feeding sentinel extremes must screen them first (same caveat
+    * for [[asofNearest]]'s forward pass).
     */
   def asofForwardGe(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      engine: AsofLeEngine = asofLe): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
     val scratch = Set("__lneg", "__rneg")
     require((left.columns ++ right.columns).forall(c => !scratch.contains(c)),
       s"input columns may not use the reserved names ${scratch.mkString(", ")}")
     val l2 = left.withColumn("__lneg", -col(leftTime))
     val r2 = right.withColumn("__rneg", -col(rightTime))
-    val cond = (leftKeys.zip(rightKeys).map { case (a, b) => s"`$a` = `$b`" } :+
-      "asof_le(__lneg, __rneg)").mkString(" AND ")
-    l2.join(r2, expr(cond), "left").drop("__lneg", "__rneg")
+    engine(l2, r2, leftKeys, rightKeys, "__lneg", "__rneg")
+      .drop("__lneg", "__rneg")
   }
 
   /** Nearest as-of join — per left row, the right row minimizing
@@ -548,11 +579,16 @@ object TemporalJoins {
     * left row is the exec's contract), so no row-id bookkeeping is
     * needed — the pipeline is two key-shuffles and a projection, nothing
     * else. Right columns come back under their original names, taken
-    * from the winning side (all null when neither side matched).
+    * from the winning side (all null when neither side matched). Both
+    * passes run on the `engine` parameter (default: the bare native
+    * join), so the skew guards compose here exactly as in
+    * [[asofForwardGe]] — `AsofJoinProps` pins nearest × salted and
+    * nearest × sliced against brute force under random skew.
     */
   def asofNearest(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      engine: AsofLeEngine = asofLe): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
     // the restore-to-original-names projection at the end would silently
     // OVERWRITE a left column sharing a right column's name (the bare
@@ -566,18 +602,13 @@ object TemporalJoins {
       s"input columns may not use the reserved names ${scratch.mkString(", ")}")
     val pRight = right.columns.foldLeft(right)((d, c) =>
       d.withColumnRenamed(c, s"__p_$c"))
-    val condP = (leftKeys.zip(rightKeys).map { case (a, b) =>
-      s"`$a` = `__p_$b`" } :+
-      s"asof_le(`$leftTime`, `__p_$rightTime`)").mkString(" AND ")
-    val afterPrior = left.join(pRight, expr(condP), "left")
+    val afterPrior = engine(left, pRight,
+      leftKeys, rightKeys.map(b => s"__p_$b"), leftTime, s"__p_$rightTime")
     val nRight = right.columns.foldLeft(right)((d, c) =>
         d.withColumnRenamed(c, s"__n_$c"))
       .withColumn("__rneg", -col(s"__n_$rightTime"))
-    val condN = (leftKeys.zip(rightKeys).map { case (a, b) =>
-      s"`$a` = `__n_$b`" } :+
-      "asof_le(__lneg, __rneg)").mkString(" AND ")
-    val both = afterPrior.withColumn("__lneg", -col(leftTime))
-      .join(nRight, expr(condN), "left")
+    val both = engine(afterPrior.withColumn("__lneg", -col(leftTime)), nRight,
+        leftKeys, rightKeys.map(b => s"__n_$b"), "__lneg", "__rneg")
       .drop("__lneg", "__rneg")
     val pT = col(s"__p_$rightTime")
     val nT = col(s"__n_$rightTime")
@@ -646,6 +677,36 @@ object TemporalJoins {
       |       THEN pb ELSE nf END AS nearest_signup_s
       |FROM b ORDER BY event_id""".stripMargin
 
+  /** The forward question routed through the SALTED engine — the
+    * direction × skew-guard composition made driver-visible: same oracle
+    * as `asof_join_forward`, with the threshold low enough that the
+    * fixture's busiest users actually take the hot branch ON THE NEGATED
+    * time axis (the salt hashes `-es`). `AsofJoinProps` covers the full
+    * {forward, nearest} × {salted, auto-salted, sliced} matrix under
+    * random skew; this entry and `asof_join_nearest_sliced` pin one cell
+    * each end-to-end against DuckDB.
+    */
+  def asofJoinForwardSalted(s: SparkSession, d: String): DataFrame = {
+    val (purchases, signups) = purchasesAndSignups(s, d)
+    asofForwardGe(purchases, signups, Seq("user_id"), Seq("s_uid"), "es", "s_es",
+        engine = asofSaltedLe(_, _, _, _, _, _, buckets = 4, hotThreshold = 8L))
+      .select(col("event_id"), col("user_id"), col("s_es").as("next_signup_s"))
+      .orderBy("event_id")
+  }
+
+  /** The nearest question routed through the SLICED engine (both passes —
+    * the backward pass buckets `es`, the forward pass buckets `-es`, and
+    * each must find carry-ins across its own bucket boundaries). Same
+    * oracle as `asof_join_nearest`.
+    */
+  def asofJoinNearestSliced(s: SparkSession, d: String): DataFrame = {
+    val (purchases, signups) = purchasesAndSignups(s, d)
+    asofNearest(purchases, signups, Seq("user_id"), Seq("s_uid"), "es", "s_es",
+        engine = asofSlicedLe(_, _, _, _, _, _, sliceWidth = 7L * 86400L))
+      .select(col("event_id"), col("user_id"), col("s_es").as("nearest_signup_s"))
+      .orderBy("event_id")
+  }
+
   /** Interval width (seconds) for the overlap join below — one hour, wide
     * enough that the sparse fixture event stream produces a meaningful
     * overlap population at every sf. */
@@ -709,7 +770,9 @@ object TemporalJoins {
     "asof_join_sliced" -> (asofJoinSliced _),
     "asof_join_tolerance" -> (asofJoinTolerance _),
     "asof_join_forward" -> (asofJoinForward _),
+    "asof_join_forward_salted" -> (asofJoinForwardSalted _),
     "asof_join_nearest" -> (asofJoinNearest _),
+    "asof_join_nearest_sliced" -> (asofJoinNearestSliced _),
     "interval_overlap_join" -> (intervalOverlapJoin _))
 
   def oracles: Map[String, String] = Map(
@@ -723,6 +786,10 @@ object TemporalJoins {
     "asof_join_sliced" -> asofJoinNativeSql,
     "asof_join_tolerance" -> asofJoinToleranceSql,
     "asof_join_forward" -> asofJoinForwardSql,
+    // direction × skew-guard compositions must be value-identical to the
+    // bare directions, so they carry the SAME oracles
+    "asof_join_forward_salted" -> asofJoinForwardSql,
     "asof_join_nearest" -> asofJoinNearestSql,
+    "asof_join_nearest_sliced" -> asofJoinNearestSql,
     "interval_overlap_join" -> intervalOverlapJoinSql)
 }

@@ -261,4 +261,44 @@ object AsofJoinProps extends Properties("AsofJoin") {
       runOperator(l, r)(operators.TemporalJoins.asofNearest(
         _, _, Seq("k"), Seq("rk"), "t", "rt")) == nearestReference(l, r)
     }
+
+  /** The full direction × skew-guard matrix: the engines below are
+    * value-invisible backward as-of implementations, so routing a
+    * DIRECTION through any of them must not change a single row. The
+    * guards run on scratch data the directions manufacture (negated
+    * times; renamed right columns in nearest's two passes), which the
+    * direction-only and guard-only properties above never exercise —
+    * salting hashes `-t`, slicing buckets negative times and must carry
+    * across boundaries of the negated axis. Thresholds/widths are small
+    * enough that several keys go hot and most matches cross a slice on
+    * the 0–40 fixture range.
+    */
+  private val engines: List[(String, operators.TemporalJoins.AsofLeEngine)] =
+    List(
+      "salted" -> (operators.TemporalJoins.asofSaltedLe(
+        _, _, _, _, _, _, buckets = 3, hotThreshold = 5L)),
+      "saltedAuto" -> (operators.TemporalJoins.asofSaltedAutoLe(
+        _, _, _, _, _, _, skewRatio = 1.5, maxFactor = 4)),
+      "sliced" -> (operators.TemporalJoins.asofSlicedLe(
+        _, _, _, _, _, _, sliceWidth = 5L)))
+
+  property("forward direction composes with every skew-guard engine") =
+    Prop.forAll(datasets) { case (l, r) =>
+      val want = referenceForward(l, r)
+      Prop.all(engines.map { case (name, eng) =>
+        val got = runOperator(l, r)(operators.TemporalJoins.asofForwardGe(
+          _, _, Seq("k"), Seq("rk"), "t", "rt", engine = eng))
+        Prop(got == want) :| s"forward x $name"
+      }: _*)
+    }
+
+  property("nearest direction composes with every skew-guard engine") =
+    Prop.forAll(datasets) { case (l, r) =>
+      val want = nearestReference(l, r)
+      Prop.all(engines.map { case (name, eng) =>
+        val got = runOperator(l, r)(operators.TemporalJoins.asofNearest(
+          _, _, Seq("k"), Seq("rk"), "t", "rt", engine = eng))
+        Prop(got == want) :| s"nearest x $name"
+      }: _*)
+    }
 }

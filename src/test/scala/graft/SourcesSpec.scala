@@ -448,7 +448,11 @@ class SourcesSpec extends AnyFunSuite {
     val j = s2.sql(
       """SELECT k, t, rt FROM probes_sql LEFT JOIN quotes_sql
         |ON k = rk AND asof_le(t, rt)""".stripMargin)
-    assert(j.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    // the tiny fixture sits under autoBroadcastJoinThreshold, so size-based
+    // selection picks the broadcast exec — either native exec proves the
+    // pure-SQL strategy wiring this test is about
+    val planStr = j.queryExecution.executedPlan.toString
+    assert(planStr.contains("AsofJoin") || planStr.contains("AsofBroadcastJoin"))
     assert(j.collect().map(r => (r.getLong(0),
       if (r.isNullAt(2)) -1L else r.getLong(2))).toSet ===
       Set((1L, 8L), (2L, -1L))) // latest prior; no quote <= t=3 for k=2
