@@ -561,16 +561,17 @@ object Dedup {
 
   // ---------------------------------------------- incremental (persisted index)
   /** Per-JVM local path for the persisted dedup index of corpus `d`
-    * (keyed on the corpus dir so sf0.01 / sf0.1 never collide, and on a
-    * per-JVM run id so concurrent JVMs — bench next to tests — never
-    * race each other's writes). In production this is a table location;
-    * here it's a tmp dir. */
-  private val indexRunId = java.util.UUID.randomUUID().toString.take(8)
+    * (keyed on the corpus dir so sf0.01 / sf0.1 never collide; the parent
+    * is a fresh per-JVM temp dir so concurrent JVMs — bench next to tests
+    * — never race each other's writes, and a shutdown hook deletes the
+    * whole tree so repeated runs don't accumulate corpus-sized index
+    * trees in tmp, [[Scratch.tempParent]]). In production this is a table
+    * location; here it's a tmp dir. */
+  private lazy val indexScratchParent: java.nio.file.Path =
+    Scratch.tempParent("graft_dedup_index")
   def dedupIndexDir(d: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-dedup-index-$tag-$indexRunId").getAbsolutePath
+    val tag = f"${graft.functions.Portable.hash28Jvm(d)}%08x"
+    new java.io.File(indexScratchParent.toFile, tag).getAbsolutePath
   }
 
   /** Maintenance job: materialize the HISTORY side's dedup artifacts —
@@ -611,12 +612,19 @@ object Dedup {
     * measure the read path the plan spec proves. The spec exercises the
     * two halves separately to prove the read path's scan set. */
   private val builtIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  // the build must run at most once per corpus: TrieMap.getOrElseUpdate
+  // may evaluate a racing by-name thunk in BOTH threads even though only
+  // one value wins, and two concurrent overwrite-mode writes into the
+  // same deterministic dir clobber each other's files
+  private val indexBuildLock = new Object
   def dedupIncrementalIndexed(s: SparkSession, d: String): DataFrame = {
-    val idx = builtIndexes.getOrElseUpdate(d, {
-      val dir = dedupIndexDir(d)
-      writeDedupIndex(s, d, dir)
-      dir
-    })
+    val idx = indexBuildLock.synchronized {
+      builtIndexes.getOrElseUpdate(d, {
+        val dir = dedupIndexDir(d)
+        writeDedupIndex(s, d, dir)
+        dir
+      })
+    }
     dedupIncrementalFromIndex(s, d, idx)
   }
 

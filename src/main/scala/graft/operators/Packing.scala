@@ -225,20 +225,12 @@ object Packing {
     * Every [[zorderPruning]] call gets its OWN UUID subdir beneath it, so
     * concurrent invocations in one JVM cannot race a layout overwrite
     * against another call's read (the returned DataFrame reads the layout
-    * parquet lazily). The whole tree is deleted by a JVM shutdown hook —
-    * a long-lived JVM accumulates one small subtree per call, bounded by
-    * the handful of invocations Verify/Bench/test actually make. */
-  private lazy val zorderScratchParent: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_zorder")
-    sys.addShutdownHook {
-      import scala.jdk.CollectionConverters._
-      try java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount) // children before parents
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      catch { case _: java.io.IOException => () } // best-effort cleanup
-    }
-    p
-  }
+    * parquet lazily). The whole tree is deleted by a JVM shutdown hook
+    * ([[Scratch.tempParent]]) — a long-lived JVM accumulates one small
+    * subtree per call, bounded by the handful of invocations
+    * Verify/Bench/test actually make. */
+  private lazy val zorderScratchParent: java.nio.file.Path =
+    Scratch.tempParent("graft_zorder")
 
   def zorderPruning(s: SparkSession, d: String): DataFrame = {
     val out = java.nio.file.Files

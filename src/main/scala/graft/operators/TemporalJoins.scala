@@ -201,27 +201,44 @@ object TemporalJoins {
     require(buckets > 0 && leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
     // the scratch columns must not clobber caller columns — fail loudly
     // instead of silently dropping a same-named input column at the end
-    val scratch = Set("__hot", "__hot_n", "__lsalt", "__rsalt")
+    val scratch = Set("__hot_n", "__sf", "__lsalt", "__rsalt")
     require((left.columns ++ right.columns).forall(c => !scratch.contains(c)),
       s"input columns may not use the reserved names ${scratch.mkString(", ")}")
-    val hot = broadcast( // bounded: ≤ |left| / hotThreshold rows by construction
-      left.groupBy(leftKeys.map(col): _*).agg(count(lit(1)).as("__hot_n"))
-        .filter(col("__hot_n") > hotThreshold)
-        .select(leftKeys.map(col): _*))
+    // bounded: ≤ |left| / hotThreshold rows by construction; every hot key
+    // gets the same caller-fixed salt factor
+    val hot = left.groupBy(leftKeys.map(col): _*).agg(count(lit(1)).as("__hot_n"))
+      .filter(col("__hot_n") > hotThreshold)
+      .select(leftKeys.map(col) :+ lit(buckets).cast("int").as("__sf"): _*)
+    saltedTail(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      broadcast(hot))
+  }
+
+  /** The salting tail shared by every salted as-of form ([[asofSaltedLe]],
+    * [[asofSaltedAutoLe]]): given a hot frame of (left key columns,
+    * `__sf`: per-key salt factor ≥ 1), tag-join it to both sides, spread
+    * hot LEFT rows across their key's `__sf` salt values (deterministic
+    * murmur3 of key + time), REPLICATE hot RIGHT rows to every salt value
+    * of their key, leave cold keys at salt 0, and join with the salt as
+    * one more equi-conjunct so `AsofJoinStrategy` plans the same native
+    * exec clustered on (key, salt). One implementation, so a fix here
+    * (e.g. the round-9 column-order restore) reaches every form at once. */
+  private def saltedTail(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String, hot: DataFrame): DataFrame = {
     val lSalted = left
-      .join(hot.withColumn("__hot", lit(1)), leftKeys, "left")
+      .join(hot, leftKeys, "left")
       .withColumn("__lsalt",
-        when(col("__hot").isNotNull,
-          pmod(hash(leftKeys.map(col) :+ col(leftTime): _*), lit(buckets)))
+        when(col("__sf").isNotNull,
+          pmod(hash(leftKeys.map(col) :+ col(leftTime): _*), col("__sf")))
           .otherwise(lit(0)))
-      .drop("__hot")
-    val rHot = hot.toDF(rightKeys: _*).withColumn("__hot", lit(1))
+      .drop("__sf")
+    val rHot = hot.toDF(rightKeys :+ "__sf": _*)
     val rSalted = right
       .join(rHot, rightKeys, "left")
       .withColumn("__rsalt", explode(
-        when(col("__hot").isNotNull, sequence(lit(0), lit(buckets - 1)))
+        when(col("__sf").isNotNull, sequence(lit(0), col("__sf") - 1))
           .otherwise(array(lit(0)))))
-      .drop("__hot")
+      .drop("__sf")
     // backtick-quote caller names so dots/reserved words parse as plain
     // column references, never as struct access or syntax
     val cond = (leftKeys.zip(rightKeys).map { case (a, b) => s"`$a` = `$b`" } :+
@@ -261,13 +278,27 @@ object TemporalJoins {
     *    diagnostic's rule — so the threshold tracks the data; the median
     *    runs as `percentile_approx` on the per-key COUNTS frame (one row
     *    per key; the approx form is the stated extreme-cardinality
-    *    posture of the diagnostic, exercised here);
+    *    posture of the diagnostic, exercised here) and lands on the
+    *    driver as a single scalar literal (one row by construction);
     *  - each hot key gets its OWN salt factor `ceil(count / median)`
     *    capped at `maxFactor` (the diagnostic's `salt_factor` column),
     *    so a 50×-median key fans out ~50 ways while a 5×-median key
     *    replicates its history only 5× — per-key-proportional balance
     *    the one-global-bucket-count form cannot give without paying the
-    *    hottest key's replication on every hot key.
+    *    hottest key's replication on every hot key;
+    *  - the hot set is bounded ABSOLUTELY by `maxHotKeys` (hottest
+    *    first, deterministic key tiebreak). The relative rule alone does
+    *    not bound it: on a long-tail corpus where the median key count
+    *    is 1, EVERY key appearing more than `skewRatio` times is "hot",
+    *    up to |left|/skewRatio keys. Keys beyond the top-`maxHotKeys`
+    *    stay unsalted — correct (salting any subset of keys is exact)
+    *    and by construction colder than every key that was salted. The
+    *    bound is what makes the collected hot set a sanctioned
+    *    driver-side artifact (≤ maxHotKeys small rows, the codebook
+    *    pattern), served back as one broadcast local relation so the
+    *    per-key counts aggregation executes exactly twice (median pass +
+    *    hot-set pass) — the manual form's two-pass ledger — instead of
+    *    once per tag join.
     *
     * Same exactness argument as [[asofSaltedLe]]: the salt is derived
     * from left columns only, hot right histories are replicated into
@@ -275,47 +306,37 @@ object TemporalJoins {
     * `asof_join_salted_auto` carries `asof_join_native`'s DuckDB oracle
     * and `AsofSaltedSpec` pins balance parity with the manual
     * configuration on the engineered 50×-median fixture. Output columns:
-    * left then right, caller order.
+    * left then right, caller order. Note the hot-set derivation runs two
+    * Spark jobs at CALL time (eager, like the diagnostic it embeds).
     */
   def asofSaltedAutoLe(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
-      skewRatio: Double = 4.0, maxFactor: Int = 64): DataFrame = {
-    require(skewRatio >= 1.0 && maxFactor > 0 &&
+      skewRatio: Double = 4.0, maxFactor: Int = 64,
+      maxHotKeys: Int = 10000): DataFrame = {
+    require(skewRatio >= 1.0 && maxFactor > 0 && maxHotKeys > 0 &&
       leftKeys.nonEmpty && leftKeys.size == rightKeys.size)
-    val scratch = Set("__n", "__med", "__sf", "__lsalt", "__rsalt")
+    val scratch = Set("__n", "__sf", "__lsalt", "__rsalt")
     require((left.columns ++ right.columns).forall(c => !scratch.contains(c)),
       s"input columns may not use the reserved names ${scratch.mkString(", ")}")
     val counts = left.groupBy(leftKeys.map(col): _*).agg(count(lit(1)).as("__n"))
-    val med = counts.agg(
-      expr("percentile_approx(CAST(__n AS DOUBLE), 0.5, 10000)").as("__med"))
-    // bounded: a hot key holds > skewRatio × median rows, so there are
-    // fewer than |left| / (skewRatio × median) of them — small by
-    // construction, which is what makes the broadcast tag join safe
-    val hot = broadcast(
-      counts.crossJoin(med) // med is one row: broadcast, not a real product
-        .filter(col("__n") > col("__med") * skewRatio)
-        .select(leftKeys.map(col) :+
-          least(ceil(col("__n") / col("__med")), lit(maxFactor.toLong))
-            .cast("int").as("__sf"): _*))
-    val lSalted = left
-      .join(hot, leftKeys, "left")
-      .withColumn("__lsalt",
-        when(col("__sf").isNotNull,
-          pmod(hash(leftKeys.map(col) :+ col(leftTime): _*), col("__sf")))
-          .otherwise(lit(0)))
-      .drop("__sf")
-    val rHot = hot.toDF(rightKeys :+ "__sf": _*)
-    val rSalted = right
-      .join(rHot, rightKeys, "left")
-      .withColumn("__rsalt", explode(
-        when(col("__sf").isNotNull, sequence(lit(0), col("__sf") - 1))
-          .otherwise(array(lit(0)))))
-      .drop("__sf")
-    val cond = (leftKeys.zip(rightKeys).map { case (a, b) => s"`$a` = `$b`" } :+
-      "__lsalt = __rsalt" :+ s"asof_le(`$leftTime`, `$rightTime`)").mkString(" AND ")
-    lSalted.join(rSalted, expr(cond), "left")
-      .select((left.columns ++ right.columns).map(c => col(s"`$c`")): _*)
+    val medRow = counts.agg(
+      expr("percentile_approx(CAST(__n AS DOUBLE), 0.5, 10000)")).first()
+    // empty left → null percentile → empty hot set either way; counts are
+    // ≥ 1 per key so a real median is ≥ 1
+    val med = if (medRow.isNullAt(0)) 1.0 else medRow.getDouble(0).max(1.0)
+    val hotDF = counts
+      .filter(col("__n") > lit(med * skewRatio))
+      .orderBy(col("__n").desc +: leftKeys.map(col): _*)
+      .limit(maxHotKeys)
+      .select(leftKeys.map(col) :+
+        least(ceil(col("__n") / lit(med)), lit(maxFactor.toLong))
+          .cast("int").as("__sf"): _*)
+    val hotRows = hotDF.collect() // bounded: ≤ maxHotKeys rows
+    val hot = left.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), hotDF.schema)
+    saltedTail(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      broadcast(hot))
   }
 
   /** The `asof_join_native` question through [[asofSaltedAutoLe]] with a

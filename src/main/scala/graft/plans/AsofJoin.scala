@@ -75,9 +75,16 @@ case class AsofLE(leftTime: Expression, rightTime: Expression)
   * `spark.sql.autoBroadcastJoinThreshold`; otherwise the sort-merge
   * [[AsofJoinExec]]. Either way the broadcast build is guarded by a
   * documented ROW budget (`graft.asof.maxBroadcastRows`, default 10M):
-  * each task builds a hash index over the broadcast rows, so a hinted
+  * each task builds a hash index over the broadcast rows, so a
   * fact-scale side must fail loudly at build time — with a message naming
-  * the budget and the fix — rather than OOM an executor.
+  * the budget and the fix FOR THE PATH THAT CHOSE IT (drop the hint vs.
+  * lower the size threshold) — rather than OOM an executor. The
+  * size-estimate path is additionally vetoed at planning time when the
+  * right side's row-count statistic already exceeds the budget: a
+  * dictionary/RLE-compressed table can sit under the byte threshold at
+  * ~1 byte/row while holding far more rows than the index budget, and an
+  * UNHINTED query must then keep the working merge plan, not trade it
+  * for a guaranteed runtime failure.
   */
 object AsofJoinStrategy extends SparkStrategy with PredicateHelper {
 
@@ -123,12 +130,16 @@ object AsofJoinStrategy extends SparkStrategy with PredicateHelper {
           val threshold = conf.autoBroadcastJoinThreshold
           val bySize = threshold > 0 && r.stats.sizeInBytes >= 0 &&
             r.stats.sizeInBytes <= threshold
-          if (hinted || bySize) {
-            val budget = conf.getConfString(
-              MaxBroadcastRowsKey, MaxBroadcastRowsDefault.toString).toLong
+          val budget = conf.getConfString(
+            MaxBroadcastRowsKey, MaxBroadcastRowsDefault.toString).toLong
+          // veto the size-estimate path when row stats already know the
+          // side is over the index budget (hint still wins — the user
+          // asked, and gets the loud hinted diagnosis if it's too big)
+          val sizeOk = bySize && !r.stats.rowCount.exists(_ > budget)
+          if (hinted || sizeOk)
             AsofBroadcastJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
-              budget) :: Nil
-          } else
+              budget, hintedSelection = hinted) :: Nil
+          else
             AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
         case _ => Nil
       }
@@ -296,15 +307,20 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   * with zero fact movement.
   *
   * `maxBuildRows` (from `graft.asof.maxBroadcastRows` at planning time)
-  * guards the build: a hinted side that arrives bigger than the budget
-  * fails the task with a diagnosis naming the budget and the fix,
-  * BEFORE the per-task index allocates — loud failure, not an executor
-  * OOM (`AsofJoinSpec` pins the error path).
+  * guards the build: a side that arrives bigger than the budget fails
+  * the task with a diagnosis naming the budget and the fix, BEFORE the
+  * per-task index allocates — loud failure, not an executor OOM
+  * (`AsofJoinSpec` pins both error paths). `hintedSelection` records WHY
+  * the planner chose broadcast, so the diagnosis names a fix that
+  * exists: "remove the broadcast() hint" is useless advice on an
+  * auto-selected plan whose size estimate misjudged the row count —
+  * that path is told to lower/disable the size threshold instead.
   */
 case class AsofBroadcastJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    maxBuildRows: Long = AsofJoinStrategy.MaxBroadcastRowsDefault)
+    maxBuildRows: Long = AsofJoinStrategy.MaxBroadcastRowsDefault,
+    hintedSelection: Boolean = true)
     extends BinaryExecNode {
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
@@ -329,12 +345,18 @@ case class AsofBroadcastJoinExec(left: SparkPlan, right: SparkPlan,
       // already resident (Spark's exchange enforces its own 8 GB/512M-row
       // caps), but the per-task hash index roughly doubles that footprint
       // per running task — the thing that OOMs first on a mis-hinted side
-      if (broadcastRows.value.length > budget)
+      if (broadcastRows.value.length > budget) {
+        val fix = if (hintedSelection)
+          "remove the broadcast() hint (the sort-merge exec handles any size)"
+        else
+          "the spark.sql.autoBroadcastJoinThreshold size estimate misjudged " +
+            "the row count — lower or disable (-1) the threshold for this " +
+            "query so the sort-merge exec plans instead"
         throw new IllegalStateException(
           s"as-of broadcast build side has ${broadcastRows.value.length} rows, " +
             s"over the ${AsofJoinStrategy.MaxBroadcastRowsKey}=$budget budget: " +
-            "remove the broadcast() hint (the sort-merge exec handles any size) " +
-            "or raise the budget for a genuinely dimension-sized table")
+            s"$fix, or raise the budget for a genuinely dimension-sized table")
+      }
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
       val rTimeBound = BindReferences.bindReference(rightTime, right.output)
       // per-task index build: key -> (sorted times, rows in that order)

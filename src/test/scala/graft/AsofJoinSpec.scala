@@ -168,6 +168,80 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-selected broadcast over the budget names the threshold fix, not a hint the user never wrote") {
+    GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    val probes = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
+    // NO broadcast() hint, and read via parquet so the relation has a
+    // SIZE estimate but NO row-count statistic (a local relation knows
+    // its row count, and the planner's veto would correctly keep the
+    // merge plan — that path is the next test's subject)
+    val dir = java.nio.file.Files.createTempDirectory("asof_auto_budget").toString
+    Seq((10L, 50L, "a"), (10L, 60L, "b"), (10L, 70L, "c"),
+      (10L, 80L, "d"), (10L, 90L, "e")).toDF("rk", "rt", "tag")
+      .write.mode("overwrite").parquet(dir)
+    val quotes = spark.read.parquet(dir)
+    val prev = spark.conf.getOption(plans.AsofJoinStrategy.MaxBroadcastRowsKey)
+    try {
+      spark.conf.set(plans.AsofJoinStrategy.MaxBroadcastRowsKey, "3")
+      val joined = probes.join(quotes, expr("k = rk AND asof_le(t, rt)"), "left")
+      // inspect without executing (planOf's collect would throw here —
+      // that throw is this test's subject)
+      assert(joined.queryExecution.executedPlan.toString.contains("AsofBroadcastJoin"),
+        "fixture no longer exercises the size-estimate selection path")
+      val ex = intercept[Exception] { joined.collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      val all = messages(ex).mkString("\n")
+      assert(all.contains(plans.AsofJoinStrategy.MaxBroadcastRowsKey) &&
+        all.contains("autoBroadcastJoinThreshold") &&
+        !all.contains("remove the broadcast() hint"),
+        s"auto-selection budget violation mis-diagnosed:\n$all")
+    } finally prev match {
+      case Some(v) => spark.conf.set(plans.AsofJoinStrategy.MaxBroadcastRowsKey, v)
+      case None => spark.conf.unset(plans.AsofJoinStrategy.MaxBroadcastRowsKey)
+    }
+  }
+
+  test("size-estimate selection is vetoed when row stats already exceed the budget") {
+    GraftStrategies.register(spark)
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    // a compact table can sit under the BYTE threshold while holding more
+    // ROWS than the index budget — with ANALYZE'd row stats visible, the
+    // unhinted path must keep the merge plan instead of planning a
+    // guaranteed runtime failure
+    val name = "asof_veto_quotes"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    (0 until 500).map(i => (10L, i.toLong, s"q$i")).toDF("rk", "rt", "tag")
+      .write.mode("overwrite").saveAsTable(name)
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+    val probes = Seq((1L, 10L, 100L)).toDF("id", "k", "t")
+    val prevBudget = spark.conf.getOption(plans.AsofJoinStrategy.MaxBroadcastRowsKey)
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true") // surfaces rowCount stats
+      def planFor(): String = planOf(probes.join(
+        spark.table(name), expr("k = rk AND asof_le(t, rt)"), "left"))
+      spark.conf.set(plans.AsofJoinStrategy.MaxBroadcastRowsKey, "100")
+      val vetoed = planFor()
+      assert(vetoed.contains("AsofJoin [") && !vetoed.contains("AsofBroadcastJoin"),
+        s"row-stats veto did not keep the merge plan:\n$vetoed")
+      // same shape with the budget above the row count: broadcast again
+      spark.conf.set(plans.AsofJoinStrategy.MaxBroadcastRowsKey, "100000")
+      assert(planFor().contains("AsofBroadcastJoin"),
+        "budget over the row count should restore the size-estimate selection")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      prevBudget match {
+        case Some(v) => spark.conf.set(plans.AsofJoinStrategy.MaxBroadcastRowsKey, v)
+        case None => spark.conf.unset(plans.AsofJoinStrategy.MaxBroadcastRowsKey)
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
   test("fixture agreement with an independent per-purchase computation") {
     val got = operators.TemporalJoins.asofJoinNative(spark, sf).collect()
       .map(r => r.getAs[Long]("event_id") ->
