@@ -71,17 +71,33 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as a long
-    * (`spark.sql.legacy.parquet.nanosAsLong`, runtime-settable SQLConf) and
-    * convert to a microsecond TimestampType column; the fixture generator
-    * emits microsecond-resolution values, so the ns→µs floor is lossless.
+  /** `events.ts` arrives in whatever physical form the fixture generator
+    * of the day used, so the reader adapts to the scanned type instead of
+    * assuming one generation:
+    *
+    *  - parquet TIMESTAMP(NANOS) (rounds ≤8): Spark 4 refuses it by
+    *    default (PARQUET_TYPE_ILLEGAL), so nanos are read as a long
+    *    (`spark.sql.legacy.parquet.nanosAsLong`, runtime-settable SQLConf)
+    *    and floored to a microsecond TimestampType — lossless, the
+    *    generator emits µs-resolution values;
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 9+):
+    *    Spark scans it as TIMESTAMP_NTZ; cast to TimestampType under the
+    *    fixed UTC session zone — the same instants the nanos path
+    *    produced, so every downstream query, window and oracle is
+    *    unchanged;
+    *  - TimestampType: already the canonical form.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -120,22 +120,15 @@ class StreamingParitySpec extends AnyFunSuite {
     // the batch flagship; in append mode only windows the final watermark
     // passed are emitted — those must match the batch result exactly.
     val batchEvents = Tables.events(spark, sf)
-    // the file source wants a directory; stage the fixture file into one
+    // the file source wants a directory; stage the CANONICAL events frame
+    // (Tables.events already normalized ts to TimestampType whatever the
+    // fixture generation wrote), so the streamed side needs no per-format
+    // conversion of its own
     val stageDir = java.nio.file.Files.createTempDirectory("graft_replay")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      stageDir.resolve("events.parquet"))
+    batchEvents.write.mode("overwrite").parquet(stageDir.toString)
     val stream = graft.sources.Sources.parquetStream(
-        spark, stageDir.toString,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-      .select("event_time", "user_id")
+        spark, stageDir.toString, batchEvents.schema)
+      .select(col("ts").as("event_time"), col("user_id"))
     val q = Streams.demo2WindowedCounts(stream)
       .writeStream.format("memory").queryName("parity_out")
       .outputMode("append").start()
@@ -154,5 +147,6 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.nonEmpty)
     assert(batch.subsetOf(streamed),
       s"batch windows missing from stream: ${(batch -- streamed).take(5)}")
+    SparkTestSession.deleteRecursively(stageDir.toString)
   }
 }
