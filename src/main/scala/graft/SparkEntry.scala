@@ -24,7 +24,7 @@ object SparkEntry {
     BeamParity.queries ++ Relational.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Skew.queries ++
       TemporalJoins.queries ++ TimeSeries.queries ++ Packing.queries ++
-      DataQuality.queries
+      DataQuality.queries ++ Scoring.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
     BeamParity.oracles ++ Relational.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Skew.oracles ++
       TemporalJoins.oracles ++ TimeSeries.oracles ++ Packing.oracles ++
-      DataQuality.oracles
+      DataQuality.oracles ++ Scoring.oracles
 }

@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** Corpus scoring & selection — the "which documents do we train on"
+  * battery of a pretraining-data pipeline, complementing the dedup family
+  * (which asks "which documents are copies") and the quality battery in
+  * [[TextAnalysis]] (surface heuristics). All three operators here score
+  * documents against corpus-level statistics that are themselves computed
+  * distributively, so the pattern is always: one tokenize pass → small
+  * statistics relation → broadcast/join back → per-doc aggregate.
+  *
+  * Reference context: the reference pipeline (Demo1/Demo2) stops at
+  * parse/window/count; these operators are the north-star extension the
+  * build plan (SURVEY.md §7.2 round 9) assigns to the LLM-pipeline
+  * surface, with DuckDB oracles like every other batch query.
+  */
+object Scoring {
+
+  // ------------------------------------------------- n-gram LM perplexity
+  /** Bigram-LM perplexity scoring (the CCNet/KenLM-style quality filter):
+    * train add-k-smoothed bigram statistics on the corpus itself, then
+    * score every document by its average bigram log-probability and
+    * perplexity. Lower perplexity = more "corpus-typical" text; a
+    * pretraining pipeline thresholds or buckets on this to drop
+    * gibberish and boilerplate.
+    *
+    *   P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V),  k = 0.5,
+    *   V = corpus distinct-unigram count,
+    *   avg_logp(doc) = Σ m(bg)·ln P(bg) / Σ m(bg),  ppl = e^(−avg_logp).
+    *
+    * Shape at scale: the corpus is tokenized ONCE into a per-doc bigram
+    * tf frame (doc_id-keyed partial aggregate, localCheckpoint'd so the
+    * training branch reads the aggregate instead of re-tokenizing — the
+    * [[TextAnalysis.textTfidf]] pattern). Bigram totals c2 and context
+    * totals c1 are vocabulary-bounded aggregates OF that frame; V is a
+    * single-row broadcast. Scoring joins tf ⟕ c2 ⟕ c1 on the n-gram key —
+    * vocabulary-sized relations, so Catalyst broadcasts them when they
+    * fit and shuffle-joins otherwise — then one doc_id-keyed weighted
+    * average. No driver-side state; every relation is an aggregate.
+    * Scores are rounded to 4 dp (ln agreement at that precision is the
+    * established [[TextAnalysis.textTfidf]] contract); ppl is derived
+    * from the UNROUNDED average, rounded to 2 dp.
+    */
+  def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s) // shingle arrays get exploded
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .repartition(col("doc_id"))
+    // per-doc bigram term frequencies — the one tokenize+explode pass
+    val tf = docs
+      .select(col("doc_id"), explode(Portable.shingles(col("w"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val c2 = tf.groupBy("bg").agg(sum("m").as("c2"))
+    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("pre"))
+      .agg(sum("c2").as("c1"))
+    val v = docs.select(explode(col("w")).as("t"))
+      .agg(countDistinct("t").as("v"))
+    val scored = tf
+      .join(c2, "bg")
+      .join(c1, substring_index(tf("bg"), " ", 1) === c1("pre"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("m"),
+        log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("v")))
+          .as("logp"))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_bigrams"),
+        (sum(col("m") * col("logp")) / sum("m")).as("avg_logp"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("avg_logp"), 4).as("avg_logp"),
+        round(exp(-col("avg_logp")), 2).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  val lmPerplexitySql: String = {
+    val sh2 = Portable.shinglesSql(2)
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id, unnest($sh2) AS bg FROM d),
+       |tf AS (SELECT doc_id, bg, count(*) AS m FROM bg GROUP BY 1, 2),
+       |c2 AS (SELECT bg, sum(m) AS c2 FROM tf GROUP BY 1),
+       |c1 AS (SELECT split_part(bg, ' ', 1) AS pre, sum(c2) AS c1
+       |       FROM c2 GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v FROM
+       |       (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |sc AS (SELECT tf.doc_id, tf.m,
+       |         ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS logp
+       |       FROM tf JOIN c2 USING (bg)
+       |       JOIN c1 ON split_part(tf.bg, ' ', 1) = c1.pre CROSS JOIN v),
+       |agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       |          sum(m * logp) / sum(m) AS avg_logp
+       |        FROM sc GROUP BY 1)
+       |SELECT docs.doc_id, agg.n_bigrams,
+       |  round(agg.avg_logp, 4) AS avg_logp,
+       |  round(exp(-agg.avg_logp), 2) AS ppl
+       |FROM (SELECT doc_id FROM documents) docs LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------- BM25 top-k
+  /** BM25-scored retrieval: rank the corpus against a fixed query-term
+    * set and return the top 15 — the evaluation/retrieval primitive of a
+    * data pipeline (finding near-query documents for decontamination or
+    * RAG eval). Okapi BM25 with k1 = 1.2, b = 0.75 and
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Shape at scale: tokens are filtered to the query terms BEFORE any
+    * aggregation, so the tf frame is |Q|-bounded per doc; df and the
+    * (N, avgdl) statistics are single-row/|Q|-row broadcasts; the only
+    * corpus-wide exchange is the doc_id-keyed partial count, and the
+    * final top-k is a TakeOrderedAndProject (no global sort). Scores are
+    * rounded to 4 dp BEFORE ranking so both engines agree at rank
+    * boundaries; ties broken by doc_id.
+    */
+  def bm25Topk(s: SparkSession, d: String): DataFrame = {
+    val terms = Bm25Terms
+    val k1 = 1.2; val b = 0.75
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"),
+        avg(size(col("w")).cast("double")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + (col("dl") / col("avgdl") * b + (1.0 - b)) * k1))
+          .as("contrib"))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 4).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(15)
+  }
+
+  /** Fixed query-term set for [[bm25Topk]] (drawn from the fixture
+    * vocabulary; any out-of-corpus term simply contributes df = 0 rows).
+    */
+  val Bm25Terms: Seq[String] = Seq("join", "vector", "stream")
+
+  val bm25TopkSql: String = {
+    val lst = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |stats AS (SELECT count(*) AS n_docs,
+       |            avg(CAST(len(w) AS DOUBLE)) AS avgdl FROM d),
+       |toks AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |           unnest(w) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |       FROM toks WHERE term IN ($lst) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |           (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |           AS contrib
+       |       FROM tf JOIN df USING (term) CROSS JOIN stats)
+       |SELECT doc_id, round(sum(contrib), 4) AS bm25,
+       |  CAST(count(*) AS BIGINT) AS n_terms
+       |FROM sc GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin
+  }
+
+  // ----------------------------------------- DSIR importance weighting
+  /** Hashed n-gram importance weights (the DSIR recipe — Data Selection
+    * via Importance Resampling, Xie et al. 2023): estimate a target and a
+    * raw unigram distribution over B hashed feature buckets, then weight
+    * every document by its log importance ratio
+    *
+    *   log w(doc) = Σ_tokens [ ln p̂_target(bucket(tok)) −
+    *                           ln p̂_raw(bucket(tok)) ],
+    *
+    * with add-1 smoothing: p̂(b) = (c(b)+1)/(n+B). The target slice here
+    * is `lang = 'en'` (the fixture's majority class standing in for the
+    * curated domain); `keep` flags docs whose tokens look more
+    * target-like than corpus-like. Bucketing uses the engine-portable
+    * [[Portable.hash28]] so the oracle reproduces the exact buckets.
+    *
+    * Shape at scale: ONE tokenize pass builds a (doc_id, bucket) partial
+    * count; bucket statistics are a B-row aggregate (B = 256 — FIXED,
+    * independent of corpus size, the whole point of feature hashing) and
+    * their totals a single row, so the scoring join is always a
+    * broadcast; the only corpus-wide exchange is the doc_id aggregate.
+    * This is the distribution-matching selector that complements
+    * [[lmPerplexity]] (fluency) and [[TextAnalysis.textQuality]]
+    * (surface form).
+    */
+  def importanceWeights(s: SparkSession, d: String): DataFrame = {
+    val B = 256
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(Portable.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (Portable.hash28(col("tok")) % B).as("bucket"))
+    // (doc_id, bucket) partial counts — reused by doc scoring AND, via a
+    // second aggregate, by the bucket/global statistics (one scan total)
+    val docBuckets = toks
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("m_tgt"))
+      .localCheckpoint()
+    val buckets = docBuckets.groupBy("bucket")
+      .agg(sum("m").as("c_raw"), sum("m_tgt").as("c_tgt"))
+    val totals = buckets.agg(sum("c_raw").as("n_raw"), sum("c_tgt").as("n_tgt"))
+    val ratios = buckets.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("c_tgt") + lit(1.0)) / (col("n_tgt") + lit(B.toDouble))) -
+          log((col("c_raw") + lit(1.0)) / (col("n_raw") + lit(B.toDouble))))
+          .as("lr"))
+    docBuckets.join(broadcast(ratios), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_toks"),
+        sum(col("m") * col("lr")).as("log_w"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("log_w"), 4).as("log_w"),
+        (col("log_w") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val importanceWeightsSql: String = {
+    val h = Portable.hash28Sql("tok")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |tb AS (SELECT doc_id, lang, ($h % 256) AS bucket FROM toks),
+       |db AS (SELECT doc_id, bucket, count(*) AS m,
+       |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS m_tgt
+       |       FROM tb GROUP BY 1, 2),
+       |b AS (SELECT bucket, sum(m) AS c_raw, sum(m_tgt) AS c_tgt
+       |      FROM db GROUP BY 1),
+       |t AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM b),
+       |r AS (SELECT bucket,
+       |        ln((c_tgt + 1.0) / (n_tgt + 256.0)) -
+       |        ln((c_raw + 1.0) / (n_raw + 256.0)) AS lr
+       |      FROM b CROSS JOIN t),
+       |sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_toks,
+       |         sum(m * lr) AS log_w
+       |       FROM db JOIN r USING (bucket) GROUP BY 1)
+       |SELECT doc_id, n_toks, round(log_w, 4) AS log_w,
+       |  log_w > 0 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_perplexity" -> (lmPerplexity _),
+    "bm25_topk" -> (bm25Topk _),
+    "importance_weights" -> (importanceWeights _))
+
+  def oracles: Map[String, String] = Map(
+    "lm_perplexity" -> lmPerplexitySql,
+    "bm25_topk" -> bm25TopkSql,
+    "importance_weights" -> importanceWeightsSql)
+}
