@@ -103,6 +103,79 @@ object Scoring {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- persisted LM model serving
+  /** Persist the trained bigram-LM statistics so scoring never re-trains —
+    * the maintenance/serving split of [[lmPerplexity]], completing the
+    * pattern set by `Similarity.writeAnnIndex` and
+    * `Dedup.writeDedupIndex`: training is a multi-full-pass batch job
+    * that runs ONCE; serving a probe batch reads only the model
+    * artifacts and the probes.
+    *
+    * Artifacts under `dir`: `c2` (bigram counts), `c1` (context totals —
+    * derived from the PERSISTED c2 so the two relations can never
+    * drift), `meta` (one row: corpus distinct-unigram count V). At
+    * 100 TB the model is vocabulary-bounded — orders of magnitude
+    * smaller than the corpus — which is exactly why the training scan
+    * must not be re-run per scoring batch.
+    */
+  def writeLmModel(s: SparkSession, d: String, dir: String): Unit = {
+    Tables.tuneSession(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+    docs.select(explode(Portable.shingles(col("w"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+      .write.mode("overwrite").parquet(s"$dir/c2")
+    s.read.parquet(s"$dir/c2")
+      .groupBy(substring_index(col("bg"), " ", 1).as("pre"))
+      .agg(sum("c2").as("c1"))
+      .write.mode("overwrite").parquet(s"$dir/c1")
+    docs.select(explode(col("w")).as("t"))
+      .agg(countDistinct("t").as("v"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Score a probe batch `(doc_id, text)` against pre-trained LM
+    * relations — the serving half. Same formula and output schema as
+    * [[lmPerplexity]], with one generalization the in-corpus query never
+    * needs: out-of-vocabulary n-grams. A bigram absent from c2 scores
+    * (0+k)/(c1+kV); an unseen context scores k/(kV) = 1/V — both finite,
+    * the add-k guarantee. Plan shape: probes tokenize once, model
+    * relations are vocabulary-bounded joins (broadcast when they fit),
+    * one doc_id-keyed aggregate; the corpus is never scanned.
+    */
+  def lmScoreBatch(probes: DataFrame, c2: DataFrame, c1: DataFrame,
+      v: DataFrame): DataFrame = {
+    Tables.tuneSession(probes.sparkSession)
+    val tf = probes
+      .select(col("doc_id"),
+        explode(Portable.shingles(Portable.tokens(col("text")), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("m"))
+    val scored = tf
+      .join(c2, Seq("bg"), "left")
+      .join(c1, substring_index(tf("bg"), " ", 1) === c1("pre"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("m"),
+        log((coalesce(col("c2"), lit(0L)) + lit(0.5)) /
+          (coalesce(col("c1"), lit(0L)) + lit(0.5) * col("v"))).as("logp"))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_bigrams"),
+        (sum(col("m") * col("logp")) / sum("m")).as("avg_logp"))
+    probes.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("avg_logp"), 4).as("avg_logp"),
+        round(exp(-col("avg_logp")), 2).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  /** Convenience serving entry: read the persisted model and score. */
+  def lmScoreFromModel(s: SparkSession, modelDir: String,
+      probes: DataFrame): DataFrame =
+    lmScoreBatch(probes,
+      s.read.parquet(s"$modelDir/c2"),
+      s.read.parquet(s"$modelDir/c1"),
+      s.read.parquet(s"$modelDir/meta"))
+
   // --------------------------------------------------------- BM25 top-k
   /** BM25-scored retrieval: rank the corpus against a fixed query-term
     * set and return the top 15 — the evaluation/retrieval primitive of a

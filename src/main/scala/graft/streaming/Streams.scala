@@ -979,6 +979,48 @@ object Streams {
     (q, dim)
   }
 
+  // ------------------------------------------------- streaming LM scoring
+  /** One micro-batch of the streaming perplexity-scoring leg — the online
+    * twin of the batch `lm_perplexity` query: arriving `(doc_id, text)`
+    * rows are scored against the PERSISTED bigram-LM model
+    * (`Scoring.writeLmModel` artifacts) through literally the same
+    * `Scoring.lmScoreBatch` composition the batch serving path plans.
+    * Enrichment is per-record — no cross-batch state — so replay parity
+    * with the batch scoring is exact, and a redelivered batch
+    * byte-replaces its own `batch_id=<id>` directory instead of appending
+    * duplicates (the [[upsertBatch]] idempotence discipline). This is the
+    * ingestion-time quality gate: a pipeline scores documents as they
+    * arrive against a model trained offline on the accepted corpus.
+    */
+  def lmScoreSinkBatch(batch: DataFrame, id: Long, c2: DataFrame,
+      c1: DataFrame, v: DataFrame, outDir: String): Unit =
+    graft.operators.Scoring.lmScoreBatch(batch, c2, c1, v)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  /** Streaming LM scoring over micro-batches of `(doc_id, text)` rows.
+    * The model relations are read and persisted once — every micro-batch
+    * joins against the cached vocabulary-bounded statistics instead of
+    * re-scanning the model parquet (and the corpus is NEVER scanned:
+    * training happened at [[graft.operators.Scoring.writeLmModel]] time).
+    * Returned alongside the query so the caller manages the cache
+    * lifecycle (same contract as [[streamAnnEnrich]]).
+    */
+  def streamLmScore(df: DataFrame, spark: SparkSession, modelDir: String,
+      outDir: String, checkpoint: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, Seq[DataFrame]) = {
+    val cached = Seq(
+      spark.read.parquet(s"$modelDir/c2").persist(),
+      spark.read.parquet(s"$modelDir/c1").persist(),
+      spark.read.parquet(s"$modelDir/meta").persist())
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        lmScoreSinkBatch(batch.toDF(), id, cached(0), cached(1), cached(2), outDir)
+      }
+      .start()
+    (q, cached)
+  }
+
   // ------------------------------------------- stream-stream as-of join
   /** Tagged union row for [[streamAsofJoin]]: `side` is "L" (probe) or
     * "R" (build); `event_id` is carried for probes only (right rows pass
