@@ -94,6 +94,74 @@ object TextAnalysis {
       |  CAST(${QualityBpSqlFrag} AS BIGINT) AS quality_bp
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- Gopher-style gate
+  /** Gopher-style quality rule gate (Rae et al. 2021 §A1.1 adapted to the
+    * fixture's vocabulary): four independent per-document rules —
+    * token-count bounds, mean-word-length bounds, lexical-diversity
+    * floor, duplicate-bigram-mass ceiling (the within-doc repetition
+    * signal) — each reported as its own verdict column plus the
+    * conjunction (`keep`), so a curation run can see WHICH rule rejected
+    * a document, not just that one did. Thresholds are chosen to split
+    * the fixture population on every rule (verified at sf0.001 and
+    * sf0.01), so both verdict branches carry rows.
+    *
+    * Everything is integer arithmetic (centi-chars, basis points, integer
+    * division) — the [[textQuality]] lesson: no rounding semantics in the
+    * contract at all. One scan, one projection, no shuffle but the output
+    * sort; per-doc work is array expressions over a single tokenize.
+    */
+  def qualityGopher(s: SparkSession, d: String): DataFrame = {
+    val w = Portable.tokens(col("text"))
+    val bg = Portable.shingles(w, 2)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(w).cast("long").as("n"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("ch"),
+        size(array_distinct(w)).cast("long").as("nd"),
+        size(bg).cast("long").as("nbg"),
+        size(array_distinct(bg)).cast("long").as("ndbg"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr("(ch * 100) div n").as("mwl_c"),
+        expr("(nd * 10000) div n").as("diversity_bp"),
+        expr("((nbg - ndbg) * 10000) div greatest(nbg, 1)").as("dup2_bp"),
+        col("n").between(30L, 1000L).as("r_len"),
+        expr("(ch * 100) div n").between(380L, 500L).as("r_wordlen"),
+        (expr("(nd * 10000) div n") >= 3500L).as("r_diversity"),
+        (expr("((nbg - ndbg) * 10000) div greatest(nbg, 1)") <= 600L)
+          .as("r_repetition"))
+      .withColumn("keep",
+        col("r_len") && col("r_wordlen") && col("r_diversity") && col("r_repetition"))
+      .orderBy("doc_id")
+  }
+
+  val qualityGopherSql: String = {
+    val sh2 = Portable.shinglesSql(2)
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    length(replace(text, ' ', '')) AS ch
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, len(w) AS n, ch,
+       |    len(list_distinct(w)) AS nd,
+       |    len($sh2) AS nbg,
+       |    len(list_distinct($sh2)) AS ndbg
+       |  FROM d),
+       |m AS (
+       |  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |    CAST((ch * 100) // n AS BIGINT) AS mwl_c,
+       |    CAST((nd * 10000) // n AS BIGINT) AS diversity_bp,
+       |    CAST(((nbg - ndbg) * 10000) // greatest(nbg, 1) AS BIGINT) AS dup2_bp
+       |  FROM s)
+       |SELECT doc_id, n_tokens, mwl_c, diversity_bp, dup2_bp,
+       |  n_tokens BETWEEN 30 AND 1000 AS r_len,
+       |  mwl_c BETWEEN 380 AND 500 AS r_wordlen,
+       |  diversity_bp >= 3500 AS r_diversity,
+       |  dup2_bp <= 600 AS r_repetition,
+       |  (n_tokens BETWEEN 30 AND 1000) AND (mwl_c BETWEEN 380 AND 500)
+       |    AND diversity_bp >= 3500 AND dup2_bp <= 600 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- token count
   /** Whitespace vs BPE-ish (regex subword) token counts, rolled up per
     * source. The regex `[a-z]+|[0-9]+|\S` is a stand-in for a BPE
@@ -893,6 +961,7 @@ object TextAnalysis {
     "text_tfidf" -> (textTfidf _),
     "text_token_stats" -> (textTokenStats _),
     "text_quality" -> (textQuality _),
+    "quality_gopher" -> (qualityGopher _),
     "token_count" -> (tokenCount _),
     "text_fingerprint" -> (textFingerprint _),
     "text_rolling_hash" -> (textRollingHash _),
@@ -915,6 +984,7 @@ object TextAnalysis {
     "text_tfidf" -> textTfidfSql,
     "text_token_stats" -> textTokenStatsSql,
     "text_quality" -> textQualitySql,
+    "quality_gopher" -> qualityGopherSql,
     "token_count" -> tokenCountSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_rolling_hash" -> textRollingHashSql,

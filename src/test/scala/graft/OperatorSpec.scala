@@ -944,4 +944,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(e3.getMessage != null && e3.getMessage.contains("null op"),
       s"expected the null-op raise, got: ${e3.getMessage}")
   }
+
+  test("quality_gopher: every rule fires somewhere, keep = conjunction, both branches populated") {
+    // threshold materiality at both SFs: a rule that never rejects (or
+    // never passes) is a constant, not a gate
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.TextAnalysis.qualityGopher(spark, dir).collect()
+      assert(rows.nonEmpty)
+      val rules = Seq("r_len", "r_wordlen", "r_diversity", "r_repetition")
+      rules.foreach { r =>
+        val vals = rows.map(_.getAs[Boolean](r)).toSet
+        assert(vals == Set(true, false), s"$dir: rule $r is constant ($vals)")
+      }
+      rows.foreach { row =>
+        val expect = rules.forall(row.getAs[Boolean](_))
+        assert(row.getAs[Boolean]("keep") == expect,
+          s"$dir: keep != conjunction for doc ${row.getAs[Long]("doc_id")}")
+      }
+      val kept = rows.count(_.getAs[Boolean]("keep"))
+      assert(kept > 0 && kept < rows.length,
+        s"$dir: gate is degenerate ($kept of ${rows.length} kept)")
+    }
+  }
 }
