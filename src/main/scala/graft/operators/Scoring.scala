@@ -61,22 +61,38 @@ object Scoring {
       .agg(sum("c2").as("c1"))
     val v = docs.select(explode(col("w")).as("t"))
       .agg(countDistinct("t").as("v"))
+    scoreAgainstLm(tf, c2, c1, v, Tables.documents(s, d).select(col("doc_id")))
+      .orderBy("doc_id")
+  }
+
+  /** THE definition of the LM scoring composition — one copy of the
+    * formula (k = 0.5 add-k smoothing, weighted average, 4 dp/2 dp
+    * rounding) shared by [[lmPerplexity]] and [[lmScoreBatch]], so a
+    * smoothing or rounding change can never drift between the in-corpus
+    * query and the serving path. Left joins + coalesce are
+    * value-identical to inner joins when every n-gram is in-model (the
+    * in-corpus case) and are the OOV generalization when it is not.
+    * Output is UNORDERED — the oracle-facing entry adds its
+    * presentation sort; the serving/streaming paths must not pay a
+    * per-batch range exchange for an order no consumer reads.
+    */
+  private def scoreAgainstLm(tf: DataFrame, c2: DataFrame, c1: DataFrame,
+      v: DataFrame, docIds: DataFrame): DataFrame = {
     val scored = tf
-      .join(c2, "bg")
-      .join(c1, substring_index(tf("bg"), " ", 1) === c1("pre"))
+      .join(c2, Seq("bg"), "left")
+      .join(c1, substring_index(tf("bg"), " ", 1) === c1("pre"), "left")
       .crossJoin(broadcast(v))
       .select(col("doc_id"), col("m"),
-        log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("v")))
-          .as("logp"))
+        log((coalesce(col("c2"), lit(0L)) + lit(0.5)) /
+          (coalesce(col("c1"), lit(0L)) + lit(0.5) * col("v"))).as("logp"))
       .groupBy("doc_id")
       .agg(sum("m").as("n_bigrams"),
         (sum(col("m") * col("logp")) / sum("m")).as("avg_logp"))
-    Tables.documents(s, d).select(col("doc_id"))
+    docIds
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_bigrams"),
         round(col("avg_logp"), 4).as("avg_logp"),
         round(exp(-col("avg_logp")), 2).as("ppl"))
-      .orderBy("doc_id")
   }
 
   val lmPerplexitySql: String = {
@@ -141,7 +157,9 @@ object Scoring {
     * (0+k)/(c1+kV); an unseen context scores k/(kV) = 1/V — both finite,
     * the add-k guarantee. Plan shape: probes tokenize once, model
     * relations are vocabulary-bounded joins (broadcast when they fit),
-    * one doc_id-keyed aggregate; the corpus is never scanned.
+    * one doc_id-keyed aggregate; the corpus is never scanned. Output is
+    * UNORDERED (the [[scoreAgainstLm]] contract): a per-micro-batch sink
+    * must not pay a range exchange for presentation order.
     */
   def lmScoreBatch(probes: DataFrame, c2: DataFrame, c1: DataFrame,
       v: DataFrame): DataFrame = {
@@ -150,22 +168,7 @@ object Scoring {
       .select(col("doc_id"),
         explode(Portable.shingles(Portable.tokens(col("text")), 2)).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("m"))
-    val scored = tf
-      .join(c2, Seq("bg"), "left")
-      .join(c1, substring_index(tf("bg"), " ", 1) === c1("pre"), "left")
-      .crossJoin(broadcast(v))
-      .select(col("doc_id"), col("m"),
-        log((coalesce(col("c2"), lit(0L)) + lit(0.5)) /
-          (coalesce(col("c1"), lit(0L)) + lit(0.5) * col("v"))).as("logp"))
-      .groupBy("doc_id")
-      .agg(sum("m").as("n_bigrams"),
-        (sum(col("m") * col("logp")) / sum("m")).as("avg_logp"))
-    probes.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_bigrams"),
-        round(col("avg_logp"), 4).as("avg_logp"),
-        round(exp(-col("avg_logp")), 2).as("ppl"))
-      .orderBy("doc_id")
+    scoreAgainstLm(tf, c2, c1, v, probes.select(col("doc_id")))
   }
 
   /** Convenience serving entry: read the persisted model and score. */
@@ -192,6 +195,7 @@ object Scoring {
     * boundaries; ties broken by doc_id.
     */
   def bm25Topk(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s) // token arrays get exploded
     val terms = Bm25Terms
     val k1 = 1.2; val b = 0.75
     val docs = Tables.documents(s, d)
@@ -199,12 +203,17 @@ object Scoring {
     val stats = docs
       .agg(count(lit(1)).as("n_docs"),
         avg(size(col("w")).cast("double")).as("avgdl"))
+    // tf is materialized once (it is |Q|-bounded per doc), so the df
+    // branch reads the aggregate instead of re-scanning and re-tokenizing
+    // the corpus — Catalyst plans sibling branches independently and would
+    // otherwise run the scan+explode twice (the textTfidf pattern)
     val tf = docs
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
         explode(col("w")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .localCheckpoint()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
@@ -272,6 +281,7 @@ object Scoring {
     * (surface form).
     */
   def importanceWeights(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s) // token arrays get exploded
     val B = 256
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -297,9 +307,13 @@ object Scoring {
       .groupBy("doc_id")
       .agg(sum("m").as("n_toks"),
         sum(col("m") * col("lr")).as("log_w"))
+      // keep derives from the ROUNDED weight: the sign of a raw
+      // double sum near zero is summation-order noise both engines
+      // would hash-compare as a boolean — the same instability the
+      // integer-verdict queries engineered out
       .select(col("doc_id"), col("n_toks"),
         round(col("log_w"), 4).as("log_w"),
-        (col("log_w") > 0).as("keep"))
+        (round(col("log_w"), 4) > 0).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -323,7 +337,7 @@ object Scoring {
        |         sum(m * lr) AS log_w
        |       FROM db JOIN r USING (bucket) GROUP BY 1)
        |SELECT doc_id, n_toks, round(log_w, 4) AS log_w,
-       |  log_w > 0 AS keep
+       |  round(log_w, 4) > 0 AS keep
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 

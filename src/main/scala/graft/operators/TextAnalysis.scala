@@ -123,12 +123,16 @@ object TextAnalysis {
       .select(col("doc_id"), col("n").as("n_tokens"),
         expr("(ch * 100) div n").as("mwl_c"),
         expr("(nd * 10000) div n").as("diversity_bp"),
-        expr("((nbg - ndbg) * 10000) div greatest(nbg, 1)").as("dup2_bp"),
-        col("n").between(30L, 1000L).as("r_len"),
-        expr("(ch * 100) div n").between(380L, 500L).as("r_wordlen"),
-        (expr("(nd * 10000) div n") >= 3500L).as("r_diversity"),
-        (expr("((nbg - ndbg) * 10000) div greatest(nbg, 1)") <= 600L)
-          .as("r_repetition"))
+        expr("((nbg - ndbg) * 10000) div greatest(nbg, 1)").as("dup2_bp"))
+      // verdicts derive from the metric COLUMNS (one definition of each
+      // formula — the textQuality two-stage pattern), so metric and rule
+      // can never desynchronize
+      .select(col("doc_id"), col("n_tokens"), col("mwl_c"),
+        col("diversity_bp"), col("dup2_bp"),
+        col("n_tokens").between(30L, 1000L).as("r_len"),
+        col("mwl_c").between(380L, 500L).as("r_wordlen"),
+        (col("diversity_bp") >= 3500L).as("r_diversity"),
+        (col("dup2_bp") <= 600L).as("r_repetition"))
       .withColumn("keep",
         col("r_len") && col("r_wordlen") && col("r_diversity") && col("r_repetition"))
       .orderBy("doc_id")

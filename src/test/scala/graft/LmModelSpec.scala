@@ -50,8 +50,11 @@ class LmModelSpec extends AnyFunSuite {
       assert(paths.exists(_.endsWith("/c2")) && paths.exists(_.endsWith("/c1")),
         s"serving plan misses the model relations: $paths")
 
-      val got = served.collect().map(key).toSeq
+      // the serving path is deliberately unordered (no per-batch range
+      // exchange for presentation order) — compare sorted
+      val got = served.collect().map(key).toSeq.sortBy(_._1)
       val expected = Scoring.lmPerplexity(spark, sf).collect().map(key).toSeq
+        .sortBy(_._1)
       assert(got.nonEmpty && got == expected,
         s"served (${got.size} rows) != in-memory (${expected.size} rows)")
     } finally SparkTestSession.deleteRecursively(dir)

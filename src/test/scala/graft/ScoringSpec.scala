@@ -110,8 +110,9 @@ class ScoringSpec extends AnyFunSuite {
       assert(r.getLong(1) == nt, s"n_toks for doc ${r.getLong(0)}")
       assert(math.abs(r.getDouble(2) - lw) < 1e-3,
         s"log_w for doc ${r.getLong(0)}")
-      assert(r.getBoolean(3) == lw > 0 ||
-        math.abs(lw) < 1e-6, s"keep for doc ${r.getLong(0)}")
+      // keep is defined on the ROUNDED weight in the query contract
+      val lwR = BigDecimal(lw).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      assert(r.getBoolean(3) == lwR > 0, s"keep for doc ${r.getLong(0)}")
       if (r.getBoolean(3)) kept += 1
     }
     // the en slice IS the target distribution, so at least the en-heavy
