@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+import graft.operators.{Dedup, Packing, TextAnalysis}
+
+/** End-to-end batch curation smoke run — the composed pipeline a
+  * pretraining-data user actually operates, driven through the SAME
+  * operators the oracle-checked queries use, with each stage writing a
+  * derived corpus the next stage reads (the checkpoint-between-stages
+  * shape of a real 100 TB curation run, where every stage boundary is a
+  * restart point):
+  *
+  *   raw corpus → Gopher quality gate → exact dedup (fingerprint
+  *   keep-first) → leakage-safe cluster split audit → sequence packing.
+  *
+  * Each stage's invariant is checked (monotone funnel, survivor =
+  * distinct-fingerprint count, split conservation, token conservation
+  * through packing); one PASS/FAIL line per stage, non-zero exit on any
+  * failure — the [[StreamingSmoke]] contract for the batch side.
+  *
+  * Usage: runMain graft.tools.CurationSmoke [sfDir]   (default sf0.001)
+  */
+object CurationSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val base = graft.operators.Scratch.tempParent("graft-curation-").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var failed = false
+    def check(name: String, ok: Boolean, detail: String): Unit = {
+      println(s"[curation] $name: ${if (ok) "PASS" else "FAIL"} ($detail)")
+      if (!ok) failed = true
+    }
+    def nDocs(dir: String): Long = Tables.documents(spark, dir).count()
+    def nTokens(dir: String): Long = Tables.documents(spark, dir)
+      .agg(sum(size(Portable.tokens(col("text"))))).collect()(0).getLong(0)
+
+    try {
+      val n0 = nDocs(sfDir)
+      val t0 = nTokens(sfDir)
+
+      // stage 1 — Gopher quality gate: keep only docs passing all rules
+      val s1 = s"$base/s1"
+      val kept = TextAnalysis.qualityGopher(spark, sfDir)
+        .filter(col("keep")).select("doc_id")
+      Tables.documents(spark, sfDir).join(kept, "doc_id")
+        .write.parquet(s"$s1/documents.parquet")
+      val n1 = nDocs(s1)
+      check("quality_gate", n1 > 0 && n1 < n0,
+        s"docs $n0 -> $n1, tokens $t0 -> ${nTokens(s1)}")
+
+      // stage 2 — exact dedup: keep the first doc per normalized
+      // fingerprint (THE shared identity every dedup operator uses)
+      val s2 = s"$base/s2"
+      val survivors = Tables.documents(spark, s1)
+        .withColumn("fp", Portable.docFingerprint)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rk") === 1).drop("fp", "rk")
+      survivors.write.parquet(s"$s2/documents.parquet")
+      val n2 = nDocs(s2)
+      val distinctFp = Tables.documents(spark, s1)
+        .select(Portable.docFingerprint.as("fp")).distinct().count()
+      check("exact_dedup", n2 == distinctFp && n2 <= n1,
+        s"docs $n1 -> $n2 (distinct fingerprints $distinctFp)")
+
+      // stage 3 — leakage-safe cluster split audit on the deduped corpus
+      val split = Dedup.splitLeakageSafe(spark, s2).collect()
+      val splitDocs = split.map(_.getAs[Long]("n_docs")).sum
+      check("leakage_safe_split",
+        split.length == 3 && splitDocs == n2,
+        s"splits=${split.map(r => s"${r.getString(0)}:${r.getAs[Long]("n_docs")}").mkString(",")} sum=$splitDocs of $n2")
+
+      // stage 4 — sequence packing: token mass is conserved into bins
+      val packed = Packing.packSequences(spark, s2).collect()
+      val packedTokens = packed.map(_.getAs[Long]("n_tokens")).sum
+      val t2 = nTokens(s2)
+      val bins = packed.map(_.getAs[Long]("bin_id")).sorted
+      check("pack_sequences",
+        packedTokens == t2 && bins.sameElements(bins.indices.map(_.toLong)),
+        s"bins=${packed.length} tokens=$packedTokens of $t2")
+    } finally spark.stop() // scratch dir is removed by the Scratch hook
+    if (failed) sys.exit(1)
+  }
+}
