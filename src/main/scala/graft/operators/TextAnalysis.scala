@@ -746,6 +746,61 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Iterative BPE merge TRAINING — the real BPE loop the one-shot
+    * [[bpePairCounts]]→[[bpeApplyMerges]] pair approximates: re-count
+    * adjacent symbol pairs after every merge, take the most frequent
+    * (ties: lexicographic on (a, b) — pinned so the brute-force twin can
+    * replicate it), rewrite the corpus greedily left-to-right, repeat.
+    * Returns the learned merge list (a, b, pair count at selection time);
+    * stops early when no pair occurs twice.
+    *
+    * Shape at scale: the corpus lives as a symbol-array column the whole
+    * time; each iteration is ONE pair-count aggregate (vocabulary²-bounded
+    * out) + ONE narrow rewrite pass, with a `localCheckpoint` per round so
+    * the plan never accumulates k rewrites of lineage. Driver state is the
+    * merge list and one top-pair row per round — the bounded codebook
+    * class (`ann_ivf_trained`'s k-means loop is the same shape). The
+    * rewrite is an `aggregate` fold lambda (interpreted, not codegen) —
+    * acceptable for a TRAINING job that runs once; serving-side
+    * application of a FROZEN merge table is [[bpeApplyMerges]]' chained
+    * codegen replaces. Greedy-left semantics: merging (a,a) over
+    * "a a a" yields [a▁a, a] — the fold consumes the left occurrence
+    * first, exactly as the spec's reference fold does.
+    */
+  def bpeTrain(s: SparkSession, d: String, nMerges: Int): Seq[(String, String, Long)] = {
+    val sep = "▁"
+    Tables.tuneSession(s)
+    var syms = Tables.parallelize(s, Tables.documents(s, d).select(col("text")))
+      .select(Portable.tokens(col("text")).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var continue = true
+    while (merges.size < nMerges && continue) {
+      val top = syms
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("cnt") < 2L) continue = false
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((a, b, c))
+        syms = syms.select(aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + sep + b))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
   val bpeApplyMergesSql: String = {
     val shingles2 = Portable.shinglesSql(2)
     s"""WITH RECURSIVE

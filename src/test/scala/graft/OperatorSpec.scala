@@ -945,6 +945,44 @@ class OperatorSpec extends AnyFunSuite {
       s"expected the null-op raise, got: ${e3.getMessage}")
   }
 
+  test("bpeTrain: learned merge list matches a brute-force reference trainer") {
+    // independent plain-Scala reimplementation of the loop: same tie rule
+    // (count desc, then lexicographic (a, b)), same greedy-left fold
+    val n = 6
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0).split(" "))
+    var docs: Seq[Array[String]] = texts.toSeq
+    val expected = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var go = true
+    while (expected.size < n && go) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      docs.foreach(d => d.sliding(2).filter(_.length == 2).foreach { p =>
+        counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + 1L
+      })
+      if (counts.isEmpty || counts.values.max < 2) go = false
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+        expected += ((a, b, c))
+        val merged = a + "▁" + b
+        docs = docs.map { d =>
+          val acc = scala.collection.mutable.ArrayBuffer[String]()
+          d.foreach { x =>
+            if (acc.nonEmpty && acc.last == a && x == b) {
+              acc.remove(acc.size - 1); acc += merged
+            } else acc += x
+          }
+          acc.toArray
+        }
+      }
+    }
+    val got = operators.TextAnalysis.bpeTrain(spark, sf, n)
+    assert(got.nonEmpty && got == expected.toSeq,
+      s"got $got\nexpected $expected")
+    // counts at selection time must be non-increasing: each round merges
+    // the then-most-frequent pair
+    assert(got.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
   test("quality_gopher: every rule fires somewhere, keep = conjunction, both branches populated") {
     // threshold materiality at both SFs: a rule that never rejects (or
     // never passes) is a constant, not a gate
