@@ -110,32 +110,42 @@ object TextAnalysis {
     * contract at all. One scan, one projection, no shuffle but the output
     * sort; per-doc work is array expressions over a single tokenize.
     */
-  def qualityGopher(s: SparkSession, d: String): DataFrame = {
+  def qualityGopher(s: SparkSession, d: String): DataFrame =
+    gopherVerdicts(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .drop("text")
+      .orderBy("doc_id")
+
+  /** The df-level seam of [[qualityGopher]] — appends the four metric
+    * columns and five verdict columns to ANY frame carrying `text`,
+    * preserving the input columns, so the batch query and the streaming
+    * gate ([[graft.streaming.Streams.streamQualityGate]]) score with
+    * literally the same rules. Verdicts derive from the metric COLUMNS
+    * (one definition of each formula — the textQuality two-stage
+    * pattern), so metric and rule can never desynchronize.
+    */
+  def gopherVerdicts(docs: DataFrame): DataFrame = {
     val w = Portable.tokens(col("text"))
     val bg = Portable.shingles(w, 2)
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(w).cast("long").as("n"),
-        length(regexp_replace(col("text"), " ", "")).cast("long").as("ch"),
-        size(array_distinct(w)).cast("long").as("nd"),
-        size(bg).cast("long").as("nbg"),
-        size(array_distinct(bg)).cast("long").as("ndbg"))
-      .select(col("doc_id"), col("n").as("n_tokens"),
-        expr("(ch * 100) div n").as("mwl_c"),
-        expr("(nd * 10000) div n").as("diversity_bp"),
-        expr("((nbg - ndbg) * 10000) div greatest(nbg, 1)").as("dup2_bp"))
-      // verdicts derive from the metric COLUMNS (one definition of each
-      // formula — the textQuality two-stage pattern), so metric and rule
-      // can never desynchronize
-      .select(col("doc_id"), col("n_tokens"), col("mwl_c"),
-        col("diversity_bp"), col("dup2_bp"),
+    docs
+      .select(col("*"),
+        size(w).cast("long").as("__n"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("__ch"),
+        size(array_distinct(w)).cast("long").as("__nd"),
+        size(bg).cast("long").as("__nbg"),
+        size(array_distinct(bg)).cast("long").as("__ndbg"))
+      .select(col("*"),
+        col("__n").as("n_tokens"),
+        expr("(__ch * 100) div __n").as("mwl_c"),
+        expr("(__nd * 10000) div __n").as("diversity_bp"),
+        expr("((__nbg - __ndbg) * 10000) div greatest(__nbg, 1)").as("dup2_bp"))
+      .drop("__n", "__ch", "__nd", "__nbg", "__ndbg")
+      .select(col("*"),
         col("n_tokens").between(30L, 1000L).as("r_len"),
         col("mwl_c").between(380L, 500L).as("r_wordlen"),
         (col("diversity_bp") >= 3500L).as("r_diversity"),
         (col("dup2_bp") <= 600L).as("r_repetition"))
       .withColumn("keep",
         col("r_len") && col("r_wordlen") && col("r_diversity") && col("r_repetition"))
-      .orderBy("doc_id")
   }
 
   val qualityGopherSql: String = {

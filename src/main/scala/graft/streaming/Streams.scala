@@ -1021,6 +1021,42 @@ object Streams {
     (q, cached)
   }
 
+  // ------------------------------------------------ streaming quality gate
+  /** One micro-batch of the streaming quality gate: arriving `(doc_id,
+    * text)` rows are scored with the SAME rule battery the batch
+    * `quality_gopher` query applies (`TextAnalysis.gopherVerdicts` — one
+    * definition of the rules), then routed: `keep` rows to the accepted
+    * corpus, rejected rows to a quarantine that RETAINS the per-rule
+    * verdict columns — the blame a curation operator reads to tune
+    * thresholds (the dead-letter discipline of [[appendWithDeadLetter]],
+    * applied to semantic rejection instead of parse failure). Both sinks
+    * are `batch_id=` byte-replace idempotent; the verdict frame is
+    * persisted so the two routes score each document once, not twice.
+    */
+  def qualityGateBatch(batch: DataFrame, id: Long, outDir: String): Unit = {
+    val v = graft.operators.TextAnalysis.gopherVerdicts(batch).persist()
+    try {
+      v.filter(col("keep")).drop("keep")
+        .write.mode("overwrite").parquet(s"$outDir/accepted/batch_id=$id")
+      v.filter(!col("keep")).drop("keep")
+        .write.mode("overwrite").parquet(s"$outDir/rejected/batch_id=$id")
+    } finally { v.unpersist(); () }
+  }
+
+  /** Streaming quality gate over micro-batches of `(doc_id, text)` rows —
+    * the ingestion-time twin of the batch `quality_gopher` query. Scoring
+    * is per-record (no cross-batch state), so replay parity with the
+    * batch verdicts is exact.
+    */
+  def streamQualityGate(df: DataFrame, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        qualityGateBatch(batch.toDF(), id, outDir)
+      }
+      .start()
+
   // ------------------------------------------- stream-stream as-of join
   /** Tagged union row for [[streamAsofJoin]]: `side` is "L" (probe) or
     * "R" (build); `event_id` is carried for probes only (right rows pass

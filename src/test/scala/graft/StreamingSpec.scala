@@ -766,4 +766,41 @@ class StreamingSpec extends AnyFunSuite {
         s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming quality gate: accepted+rejected replay equals the batch verdicts, rejects carry blame") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = SparkTestSession.sf
+    val outDir = java.nio.file.Files.createTempDirectory("graft-gate-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gate-ckpt").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamQualityGate(
+      in.toDF().toDF("doc_id", "text"), outDir, ckpt)
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val accepted = spark.read.parquet(s"$outDir/accepted")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val rejected = spark.read.parquet(s"$outDir/rejected")
+      val rejectedIds = rejected.select("doc_id").collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.TextAnalysis.qualityGopher(spark, sf).collect()
+      val batchKeep = batch.filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+      val batchDrop = batch.filterNot(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+      assert(accepted == batchKeep && rejectedIds == batchDrop,
+        s"gate-only accepts: ${(accepted -- batchKeep).take(3)}; " +
+          s"batch-only accepts: ${(batchKeep -- accepted).take(3)}")
+      assert((accepted & rejectedIds).isEmpty && accepted.nonEmpty && rejectedIds.nonEmpty)
+      // every quarantined row names at least one failed rule — the blame
+      rejected.collect().foreach { r =>
+        assert(!(r.getAs[Boolean]("r_len") && r.getAs[Boolean]("r_wordlen") &&
+          r.getAs[Boolean]("r_diversity") && r.getAs[Boolean]("r_repetition")),
+          s"rejected doc ${r.getAs[Long]("doc_id")} has no failed rule")
+      }
+    } finally {
+      q.stop()
+      Seq(outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
+    }
+  }
 }
