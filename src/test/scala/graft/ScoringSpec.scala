@@ -86,6 +86,28 @@ class ScoringSpec extends AnyFunSuite {
     }
   }
 
+  test("scoring plans: the corpus is tokenized once, statistics are aggregates") {
+    // pins the PLANS.md plan-audit claims structurally: how many times each
+    // query's optimized plan scans the documents table (everything else
+    // must come from checkpointed aggregates of the one tokenize pass)
+    def docScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if h.location.rootPaths.mkString(",").contains("documents.parquet") => 1
+            case _ => 0
+          }
+      }.sum
+    // lm: V branch + doc_id totality join (tf is a checkpoint leaf)
+    assert(docScans(Scoring.lmPerplexity(spark, sf)) == 2)
+    // bm25: the (n_docs, avgdl) stats branch only (tf is a checkpoint leaf)
+    assert(docScans(Scoring.bm25Topk(spark, sf)) == 1)
+    // dsir: zero — bucket statistics AND scoring both read the one
+    // checkpointed (doc_id, bucket) frame
+    assert(docScans(Scoring.importanceWeights(spark, sf)) == 0)
+  }
+
   test("importance_weights matches a brute-force DSIR computation") {
     val B = 256
     val bucketOf = (tok: String) => Portable.hash28Jvm(tok) % B
