@@ -731,6 +731,59 @@ object Dedup {
        |FROM train t JOIN bench b ON t.gram = b.gram
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Embedding-space decontamination — the SEMANTIC complement of
+    * [[decontaminateNgram]]: flag every training vector whose cosine to
+    * any held-out eval vector reaches the threshold. Lexical overlap
+    * misses paraphrase-level contamination; embedding closeness is how a
+    * modern pipeline catches it. Eval set = the fixture's probe
+    * convention (`vec_id % 100 = 0`); threshold 0.25 is
+    * fixture-calibrated so both verdict branches carry rows at both SFs
+    * (the [[TextAnalysis.qualityGopher]] discipline). Cosine is rounded
+    * to 4 dp AFTER the max and BEFORE the threshold so both engines
+    * agree at the boundary (the [[dedupEmbedding]] contract).
+    *
+    * Shape at scale: the eval set is bounded by definition (the
+    * benchmark-set posture of [[decontaminateNgram]]) and broadcasts;
+    * the corpus is scanned ONCE; the |train| × |eval| dot products are
+    * embarrassingly parallel codegen'd `vec_dot` calls, and the
+    * partial-max aggregate reduces the exchange to one row per train
+    * vector. If the eval set ever outgrew broadcast, the banded
+    * LSH/IVF routes in [[Similarity]] replace the exact pass — the
+    * same exact-vs-banded economics as the dedup family.
+    */
+  def decontaminateEmbedding(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
+    val probes = e.filter(col("vec_id") % 100 === 0)
+    val train = parallelize(s, e.filter(col("vec_id") % 100 =!= 0))
+    train.as("t").crossJoin(broadcast(probes.as("q")))
+      .select(col("t.vec_id").as("vec_id"),
+        (expr("vec_dot(t.embedding, q.embedding)") / (col("t.nrm") * col("q.nrm")))
+          .as("cos"))
+      .groupBy("vec_id")
+      .agg(round(max("cos"), 4).as("max_eval_cos"))
+      .select(col("vec_id"), col("max_eval_cos"),
+        (col("max_eval_cos") >= 0.25).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  val decontaminateEmbeddingSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |probes AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+      |train AS (SELECT * FROM e WHERE vec_id % 100 <> 0),
+      |mc AS (
+      |  SELECT t.vec_id,
+      |    max(list_sum(list_transform(range(1, len(t.embedding) + 1),
+      |        i -> CAST(t.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+      |      AS mx
+      |  FROM train t CROSS JOIN probes p GROUP BY 1)
+      |SELECT vec_id, round(mx, 4) AS max_eval_cos,
+      |  round(mx, 4) >= 0.25 AS contaminated
+      |FROM mc ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------- clusters
   /** Transitive near-dup clusters: connected components over the LSH
     * candidate pairs (est_jaccard >= 0.5), labels = min doc_id reachable.
@@ -998,7 +1051,8 @@ object Dedup {
     "dedup_spans" -> (dedupSpans _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
-    "decontaminate_ngram" -> (decontaminateNgram _))
+    "decontaminate_ngram" -> (decontaminateNgram _),
+    "decontaminate_embedding" -> (decontaminateEmbedding _))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -1013,5 +1067,6 @@ object Dedup {
     "dedup_spans" -> dedupSpansSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_indexed" -> dedupIncrementalSql,
-    "decontaminate_ngram" -> decontaminateNgramSql)
+    "decontaminate_ngram" -> decontaminateNgramSql,
+    "decontaminate_embedding" -> decontaminateEmbeddingSql)
 }

@@ -945,6 +945,21 @@ class OperatorSpec extends AnyFunSuite {
       s"expected the null-op raise, got: ${e3.getMessage}")
   }
 
+  test("decontaminate_embedding: threshold splits the population; flags track the max cosine") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.Dedup.decontaminateEmbedding(spark, dir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[Boolean]("contaminated") ==
+          (r.getAs[Double]("max_eval_cos") >= 0.25))
+        assert(r.getAs[Long]("vec_id") % 100 != 0, "eval probes must not be scored")
+      }
+      val flagged = rows.count(_.getAs[Boolean]("contaminated"))
+      assert(flagged > 0 && flagged < rows.length,
+        s"$dir: threshold degenerate ($flagged of ${rows.length})")
+    }
+  }
+
   test("bpeTrain: learned merge list matches a brute-force reference trainer") {
     // independent plain-Scala reimplementation of the loop: same tie rule
     // (count desc, then lexicographic (a, b)), same greedy-left fold
