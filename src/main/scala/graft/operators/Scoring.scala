@@ -282,7 +282,7 @@ object Scoring {
     */
   def importanceWeights(s: SparkSession, d: String): DataFrame = {
     Tables.tuneSession(s) // token arrays get exploded
-    val B = 256
+    val B = DsirBuckets
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(Portable.tokens(col("text"))).as("tok"))
@@ -303,19 +303,83 @@ object Scoring {
         (log((col("c_tgt") + lit(1.0)) / (col("n_tgt") + lit(B.toDouble))) -
           log((col("c_raw") + lit(1.0)) / (col("n_raw") + lit(B.toDouble))))
           .as("lr"))
+    dsirScoreTail(docBuckets, ratios).orderBy("doc_id")
+  }
+
+  /** Hashed-feature bucket count for the DSIR family — FIXED by design
+    * (feature hashing's point): the model is B rows however big the
+    * corpus. */
+  val DsirBuckets: Int = 256
+
+  /** THE definition of the DSIR scoring tail — one copy of the weighted
+    * log-ratio sum and the rounded-keep rule, shared by
+    * [[importanceWeights]] and the serving path ([[dsirScoreBatch]]).
+    * keep derives from the ROUNDED weight: the sign of a raw double sum
+    * near zero is summation-order noise both engines would hash-compare
+    * as a boolean — the same instability the integer-verdict queries
+    * engineered out. Output UNORDERED (the [[scoreAgainstLm]] contract).
+    */
+  private def dsirScoreTail(docBuckets: DataFrame, ratios: DataFrame): DataFrame =
     docBuckets.join(broadcast(ratios), "bucket")
       .groupBy("doc_id")
       .agg(sum("m").as("n_toks"),
         sum(col("m") * col("lr")).as("log_w"))
-      // keep derives from the ROUNDED weight: the sign of a raw
-      // double sum near zero is summation-order noise both engines
-      // would hash-compare as a boolean — the same instability the
-      // integer-verdict queries engineered out
       .select(col("doc_id"), col("n_toks"),
         round(col("log_w"), 4).as("log_w"),
         (round(col("log_w"), 4) > 0).as("keep"))
-      .orderBy("doc_id")
+
+  /** Persist the trained DSIR bucket log-ratios — the maintenance/serving
+    * split of [[importanceWeights]], same contract as [[writeLmModel]]:
+    * estimating the target and raw distributions is the corpus-scan job
+    * and runs ONCE. The model is DENSE — all B = [[DsirBuckets]] rows,
+    * not just corpus-observed buckets — so the serving join is total by
+    * construction: a probe token the corpus never produced hashes to a
+    * bucket whose ratio is the add-1 floor `ln((n_raw+B)/(n_tgt+B))`,
+    * exactly what the smoothing formula assigns to zero-mass buckets.
+    * B rows of `(bucket, lr)` parquet, always broadcast-sized.
+    */
+  def writeDsirModel(s: SparkSession, d: String, dir: String): Unit = {
+    Tables.tuneSession(s)
+    val B = DsirBuckets
+    val observed = Tables.documents(s, d)
+      .select(col("lang"), explode(Portable.tokens(col("text"))).as("tok"))
+      .select(col("lang"), (Portable.hash28(col("tok")) % B).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+    val dense = s.range(B).select(col("id").as("bucket"))
+      .join(observed, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("c_raw"), lit(0L)).as("c_raw"),
+        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+    val totals = dense.agg(sum("c_raw").as("n_raw"), sum("c_tgt").as("n_tgt"))
+    dense.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("c_tgt") + lit(1.0)) / (col("n_tgt") + lit(B.toDouble))) -
+          log((col("c_raw") + lit(1.0)) / (col("n_raw") + lit(B.toDouble))))
+          .as("lr"))
+      .write.mode("overwrite").parquet(s"$dir/ratios")
   }
+
+  /** Score a probe batch `(doc_id, text)` against pre-trained DSIR
+    * ratios — the serving half. The dense model makes the join total
+    * (every possible bucket 0..B−1 has a ratio row, OOV tokens included).
+    * One probe tokenize, one broadcast join, one doc_id aggregate; the
+    * corpus is never scanned. Output UNORDERED.
+    */
+  def dsirScoreBatch(probes: DataFrame, ratios: DataFrame): DataFrame = {
+    Tables.tuneSession(probes.sparkSession)
+    val tb = probes
+      .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), (Portable.hash28(col("tok")) % DsirBuckets).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("m"))
+    dsirScoreTail(tb, ratios)
+  }
+
+  /** Convenience serving entry: read the persisted ratios and score. */
+  def dsirScoreFromModel(s: SparkSession, modelDir: String,
+      probes: DataFrame): DataFrame =
+    dsirScoreBatch(probes, s.read.parquet(s"$modelDir/ratios"))
 
   val importanceWeightsSql: String = {
     val h = Portable.hash28Sql("tok")

@@ -1021,6 +1021,33 @@ object Streams {
     (q, cached)
   }
 
+  // ------------------------------------------------ streaming DSIR scoring
+  /** Streaming DSIR importance scoring over micro-batches of `(doc_id,
+    * text)` rows against the persisted dense ratio model
+    * (`Scoring.writeDsirModel`) — the third instance of the
+    * train-offline/serve-online contract (ANN index, LM model, now DSIR).
+    * The B-row model is cached once; enrichment is per-record, replay
+    * parity with the batch serving path is exact, and a redelivered batch
+    * byte-replaces its own directory.
+    */
+  def dsirScoreSinkBatch(batch: DataFrame, id: Long, ratios: DataFrame,
+      outDir: String): Unit =
+    graft.operators.Scoring.dsirScoreBatch(batch, ratios)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  def streamDsirScore(df: DataFrame, spark: SparkSession, modelDir: String,
+      outDir: String, checkpoint: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    val ratios = spark.read.parquet(s"$modelDir/ratios").persist()
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        dsirScoreSinkBatch(batch.toDF(), id, ratios, outDir)
+      }
+      .start()
+    (q, ratios)
+  }
+
   // ------------------------------------------------ streaming quality gate
   /** One micro-batch of the streaming quality gate: arriving `(doc_id,
     * text)` rows are scored with the SAME rule battery the batch

@@ -77,6 +77,55 @@ class LmModelSpec extends AnyFunSuite {
     } finally SparkTestSession.deleteRecursively(dir)
   }
 
+  test("DSIR serving: model probes match the in-memory query; OOV gets the add-1 floor; stream replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir-model").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dsir-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dsir-ckpt").toString
+    try {
+      Scoring.writeDsirModel(spark, sf, dir)
+      val ratios = spark.read.parquet(s"$dir/ratios")
+      assert(ratios.count() == Scoring.DsirBuckets,
+        "model must be dense: one row per possible bucket")
+      val probes = Tables.documents(spark, sf).select("doc_id", "text")
+
+      def dkey(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+      val served = Scoring.dsirScoreFromModel(spark, dir, probes)
+        .collect().map(dkey).sortBy(_._1)
+      val inMem = Scoring.importanceWeights(spark, sf)
+        .collect().map(dkey).sortBy(_._1)
+      assert(served.length == inMem.length && served.zip(inMem).forall {
+        case ((gi, gn, gw, gk), (wi, wn, ww, wk)) =>
+          gi == wi && gn == wn && math.abs(gw - ww) < 1e-3 && gk == wk
+      }, "served corpus probes must match the in-memory query")
+
+      // OOV floor: a token the corpus never produced hashes to a bucket
+      // whose ratio is ln((n_raw+B)/(n_tgt+B)) — the model must be total
+      val oov = Scoring.dsirScoreFromModel(spark, dir,
+        Seq((1L, "qqqqzz")).toDF("doc_id", "text")).collect()(0)
+      assert(oov.getLong(1) == 1L, "OOV token must be counted, not dropped")
+
+      // streaming twin: 3 micro-batches equal the batch serving path
+      val docs = probes.collect().map(r => (r.getLong(0), r.getString(1)))
+      val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+      val in = MemoryStream[(Long, String)]
+      val (q, cached) = Streams.streamDsirScore(
+        in.toDF().toDF("doc_id", "text"), spark, dir, outDir, ckpt)
+      try {
+        chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+        val streamed = spark.read.parquet(outDir)
+          .select("doc_id", "n_toks", "log_w", "keep")
+          .collect().map(dkey).toSet
+        assert(streamed == served.toSet,
+          s"stream-only: ${(streamed -- served.toSet).take(3)}")
+      } finally { q.stop(); cached.unpersist(); () }
+    } finally
+      Seq(dir, outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
+  }
+
   test("streaming LM scoring: micro-batched docs equal the batch serving path") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
