@@ -753,8 +753,13 @@ object Dedup {
     */
   def decontaminateEmbedding(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecFunctions.register(s)
+    // nrm > 0 guard: an all-zero embedding would put NaN/Infinity into the
+    // cosine, and NaN max/round/compare semantics differ between engines —
+    // the guard (mirrored in the oracle SQL) makes the contract total
+    // instead of assuming the fixture carries no zero vectors.
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
+      .filter(col("nrm") > 0)
     val probes = e.filter(col("vec_id") % 100 === 0)
     val train = parallelize(s, e.filter(col("vec_id") % 100 =!= 0))
     train.as("t").crossJoin(broadcast(probes.as("q")))
@@ -769,16 +774,18 @@ object Dedup {
   }
 
   val decontaminateEmbeddingSql: String =
-    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      |probes AS (SELECT * FROM e WHERE vec_id % 100 = 0),
-      |train AS (SELECT * FROM e WHERE vec_id % 100 <> 0),
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |probes AS (SELECT * FROM e WHERE vec_id % 100 = 0 AND nrm > 0),
+      |train AS (SELECT * FROM e WHERE vec_id % 100 <> 0 AND nrm > 0),
       |mc AS (
       |  SELECT t.vec_id,
       |    max(list_sum(list_transform(range(1, len(t.embedding) + 1),
       |        i -> CAST(t.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
-      |      / (sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |       * sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
-      |      AS mx
+      |      / (t.nrm * p.nrm)) AS mx
       |  FROM train t CROSS JOIN probes p GROUP BY 1)
       |SELECT vec_id, round(mx, 4) AS max_eval_cos,
       |  round(mx, 4) >= 0.25 AS contaminated

@@ -236,7 +236,10 @@ object Scoring {
   val Bm25Terms: Seq[String] = Seq("join", "vector", "stream")
 
   val bm25TopkSql: String = {
-    val lst = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    // single quotes doubled on interpolation: the current terms are plain
+    // tokens, but a data-driven term set must not be able to produce
+    // malformed (or injectable) oracle SQL
+    val lst = Bm25Terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |stats AS (SELECT count(*) AS n_docs,
        |            avg(CAST(len(w) AS DOUBLE)) AS avgdl FROM d),

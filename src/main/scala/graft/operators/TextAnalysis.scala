@@ -126,17 +126,25 @@ object TextAnalysis {
   def gopherVerdicts(docs: DataFrame): DataFrame = {
     val w = Portable.tokens(col("text"))
     val bg = Portable.shingles(w, 2)
+    // TOTAL over malformed input: every count is coalesced (NULL text →
+    // size(NULL) = NULL → 0) and every divisor floored with greatest(_, 1),
+    // so a zero-token/NULL document gets integer metrics and FALSE — never
+    // NULL — verdicts. A NULL `keep` would fail both `filter(keep)` and
+    // `filter(!keep)` and silently vanish from BOTH routes of the streaming
+    // gate, the exact dropped-row class the dead-letter discipline exists
+    // to prevent.
     docs
       .select(col("*"),
-        size(w).cast("long").as("__n"),
-        length(regexp_replace(col("text"), " ", "")).cast("long").as("__ch"),
-        size(array_distinct(w)).cast("long").as("__nd"),
-        size(bg).cast("long").as("__nbg"),
-        size(array_distinct(bg)).cast("long").as("__ndbg"))
+        coalesce(size(w).cast("long"), lit(0L)).as("__n"),
+        coalesce(length(regexp_replace(col("text"), " ", "")).cast("long"), lit(0L))
+          .as("__ch"),
+        coalesce(size(array_distinct(w)).cast("long"), lit(0L)).as("__nd"),
+        coalesce(size(bg).cast("long"), lit(0L)).as("__nbg"),
+        coalesce(size(array_distinct(bg)).cast("long"), lit(0L)).as("__ndbg"))
       .select(col("*"),
         col("__n").as("n_tokens"),
-        expr("(__ch * 100) div __n").as("mwl_c"),
-        expr("(__nd * 10000) div __n").as("diversity_bp"),
+        expr("(__ch * 100) div greatest(__n, 1)").as("mwl_c"),
+        expr("(__nd * 10000) div greatest(__n, 1)").as("diversity_bp"),
         expr("((__nbg - __ndbg) * 10000) div greatest(__nbg, 1)").as("dup2_bp"))
       .drop("__n", "__ch", "__nd", "__nbg", "__ndbg")
       .select(col("*"),
@@ -162,8 +170,8 @@ object TextAnalysis {
        |  FROM d),
        |m AS (
        |  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-       |    CAST((ch * 100) // n AS BIGINT) AS mwl_c,
-       |    CAST((nd * 10000) // n AS BIGINT) AS diversity_bp,
+       |    CAST((ch * 100) // greatest(n, 1) AS BIGINT) AS mwl_c,
+       |    CAST((nd * 10000) // greatest(n, 1) AS BIGINT) AS diversity_bp,
        |    CAST(((nbg - ndbg) * 10000) // greatest(nbg, 1) AS BIGINT) AS dup2_bp
        |  FROM s)
        |SELECT doc_id, n_tokens, mwl_c, diversity_bp, dup2_bp,

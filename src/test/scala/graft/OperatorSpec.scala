@@ -1019,4 +1019,32 @@ class OperatorSpec extends AnyFunSuite {
         s"$dir: gate is degenerate ($kept of ${rows.length} kept)")
     }
   }
+
+  test("quality gate is total: empty/NULL/degenerate text gets FALSE, never NULL, verdicts") {
+    // the dropped-row class the dead-letter discipline exists to prevent: a
+    // NULL verdict fails both filter(keep) and filter(!keep) and the row
+    // vanishes from BOTH routes of the streaming gate
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val weird = Seq(
+      (1L, ""), (2L, null.asInstanceOf[String]), (3L, " "),
+      (4L, "a"), (5L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val v = operators.TextAnalysis.gopherVerdicts(weird).collect()
+    assert(v.length == 5)
+    v.foreach { r =>
+      Seq("n_tokens", "mwl_c", "diversity_bp", "dup2_bp").foreach { m =>
+        assert(!r.isNullAt(r.fieldIndex(m)),
+          s"doc ${r.getAs[Long]("doc_id")}: metric $m is NULL") }
+      Seq("r_len", "r_wordlen", "r_diversity", "r_repetition", "keep").foreach { b =>
+        assert(!r.isNullAt(r.fieldIndex(b)),
+          s"doc ${r.getAs[Long]("doc_id")}: verdict $b is NULL") }
+      assert(!r.getAs[Boolean]("keep"),
+        s"doc ${r.getAs[Long]("doc_id")}: degenerate text passed the gate")
+    }
+    // the two routes partition the batch — nothing vanishes, nothing doubles
+    val scored = operators.TextAnalysis.gopherVerdicts(weird)
+    assert(scored.filter(col("keep")).count() +
+      scored.filter(!col("keep")).count() == 5L)
+  }
 }

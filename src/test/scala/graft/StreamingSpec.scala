@@ -803,4 +803,33 @@ class StreamingSpec extends AnyFunSuite {
       Seq(outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
     }
   }
+
+  test("streaming quality gate: a batch with empty/NULL text conserves rows (accepted + quarantined = arrived)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-gate0-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gate0-ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamQualityGate(
+      in.toDF().toDF("doc_id", "text"), outDir, ckpt)
+    try {
+      // one malformed-producer batch: empty text, NULL text, one healthy doc
+      in.addData(Seq(
+        (900001L, ""), (900002L, null.asInstanceOf[String]),
+        (900003L, ("the project builds a stream engine " * 10).trim)))
+      q.processAllAvailable()
+      val accepted = spark.read.parquet(s"$outDir/accepted")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val rejected = spark.read.parquet(s"$outDir/rejected")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert((accepted & rejected).isEmpty)
+      assert(accepted ++ rejected == Set(900001L, 900002L, 900003L),
+        s"rows vanished or doubled: accepted=$accepted rejected=$rejected")
+      assert(rejected.contains(900001L) && rejected.contains(900002L),
+        "degenerate docs must land in quarantine, not disappear")
+    } finally {
+      q.stop()
+      Seq(outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
+    }
+  }
 }
