@@ -477,6 +477,26 @@ object Similarity {
       (greatest(sims: _*).getField("negc") * -1).as("cell"))
   }
 
+  /** Top-2 cell assignment against a driver-held codebook — the probe-side
+    * companion of [[assignCells]] for nprobe = 2 serving: same literal
+    * centroid arrays, one narrow projection, the two best cells read off a
+    * sorted (sim, -cid) struct array (descending struct order = sim desc,
+    * cid asc — the exact [[assignCells]] argmax tie-break, extended to
+    * second place). */
+  private def assignCellsTop2(e: DataFrame,
+      codebook: Seq[(Int, Array[Float])]): DataFrame = {
+    val sims = codebook.map { case (cid, emb) =>
+      val cnorm = math.sqrt(emb.map(v => v.toDouble * v.toDouble).sum)
+      val dot = expr(
+        s"vec_dot(embedding, CAST(array(${emb.mkString(",")}) AS ARRAY<FLOAT>))")
+      struct((dot / (col("nrm") * lit(cnorm))).as("sim"), lit(-cid).as("negc"))
+    }
+    val sorted = sort_array(array(sims: _*), asc = false)
+    e.select(col("vec_id"), col("embedding"), col("nrm"),
+      (element_at(sorted, 1).getField("negc") * -1).as("cell1"),
+      (element_at(sorted, 2).getField("negc") * -1).as("cell2"))
+  }
+
   /** IVF with a TRAINED codebook: a few distributed k-means iterations
     * (assign → per-cell mean via the mergeable [[CentroidAggregator]] →
     * collect the k×64 codebook), then the same serving shape as
@@ -559,6 +579,90 @@ object Similarity {
     // they die with the session or the block manager's LRU.
     serveCells(q, assigned)
   }
+
+  /** Oracle-closed registered form of the trained-IVF query — the
+    * exact-twin + in-bound-verdict pattern that closed the sketch family
+    * (`approx_distinct`, `percentile_tdigest`): the COMPARED frame carries
+    * only engine-portable values — the brute-force cosine top-3 per probe
+    * (DuckDB reproduces it verbatim; `ann_bruteforce_topk`'s SQL at k=3)
+    * — plus boolean verdicts computed in-frame from the engine-specific
+    * trained-IVF halves:
+    *
+    *   - `nprobe2_not_worse`: truth-hits served at nprobe = 2 are >= the
+    *     hits at nprobe = 1. PROVABLE, not fixture-calibrated: the
+    *     nprobe = 2 candidate set is a superset, and a true top-3
+    *     neighbor present in any candidate set always ranks in the
+    *     served top-3 (it outranks every non-true candidate by cosine) —
+    *     so hits are monotone in nprobe at any SF.
+    *   - `trained_recall_floor`: nprobe = 1 recall@3 >= 0.25 — twice the
+    *     ~1/k random-cell baseline (k = 8 cells), with wide margin on the
+    *     fixtures (0.33 at sf0.01, 0.47 at sf0.001). A catastrophic
+    *     k-means regression (empty/garbage codebook → near-random cells)
+    *     lands at the 0.125 baseline and turns the row red.
+    *
+    * A `trained >= untrained` verdict was measured and REJECTED: at
+    * sf0.01 the trained codebook recalls 5/15 vs the untrained first-k's
+    * 6/15 — k-means minimizes quantization error, not boundary-probe
+    * recall, so that comparison is not a stable property (the sf0.001
+    * spec where it happens to hold stays as a spec, not an oracle).
+    * The oracle asserts the two verdicts as literals, so a recall
+    * regression turns the driver's hash compare red while the k-means
+    * internals (centroid floats, cell populations) stay out of the
+    * compared frame where engines could never agree. Raw neighbor
+    * serving stays available as [[annIvfTrainedTopk]] (specs,
+    * `writeAnnIndex`/`annFromIndex`).
+    */
+  def annIvfTrainedRecall(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
+      .localCheckpoint() // read by training passes, probes, and brute truth
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val brute = q.join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qemb"), col("embedding")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "cosine")
+      .localCheckpoint() // read 3×: truth rows + two semi-join probes
+    val codebook = trainCodebook(e)
+    val corpus = assignCells(e, codebook)
+    val probes2 = assignCellsTop2(e.filter(col("vec_id") % 100 === 0), codebook)
+    val q1 = probes2.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+      col("nrm").as("qnrm"), col("cell1").as("cell"))
+    val q2 = probes2.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+      col("nrm").as("qnrm"), explode(array(col("cell1"), col("cell2"))).as("cell"))
+    val truthIds = brute.select("qid", "vec_id")
+    def hits(approx: DataFrame, as: String): DataFrame =
+      truthIds.join(approx.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as(as))
+    val verdict = hits(serveCells(q1, corpus), "h1")
+      .crossJoin(hits(serveCells(q2, corpus), "h2"))
+      .crossJoin(truthIds.agg(count(lit(1)).as("n_truth")))
+      .select(
+        (col("h2") >= col("h1")).as("nprobe2_not_worse"),
+        (col("h1") * 4 >= col("n_truth")).as("trained_recall_floor"))
+    brute.crossJoin(broadcast(verdict))
+      .select(col("qid"), col("rank"), col("vec_id"), col("cosine"),
+        col("nprobe2_not_worse"), col("trained_recall_floor"))
+      .orderBy("qid", "rank")
+  }
+
+  val annIvfTrainedRecallSql: String =
+    s"""WITH scored AS (
+       |  SELECT p.vec_id AS qid, q.vec_id AS vec_id, $cosineSqlPQ AS cosine
+       |  FROM embeddings p JOIN embeddings q ON q.vec_id <> p.vec_id
+       |  WHERE p.vec_id % 100 = 0),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, cosine,
+       |  TRUE AS nprobe2_not_worse, TRUE AS trained_recall_floor
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   // ------------------------------------------------- persisted ANN index
   /** Build and PERSIST the trained-IVF index: the k-means codebook and
@@ -1124,7 +1228,7 @@ object Similarity {
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_nprobe_topk" -> (annIvfNprobeTopk _),
     "embedding_outliers" -> (embeddingOutliers _),
-    "ann_ivf_trained_topk" -> (annIvfTrainedTopk _),
+    "ann_ivf_trained_topk" -> (annIvfTrainedRecall _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "embedding_quantize" -> (embeddingQuantize _),
     "pq_encode" -> (pqEncode _),
@@ -1138,6 +1242,7 @@ object Similarity {
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_ivf_nprobe_topk" -> annIvfNprobeTopkSql,
+    "ann_ivf_trained_topk" -> annIvfTrainedRecallSql,
     "embedding_outliers" -> embeddingOutliersSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "embedding_quantize" -> embeddingQuantizeSql,
