@@ -197,7 +197,6 @@ object Scoring {
   def bm25Topk(s: SparkSession, d: String): DataFrame = {
     Tables.tuneSession(s) // token arrays get exploded
     val terms = Bm25Terms
-    val k1 = 1.2; val b = 0.75
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
     val stats = docs
@@ -215,6 +214,28 @@ object Scoring {
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
       .localCheckpoint()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25ScoreTail(tf, df, stats)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(15)
+  }
+
+  /** THE definition of the Okapi BM25 scoring composition (k1 = 1.2,
+    * b = 0.75, the idf and length-normalization formulas, 4 dp rounding)
+    * — one copy shared by [[bm25Topk]] and the serving path
+    * ([[bm25ScoreBatch]]), the [[scoreAgainstLm]]/[[dsirScoreTail]]
+    * discipline: a formula or rounding change can never drift between
+    * the in-corpus query and model serving. `df`/`stats` are
+    * vocabulary-bounded/single-row broadcasts. The join on `term` is
+    * INNER — a term with no df row (out-of-model vocabulary at serving
+    * time) contributes nothing, which on the training corpus is
+    * value-identical to the in-corpus query (every scored tf term is in
+    * its own document, hence in-model). Output is UNORDERED (the
+    * [[scoreAgainstLm]] contract); the oracle-facing entry adds its
+    * presentation sort + limit.
+    */
+  private def bm25ScoreTail(tf: DataFrame, df: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val k1 = 1.2; val b = 0.75
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
@@ -226,9 +247,61 @@ object Scoring {
       .groupBy("doc_id")
       .agg(round(sum("contrib"), 4).as("bm25"),
         count(lit(1)).as("n_terms"))
-      .orderBy(col("bm25").desc, col("doc_id").asc)
-      .limit(15)
   }
+
+  // ----------------------------------------- persisted BM25 model serving
+  /** Persist the trained BM25 statistics — the maintenance/serving split
+    * of [[bm25Topk]], completing the selector family (LM and DSIR got
+    * their splits in round 9; BM25 was the last selector re-deriving
+    * corpus statistics per invocation). Artifacts under `dir`:
+    * `df` — per-term document frequency over the FULL corpus vocabulary
+    * (|vocabulary|-bounded, so one model serves ANY query-term set, not
+    * just [[Bm25Terms]]); `meta` — one row (n_docs, avgdl). At 100 TB
+    * the corpus-statistics scan runs ONCE here; scoring a probe batch
+    * or ranking against a new query never re-reads the corpus.
+    */
+  def writeBm25Model(s: SparkSession, d: String, dir: String): Unit = {
+    Tables.tuneSession(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+    docs.select(explode(array_distinct(col("w"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/df")
+    docs.agg(count(lit(1)).as("n_docs"),
+        avg(size(col("w")).cast("double")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Score a probe batch `(doc_id, text)` against pre-trained BM25
+    * relations for a query-term set — the serving half. Same formula and
+    * output schema as [[bm25Topk]]'s pre-sort frame, via the shared
+    * [[bm25ScoreTail]]. Pinned OOV semantics: a query term absent from
+    * the MODEL vocabulary has no df row and contributes nothing (inner
+    * join); a probe document containing none of the query terms emits no
+    * row (score 0 by absence — the [[bm25Topk]] convention). The model
+    * df relation is pre-filtered to the query terms so the broadcast is
+    * |Q| rows, not |vocabulary|. One probe tokenize, no corpus scan.
+    * Output UNORDERED.
+    */
+  def bm25ScoreBatch(probes: DataFrame, df: DataFrame, stats: DataFrame,
+      terms: Seq[String] = Bm25Terms): DataFrame = {
+    Tables.tuneSession(probes.sparkSession)
+    val w = Portable.tokens(col("text"))
+    val tf = probes
+      .select(col("doc_id"), size(w).cast("long").as("dl"),
+        explode(w).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    bm25ScoreTail(tf, df.filter(col("term").isin(terms: _*)), stats)
+  }
+
+  /** Convenience serving entry: read the persisted model and score. */
+  def bm25ScoreFromModel(s: SparkSession, modelDir: String,
+      probes: DataFrame, terms: Seq[String] = Bm25Terms): DataFrame =
+    bm25ScoreBatch(probes,
+      s.read.parquet(s"$modelDir/df"),
+      s.read.parquet(s"$modelDir/meta"), terms)
 
   /** Fixed query-term set for [[bm25Topk]] (drawn from the fixture
     * vocabulary; any out-of-corpus term simply contributes df = 0 rows).

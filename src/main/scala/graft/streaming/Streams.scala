@@ -1048,6 +1048,35 @@ object Streams {
     (q, ratios)
   }
 
+  // ------------------------------------------------ streaming BM25 scoring
+  /** Streaming BM25 scoring over micro-batches of `(doc_id, text)` rows
+    * against the persisted statistics model (`Scoring.writeBm25Model`) —
+    * the fourth instance of the train-offline/serve-online contract (ANN
+    * index, LM model, DSIR ratios, now BM25). The |Q|-relevant slice of
+    * the model is cached once; each micro-batch tokenizes only its own
+    * probes, and a redelivered batch byte-replaces its own directory.
+    */
+  def bm25ScoreSinkBatch(batch: DataFrame, id: Long, df: DataFrame,
+      stats: DataFrame, terms: Seq[String], outDir: String): Unit =
+    graft.operators.Scoring.bm25ScoreBatch(batch, df, stats, terms)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  def streamBm25Score(df: DataFrame, spark: SparkSession, modelDir: String,
+      outDir: String, checkpoint: String,
+      terms: Seq[String] = graft.operators.Scoring.Bm25Terms)
+      : (org.apache.spark.sql.streaming.StreamingQuery, Seq[DataFrame]) = {
+    val cached = Seq(
+      spark.read.parquet(s"$modelDir/df").persist(),
+      spark.read.parquet(s"$modelDir/meta").persist())
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        bm25ScoreSinkBatch(batch.toDF(), id, cached(0), cached(1), terms, outDir)
+      }
+      .start()
+    (q, cached)
+  }
+
   // ------------------------------------------------ streaming quality gate
   /** One micro-batch of the streaming quality gate: arriving `(doc_id,
     * text)` rows are scored with the SAME rule battery the batch
