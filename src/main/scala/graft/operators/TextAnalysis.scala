@@ -741,9 +741,23 @@ object TextAnalysis {
     * whose per-iteration re-counting is [[bpePairCounts]] run k times.
     */
   def bpeApplyMerges(s: SparkSession, d: String): DataFrame = {
-    val sep = "▁"
     val merges: Seq[String] =
       bpePairCounts(s, d).collect().map(_.getString(0)).toSeq
+    bpeApplyFrozen(Tables.documents(s, d).select(col("doc_id"), col("text")), merges)
+      .orderBy("doc_id")
+  }
+
+  /** The df-level seam of [[bpeApplyMerges]]: apply a FROZEN merge table
+    * to any frame carrying `(doc_id, text)` — the serving half a
+    * tokenization pipeline runs over arriving documents
+    * ([[graft.streaming.Streams.streamBpeApply]] is the micro-batch
+    * twin). One chained-literal-`replace` codegen projection, no
+    * training statistics, no shuffle; output UNORDERED (the
+    * [[graft.operators.Scoring]] serving contract — the oracle-facing
+    * entry adds its presentation sort).
+    */
+  def bpeApplyFrozen(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val sep = "▁"
     val init = concat(lit(" "), col("text"), lit(" "))
     val merged = merges.foldLeft(init) { (c, pair) =>
       val pat = lit(s" $pair ")
@@ -751,7 +765,7 @@ object TextAnalysis {
       val once = call_function("replace", c, pat, rep)
       call_function("replace", once, pat, rep)
     }
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("text"), merged.as("s"))
       .select(
         col("doc_id"),
@@ -761,7 +775,6 @@ object TextAnalysis {
           .cast("long").as("n_merges_applied"),
         get(expr(s"filter(split(s, ' '), t -> contains(t, '$sep'))"), lit(0))
           .as("first_merged"))
-      .orderBy("doc_id")
   }
 
   /** Iterative BPE merge TRAINING — the real BPE loop the one-shot

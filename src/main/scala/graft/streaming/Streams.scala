@@ -1077,6 +1077,30 @@ object Streams {
     (q, cached)
   }
 
+  // ------------------------------------------------ streaming BPE apply
+  /** Streaming application of a FROZEN BPE merge table over micro-batches
+    * of `(doc_id, text)` rows — tokenizer serving at ingestion time,
+    * completing the BPE family's batch/stream twinning (train once via
+    * `TextAnalysis.bpeTrain`/`bpePairCounts`, serve everywhere). The
+    * merge list is a plan-build constant (≤20 literal replaces unrolled
+    * into whole-stage codegen — no state, no join), so scoring is
+    * per-record and replay parity with the batch query is exact; a
+    * redelivered batch byte-replaces its own directory.
+    */
+  def bpeApplySinkBatch(batch: DataFrame, id: Long, merges: Seq[String],
+      outDir: String): Unit =
+    graft.operators.TextAnalysis.bpeApplyFrozen(batch, merges)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  def streamBpeApply(df: DataFrame, merges: Seq[String], outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        bpeApplySinkBatch(batch.toDF(), id, merges, outDir)
+      }
+      .start()
+
   // ------------------------------------------------ streaming quality gate
   /** One micro-batch of the streaming quality gate: arriving `(doc_id,
     * text)` rows are scored with the SAME rule battery the batch

@@ -804,6 +804,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming BPE apply: micro-batched docs replay to the batch query's rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = SparkTestSession.sf
+    val outDir = java.nio.file.Files.createTempDirectory("graft-bpe-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bpe-ckpt").toString
+    // freeze the merge table once (what bpe_apply_merges trains per run)
+    val merges = graft.operators.TextAnalysis.bpePairCounts(spark, sf)
+      .collect().map(_.getString(0)).toSeq
+    assert(merges.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamBpeApply(
+      in.toDF().toDF("doc_id", "text"), merges, outDir, ckpt)
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          Option(r.getString(4)))
+      val streamed = spark.read.parquet(outDir)
+        .select("doc_id", "n_tok_before", "n_tok_after", "n_merges_applied",
+          "first_merged")
+        .collect().map(key).toSet
+      val batch = graft.operators.TextAnalysis.bpeApplyMerges(spark, sf)
+        .collect().map(key).toSet
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; " +
+          s"batch-only: ${(batch -- streamed).take(3)}")
+    } finally {
+      q.stop()
+      Seq(outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
+    }
+  }
+
   test("streaming quality gate: a batch with empty/NULL text conserves rows (accepted + quarantined = arrived)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
