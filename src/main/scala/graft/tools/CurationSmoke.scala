@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Portable
-import graft.operators.{Dedup, Packing, TextAnalysis}
+import graft.operators.{Dedup, Packing, Scoring, TextAnalysis}
 
 /** End-to-end batch curation smoke run — the composed pipeline a
   * pretraining-data user actually operates, driven through the SAME
@@ -14,10 +14,14 @@ import graft.operators.{Dedup, Packing, TextAnalysis}
   * shape of a real 100 TB curation run, where every stage boundary is a
   * restart point):
   *
-  *   raw corpus → Gopher quality gate → exact dedup (fingerprint
-  *   keep-first) → leakage-safe cluster split audit → sequence packing.
+  *   raw corpus → Gopher quality gate → DSIR selection (served from a
+  *   model trained ONCE on the raw corpus — the train-offline/
+  *   serve-online discipline, not a per-stage retrain) → exact dedup
+  *   (fingerprint keep-first) → leakage-safe cluster split audit →
+  *   sequence packing.
   *
-  * Each stage's invariant is checked (monotone funnel, survivor =
+  * Each stage's invariant is checked (monotone funnel, selection
+  * conservation kept + dropped = arrived, survivor =
   * distinct-fingerprint count, split conservation, token conservation
   * through packing); one PASS/FAIL line per stage, non-zero exit on any
   * failure — the [[StreamingSmoke]] contract for the batch side.
@@ -60,10 +64,38 @@ object CurationSmoke {
       check("quality_gate", n1 > 0 && n1 < n0,
         s"docs $n0 -> $n1, tokens $t0 -> ${nTokens(s1)}")
 
+      // stage 1b — DSIR selection: score the gate's survivors against the
+      // ratio model trained ONCE on the raw corpus, keep the more
+      // target-like half (median split on the served log importance
+      // weight — the importance-resampling shape; the model's absolute
+      // keep verdict is the oracle-checked query's contract, while the
+      // retention fraction is a per-run policy knob). Serving reads ONLY
+      // the model parquet + the stage-1 survivors — the raw corpus is
+      // never rescanned (train-offline/serve-online). The threshold is a
+      // single driver scalar from one percentile aggregate.
+      val modelDir = s"$base/dsir_model"
+      Scoring.writeDsirModel(spark, sfDir, modelDir)
+      val s1b = s"$base/s1b"
+      val scored = Scoring.dsirScoreFromModel(spark, modelDir,
+        Tables.documents(spark, s1).select(col("doc_id"), col("text")))
+        .localCheckpoint() // read by threshold, both routes, and the join
+      val thr = scored.agg(expr("percentile_approx(log_w, 0.5, 10000)"))
+        .collect()(0).getDouble(0)
+      val nScoredKeep = scored.filter(col("log_w") >= thr).count()
+      val nScoredDrop = scored.filter(col("log_w") < thr).count()
+      Tables.documents(spark, s1)
+        .join(scored.filter(col("log_w") >= thr).select("doc_id"), "doc_id")
+        .write.parquet(s"$s1b/documents.parquet")
+      val n1b = nDocs(s1b)
+      check("dsir_selection",
+        n1b == nScoredKeep && nScoredKeep + nScoredDrop == n1 &&
+          n1b > 0 && n1b < n1,
+        s"docs $n1 -> $n1b (kept $nScoredKeep + dropped $nScoredDrop = arrived $n1, thr=$thr)")
+
       // stage 2 — exact dedup: keep the first doc per normalized
       // fingerprint (THE shared identity every dedup operator uses)
       val s2 = s"$base/s2"
-      val survivors = Tables.documents(spark, s1)
+      val survivors = Tables.documents(spark, s1b)
         .withColumn("fp", Portable.docFingerprint)
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
@@ -71,10 +103,10 @@ object CurationSmoke {
         .filter(col("rk") === 1).drop("fp", "rk")
       survivors.write.parquet(s"$s2/documents.parquet")
       val n2 = nDocs(s2)
-      val distinctFp = Tables.documents(spark, s1)
+      val distinctFp = Tables.documents(spark, s1b)
         .select(Portable.docFingerprint.as("fp")).distinct().count()
-      check("exact_dedup", n2 == distinctFp && n2 <= n1,
-        s"docs $n1 -> $n2 (distinct fingerprints $distinctFp)")
+      check("exact_dedup", n2 == distinctFp && n2 <= n1b,
+        s"docs $n1b -> $n2 (distinct fingerprints $distinctFp)")
 
       // stage 3 — leakage-safe cluster split audit on the deduped corpus
       val split = Dedup.splitLeakageSafe(spark, s2).collect()
