@@ -696,6 +696,49 @@ object Dedup {
        |  md5(string_agg(span, ' ' ORDER BY pos)) AS clean_fp
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ source overlap
+  /** Cross-source near-duplication matrix — the mixture-design telemetry a
+    * curation team reads to see WHICH sources copy from each other (feeds
+    * dedup priorities and per-source keep-rates, the
+    * `source_mix_report`/`mixture_rebalance` family's pair-level
+    * complement): MinHash-LSH candidate pairs (the `dedup_minhash_lsh`
+    * pipeline verbatim — same signatures, banding, and 0.5 threshold)
+    * rolled up by unordered source pair with pair counts and mean
+    * estimated Jaccard.
+    *
+    * Shape at scale: the pair frame is ∝ near-dup density (banded, never
+    * all-pairs); the two source lookups are doc_id-keyed joins against a
+    * 2-column documents projection; output is ≤ |sources|² rows. The
+    * least/greatest canonicalization makes the pair unordered without a
+    * second aggregate.
+    */
+  def sourceOverlapMatrix(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    lshPairs(s, d)
+      .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        least(col("sa.source"), col("sb.source")).as("source_a"),
+        greatest(col("sa.source"), col("sb.source")).as("source_b"),
+        col("est_jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("est_jaccard"), 4).as("avg_est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapMatrixSql: String =
+    s"""WITH $lshPairsSqlCtes,
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS source_a,
+       |  greatest(sa.source, sb.source) AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(avg(est_jaccard), 4) AS avg_est_jaccard
+       |FROM lshpairs p
+       |JOIN src sa ON p.doc_a = sa.doc_id
+       |JOIN src sb ON p.doc_b = sb.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- decontamination
   /** Benchmark decontamination (train/eval overlap detection): training
     * docs sharing any word-trigram with the held-out pseudo-benchmark
@@ -722,6 +765,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy("doc_id")
   }
+
+  /** The benchmark gram-hash set [[decontaminateNgram]] screens against
+    * (64-bit gram fingerprints, distinct'd — the broadcast side), exposed
+    * so the streaming gate caches it once instead of re-deriving it per
+    * micro-batch. */
+  def benchGramHashes(s: SparkSession, d: String): DataFrame =
+    gramSetDF(s, d)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .filter(col("doc_id") % 97 === 0)
+      .select(xxhash64(col("gram")).as("g")).distinct()
+
+  /** df-level seam of the decontamination screen: per-doc shared-gram
+    * counts of ANY `(doc_id, text)` frame against a benchmark gram-hash
+    * set (`g` column, broadcast) — the scoring half
+    * [[graft.streaming.Streams.streamDecontaminate]] serves per
+    * micro-batch. Same trigram extraction and 64-bit fingerprints as
+    * [[decontaminateNgram]]. Docs with zero overlap emit no row (the
+    * caller left-joins + coalesces for totality). Output UNORDERED.
+    */
+  def ngramOverlapCounts(docs: DataFrame, benchG: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(
+          Portable.shingles(Portable.tokens(col("text")), N))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+      .join(broadcast(benchG), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
 
   val decontaminateNgramSql: String =
     s"""WITH $gramsSqlCte,
@@ -1059,6 +1130,7 @@ object Dedup {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
     "decontaminate_ngram" -> (decontaminateNgram _),
+    "source_overlap_matrix" -> (sourceOverlapMatrix _),
     "decontaminate_embedding" -> (decontaminateEmbedding _))
 
   def oracles: Map[String, String] = Map(
@@ -1075,5 +1147,6 @@ object Dedup {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_indexed" -> dedupIncrementalSql,
     "decontaminate_ngram" -> decontaminateNgramSql,
+    "source_overlap_matrix" -> sourceOverlapMatrixSql,
     "decontaminate_embedding" -> decontaminateEmbeddingSql)
 }

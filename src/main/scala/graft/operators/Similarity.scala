@@ -719,6 +719,60 @@ object Similarity {
     serveCells(q, corpus)
   }
 
+  // ------------------------------------------------- retrieval enrichment
+  /** ANN retrieval joined to document metadata — the enrichment join every
+    * retrieval consumer runs after the neighbor search (RAG context
+    * assembly, retrieval-eval labeling): each probe's cosine top-3 is
+    * joined to the neighbor document's (lang, source) and flagged
+    * `same_lang` against the probe's own language (the cross-lingual-
+    * retrieval telemetry an embedding audit reads). `vec_id` is the
+    * embeddings fixture's document key.
+    *
+    * Shape at scale: the neighbor search here is the brute-force baseline
+    * (the fixture-exact oracle contract); a deployment swaps in the
+    * LSH/IVF `Similarity` variants and keeps this unchanged enrichment
+    * tail — two doc_id-keyed joins against a 3-column documents
+    * projection, k rows per probe on the left, never corpus × corpus.
+    */
+  def annDocJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val top = q.join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qemb"), col("embedding")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+    val meta = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+    top
+      .join(meta.as("n"), col("vec_id") === col("n.doc_id"))
+      .join(meta.as("p"), col("qid") === col("p.doc_id"))
+      .select(col("qid"), col("rank"), col("vec_id"), col("cosine"),
+        col("n.lang").as("n_lang"), col("n.source").as("n_source"),
+        (col("n.lang") === col("p.lang")).as("same_lang"))
+      .orderBy("qid", "rank")
+  }
+
+  val annDocJoinSql: String =
+    s"""WITH scored AS (
+       |  SELECT p.vec_id AS qid, q.vec_id AS vec_id, $cosineSqlPQ AS cosine
+       |  FROM embeddings p JOIN embeddings q ON q.vec_id <> p.vec_id
+       |  WHERE p.vec_id % 100 = 0),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored),
+       |meta AS (SELECT doc_id, lang, source FROM documents)
+       |SELECT r.qid, r.rank, r.vec_id, r.cosine,
+       |  n.lang AS n_lang, n.source AS n_source,
+       |  n.lang = p.lang AS same_lang
+       |FROM ranked r
+       |JOIN meta n ON r.vec_id = n.doc_id
+       |JOIN meta p ON r.qid = p.doc_id
+       |WHERE r.rank <= 3 ORDER BY r.qid, r.rank""".stripMargin
+
   // ------------------------------------------------------- quantization
   /** Int8 embedding quantization (the standard storage/serving compression
     * for vector corpora): per-vector symmetric scale amax/127, each
@@ -1229,6 +1283,7 @@ object Similarity {
     "ann_ivf_nprobe_topk" -> (annIvfNprobeTopk _),
     "embedding_outliers" -> (embeddingOutliers _),
     "ann_ivf_trained_topk" -> (annIvfTrainedRecall _),
+    "ann_doc_join" -> (annDocJoin _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "embedding_quantize" -> (embeddingQuantize _),
     "pq_encode" -> (pqEncode _),
@@ -1243,6 +1298,7 @@ object Similarity {
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_ivf_nprobe_topk" -> annIvfNprobeTopkSql,
     "ann_ivf_trained_topk" -> annIvfTrainedRecallSql,
+    "ann_doc_join" -> annDocJoinSql,
     "embedding_outliers" -> embeddingOutliersSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "embedding_quantize" -> embeddingQuantizeSql,

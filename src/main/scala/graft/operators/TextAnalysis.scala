@@ -864,6 +864,61 @@ object TextAnalysis {
        |ORDER BY f.doc_id""".stripMargin
   }
 
+  /** Curriculum bucketing by token-count quantiles — the length-ordered
+    * curriculum a pretraining schedule consumes (short/simple docs first,
+    * long docs later): every document is assigned to one of four buckets
+    * by the exact quartiles of the corpus token-count distribution, and
+    * the query reports each bucket's document/token mass and bounds.
+    *
+    * Shape at scale — deliberately NOT `ntile()`: a global ntile is a
+    * single-partition window over the whole corpus. Instead the three
+    * quartile thresholds are ONE exact-percentile aggregate (three
+    * doubles, broadcast via cross join) and bucket assignment is a narrow
+    * integer-comparison projection — no global sort, no window, the plan
+    * that buckets 100 TB in one aggregate + one map pass. `percentile` ↔
+    * `quantile_cont` is the established portable pair
+    * (`percentile_exact`); thresholds are rounded to 4 dp on both engines
+    * before comparison so bucket boundaries cannot float-drift.
+    */
+  def curriculumBuckets(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(Portable.tokens(col("text"))).cast("long").as("n"))
+    val q = perDoc.agg(
+      round(expr("percentile(n, 0.25)"), 4).as("q25"),
+      round(expr("percentile(n, 0.5)"), 4).as("q50"),
+      round(expr("percentile(n, 0.75)"), 4).as("q75"))
+    perDoc.crossJoin(broadcast(q))
+      .select(col("doc_id"), col("n"),
+        (lit(1) + (col("n") > col("q25")).cast("int")
+          + (col("n") > col("q50")).cast("int")
+          + (col("n") > col("q75")).cast("int")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"),
+        min("n").as("min_tokens"), max("n").as("max_tokens"))
+      .orderBy("bucket")
+  }
+
+  val curriculumBucketsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |q AS (
+      |  SELECT round(quantile_cont(n, 0.25), 4) AS q25,
+      |         round(quantile_cont(n, 0.5), 4) AS q50,
+      |         round(quantile_cont(n, 0.75), 4) AS q75
+      |  FROM t),
+      |b AS (
+      |  SELECT doc_id, n,
+      |    1 + CAST(n > q25 AS INT) + CAST(n > q50 AS INT)
+      |      + CAST(n > q75 AS INT) AS bucket
+      |  FROM t CROSS JOIN q)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+      |  CAST(min(n) AS BIGINT) AS min_tokens,
+      |  CAST(max(n) AS BIGINT) AS max_tokens
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Quality-cutoff thresholds (basis points) swept by
     * [[qualityThresholdSweep]]. */
   val SweepThresholds: Seq[Long] = Seq(0L, 7000L, 8000L, 8500L, 9000L, 9500L)
@@ -1038,6 +1093,7 @@ object TextAnalysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunks" -> (textChunks _),
     "quality_threshold_sweep" -> (qualityThresholdSweep _),
+    "curriculum_buckets" -> (curriculumBuckets _),
     "length_histogram" -> (lengthHistogram _),
     "mixture_rebalance" -> (mixtureRebalance _),
     "bpe_pair_counts" -> (bpePairCounts _),
@@ -1061,6 +1117,7 @@ object TextAnalysis {
   def oracles: Map[String, String] = Map(
     "text_chunks" -> textChunksSql,
     "quality_threshold_sweep" -> qualityThresholdSweepSql,
+    "curriculum_buckets" -> curriculumBucketsSql,
     "length_histogram" -> lengthHistogramSql,
     "mixture_rebalance" -> mixtureRebalanceSql,
     "bpe_pair_counts" -> bpePairCountsSql,

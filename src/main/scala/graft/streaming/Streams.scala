@@ -1077,6 +1077,46 @@ object Streams {
     (q, cached)
   }
 
+  // ------------------------------------------- streaming decontamination
+  /** Streaming benchmark-decontamination gate over micro-batches of
+    * `(doc_id, text)` rows: each arriving document is screened against a
+    * cached benchmark gram-hash set (the `decontaminate_ngram` screen,
+    * served online — eval sets are MBs, so the broadcast posture holds at
+    * any corpus scale) and routed — zero-overlap docs to `clean/`,
+    * overlapping docs to `contaminated/` RETAINING `n_shared_grams` (the
+    * blame column, the quality-gate quarantine discipline). The left
+    * join + coalesce makes routing total: every arrived row lands in
+    * exactly one route. Both sinks `batch_id=` byte-replace idempotent.
+    */
+  def decontaminateBatch(batch: DataFrame, id: Long, benchG: DataFrame,
+      outDir: String): Unit = {
+    val counts = graft.operators.Dedup.ngramOverlapCounts(batch, benchG)
+    val flagged = batch
+      .join(counts, Seq("doc_id"), "left")
+      .select(batch.columns.map(col) :+
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"): _*)
+      .persist()
+    try {
+      flagged.filter(col("n_shared_grams") === 0).drop("n_shared_grams")
+        .write.mode("overwrite").parquet(s"$outDir/clean/batch_id=$id")
+      flagged.filter(col("n_shared_grams") > 0)
+        .write.mode("overwrite").parquet(s"$outDir/contaminated/batch_id=$id")
+    } finally { flagged.unpersist(); () }
+  }
+
+  def streamDecontaminate(df: DataFrame, spark: SparkSession, sfDir: String,
+      outDir: String, checkpoint: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    val benchG = graft.operators.Dedup.benchGramHashes(spark, sfDir).persist()
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        decontaminateBatch(batch.toDF(), id, benchG, outDir)
+      }
+      .start()
+    (q, benchG)
+  }
+
   // ------------------------------------------------ streaming BPE apply
   /** Streaming application of a FROZEN BPE merge table over micro-batches
     * of `(doc_id, text)` rows — tokenizer serving at ingestion time,

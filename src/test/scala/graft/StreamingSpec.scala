@@ -804,6 +804,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming decontamination gate: routes match the batch screen, rows conserved") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = SparkTestSession.sf
+    val outDir = java.nio.file.Files.createTempDirectory("graft-decon-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-decon-ckpt").toString
+    // the stream carries the TRAIN split (the docs the batch query screens)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") % 97 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, String)]
+    val (q, benchG) = Streams.streamDecontaminate(
+      in.toDF().toDF("doc_id", "text"), spark, sf, outDir, ckpt)
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val clean = spark.read.parquet(s"$outDir/clean")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val contaminated = spark.read.parquet(s"$outDir/contaminated")
+        .select("doc_id", "n_shared_grams")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // conservation: every arrived row lands in exactly one route
+      assert((clean & contaminated.keySet).isEmpty)
+      assert(clean ++ contaminated.keySet == docs.map(_._1).toSet,
+        "rows vanished or doubled across the routes")
+      // parity: contaminated docs + their blame counts equal the
+      // oracle-checked batch query
+      val batch = graft.operators.Dedup.decontaminateNgram(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(contaminated == batch,
+        s"stream-only: ${(contaminated.toSet -- batch.toSet).take(3)}; " +
+          s"batch-only: ${(batch.toSet -- contaminated.toSet).take(3)}")
+      assert(contaminated.nonEmpty && clean.nonEmpty, "degenerate gate")
+    } finally {
+      q.stop(); benchG.unpersist()
+      Seq(outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
+    }
+  }
+
   test("streaming BPE apply: micro-batched docs replay to the batch query's rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
