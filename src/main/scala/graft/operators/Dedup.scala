@@ -766,6 +766,61 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-source contamination report — [[decontaminateNgram]] rolled up to
+    * the mixture level: for every source, how many of its train-split
+    * documents share any n-gram with the benchmark split, the
+    * contamination rate (basis points — integer arithmetic, the
+    * [[graft.operators.TextAnalysis.qualityGopher]] no-rounding
+    * discipline), and the total shared-gram mass. This is the artifact a
+    * curation review actually reads: per-document flags say WHAT to drop,
+    * this says WHICH SOURCES leak benchmarks and need upstream fixes.
+    *
+    * Shape at scale: the per-doc screen is the broadcast-bench pipeline
+    * unchanged; the rollup adds one doc_id-keyed left join against the
+    * 2-column source projection and a ≤|sources| aggregate. Docs with
+    * zero overlap are kept by the left join + coalesce so rates have the
+    * right denominator.
+    */
+  def contaminationBySource(s: SparkSession, d: String): DataFrame = {
+    // the unordered seam + shared bench set: same screen as
+    // decontaminateNgram without its presentation sort in the middle
+    val counts = ngramOverlapCounts(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 97 =!= 0),
+      benchGramHashes(s, d))
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("source"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("g") > 0).cast("long")).as("n_contaminated"),
+        expr("sum(CAST(g > 0 AS LONG)) * 10000 div count(1)")
+          .as("contamination_bp"),
+        sum("g").as("sum_shared_grams"))
+      .orderBy("source")
+  }
+
+  val contaminationBySourceSql: String =
+    s"""WITH $gramsSqlCte,
+       |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+       |train AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0),
+       |cnt AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS g
+       |  FROM train t JOIN bench b ON t.gram = b.gram GROUP BY 1),
+       |per AS (
+       |  SELECT d.source, coalesce(cnt.g, 0) AS g
+       |  FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+       |  WHERE d.doc_id % 97 <> 0)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CAST(g > 0 AS INT)) AS BIGINT) AS n_contaminated,
+       |  CAST(sum(CAST(g > 0 AS INT)) * 10000 // count(*) AS BIGINT)
+       |    AS contamination_bp,
+       |  CAST(sum(g) AS BIGINT) AS sum_shared_grams
+       |FROM per GROUP BY source ORDER BY source""".stripMargin
+
   /** The benchmark gram-hash set [[decontaminateNgram]] screens against
     * (64-bit gram fingerprints, distinct'd — the broadcast side), exposed
     * so the streaming gate caches it once instead of re-deriving it per
@@ -1131,6 +1186,7 @@ object Dedup {
     "dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
     "decontaminate_ngram" -> (decontaminateNgram _),
     "source_overlap_matrix" -> (sourceOverlapMatrix _),
+    "contamination_by_source" -> (contaminationBySource _),
     "decontaminate_embedding" -> (decontaminateEmbedding _))
 
   def oracles: Map[String, String] = Map(
@@ -1148,5 +1204,6 @@ object Dedup {
     "dedup_incremental_indexed" -> dedupIncrementalSql,
     "decontaminate_ngram" -> decontaminateNgramSql,
     "source_overlap_matrix" -> sourceOverlapMatrixSql,
+    "contamination_by_source" -> contaminationBySourceSql,
     "decontaminate_embedding" -> decontaminateEmbeddingSql)
 }

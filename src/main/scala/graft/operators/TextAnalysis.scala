@@ -919,6 +919,118 @@ object TextAnalysis {
       |  CAST(max(n) AS BIGINT) AS max_tokens
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Per-source top bigrams — the boilerplate detector a curation team
+    * runs per domain: the 3 most frequent word bigrams within each
+    * source (ties broken by bigram text), with each bigram's share of
+    * the source's bigram mass in basis points (integer arithmetic). A
+    * bigram dominating a source's mass is template/boilerplate text the
+    * span-dedup pass (`dedup_spans`) should be tuned toward.
+    *
+    * Shape at scale: one tokenize+shingle pass, one (source, bigram)
+    * partial-aggregated exchange, and a per-source rank — the window
+    * partitions by source (parallel across sources) and Spark plans the
+    * rank-≤-3 as `WindowGroupLimit`, so no source's full bigram list is
+    * ever sorted, only its running top-3.
+    */
+  def ngramTopPerSource(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s)
+    val counts = Tables.parallelize(s,
+        Tables.documents(s, d).select(col("source"), col("text")))
+      .select(col("source"),
+        explode(Portable.shingles(Portable.tokens(col("text")), 2)).as("bg"))
+      .groupBy("source", "bg").agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy("source").agg(sum("cnt").as("tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("cnt").desc, col("bg").asc)
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .join(tot, "source")
+      .select(col("source"), col("rank"), col("bg"), col("cnt"),
+        expr("cnt * 10000 div tot").as("share_bp"))
+      .orderBy("source", "rank")
+  }
+
+  val ngramTopPerSourceSql: String = {
+    val sh2 = Portable.shinglesSql(2)
+    s"""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT source, unnest($sh2) AS bg FROM w),
+       |c AS (SELECT source, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+       |t AS (SELECT source, sum(cnt) AS tot FROM c GROUP BY 1),
+       |r AS (
+       |  SELECT source, bg, cnt,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY source ORDER BY cnt DESC, bg) AS INTEGER) AS rank
+       |  FROM c)
+       |SELECT r.source, r.rank, r.bg, CAST(r.cnt AS BIGINT) AS cnt,
+       |  CAST(r.cnt * 10000 // t.tot AS BIGINT) AS share_bp
+       |FROM r JOIN t ON r.source = t.source
+       |WHERE r.rank <= 3 ORDER BY r.source, r.rank""".stripMargin
+  }
+
+  /** Vocabulary size for [[vocabCoverage]] — the tokenizer-budget knob. */
+  val VocabTopK: Int = 1000
+
+  /** Tokenizer vocabulary-coverage audit: take the top-[[VocabTopK]]
+    * corpus tokens by global frequency (ties broken by token text — the
+    * deterministic vocabulary a frequency-based tokenizer would freeze)
+    * and report, per source, the token mass that vocabulary covers and
+    * the out-of-vocabulary rate in basis points. The audit a tokenizer
+    * budget decision reads: a source with a high OOV rate under the
+    * candidate vocabulary will fragment into bytes/unknowns at training
+    * time.
+    *
+    * Shape at scale: one tokenize pass into (source, token) partial
+    * counts; the global vocabulary is a vocabulary-bounded aggregate of
+    * that frame, cut to K rows with ONE TakeOrderedAndProject (no global
+    * sort), and broadcast back; per-source coverage is a ≤|sources|
+    * aggregate. The per-doc frame is never materialized twice
+    * (`localCheckpoint`, the textTfidf sibling-scan discipline).
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s)
+    val toks = Tables.parallelize(s,
+        Tables.documents(s, d).select(col("source"), col("text")))
+      .select(col("source"), explode(Portable.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vocab = toks.groupBy("tok").agg(sum("cnt").as("gcnt"))
+      .orderBy(col("gcnt").desc, col("tok").asc)
+      .limit(VocabTopK)
+      .select(col("tok"))
+    toks
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(sum("cnt").as("n_tokens"),
+        sum(when(col("in_vocab").isNotNull, col("cnt")).otherwise(0L))
+          .as("covered_tokens"),
+        countDistinct(when(col("in_vocab").isNull, col("tok"))).as("oov_types"))
+      .select(col("source"), col("n_tokens"), col("covered_tokens"),
+        expr("(n_tokens - covered_tokens) * 10000 div n_tokens").as("oov_bp"),
+        col("oov_types"))
+      .orderBy("source")
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |c AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |v AS (SELECT tok FROM (
+       |    SELECT tok, sum(cnt) AS gcnt FROM c GROUP BY 1
+       |    ORDER BY gcnt DESC, tok LIMIT $VocabTopK)),
+       |j AS (
+       |  SELECT c.source, c.tok, c.cnt,
+       |    CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS in_vocab
+       |  FROM c LEFT JOIN v ON c.tok = v.tok)
+       |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN in_vocab = 1 THEN cnt ELSE 0 END) AS BIGINT)
+       |    AS covered_tokens,
+       |  CAST((sum(cnt) - sum(CASE WHEN in_vocab = 1 THEN cnt ELSE 0 END))
+       |    * 10000 // sum(cnt) AS BIGINT) AS oov_bp,
+       |  CAST(count(DISTINCT CASE WHEN in_vocab = 0 THEN tok END) AS BIGINT)
+       |    AS oov_types
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   /** Quality-cutoff thresholds (basis points) swept by
     * [[qualityThresholdSweep]]. */
   val SweepThresholds: Seq[Long] = Seq(0L, 7000L, 8000L, 8500L, 9000L, 9500L)
@@ -1094,6 +1206,8 @@ object TextAnalysis {
     "text_chunks" -> (textChunks _),
     "quality_threshold_sweep" -> (qualityThresholdSweep _),
     "curriculum_buckets" -> (curriculumBuckets _),
+    "ngram_top_per_source" -> (ngramTopPerSource _),
+    "vocab_coverage" -> (vocabCoverage _),
     "length_histogram" -> (lengthHistogram _),
     "mixture_rebalance" -> (mixtureRebalance _),
     "bpe_pair_counts" -> (bpePairCounts _),
@@ -1118,6 +1232,8 @@ object TextAnalysis {
     "text_chunks" -> textChunksSql,
     "quality_threshold_sweep" -> qualityThresholdSweepSql,
     "curriculum_buckets" -> curriculumBucketsSql,
+    "ngram_top_per_source" -> ngramTopPerSourceSql,
+    "vocab_coverage" -> vocabCoverageSql,
     "length_histogram" -> lengthHistogramSql,
     "mixture_rebalance" -> mixtureRebalanceSql,
     "bpe_pair_counts" -> bpePairCountsSql,

@@ -17,12 +17,15 @@ import graft.operators.{Dedup, Packing, Scoring, TextAnalysis}
   *   raw corpus → Gopher quality gate → DSIR selection (served from a
   *   model trained ONCE on the raw corpus — the train-offline/
   *   serve-online discipline, not a per-stage retrain) → exact dedup
-  *   (fingerprint keep-first) → leakage-safe cluster split audit →
+  *   (fingerprint keep-first) → benchmark decontamination (n-gram screen
+  *   vs the raw corpus's held-out split, run AFTER dedup where the
+  *   corpus is smallest) → leakage-safe cluster split audit →
   *   sequence packing.
   *
   * Each stage's invariant is checked (monotone funnel, selection
   * conservation kept + dropped = arrived, survivor =
-  * distinct-fingerprint count, split conservation, token conservation
+  * distinct-fingerprint count, decontamination conservation
+  * clean + flagged = arrived, split conservation, token conservation
   * through packing); one PASS/FAIL line per stage, non-zero exit on any
   * failure — the [[StreamingSmoke]] contract for the batch side.
   *
@@ -108,17 +111,35 @@ object CurationSmoke {
       check("exact_dedup", n2 == distinctFp && n2 <= n1b,
         s"docs $n1b -> $n2 (distinct fingerprints $distinctFp)")
 
-      // stage 3 — leakage-safe cluster split audit on the deduped corpus
-      val split = Dedup.splitLeakageSafe(spark, s2).collect()
+      // stage 2b — benchmark decontamination: drop survivors sharing any
+      // n-gram with the raw corpus's held-out split (which includes
+      // evicting held-out docs themselves if they survived this far —
+      // eval data must never reach the training corpus). The bench gram
+      // set broadcasts; run after dedup where the corpus is smallest.
+      val s2b = s"$base/s2b"
+      val overlap = Dedup.ngramOverlapCounts(
+        Tables.documents(spark, s2).select(col("doc_id"), col("text")),
+        Dedup.benchGramHashes(spark, sfDir))
+      val nFlagged = overlap.count()
+      Tables.documents(spark, s2)
+        .join(overlap.select("doc_id"), Seq("doc_id"), "left_anti")
+        .write.parquet(s"$s2b/documents.parquet")
+      val n2b = nDocs(s2b)
+      check("decontaminate",
+        n2b + nFlagged == n2 && n2b > 0,
+        s"docs $n2 -> $n2b (flagged $nFlagged + clean $n2b = arrived $n2)")
+
+      // stage 3 — leakage-safe cluster split audit on the clean corpus
+      val split = Dedup.splitLeakageSafe(spark, s2b).collect()
       val splitDocs = split.map(_.getAs[Long]("n_docs")).sum
       check("leakage_safe_split",
-        split.length == 3 && splitDocs == n2,
-        s"splits=${split.map(r => s"${r.getString(0)}:${r.getAs[Long]("n_docs")}").mkString(",")} sum=$splitDocs of $n2")
+        split.length == 3 && splitDocs == n2b,
+        s"splits=${split.map(r => s"${r.getString(0)}:${r.getAs[Long]("n_docs")}").mkString(",")} sum=$splitDocs of $n2b")
 
       // stage 4 — sequence packing: token mass is conserved into bins
-      val packed = Packing.packSequences(spark, s2).collect()
+      val packed = Packing.packSequences(spark, s2b).collect()
       val packedTokens = packed.map(_.getAs[Long]("n_tokens")).sum
-      val t2 = nTokens(s2)
+      val t2 = nTokens(s2b)
       val bins = packed.map(_.getAs[Long]("bin_id")).sorted
       check("pack_sequences",
         packedTokens == t2 && bins.sameElements(bins.indices.map(_.toLong)),

@@ -1020,6 +1020,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum buckets partition the corpus with ordered boundaries") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.TextAnalysis.curriculumBuckets(spark, dir).collect()
+        .sortBy(_.getAs[Int]("bucket"))
+      assert(rows.map(_.getAs[Int]("bucket")).toSeq == Seq(1, 2, 3, 4),
+        s"$dir: quartile bucketing must populate all four buckets")
+      val total = rows.map(_.getAs[Long]("n_docs")).sum
+      assert(total == Tables.documents(spark, dir).count(),
+        s"$dir: buckets must partition the corpus (got $total docs)")
+      // boundaries are ordered: no doc in a lower bucket is longer than
+      // any doc in a higher one (quantile-threshold assignment)
+      rows.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo.getAs[Long]("max_tokens") <= hi.getAs[Long]("min_tokens"),
+          s"$dir: bucket ${lo.getAs[Int]("bucket")} max " +
+            s"${lo.getAs[Long]("max_tokens")} > next min ${hi.getAs[Long]("min_tokens")}")
+      }
+    }
+  }
+
   test("quality gate is total: empty/NULL/degenerate text gets FALSE, never NULL, verdicts") {
     // the dropped-row class the dead-letter discipline exists to prevent: a
     // NULL verdict fails both filter(keep) and filter(!keep) and the row
