@@ -987,7 +987,8 @@ object TextAnalysis {
     * aggregate. The per-doc frame is never materialized twice
     * (`localCheckpoint`, the textTfidf sibling-scan discipline).
     */
-  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+  def vocabCoverage(s: SparkSession, d: String,
+      topK: Int = VocabTopK): DataFrame = {
     Tables.tuneSession(s)
     val toks = Tables.parallelize(s,
         Tables.documents(s, d).select(col("source"), col("text")))
@@ -996,7 +997,7 @@ object TextAnalysis {
       .localCheckpoint()
     val vocab = toks.groupBy("tok").agg(sum("cnt").as("gcnt"))
       .orderBy(col("gcnt").desc, col("tok").asc)
-      .limit(VocabTopK)
+      .limit(topK)
       .select(col("tok"))
     toks
       .join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("tok"), "left")
@@ -1207,7 +1208,7 @@ object TextAnalysis {
     "quality_threshold_sweep" -> (qualityThresholdSweep _),
     "curriculum_buckets" -> (curriculumBuckets _),
     "ngram_top_per_source" -> (ngramTopPerSource _),
-    "vocab_coverage" -> (vocabCoverage _),
+    "vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "length_histogram" -> (lengthHistogram _),
     "mixture_rebalance" -> (mixtureRebalance _),
     "bpe_pair_counts" -> (bpePairCounts _),
