@@ -113,6 +113,88 @@ object Multimodal {
       |  md5(substring(text, chunk_idx * 256 + 1, 256)) AS chunk_md5
       |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Aspect-preserving resize planning — the geometry every vision
+    * preprocessing pipeline computes before the pixel pass: fit the
+    * decoded (width, height) into a 224×224 training box scaled by the
+    * LARGER dimension, and report the letterbox padding. All integer
+    * arithmetic ((dim × 224) div max-dim — no float scale factors, so
+    * the contract has no rounding semantics), chained directly onto the
+    * `mapPartitions` decode stub: decode → geometry is one narrow
+    * distributed pass, and a real resizer consumes (out_w, out_h,
+    * pad_x, pad_y) per record exactly as emitted here.
+    */
+  def multimodalResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.parallelize(s, Tables.documents(s, d))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        greatest(col("width"), col("height")).as("m"))
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("(width * 224) div m").as("out_w"),
+        expr("(height * 224) div m").as("out_h"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"),
+        (lit(224L) - col("out_w")).as("pad_x"),
+        (lit(224L) - col("out_h")).as("pad_y"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalResizeSql: String =
+    """WITH dec AS (
+      |  SELECT doc_id,
+      |    CAST(64 + ascii(substring(text, 1, 1)) % 64 AS INTEGER) AS width,
+      |    CAST(64 + length(text) % 64 AS INTEGER) AS height
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, width, height, greatest(width, height) AS m FROM dec)
+      |SELECT doc_id, width, height,
+      |  CAST((width * 224) // m AS BIGINT) AS out_w,
+      |  CAST((height * 224) // m AS BIGINT) AS out_h,
+      |  CAST(224 - (width * 224) // m AS BIGINT) AS pad_x,
+      |  CAST(224 - (height * 224) // m AS BIGINT) AS pad_y
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Uniform frame sampling — the video-side decimation every multimodal
+    * training pipeline runs (k frames per clip, evenly spaced): from the
+    * decoded frame count, select up to 3 frames at indices
+    * (ord × n) div k (integer arithmetic), with the 25-fps timestamp of
+    * each selected frame. The explode is a per-row array transform — one
+    * narrow pass after the decode, rows out ∝ k per clip, never frames².
+    */
+  def multimodalFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.tuneSession(s) // frame-index arrays get exploded
+    Tables.parallelize(s, Tables.documents(s, d))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .toDF()
+      .select(col("doc_id"), col("n_frames"),
+        least(lit(3), col("n_frames")).as("k"))
+      .select(col("doc_id"), col("n_frames"),
+        posexplode(expr(
+          "transform(sequence(0, k - 1), i -> (i * n_frames) div k)"))
+          .as(Seq("frame_ord", "frame_idx")))
+      .select(col("doc_id"), col("n_frames"), col("frame_ord"),
+        col("frame_idx"), (col("frame_idx") * 40L).as("ts_ms"))
+      .orderBy("doc_id", "frame_ord")
+  }
+
+  val multimodalFrameSampleSql: String =
+    """WITH dec AS (
+      |  SELECT doc_id, CAST(1 + length(text) % 5 AS INTEGER) AS n_frames
+      |  FROM documents),
+      |kk AS (SELECT doc_id, n_frames, least(3, n_frames) AS k FROM dec),
+      |e AS (
+      |  SELECT doc_id, n_frames, k, unnest(range(0, k)) AS frame_ord FROM kk)
+      |SELECT doc_id, n_frames, CAST(frame_ord AS INTEGER) AS frame_ord,
+      |  CAST((frame_ord * n_frames) // k AS BIGINT) AS frame_idx,
+      |  CAST((frame_ord * n_frames) // k * 40 AS BIGINT) AS ts_ms
+      |FROM e ORDER BY doc_id, frame_ord""".stripMargin
+
   /** STUB feature extraction: an 8-dim pseudo-embedding from the payload's
     * leading bytes (a real model would replace the arithmetic; the batch
     * iterator shape and `array<float>` output schema are the contract).
@@ -167,11 +249,15 @@ object Multimodal {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_chunks" -> (multimodalChunks _),
-    "multimodal_features" -> (multimodalFeatures _))
+    "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_resize" -> (multimodalResize _),
+    "multimodal_framesample" -> (multimodalFrameSample _))
 
   def oracles: Map[String, String] = Map(
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_chunks" -> multimodalChunksSql,
-    "multimodal_features" -> multimodalFeaturesSql)
+    "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_resize" -> multimodalResizeSql,
+    "multimodal_framesample" -> multimodalFrameSampleSql)
 }
