@@ -1077,6 +1077,65 @@ object Streams {
     (q, cached)
   }
 
+  // --------------------------------------------- streaming media ingest
+  /** The per-batch media ingest transform: decode stub + resize geometry
+    * over `(doc_id, payload)` rows — the df-level seam shared by the
+    * streaming query and any batch backfill, so ingest-time and
+    * batch-time geometry can never diverge. Decode runs in
+    * `mapPartitions` (where a real codec would), geometry is the
+    * `multimodal_resize` integer arithmetic.
+    */
+  def mediaIngestBatch(batch: DataFrame, id: Long, outDir: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    batch.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (docId, bytes) =>
+        graft.operators.Multimodal.decodeStub(docId, bytes) })
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        greatest(col("width"), col("height")).as("m"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        expr("(width * 224) div m").as("out_w"),
+        expr("(height * 224) div m").as("out_h"))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+  }
+
+  /** Streaming media ingest: an unbounded `binaryFile` directory source
+    * (files dropped into `dir` are consumed exactly once per checkpoint —
+    * the raw-media landing-zone pattern) decoded and geometry-planned at
+    * ingest time, `batch_id=` byte-replace idempotent. `doc_id` derives
+    * from the digits of the file name (the landing convention); a real
+    * deployment swaps the stub inside [[mediaIngestBatch]] for a codec
+    * and keeps this wiring.
+    */
+  /** The fixed `binaryFile` source schema (streaming sources require it
+    * explicitly; the format ignores user schemas that deviate). */
+  private val BinaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  def streamMediaIngest(spark: SparkSession, dir: String, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("binaryFile").schema(BinaryFileSchema).load(dir)
+      .select(
+        // digits immediately before the extension — anchored to the file
+        // NAME so directory-path digits can never leak into the id
+        regexp_extract(col("path"), "(\\d+)\\.\\w+$", 1).cast("long").as("doc_id"),
+        col("content").as("payload"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mediaIngestBatch(batch.toDF(), id, outDir)
+      }
+      .start()
+
   // ------------------------------------------- streaming decontamination
   /** Streaming benchmark-decontamination gate over micro-batches of
     * `(doc_id, text)` rows: each arriving document is screened against a

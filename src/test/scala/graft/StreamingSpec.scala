@@ -804,6 +804,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming media ingest: binary landing zone decodes to the batch geometry") {
+    val landing = java.nio.file.Files.createTempDirectory("graft-media-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-media-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-media-ckpt").toString
+    def drop(id: Long, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(landing, f"media$id%05d.bin"), bytes)
+    val payloads = (0L until 6L).map(i =>
+      i -> Array.tabulate((i * 37 % 100).toInt + 1)(j => (i + j).toByte)).toMap
+    val q = Streams.streamMediaIngest(spark, landing, outDir, ckpt)
+    try {
+      // two waves: the landing-zone pattern (new files, not new contents)
+      payloads.take(3).foreach { case (i, b) => drop(i, b) }
+      q.processAllAvailable()
+      payloads.drop(3).foreach { case (i, b) => drop(i, b) }
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("doc_id", "width", "height", "n_frames", "out_w", "out_h")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getLong(4), r.getLong(5))).toMap
+      assert(got.keySet == payloads.keySet, s"ingested ${got.keySet}")
+      payloads.foreach { case (id, bytes) =>
+        val d = graft.operators.Multimodal.decodeStub(id, bytes)
+        val m = math.max(d.width, d.height)
+        assert(got(id) == ((d.width, d.height, d.n_frames,
+          d.width.toLong * 224 / m, d.height.toLong * 224 / m)),
+          s"doc $id: ${got(id)} != decode/geometry of ${bytes.length} bytes")
+      }
+    } finally {
+      q.stop()
+      Seq(landing, outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
+    }
+  }
+
   test("streaming decontamination gate: routes match the batch screen, rows conserved") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
