@@ -999,8 +999,20 @@ object TextAnalysis {
       .orderBy(col("gcnt").desc, col("tok").asc)
       .limit(topK)
       .select(col("tok"))
+    coverageTail(toks, vocab).orderBy("source")
+  }
+
+  /** THE definition of the coverage report — one copy of the left-join +
+    * aggregate + integer-bp arithmetic shared by [[vocabCoverage]] (vocab
+    * derived in-query) and the serving path ([[vocabCoverageBatch]],
+    * frozen persisted vocabulary) — the `bm25ScoreTail` discipline.
+    * `toks` is a `(source, tok, cnt)` frame; `vocab` a `tok` relation
+    * (K-bounded → broadcast). Output UNORDERED.
+    */
+  private def coverageTail(toks: DataFrame, vocab: DataFrame): DataFrame =
     toks
-      .join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("tok"), "left")
+      .join(broadcast(vocab.select(col("tok")).withColumn("in_vocab", lit(1L))),
+        Seq("tok"), "left")
       .groupBy("source")
       .agg(sum("cnt").as("n_tokens"),
         sum(when(col("in_vocab").isNotNull, col("cnt")).otherwise(0L))
@@ -1009,8 +1021,62 @@ object TextAnalysis {
       .select(col("source"), col("n_tokens"), col("covered_tokens"),
         expr("(n_tokens - covered_tokens) * 10000 div n_tokens").as("oov_bp"),
         col("oov_types"))
-      .orderBy("source")
+
+  // ------------------------------------------- persisted tokenizer models
+  /** Persist the frozen tokenizer artifacts — merges and vocabulary are
+    * MODEL artifacts exactly like the LM/DSIR/BM25 statistics: trained
+    * once on the corpus, served everywhere (batch backfills, streaming
+    * ingest), bounded (≤20 merge rows, K vocab rows), and versioned as
+    * parquet. `writeBpeMerges` persists the learned merge table in rank
+    * order; `writeVocabModel` the top-K frequency vocabulary with counts
+    * (the counts are audit metadata; serving reads only `tok`).
+    */
+  def writeBpeMerges(s: SparkSession, d: String, dir: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair").asc)
+    bpePairCounts(s, d)
+      .withColumn("rank", row_number().over(w))
+      .repartition(1) // ≤20 rows: one tiny file
+      .write.mode("overwrite").parquet(s"$dir/merges")
   }
+
+  /** Read the persisted merge table back in application order (≤20-row
+    * driver collect — the bounded codebook class). */
+  def bpeMergesFromModel(s: SparkSession, dir: String): Seq[String] =
+    s.read.parquet(s"$dir/merges").orderBy("rank")
+      .collect().map(_.getAs[String]("pair")).toSeq
+
+  def writeVocabModel(s: SparkSession, d: String, dir: String,
+      topK: Int = VocabTopK): Unit = {
+    Tables.tuneSession(s)
+    Tables.parallelize(s, Tables.documents(s, d).select(col("text")))
+      .select(explode(Portable.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("gcnt"))
+      .orderBy(col("gcnt").desc, col("tok").asc)
+      .limit(topK)
+      .repartition(1) // K rows: one tiny file
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Coverage report of a probe batch `(source, text)` under a FROZEN
+    * vocabulary relation — the serving half ([[coverageTail]] shared with
+    * the in-corpus query): one probe tokenize, one broadcast join, one
+    * ≤|sources| aggregate; the training corpus is never scanned. The
+    * OOV-rate-under-the-frozen-vocab drift signal an ingest pipeline
+    * watches. Output UNORDERED.
+    */
+  def vocabCoverageBatch(probes: DataFrame, vocab: DataFrame): DataFrame = {
+    Tables.tuneSession(probes.sparkSession)
+    val toks = probes
+      .select(col("source"), explode(Portable.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    coverageTail(toks, vocab)
+  }
+
+  /** Convenience serving entry: read the persisted vocabulary and report. */
+  def vocabCoverageFromModel(s: SparkSession, modelDir: String,
+      probes: DataFrame): DataFrame =
+    vocabCoverageBatch(probes, s.read.parquet(s"$modelDir/vocab"))
 
   val vocabCoverageSql: String =
     s"""WITH toks AS (

@@ -1200,6 +1200,47 @@ object Streams {
       }
       .start()
 
+  // -------------------------------------------- streaming vocab coverage
+  /** Streaming OOV monitoring under a FROZEN persisted vocabulary
+    * (`TextAnalysis.writeVocabModel`) — the tokenizer-drift signal an
+    * ingest pipeline watches: a source whose arriving documents start
+    * fragmenting against the training vocabulary is drifting away from
+    * the corpus the tokenizer was frozen on. Per-micro-batch per-source
+    * reports via the shared `coverageTail` (additive components:
+    * `n_tokens`/`covered_tokens` sum across batches; a dashboard
+    * recomputes the rate from the sums). The K-row vocabulary is cached
+    * once; `batch_id=` byte-replace idempotent.
+    */
+  def vocabCoverageSinkBatch(batch: DataFrame, id: Long, vocab: DataFrame,
+      outDir: String): Unit =
+    graft.operators.TextAnalysis.vocabCoverageBatch(batch, vocab)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  def streamVocabCoverage(df: DataFrame, spark: SparkSession, modelDir: String,
+      outDir: String, checkpoint: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    val vocab = spark.read.parquet(s"$modelDir/vocab").persist()
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        vocabCoverageSinkBatch(batch.toDF(), id, vocab, outDir)
+      }
+      .start()
+    (q, vocab)
+  }
+
+  /** Streaming BPE application served from the PERSISTED merge model
+    * (`TextAnalysis.writeBpeMerges`) — the from-model convenience over
+    * [[streamBpeApply]]: the ≤20-row merge table is read once at query
+    * build and unrolled into the codegen projection.
+    */
+  def streamBpeApplyFromModel(df: DataFrame, spark: SparkSession,
+      modelDir: String, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamBpeApply(df,
+      graft.operators.TextAnalysis.bpeMergesFromModel(spark, modelDir),
+      outDir, checkpoint)
+
   // ------------------------------------------------ streaming quality gate
   /** One micro-batch of the streaming quality gate: arriving `(doc_id,
     * text)` rows are scored with the SAME rule battery the batch
