@@ -1210,6 +1210,94 @@ object TextAnalysis {
       |    AS planned_tokens
       |FROM per, tot ORDER BY source""".stripMargin
 
+  /** Temperature-based mixture reweighting — the standard multilingual/
+    * multi-source sampling recipe (q_i ∝ p_i^α with α < 1 upsamples
+    * low-resource sources; XLM-style): per source, the raw token share,
+    * the temperature-adjusted sampling share, and the boost factor.
+    * α = 0.5 here so the power is `sqrt` — bit-portable across engines
+    * (general `pow` can differ in the last ulp; sqrt cannot). The α knob
+    * generalizes; the registered query pins the portable value. Shares
+    * rounded to 4 dp before the boost division so both engines agree at
+    * every emitted digit. One corpus scan, ≤|sources| aggregate, one-row
+    * broadcast totals — the `mixture_rebalance` plan shape.
+    */
+  def mixtureTemperature(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"), size(Portable.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("n_tokens"))
+      .localCheckpoint()
+    val tot = per.agg(sum("n_tokens").as("total"))
+    val shares = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total")).as("p"),
+        sqrt(col("n_tokens").cast("double") / col("total")).as("pq"))
+    val zsum = shares.agg(sum("pq").as("z"))
+    shares.crossJoin(broadcast(zsum))
+      .select(col("source"), col("n_tokens"),
+        round(col("p"), 4).as("share"),
+        round(col("pq") / col("z"), 4).as("sample_share"),
+        round((col("pq") / col("z")) / col("p"), 4).as("boost"))
+      .orderBy("source")
+  }
+
+  val mixtureTemperatureSql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT sum(n_tokens) AS total FROM per),
+      |sh AS (
+      |  SELECT source, n_tokens,
+      |    CAST(n_tokens AS DOUBLE) / total AS p,
+      |    sqrt(CAST(n_tokens AS DOUBLE) / total) AS pq
+      |  FROM per CROSS JOIN tot),
+      |z AS (SELECT sum(pq) AS z FROM sh)
+      |SELECT source, n_tokens,
+      |  round(p, 4) AS share,
+      |  round(pq / z, 4) AS sample_share,
+      |  round((pq / z) / p, 4) AS boost
+      |FROM sh CROSS JOIN z ORDER BY source""".stripMargin
+
+  /** Deterministic training-shard assignment — the "global shuffle" a
+    * pretraining run needs WITHOUT a global sort: every document gets a
+    * portable-hash shard (content-independent, reproducible across runs
+    * and engines) and a position within its shard from a SECOND
+    * independent hash, so shard choice and within-shard order are
+    * decoupled. The per-shard `row_number` window partitions by shard —
+    * 8 parallel sorts of n/8 rows each, never one global ordering; at
+    * 100 TB each shard's window is its own task set, and the written
+    * layout is `partitionBy(shard)` with files internally ordered by the
+    * position key.
+    */
+  def shardAssignment(s: SparkSession, d: String): DataFrame = {
+    val nShards = 8
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("k"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(Portable.tokens(col("text"))).cast("long").as("n_tokens"),
+        (Portable.hash28(concat(lit("shard_"), col("doc_id"))) % nShards)
+          .as("shard"),
+        Portable.hash28(concat(lit("pos_"), col("doc_id"))).as("k"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val shardAssignmentSql: String = {
+    val hs = Portable.hash28Sql("'shard_' || doc_id")
+    val hp = Portable.hash28Sql("'pos_' || doc_id")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ($hs % 8) AS shard, $hp AS k
+       |  FROM documents)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+       |    AS INTEGER) AS pos,
+       |  n_tokens
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------- text chunking
   /** Tokens per chunk window (the RAG/pretraining context budget). */
   val ChunkWindow = 64
@@ -1274,6 +1362,8 @@ object TextAnalysis {
     "quality_threshold_sweep" -> (qualityThresholdSweep _),
     "curriculum_buckets" -> (curriculumBuckets _),
     "ngram_top_per_source" -> (ngramTopPerSource _),
+    "mixture_temperature" -> (mixtureTemperature _),
+    "shard_assignment" -> (shardAssignment _),
     "vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "length_histogram" -> (lengthHistogram _),
     "mixture_rebalance" -> (mixtureRebalance _),
@@ -1300,6 +1390,8 @@ object TextAnalysis {
     "quality_threshold_sweep" -> qualityThresholdSweepSql,
     "curriculum_buckets" -> curriculumBucketsSql,
     "ngram_top_per_source" -> ngramTopPerSourceSql,
+    "mixture_temperature" -> mixtureTemperatureSql,
+    "shard_assignment" -> shardAssignmentSql,
     "vocab_coverage" -> vocabCoverageSql,
     "length_histogram" -> lengthHistogramSql,
     "mixture_rebalance" -> mixtureRebalanceSql,

@@ -1039,6 +1039,35 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("shard assignment: dense per-shard positions, full coverage, bounded shards") {
+    val rows = operators.TextAnalysis.shardAssignment(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.forall(s => s >= 0 && s < 8))
+    // hash sharding at n=500 over 8 shards: every shard populated
+    assert(byShard.size == 8, s"shards: ${byShard.keySet}")
+    byShard.foreach { case (shard, docs) =>
+      val ps = docs.map(_.getAs[Int]("pos")).sorted
+      assert(ps.sameElements(1 to docs.length),
+        s"shard $shard positions not dense: ${ps.take(5)}...")
+    }
+  }
+
+  test("mixture temperature: shares normalize, boost is monotone against share") {
+    val rows = operators.TextAnalysis.mixtureTemperature(spark, sf).collect()
+    assert(rows.length > 1)
+    val sumQ = rows.map(_.getAs[Double]("sample_share")).sum
+    assert(math.abs(sumQ - 1.0) < 0.01, s"sample shares sum to $sumQ")
+    // α < 1 compresses the distribution: smaller raw share → larger boost
+    val byShare = rows.sortBy(_.getAs[Double]("share"))
+    byShare.map(_.getAs[Double]("boost")).sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi >= lo - 1e-9, "boost must not increase with share")
+      case _ =>
+    }
+  }
+
   test("quality gate is total: empty/NULL/degenerate text gets FALSE, never NULL, verdicts") {
     // the dropped-row class the dead-letter discipline exists to prevent: a
     // NULL verdict fails both filter(keep) and filter(!keep) and the row
