@@ -144,6 +144,25 @@ object CurationSmoke {
       check("pack_sequences",
         packedTokens == t2 && bins.sameElements(bins.indices.map(_.toLong)),
         s"bins=${packed.length} tokens=$packedTokens of $t2")
+
+      // stage 5 — tokenizer application: the frozen BPE merge table
+      // (trained ONCE on the raw corpus, persisted, read back) applied to
+      // the clean corpus. Invariant: each applied merge collapses exactly
+      // one adjacent pair, so tokens_before − tokens_after = merges.
+      val bpeDir = s"$base/bpe_model"
+      TextAnalysis.writeBpeMerges(spark, sfDir, bpeDir)
+      val merges = TextAnalysis.bpeMergesFromModel(spark, bpeDir)
+      val tok = TextAnalysis.bpeApplyFrozen(
+        Tables.documents(spark, s2b).select(col("doc_id"), col("text")), merges)
+        .agg(count(lit(1)).as("rows"),
+          sum("n_tok_before").as("before"), sum("n_tok_after").as("after"),
+          sum("n_merges_applied").as("m")).collect()(0)
+      check("bpe_tokenize",
+        tok.getAs[Long]("rows") == n2b &&
+          tok.getAs[Long]("before") - tok.getAs[Long]("after") ==
+            tok.getAs[Long]("m"),
+        s"docs=${tok.getAs[Long]("rows")} tokens ${tok.getAs[Long]("before")} -> " +
+          s"${tok.getAs[Long]("after")} (merges ${tok.getAs[Long]("m")})")
     } finally spark.stop() // scratch dir is removed by the Scratch hook
     if (failed) sys.exit(1)
   }
