@@ -1020,6 +1020,72 @@ object Dedup {
        |  max(doc_id) AS max_doc_id
        |FROM labels GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
+  /** Quality-aware survivor selection — keep the HIGHEST-quality member
+    * of each near-dup cluster instead of the first (keep-first discards
+    * a cleaner copy whenever the lowest doc_id happens to be the noisier
+    * one; production dedup keeps the best representative). Per multi-doc
+    * cluster: the kept member (argmax `quality_bp`, ties → min doc_id —
+    * the [[TextAnalysis.textQuality]] integer formula, one definition),
+    * its quality, and the cluster's worst quality — the gap column is
+    * the evidence that keep-best ≠ keep-first.
+    *
+    * Shape at scale: the label frame is pair-density-sized; quality is a
+    * per-row projection on the cluster members only (semi-joined corpus
+    * scan); the argmax is a `max(struct(quality, −doc_id))` combinable
+    * aggregate — partial+final hash agg, NO per-cluster window, nothing
+    * corpus-wide but the member join.
+    */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val w = Portable.tokens(col("text"))
+    val q = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(w).cast("long").as("n"),
+        size(filter(w, t => t === "the" || t === "a")).cast("long").as("nstop"),
+        size(array_distinct(w)).cast("long").as("ndist"))
+      .select(col("doc_id"), TextAnalysis.qualityBpExpr.as("quality_bp"))
+    clusterLabels(s, d)
+      .join(q, "doc_id")
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("quality_bp"), (-col("doc_id")).as("negid"))).as("best"),
+        min("quality_bp").as("min_quality_bp"))
+      .select(col("cluster_id"), col("n_docs"),
+        (col("best.negid") * -1).as("kept_doc_id"),
+        col("best.quality_bp").as("kept_quality_bp"),
+        col("min_quality_bp"))
+      .orderBy("cluster_id")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $lshPairsSqlCtes,
+       |$componentLabelsSqlCtes,
+       |qm AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n,
+       |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS nstop,
+       |    len(list_distinct(string_split(text, ' '))) AS ndist
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, CAST(${TextAnalysis.QualityBpSqlFrag} AS BIGINT)
+       |    AS quality_bp FROM qm),
+       |j AS (
+       |  SELECT l.label, q.doc_id, q.quality_bp
+       |  FROM labels l JOIN q ON q.doc_id = l.doc_id),
+       |r AS (
+       |  SELECT label, doc_id, quality_bp,
+       |    row_number() OVER (
+       |      PARTITION BY label ORDER BY quality_bp DESC, doc_id) AS rn
+       |  FROM j),
+       |g AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+       |    min(quality_bp) AS min_quality_bp
+       |  FROM j GROUP BY 1)
+       |SELECT g.label AS cluster_id, g.n_docs,
+       |  r.doc_id AS kept_doc_id, r.quality_bp AS kept_quality_bp,
+       |  g.min_quality_bp
+       |FROM g JOIN r ON r.label = g.label AND r.rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
   // ------------------------------------------------- leakage-safe split
   /** Cluster-aware train/val/test split: the 80/10/10 hash split of
     * `Relational.sampleSplit`, but keyed on the near-dup CLUSTER label
@@ -1187,6 +1253,7 @@ object Dedup {
     "decontaminate_ngram" -> (decontaminateNgram _),
     "source_overlap_matrix" -> (sourceOverlapMatrix _),
     "contamination_by_source" -> (contaminationBySource _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "decontaminate_embedding" -> (decontaminateEmbedding _))
 
   def oracles: Map[String, String] = Map(
@@ -1205,5 +1272,6 @@ object Dedup {
     "decontaminate_ngram" -> decontaminateNgramSql,
     "source_overlap_matrix" -> sourceOverlapMatrixSql,
     "contamination_by_source" -> contaminationBySourceSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "decontaminate_embedding" -> decontaminateEmbeddingSql)
 }

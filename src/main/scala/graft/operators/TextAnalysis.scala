@@ -21,9 +21,9 @@ object TextAnalysis {
     * [[corpusFunnel]] and [[qualityThresholdSweep]] (with
     * [[QualityBpSqlFrag]] as the DuckDB mirror), so retention sweeps and
     * funnel gates can never drift from the score they claim to apply. */
-  private def qualityBpExpr: org.apache.spark.sql.Column =
+  private[operators] def qualityBpExpr: org.apache.spark.sql.Column =
     expr("((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) div (10 * n)")
-  private val QualityBpSqlFrag: String =
+  private[operators] val QualityBpSqlFrag: String =
     "((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) // (10 * n)"
 
   // ------------------------------------------------------------- token stats

@@ -1039,6 +1039,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup keep-best: kept member maximizes quality, and differs from keep-first somewhere") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val quality = operators.TextAnalysis.textQuality(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("quality_bp")).toMap
+      val clusters = operators.Dedup.dedupClusters(spark, dir).collect()
+        .map(r => r.getAs[Long]("cluster_id")).toSet
+      val rows = operators.Dedup.dedupKeepBest(spark, dir).collect()
+      assert(rows.map(_.getAs[Long]("cluster_id")).toSet == clusters,
+        s"$dir: keep-best must cover exactly the multi-doc clusters")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("kept_quality_bp") ==
+          quality(r.getAs[Long]("kept_doc_id")),
+          s"$dir: kept quality must be the kept member's quality")
+        assert(r.getAs[Long]("kept_quality_bp") >= r.getAs[Long]("min_quality_bp"))
+      }
+      // materiality: keep-first (min doc_id = the cluster label) would
+      // have kept a WORSE copy in at least one cluster
+      assert(rows.exists(r =>
+        r.getAs[Long]("kept_doc_id") != r.getAs[Long]("cluster_id")),
+        s"$dir: keep-best never disagrees with keep-first — operator is vacuous here")
+    }
+  }
+
   test("shard assignment: dense per-shard positions, full coverage, bounded shards") {
     val rows = operators.TextAnalysis.shardAssignment(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
