@@ -1035,15 +1035,25 @@ object Dedup {
     * aggregate — partial+final hash agg, NO per-cluster window, nothing
     * corpus-wide but the member join.
     */
-  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame =
+    keepBestTail(clusterLabels(s, d), qualityFrame(s, d))
+
+  def dedupKeepBestFromLabels(s: SparkSession, d: String,
+      dir: String): DataFrame =
+    keepBestTail(s.read.parquet(s"$dir/labels"), qualityFrame(s, d))
+
+  private def qualityFrame(s: SparkSession, d: String): DataFrame = {
     val w = Portable.tokens(col("text"))
-    val q = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"),
         size(w).cast("long").as("n"),
         size(filter(w, t => t === "the" || t === "a")).cast("long").as("nstop"),
         size(array_distinct(w)).cast("long").as("ndist"))
       .select(col("doc_id"), TextAnalysis.qualityBpExpr.as("quality_bp"))
-    clusterLabels(s, d)
+  }
+
+  private def keepBestTail(labels: DataFrame, q: DataFrame): DataFrame =
+    labels
       .join(q, "doc_id")
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1054,7 +1064,6 @@ object Dedup {
         col("best.quality_bp").as("kept_quality_bp"),
         col("min_quality_bp"))
       .orderBy("cluster_id")
-  }
 
   val dedupKeepBestSql: String =
     s"""WITH RECURSIVE $lshPairsSqlCtes,
@@ -1114,17 +1123,50 @@ object Dedup {
     * and [[dedupSoftWeights]].
     */
   private def labeledDocs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select("doc_id")
-      .join(clusterLabels(s, d), Seq("doc_id"), "left")
+    labeledFrom(Tables.documents(s, d).select("doc_id"), clusterLabels(s, d))
+
+  /** Corpus ⟕ labels with the singleton fallback — shared by the
+    * in-memory path ([[labeledDocs]]) and the persisted-label serving
+    * path ([[labeledDocsFromIndex]]). */
+  private def labeledFrom(docIds: DataFrame, labels: DataFrame): DataFrame =
+    docIds
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("label"),
         col("label").isNotNull.as("in_cluster"))
 
-  def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
+  // ------------------------------------------- persisted cluster labels
+  /** Persist the near-dup component labels — the cluster family's
+    * train-offline/serve-online split: pair generation + label
+    * propagation is the expensive multi-pass job (the slowest family in
+    * the bench), and FOUR consumers re-derive it per invocation
+    * (`dedup_clusters`, `split_leakage_safe`, `dedup_soft_weights`,
+    * `dedup_keep_best`). A 100 TB pipeline labels once per corpus
+    * version and serves every downstream read from the pair-density-
+    * sized artifact; the `FromLabels` variants below read ONLY the
+    * corpus (one projection) + this parquet — no shingles, no pair
+    * join, no propagation (plan-pinned by `ClusterLabelsSpec`).
+    */
+  def writeClusterLabels(s: SparkSession, d: String, dir: String): Unit =
+    clusterLabels(s, d).write.mode("overwrite").parquet(s"$dir/labels")
+
+  private def labeledDocsFromIndex(s: SparkSession, d: String,
+      dir: String): DataFrame =
+    labeledFrom(Tables.documents(s, d).select("doc_id"),
+      s.read.parquet(s"$dir/labels"))
+
+  def splitLeakageSafe(s: SparkSession, d: String): DataFrame =
+    splitTail(labeledDocs(s, d))
+
+  def splitLeakageSafeFromLabels(s: SparkSession, d: String,
+      dir: String): DataFrame =
+    splitTail(labeledDocsFromIndex(s, d, dir))
+
+  private def splitTail(labeled: DataFrame): DataFrame = {
     // the ONE 80/10/10 rule — naive_split is only a meaningful audit while
     // it stays bit-identical to sampleSplit's assignment
     import Relational.splitOf
-    labeledDocs(s, d)
+    labeled
       .select(col("doc_id"), col("label"), col("in_cluster"),
         splitOf(col("label")).as("split"),
         splitOf(col("doc_id")).as("naive_split"))
@@ -1177,7 +1219,14 @@ object Dedup {
     * histogram aggregate — no new corpus exchange beyond the label join.
     */
   def dedupSoftWeights(s: SparkSession, d: String): DataFrame =
-    labeledDocs(s, d)
+    softWeightsTail(labeledDocs(s, d))
+
+  def dedupSoftWeightsFromLabels(s: SparkSession, d: String,
+      dir: String): DataFrame =
+    softWeightsTail(labeledDocsFromIndex(s, d, dir))
+
+  private def softWeightsTail(labeled: DataFrame): DataFrame =
+    labeled
       .groupBy("label").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"),
