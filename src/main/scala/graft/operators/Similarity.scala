@@ -465,7 +465,7 @@ object Similarity {
     * shuffle, the cheapest possible IVF assignment pass (same pattern as
     * the LSH plane-weight literals).
     */
-  private def assignCells(e: DataFrame,
+  private[graft] def assignCells(e: DataFrame,
       codebook: Seq[(Int, Array[Float])]): DataFrame = {
     val sims = codebook.map { case (cid, emb) =>
       val cnorm = math.sqrt(emb.map(v => v.toDouble * v.toDouble).sum)
@@ -483,7 +483,7 @@ object Similarity {
     * sorted (sim, -cid) struct array (descending struct order = sim desc,
     * cid asc — the exact [[assignCells]] argmax tie-break, extended to
     * second place). */
-  private def assignCellsTop2(e: DataFrame,
+  private[graft] def assignCellsTop2(e: DataFrame,
       codebook: Seq[(Int, Array[Float])]): DataFrame = {
     val sims = codebook.map { case (cid, emb) =>
       val cnorm = math.sqrt(emb.map(v => v.toDouble * v.toDouble).sum)
