@@ -107,6 +107,37 @@ object StreamingSmoke {
       if (stages.isEmpty) "no snapshots emitted"
       else s"first=${stages.head.stage} last=(${stages.last.stage},${stages.last.t1},${stages.last.t2},${stages.last.t3})")
 
+    // ingestion quality-gate leg: a malformed producer (empty + NULL text)
+    // must conserve rows across accept/quarantine — the NULL-verdict
+    // vanishing class the totality fix closed
+    val gin = MemoryStream[(Long, String)]
+    val gq = Streams.streamQualityGate(gin.toDF().toDF("doc_id", "text"),
+      s"$base/gate", s"$base/ckg")
+    gin.addData((1L, ""), (2L, null.asInstanceOf[String]),
+      (3L, ("the engine builds corpora " * 12).trim))
+    gq.processAllAvailable(); gq.stop()
+    val acc = spark.read.parquet(s"$base/gate/accepted").count()
+    val rej = spark.read.parquet(s"$base/gate/rejected").count()
+    check("quality_gate_stream", acc + rej == 3L && rej >= 2L,
+      s"accepted=$acc rejected=$rej of 3")
+
+    // raw-media ingest leg: binary files dropped into a landing zone come
+    // out decoded with in-box resize geometry
+    val landing = s"$base/media"
+    new File(landing).mkdirs()
+    (0 until 4).foreach { i =>
+      Files.write(java.nio.file.Paths.get(landing, f"m$i%03d.bin"),
+        Array.tabulate(i * 31 + 5)(j => (i + j).toByte))
+    }
+    val mq = Streams.streamMediaIngest(spark, landing, s"$base/mediaout", s"$base/ckm")
+    mq.processAllAvailable(); mq.stop()
+    val media = spark.read.parquet(s"$base/mediaout")
+    check("media_ingest",
+      media.count() == 4L &&
+        media.filter(col("out_w") > 224 || col("out_h") > 224).count() == 0L &&
+        media.filter(col("out_w") === 224 || col("out_h") === 224).count() == 4L,
+      s"rows=${media.count()} (fit-to-box geometry)")
+
     spark.stop()
     if (failed) sys.exit(1)
   }
