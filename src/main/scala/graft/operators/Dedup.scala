@@ -751,18 +751,17 @@ object Dedup {
     * are MBs); nothing is ever all-pairs.
     */
   def decontaminateNgram(s: SparkSession, d: String): DataFrame = {
-    // same 64-bit gram fingerprinting as [[jaccardPairs]]: the broadcast
-    // overlap set and the probe key are 8-byte longs, not strings; the hash
-    // never reaches the output
-    val grams = gramSetDF(s, d)
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
-    val bench = grams.filter(col("doc_id") % 97 === 0)
-      .select("g").distinct()
-    grams.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(bench), Seq("g"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared_grams"))
+    // one definition of the screen: the [[benchGramHashes]] broadcast set
+    // and the [[ngramOverlapCounts]] seam (64-bit gram fingerprints — the
+    // jaccardPairs discipline; the hash never reaches the output) are the
+    // SAME code the per-source rollup and the streaming gate run, so the
+    // batch query, `contamination_by_source`, and `streamDecontaminate`
+    // cannot drift on what "shares an n-gram" means.
+    Tables.tuneSession(s)
+    ngramOverlapCounts(
+      parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .filter(col("doc_id") % 97 =!= 0),
+      benchGramHashes(s, d))
       .orderBy("doc_id")
   }
 
@@ -1042,15 +1041,10 @@ object Dedup {
       dir: String): DataFrame =
     keepBestTail(s.read.parquet(s"$dir/labels"), qualityFrame(s, d))
 
-  private def qualityFrame(s: SparkSession, d: String): DataFrame = {
-    val w = Portable.tokens(col("text"))
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(w).cast("long").as("n"),
-        size(filter(w, t => t === "the" || t === "a")).cast("long").as("nstop"),
-        size(array_distinct(w)).cast("long").as("ndist"))
+  private def qualityFrame(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withQualityCounts(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextAnalysis.qualityBpExpr.as("quality_bp"))
-  }
 
   private def keepBestTail(labels: DataFrame, q: DataFrame): DataFrame =
     labels

@@ -123,22 +123,30 @@ object Multimodal {
     * distributed pass, and a real resizer consumes (out_w, out_h,
     * pad_x, pad_y) per record exactly as emitted here.
     */
+  /** THE definition of the fit-to-224-box geometry — appends (out_w,
+    * out_h, pad_x, pad_y) to any frame carrying integer (width, height);
+    * shared by [[multimodalResize]] and the streaming ingest
+    * (`Streams.mediaIngestBatch`), so ingest-time and batch-time
+    * geometry cannot drift — the one-definition discipline of
+    * `bm25ScoreTail`/`coverageTail`. */
+  def resizeGeometry(decoded: DataFrame): DataFrame =
+    decoded
+      .withColumn("__m", greatest(col("width"), col("height")))
+      .withColumn("out_w", expr("(width * 224) div __m"))
+      .withColumn("out_h", expr("(height * 224) div __m"))
+      .drop("__m")
+      .withColumn("pad_x", lit(224L) - col("out_w"))
+      .withColumn("pad_y", lit(224L) - col("out_h"))
+
   def multimodalResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.parallelize(s, Tables.documents(s, d))
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
-      .toDF()
-      .select(col("doc_id"), col("width"), col("height"),
-        greatest(col("width"), col("height")).as("m"))
-      .select(col("doc_id"), col("width"), col("height"),
-        expr("(width * 224) div m").as("out_w"),
-        expr("(height * 224) div m").as("out_h"))
-      .select(col("doc_id"), col("width"), col("height"),
-        col("out_w"), col("out_h"),
-        (lit(224L) - col("out_w")).as("pad_x"),
-        (lit(224L) - col("out_h")).as("pad_y"))
+    resizeGeometry(
+      Tables.parallelize(s, Tables.documents(s, d))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height")))
       .orderBy("doc_id")
   }
 

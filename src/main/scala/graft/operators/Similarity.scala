@@ -44,19 +44,30 @@ object Similarity {
   /** Exact ANN baseline: for each query vector (vec_id % 100 = 0), the
     * top-5 neighbors by cosine. Rank on (rounded cosine desc, vec_id asc).
     */
-  def annBruteforceTopk(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+  def annBruteforceTopk(s: SparkSession, d: String): DataFrame =
+    bruteTopk(Tables.parallelize(s, Tables.embeddings(s, d)), 5)
+      .orderBy("qid", "rank")
+
+  /** THE brute-force cosine top-k truth per probe (vec_id % 100 = 0) —
+    * one definition of the probe predicate, the 4-dp round-before-rank,
+    * and the (cosine desc, vec_id asc) tie-break, shared by the baseline
+    * query ([[annBruteforceTopk]], k = 5), the trained-IVF verdict's
+    * truth frame ([[annIvfTrainedRecall]], k = 3), and the retrieval
+    * enrichment join ([[annDocJoin]], k = 3) — an edit here cannot
+    * de-synchronize the three. `e` must carry (vec_id, embedding); extra
+    * columns pass through the join unused. Output UNORDERED.
+    */
+  private def bruteTopk(e: DataFrame, k: Int): DataFrame = {
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    q.join(e, col("vec_id") =!= col("qid"))
+    q.join(e.select(col("vec_id"), col("embedding")), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qemb"), col("embedding")), 4).as("cosine"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select("qid", "rank", "vec_id", "cosine")
-      .orderBy("qid", "rank")
   }
 
   val annBruteforceTopkSql: String =
@@ -614,19 +625,14 @@ object Similarity {
     */
   def annIvfTrainedRecall(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecFunctions.register(s)
+    // nrm > 0 guard (the decontaminate_embedding contract): an all-zero
+    // vector would put NaN into every cosine — engine-divergent ordering
+    // AND a broken total order under the nprobe-monotonicity argument
     val e = Tables.parallelize(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
+      .filter(col("nrm") > 0)
       .localCheckpoint() // read by training passes, probes, and brute truth
-    val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    val brute = q.join(e, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(cosine(col("qemb"), col("embedding")), 4).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select("qid", "rank", "vec_id", "cosine")
+    val brute = bruteTopk(e, 3)
       .localCheckpoint() // read 3×: truth rows + two semi-join probes
     val codebook = trainCodebook(e)
     val corpus = assignCells(e, codebook)
@@ -652,9 +658,13 @@ object Similarity {
   }
 
   val annIvfTrainedRecallSql: String =
-    s"""WITH scored AS (
+    s"""WITH nz AS (
+       |  SELECT * FROM embeddings
+       |  WHERE sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0),
+       |scored AS (
        |  SELECT p.vec_id AS qid, q.vec_id AS vec_id, $cosineSqlPQ AS cosine
-       |  FROM embeddings p JOIN embeddings q ON q.vec_id <> p.vec_id
+       |  FROM nz p JOIN nz q ON q.vec_id <> p.vec_id
        |  WHERE p.vec_id % 100 = 0),
        |ranked AS (
        |  SELECT qid, vec_id, cosine,
@@ -735,16 +745,12 @@ object Similarity {
     * projection, k rows per probe on the left, never corpus × corpus.
     */
   def annDocJoin(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    // nrm > 0 guard: same NaN-cosine totality contract as the trained
+    // recall query and decontaminate_embedding
     val e = Tables.parallelize(s, Tables.embeddings(s, d))
-    val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    val top = q.join(e, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(cosine(col("qemb"), col("embedding")), 4).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(expr("vec_norm(embedding)") > 0)
+    val top = bruteTopk(e, 3)
     val meta = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
     top
       .join(meta.as("n"), col("vec_id") === col("n.doc_id"))
@@ -756,9 +762,13 @@ object Similarity {
   }
 
   val annDocJoinSql: String =
-    s"""WITH scored AS (
+    s"""WITH nz AS (
+       |  SELECT * FROM embeddings
+       |  WHERE sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0),
+       |scored AS (
        |  SELECT p.vec_id AS qid, q.vec_id AS vec_id, $cosineSqlPQ AS cosine
-       |  FROM embeddings p JOIN embeddings q ON q.vec_id <> p.vec_id
+       |  FROM nz p JOIN nz q ON q.vec_id <> p.vec_id
        |  WHERE p.vec_id % 100 = 0),
        |ranked AS (
        |  SELECT qid, vec_id, cosine,

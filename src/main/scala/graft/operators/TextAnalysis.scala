@@ -26,6 +26,21 @@ object TextAnalysis {
   private[operators] val QualityBpSqlFrag: String =
     "((10 * n - 5 * nstop - 3 * (n - ndist)) * 10000) // (10 * n)"
 
+  /** The (n, nstop, ndist) token-count projection every quality-score
+    * consumer derives from — ONE copy of the stop-token predicate and the
+    * three counts, appended to any frame carrying `text` (consumers
+    * project what they need; Catalyst prunes the rest). Shared by
+    * [[textQuality]], [[qualityThresholdSweep]], and
+    * `Dedup.dedupKeepBest`'s quality frame, so the stop list cannot
+    * drift between the score and its consumers. */
+  private[operators] def withQualityCounts(docs: DataFrame): DataFrame = {
+    val w = Portable.tokens(col("text"))
+    docs.select(col("*"),
+      size(w).cast("long").as("n"),
+      size(filter(w, t => t === "the" || t === "a")).cast("long").as("nstop"),
+      size(array_distinct(w)).cast("long").as("ndist"))
+  }
+
   // ------------------------------------------------------------- token stats
   /** Per-document token statistics: counts, distinct counts, mean token
     * length — all array expressions over one whitespace split.
@@ -64,22 +79,15 @@ object TextAnalysis {
     * integer arithmetic removes rounding semantics from the contract
     * entirely (this bit once in 15 000 values at sf0.1 before the change).
     */
-  def textQuality(s: SparkSession, d: String): DataFrame = {
-    val w = Portable.tokens(col("text"))
-    val nTok = size(w).cast("long")
-    val nStop = size(filter(w, t => t === "the" || t === "a")).cast("long")
-    val nDist = size(array_distinct(w)).cast("long")
-    Tables.documents(s, d)
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    withQualityCounts(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")))
       .select(
         col("doc_id"), col("lang"),
-        (nStop * 10000L).as("sn"), nTok.as("n"), nStop.as("nstop"), nDist.as("ndist"))
-      .select(
-        col("doc_id"), col("lang"),
-        expr("sn div n").as("stop_bp"),
+        expr("(nstop * 10000) div n").as("stop_bp"),
         expr("((n - ndist) * 10000) div n").as("dup_bp"),
         qualityBpExpr.as("quality_bp"))
       .orderBy("doc_id")
-  }
 
   val textQualitySql: String =
     s"""WITH t AS (
@@ -1112,11 +1120,7 @@ object TextAnalysis {
     */
   def qualityThresholdSweep(s: SparkSession, d: String): DataFrame = {
     Tables.tuneSession(s)
-    val w = Portable.tokens(col("text"))
-    val perDoc = Tables.documents(s, d)
-      .select(size(w).cast("long").as("n"),
-        size(filter(w, t => t === "the" || t === "a")).cast("long").as("nstop"),
-        size(array_distinct(w)).cast("long").as("ndist"))
+    val perDoc = withQualityCounts(Tables.documents(s, d).select(col("text")))
       .select(col("n"),
         qualityBpExpr.as("quality_bp"))
     perDoc

@@ -1065,8 +1065,13 @@ object Streams {
       outDir: String, checkpoint: String,
       terms: Seq[String] = graft.operators.Scoring.Bm25Terms)
       : (org.apache.spark.sql.streaming.StreamingQuery, Seq[DataFrame]) = {
+    // cache the |Q|-relevant slice, not the whole vocabulary: the model
+    // df is |vocabulary| rows on disk, but this stream only ever scores
+    // `terms` — pinning the full relation for the stream's lifetime
+    // would waste executor memory and re-filter it every micro-batch
     val cached = Seq(
-      spark.read.parquet(s"$modelDir/df").persist(),
+      spark.read.parquet(s"$modelDir/df")
+        .filter(col("term").isin(terms: _*)).persist(),
       spark.read.parquet(s"$modelDir/meta").persist())
     val q = df.writeStream
       .option("checkpointLocation", checkpoint)
@@ -1088,17 +1093,24 @@ object Streams {
   def mediaIngestBatch(batch: DataFrame, id: Long, outDir: String): Unit = {
     val s = batch.sparkSession
     import s.implicits._
-    batch.select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (docId, bytes) =>
-        graft.operators.Multimodal.decodeStub(docId, bytes) })
-      .toDF()
-      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
-        greatest(col("width"), col("height")).as("m"))
-      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
-        expr("(width * 224) div m").as("out_w"),
-        expr("(height * 224) div m").as("out_h"))
-      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+    // totality: a file whose name yields no id must not kill the query
+    // (a NULL doc_id would throw in the non-nullable encoder and wedge
+    // the checkpoint in a crash loop) and must not silently vanish — it
+    // goes to an `unnamed/` quarantine with its path, the dead-letter
+    // discipline applied to naming instead of parsing
+    val parted = batch.persist()
+    try {
+      parted.filter(col("doc_id").isNull).select(col("path"))
+        .write.mode("overwrite").parquet(s"$outDir/unnamed/batch_id=$id")
+      graft.operators.Multimodal.resizeGeometry(
+        parted.filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (docId, bytes) =>
+            graft.operators.Multimodal.decodeStub(docId, bytes) })
+          .toDF())
+        .write.mode("overwrite").parquet(s"$outDir/decoded/batch_id=$id")
+    } finally { parted.unpersist(); () }
   }
 
   /** Streaming media ingest: an unbounded `binaryFile` directory source
@@ -1125,9 +1137,13 @@ object Streams {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("binaryFile").schema(BinaryFileSchema).load(dir)
       .select(
+        col("path"),
         // digits immediately before the extension — anchored to the file
-        // NAME so directory-path digits can never leak into the id
-        regexp_extract(col("path"), "(\\d+)\\.\\w+$", 1).cast("long").as("doc_id"),
+        // NAME so directory-path digits can never leak into the id; a
+        // digitless name extracts "" → try_cast NULL → quarantined by
+        // the sink, never a crash
+        expr("try_cast(regexp_extract(path, '(\\\\d+)\\\\.\\\\w+$', 1) AS LONG)")
+          .as("doc_id"),
         col("content").as("payload"))
       .writeStream
       .option("checkpointLocation", checkpoint)

@@ -131,7 +131,7 @@ object StreamingSmoke {
     }
     val mq = Streams.streamMediaIngest(spark, landing, s"$base/mediaout", s"$base/ckm")
     mq.processAllAvailable(); mq.stop()
-    val media = spark.read.parquet(s"$base/mediaout")
+    val media = spark.read.parquet(s"$base/mediaout/decoded")
     check("media_ingest",
       media.count() == 4L &&
         media.filter(col("out_w") > 224 || col("out_h") > 224).count() == 0L &&

@@ -22,17 +22,6 @@ class Bm25ModelSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = SparkTestSession.sf
 
-  /** Root paths of every parquet relation in the optimized plan. */
-  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
-    df.queryExecution.optimizedPlan.collect {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.mkString(",")
-          case _ => ""
-        }
-    }
-
   private def key(r: org.apache.spark.sql.Row) =
     (r.getLong(0), r.getDouble(1), r.getLong(2))
 
@@ -43,7 +32,7 @@ class Bm25ModelSpec extends AnyFunSuite {
       val probes = Tables.documents(spark, sf).select("doc_id", "text")
       val served = Scoring.bm25ScoreFromModel(spark, dir, probes)
 
-      val paths = scanPaths(served)
+      val paths = SparkTestSession.scanPaths(served)
       val docScans = paths.filter(_.contains("documents.parquet"))
       assert(docScans.size == 1,
         s"serving plan scans documents ${docScans.size} times " +

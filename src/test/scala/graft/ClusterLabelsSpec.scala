@@ -18,16 +18,6 @@ class ClusterLabelsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = SparkTestSession.sf
 
-  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
-    df.queryExecution.optimizedPlan.collect {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.mkString(",")
-          case _ => ""
-        }
-    }
-
   test("serving the cluster family from persisted labels: identical rows, propagation-free plans") {
     val dir = java.nio.file.Files.createTempDirectory("graft-labels").toString
     try {
@@ -47,7 +37,7 @@ class ClusterLabelsSpec extends AnyFunSuite {
         val expected = inMem.collect().map(_.toSeq).toSeq
         assert(got == expected, s"$name: served rows != in-memory rows")
 
-        val paths = scanPaths(served)
+        val paths = SparkTestSession.scanPaths(served)
         val docScans = paths.count(_.contains("documents.parquet"))
         assert(docScans == 1,
           s"$name: serving plan scans documents $docScans times " +

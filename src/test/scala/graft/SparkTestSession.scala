@@ -31,6 +31,21 @@ object SparkTestSession {
     }
   }
 
+  /** Root paths of every parquet relation in a frame's optimized plan —
+    * the plan-pinning helper the model-serving specs (`LmModelSpec`,
+    * `Bm25ModelSpec`, `ClusterLabelsSpec`, …) use to prove a serving
+    * plan reads only its model artifacts + probes.
+    */
+  def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+    }
+
   /** A second session on the RocksDB state-store provider (required by
     * transformWithState), without disturbing the shared default/active
     * session. Shared by the stateful-processor suites.

@@ -815,17 +815,25 @@ class StreamingSpec extends AnyFunSuite {
       i -> Array.tabulate((i * 37 % 100).toInt + 1)(j => (i + j).toByte)).toMap
     val q = Streams.streamMediaIngest(spark, landing, outDir, ckpt)
     try {
-      // two waves: the landing-zone pattern (new files, not new contents)
+      // two waves: the landing-zone pattern (new files, not new contents);
+      // wave 2 includes a digitless stray file — it must be quarantined,
+      // not crash the query or vanish
       payloads.take(3).foreach { case (i, b) => drop(i, b) }
       q.processAllAvailable()
       payloads.drop(3).foreach { case (i, b) => drop(i, b) }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(landing, "readme.txt"), Array[Byte](1, 2, 3))
       q.processAllAvailable()
-      val got = spark.read.parquet(outDir)
+      val got = spark.read.parquet(s"$outDir/decoded")
         .select("doc_id", "width", "height", "n_frames", "out_w", "out_h")
         .collect()
         .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3),
           r.getLong(4), r.getLong(5))).toMap
       assert(got.keySet == payloads.keySet, s"ingested ${got.keySet}")
+      val unnamed = spark.read.parquet(s"$outDir/unnamed")
+        .select("path").collect().map(_.getString(0))
+      assert(unnamed.length == 1 && unnamed(0).endsWith("readme.txt"),
+        s"stray file must be quarantined by path: ${unnamed.toSeq}")
       payloads.foreach { case (id, bytes) =>
         val d = graft.operators.Multimodal.decodeStub(id, bytes)
         val m = math.max(d.width, d.height)
