@@ -117,6 +117,45 @@ object CurationProps extends Properties("Curation") {
       Prop(got == expected) :| s"got=$got expected=$expected"
     }
 
+  property("shard_assignment equals the brute-force hash shuffle") =
+    Prop.forAll(corpusGen) { corpus =>
+      val dir = stage(corpus)
+      val brute = corpus.map { case (id, t, _) =>
+        (id, t.split(" ").length.toLong,
+          graft.functions.Portable.hash28Jvm(s"shard_$id") % 8,
+          graft.functions.Portable.hash28Jvm(s"pos_$id"))
+      }
+      val expected = brute.groupBy(_._3).flatMap { case (shard, docs) =>
+        docs.sortBy { case (id, _, _, k) => (k, id) }.zipWithIndex.map {
+          case ((id, n, _, _), i) => id -> (shard, i + 1, n)
+        }
+      }
+      val got = TextAnalysis.shardAssignment(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("shard"), r.getAs[Int]("pos"),
+            r.getAs[Long]("n_tokens"))).toMap
+      Prop(got == expected) :| s"got=${got.take(4)} expected=${expected.take(4)}"
+    }
+
+  property("mixture_temperature equals the brute-force sqrt reweighting") =
+    Prop.forAll(corpusGen) { corpus =>
+      val dir = stage(corpus)
+      val per = corpus.groupBy(_._3).map { case (src, docs) =>
+        src -> docs.map(_._2.split(" ").length.toLong).sum
+      }
+      val total = per.values.sum.toDouble
+      val z = per.values.map(n => math.sqrt(n / total)).sum
+      val expected = per.map { case (src, n) =>
+        val p = n / total; val pq = math.sqrt(p)
+        src -> (n, round4(p), round4(pq / z), round4((pq / z) / p))
+      }
+      val got = TextAnalysis.mixtureTemperature(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Double]("share"),
+            r.getAs[Double]("sample_share"), r.getAs[Double]("boost"))).toMap
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
   property("contamination_by_source equals the brute-force trigram rollup") =
     Prop.forAll(corpusGen) { corpus =>
       val dir = stage(corpus)
