@@ -1119,6 +1119,35 @@ object Dedup {
   private def labeledDocs(s: SparkSession, d: String): DataFrame =
     labeledFrom(Tables.documents(s, d).select("doc_id"), clusterLabels(s, d))
 
+  /** Every document with the size of its near-dup cluster (singletons →
+    * 1) — the per-doc multiplicity signal the selection-report query
+    * joins next to quality and DSIR weight. One corpus-side label join +
+    * an O(clusters) size aggregate joined back on the label. */
+  private[operators] def docClusterSizes(s: SparkSession, d: String): DataFrame = {
+    val labeled = labeledDocs(s, d)
+    labeled.join(
+        labeled.groupBy("label").agg(count(lit(1)).as("cluster_size")),
+        "label")
+      .select(col("doc_id"), col("cluster_size"))
+  }
+
+  /** The `assigned`+`sizes` SQL twin of [[docClusterSizes]] (requires the
+    * lshpairs + component-label CTEs in scope). */
+  private[operators] val docClusterSizesSqlCtes: String =
+    """sizes AS (SELECT label, count(*) AS cluster_size
+      |          FROM assigned GROUP BY 1),
+      |docsizes AS (
+      |  SELECT a.doc_id, s.cluster_size
+      |  FROM assigned a JOIN sizes s ON a.label = s.label)""".stripMargin
+
+  /** The cluster-labeling CTE chains, exposed for cross-module oracle
+    * composition (the selection report joins dedup, quality, and DSIR
+    * signals in ONE query — its oracle reuses these verbatim). A `def`:
+    * `componentLabelsSqlCtes` is declared later in this object, and a
+    * `val` here would capture it before initialization. */
+  private[operators] def pairsAndLabelsSqlCtes: String =
+    s"$lshPairsSqlCtes,\n$componentLabelsSqlCtes"
+
   /** Corpus ⟕ labels with the singleton fallback — shared by the
     * in-memory path ([[labeledDocs]]) and the persisted-label serving
     * path ([[labeledDocsFromIndex]]). */

@@ -457,37 +457,100 @@ object Scoring {
       probes: DataFrame): DataFrame =
     dsirScoreBatch(probes, s.read.parquet(s"$modelDir/ratios"))
 
-  val importanceWeightsSql: String = {
+  /** The DSIR per-doc scoring CTE chain (through `dsirsc(doc_id, n_toks,
+    * log_w)`) — ONE SQL definition shared by [[importanceWeightsSql]] and
+    * the selection-report oracle, so the bucket hashing and smoothing
+    * cannot drift between the two. */
+  private[operators] val dsirScoreSqlCtes: String = {
     val h = Portable.hash28Sql("tok")
-    s"""WITH toks AS (
+    s"""dsirtoks AS (
        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
        |  FROM documents),
-       |tb AS (SELECT doc_id, lang, ($h % 256) AS bucket FROM toks),
-       |db AS (SELECT doc_id, bucket, count(*) AS m,
+       |dsirtb AS (SELECT doc_id, lang, ($h % 256) AS bucket FROM dsirtoks),
+       |dsirdb AS (SELECT doc_id, bucket, count(*) AS m,
        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS m_tgt
-       |       FROM tb GROUP BY 1, 2),
-       |b AS (SELECT bucket, sum(m) AS c_raw, sum(m_tgt) AS c_tgt
-       |      FROM db GROUP BY 1),
-       |t AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM b),
-       |r AS (SELECT bucket,
+       |       FROM dsirtb GROUP BY 1, 2),
+       |dsirb AS (SELECT bucket, sum(m) AS c_raw, sum(m_tgt) AS c_tgt
+       |      FROM dsirdb GROUP BY 1),
+       |dsirt AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM dsirb),
+       |dsirr AS (SELECT bucket,
        |        ln((c_tgt + 1.0) / (n_tgt + 256.0)) -
        |        ln((c_raw + 1.0) / (n_raw + 256.0)) AS lr
-       |      FROM b CROSS JOIN t),
-       |sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_toks,
+       |      FROM dsirb CROSS JOIN dsirt),
+       |dsirsc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_toks,
        |         sum(m * lr) AS log_w
-       |       FROM db JOIN r USING (bucket) GROUP BY 1)
+       |       FROM dsirdb JOIN dsirr USING (bucket) GROUP BY 1)""".stripMargin
+  }
+
+  val importanceWeightsSql: String =
+    s"""WITH $dsirScoreSqlCtes
        |SELECT doc_id, n_toks, round(log_w, 4) AS log_w,
        |  round(log_w, 4) > 0 AS keep
-       |FROM sc ORDER BY doc_id""".stripMargin
+       |FROM dsirsc ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- selection report
+  /** The per-document selection-signals table — the ONE materialized view
+    * a curation run actually keeps: every document with its surface
+    * quality score, its DSIR importance weight and keep verdict, and its
+    * near-dup family size with the soft-dedup weight. Downstream
+    * consumers (threshold sweeps, mixture planners, samplers) read this
+    * instead of re-deriving any signal; it is the join of three
+    * oracle-checked families, each through its shared seam
+    * (`withQualityCounts`, `dsirScoreTail` via [[importanceWeights]],
+    * `Dedup.docClusterSizes`), so no formula exists twice.
+    *
+    * Shape at scale: three per-doc relations, each one corpus scan (the
+    * dedup leg's pair machinery is pair-density-sized), joined on
+    * doc_id — co-partitioned shuffle joins, no driver state, output one
+    * row per document.
+    */
+  def selectionReport(s: SparkSession, d: String): DataFrame = {
+    val quality = TextAnalysis.withQualityCounts(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextAnalysis.qualityBpExpr.as("quality_bp"))
+    val dsir = importanceWeights(s, d)
+      .select(col("doc_id"), col("log_w"), col("keep").as("keep_dsir"))
+    quality
+      .join(dsir, Seq("doc_id"))
+      .join(Dedup.docClusterSizes(s, d), Seq("doc_id"))
+      .select(col("doc_id"), col("quality_bp"), col("log_w"), col("keep_dsir"),
+        col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("doc_weight"))
+      .orderBy("doc_id")
   }
+
+  val selectionReportSql: String =
+    s"""WITH RECURSIVE ${Dedup.pairsAndLabelsSqlCtes},
+       |${Dedup.docClusterSizesSqlCtes},
+       |$dsirScoreSqlCtes,
+       |qm AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n,
+       |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS nstop,
+       |    len(list_distinct(string_split(text, ' '))) AS ndist
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, CAST(${TextAnalysis.QualityBpSqlFrag} AS BIGINT)
+       |    AS quality_bp FROM qm)
+       |SELECT q.doc_id, q.quality_bp,
+       |  round(sc.log_w, 4) AS log_w,
+       |  round(sc.log_w, 4) > 0 AS keep_dsir,
+       |  CAST(ds.cluster_size AS BIGINT) AS cluster_size,
+       |  round(1.0 / ds.cluster_size, 6) AS doc_weight
+       |FROM q
+       |JOIN dsirsc sc ON q.doc_id = sc.doc_id
+       |JOIN docsizes ds ON q.doc_id = ds.doc_id
+       |ORDER BY q.doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_perplexity" -> (lmPerplexity _),
     "bm25_topk" -> (bm25Topk _),
-    "importance_weights" -> (importanceWeights _))
+    "importance_weights" -> (importanceWeights _),
+    "selection_report" -> (selectionReport _))
 
   def oracles: Map[String, String] = Map(
     "lm_perplexity" -> lmPerplexitySql,
     "bm25_topk" -> bm25TopkSql,
-    "importance_weights" -> importanceWeightsSql)
+    "importance_weights" -> importanceWeightsSql,
+    "selection_report" -> selectionReportSql)
 }

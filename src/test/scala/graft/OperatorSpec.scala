@@ -1039,6 +1039,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("selection report: one row per doc, every signal column carries both regimes") {
+    val rows = operators.Scoring.selectionReport(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    // signal diversity: the report is only useful if each joined family
+    // actually discriminates on the fixture
+    assert(rows.map(_.getAs[Boolean]("keep_dsir")).toSet == Set(true, false))
+    assert(rows.exists(_.getAs[Long]("cluster_size") > 1) &&
+      rows.exists(_.getAs[Long]("cluster_size") == 1))
+    assert(rows.map(_.getAs[Long]("quality_bp")).distinct.length > 1)
+    // soft weight is exactly 1/cluster_size at 6 dp
+    rows.foreach { r =>
+      val expect = BigDecimal(1.0 / r.getAs[Long]("cluster_size"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("doc_weight") == expect)
+    }
+  }
+
   test("dedup keep-best: kept member maximizes quality, and differs from keep-first somewhere") {
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
       val quality = operators.TextAnalysis.textQuality(spark, dir).collect()
