@@ -649,10 +649,14 @@ object Dedup {
     * reassembly. Nothing is collected; the hot-span decision never
     * materializes a posting list.
     */
-  def dedupSpans(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** THE per-document span relation — `(doc_id, n_spans, pos, span)` from
+    * consecutive [[SpanTokens]]-token spans — shared by [[dedupSpans]] and
+    * [[dedupSpanBloom]] so the span definition (and hence what "duplicate
+    * span" means) cannot drift between the removal pass and the
+    * membership screen. One tokenize pass, exploded. */
+  private def docSpans(s: SparkSession, d: String): DataFrame = {
     Tables.tuneSession(s) // span arrays get exploded
-    val spans = parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+    parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
       .select(col("doc_id"), expr(
         s"""transform(sequence(0, CAST(ceil(size(w) / ${SpanTokens}.0) AS INT) - 1),
@@ -660,6 +664,24 @@ object Dedup {
         .as("spans"))
       .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"),
         posexplode(col("spans")).as(Seq("pos", "span")))
+  }
+
+  /** DuckDB CTE chain producing the same relation as [[docSpans]] (tables
+    * `w`, `sp`, `e`; `e` has doc_id, n_spans, pos, span) — shared by the
+    * span-dedup oracles. */
+  private val docSpansSqlCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sp AS (SELECT doc_id, list_transform(
+       |    range(0, CAST(ceil(len(w) / ${SpanTokens}.0) AS INT)),
+       |    i -> {'pos': i, 'span': array_to_string(
+       |            list_slice(w, i * $SpanTokens + 1, i * $SpanTokens + $SpanTokens), ' ')})
+       |  AS spans FROM w),
+       |e AS (SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans,
+       |        unnest(spans, recursive := true) FROM sp)""".stripMargin
+
+  def dedupSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = docSpans(s, d)
     val bySpan = Window.partitionBy("span")
     val kept = spans
       .withColumn("cnt", count(lit(1)).over(bySpan))
@@ -678,14 +700,7 @@ object Dedup {
   }
 
   val dedupSpansSql: String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |sp AS (SELECT doc_id, list_transform(
-       |    range(0, CAST(ceil(len(w) / ${SpanTokens}.0) AS INT)),
-       |    i -> {'pos': i, 'span': array_to_string(
-       |            list_slice(w, i * $SpanTokens + 1, i * $SpanTokens + $SpanTokens), ' ')})
-       |  AS spans FROM w),
-       |e AS (SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans,
-       |        unnest(spans, recursive := true) FROM sp),
+    s"""WITH $docSpansSqlCtes,
        |m AS (SELECT *, count(*) OVER (PARTITION BY span) AS cnt,
        |        row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
        |      FROM e),
@@ -695,6 +710,88 @@ object Dedup {
        |  CAST(any_value(n_spans) - count(*) AS BIGINT) AS n_dropped,
        |  md5(string_agg(span, ' ' ORDER BY pos)) AS clean_fp
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- span bloom screen
+  /** Bloom-filter sizing for [[dedupSpanBloom]]: expected distinct history
+    * spans and filter bits (≈8 bits/item → ~2% false positives). */
+  val SpanBloomItems: Long = 1000000L
+  val SpanBloomBits: Long = 8000000L
+
+  /** Bloom-filter span-membership screen — the 100 TB formulation of
+    * incremental span dedup (the Dolma-pipeline shape: a Bloom filter over
+    * history, not a join against it): the HISTORY corpus's spans
+    * (doc_id % 10 < 8 — the [[dedupIncremental]] split) are folded into
+    * ONE mergeable `bloom_filter_agg` sketch; the incoming BATCH's spans
+    * probe it with `might_contain`. Unlike [[dedupIncremental]]'s
+    * artifact joins, the history side here never shuffles row data at
+    * all — each executor folds its partition into a fixed-size bit
+    * array, the partials OR together, and the probe side receives the
+    * sketch as a single broadcast value. That is the production path.
+    *
+    * The compared frame follows the sketch-family oracle pattern
+    * (`approx_distinct`, `percentile_tdigest`): per batch document, the
+    * EXACT span-membership counts (engine-portable — a distinct-history
+    * left join both engines can run) plus the in-frame verdict
+    * `bloom_covers_exact` — true iff NO exactly-duplicated span was
+    * missed by the sketch, which is the Bloom filter's no-false-negative
+    * guarantee. The oracle asserts it as a TRUE literal, so a sketch
+    * regression (a dropped insertion, a hash mismatch between build and
+    * probe) turns the hash compare red. False-positive behavior is
+    * measured in OperatorSpec, not compared here (it is
+    * parameter-dependent, not semantics).
+    */
+  /** Per-batch-span flag frame `(doc_id, n_spans, exact_hit, bloom_hit)`
+    * backing [[dedupSpanBloom]] — exposed to the spec so the sketch's
+    * false-positive behavior (a sizing property, not semantics, hence not
+    * in the oracle-compared frame) can be measured corpus-wide. */
+  private[graft] def spanBloomFlags(s: SparkSession, d: String): DataFrame = {
+    // bloom_filter_agg / might_contain are Catalyst-internal (planted by
+    // the runtime-filter rule, not registered for SQL), so the Column
+    // trees are built directly — the GraftBridge pattern the native
+    // vector/PQ kernels already use
+    import org.apache.spark.sql.GraftBridge.{column, expression, scalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val isBatch = col("doc_id") % 10 >= 8
+    val spans = docSpans(s, d)
+    val hist = spans.filter(!isBatch)
+    val batch = spans.filter(isBatch)
+    // the build side: one pass over history folding spans into a single
+    // bit-array sketch, delivered to the probe as a scalar subquery (the
+    // form might_contain requires — executed once, broadcast as a value)
+    val bloom = hist.agg(
+      column(new BloomFilterAggregate(expression(xxhash64(col("span"))),
+        Literal(SpanBloomItems), Literal(SpanBloomBits)).toAggregateExpression())
+        .as("bf"))
+    val histSpans = hist.select(col("span")).distinct()
+      .withColumn("in_hist", lit(1L))
+    batch
+      .join(histSpans, Seq("span"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        col("in_hist").isNotNull.as("exact_hit"),
+        column(BloomFilterMightContain(scalarSubquery(bloom),
+          expression(xxhash64(col("span"))))).as("bloom_hit"))
+  }
+
+  def dedupSpanBloom(s: SparkSession, d: String): DataFrame =
+    spanBloomFlags(s, d)
+      .groupBy("doc_id")
+      .agg(first("n_spans").as("n_spans"),
+        sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_exact_dup"),
+        (sum(when(col("exact_hit") && !col("bloom_hit"), 1L).otherwise(0L)) === 0L)
+          .as("bloom_covers_exact"))
+      .orderBy("doc_id")
+
+  val dedupSpanBloomSql: String =
+    s"""WITH $docSpansSqlCtes,
+       |hist AS (SELECT DISTINCT span FROM e WHERE doc_id % 10 < 8),
+       |b AS (SELECT doc_id, n_spans, span FROM e WHERE doc_id % 10 >= 8)
+       |SELECT b.doc_id, any_value(b.n_spans) AS n_spans,
+       |  CAST(sum(CASE WHEN h.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact_dup,
+       |  TRUE AS bloom_covers_exact
+       |FROM b LEFT JOIN hist h ON b.span = h.span
+       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------ source overlap
   /** Cross-source near-duplication matrix — the mixture-design telemetry a
@@ -1320,6 +1417,7 @@ object Dedup {
     "dedup_ensemble" -> (dedupEnsemble _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_spans" -> (dedupSpans _),
+    "dedup_span_bloom" -> (dedupSpanBloom _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
     "decontaminate_ngram" -> (decontaminateNgram _),
@@ -1339,6 +1437,7 @@ object Dedup {
     "dedup_ensemble" -> dedupEnsembleSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_spans" -> dedupSpansSql,
+    "dedup_span_bloom" -> dedupSpanBloomSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_indexed" -> dedupIncrementalSql,
     "decontaminate_ngram" -> decontaminateNgramSql,

@@ -46,7 +46,14 @@ object Scoring {
     * established [[TextAnalysis.textTfidf]] contract); ppl is derived
     * from the UNROUNDED average, rounded to 2 dp.
     */
-  def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+  def lmPerplexity(s: SparkSession, d: String): DataFrame =
+    lmPerDoc(s, d).orderBy("doc_id")
+
+  /** The UNORDERED per-document LM-score frame backing [[lmPerplexity]]
+    * (which adds the presentation sort) and [[lmQualityCalibration]]
+    * (which aggregates it) — one training + scoring definition for both
+    * consumers. */
+  private def lmPerDoc(s: SparkSession, d: String): DataFrame = {
     Tables.tuneSession(s) // shingle arrays get exploded
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
@@ -62,7 +69,6 @@ object Scoring {
     val v = docs.select(explode(col("w")).as("t"))
       .agg(countDistinct("t").as("v"))
     scoreAgainstLm(tf, c2, c1, v, Tables.documents(s, d).select(col("doc_id")))
-      .orderBy("doc_id")
   }
 
   /** THE definition of the LM scoring composition — one copy of the
@@ -95,9 +101,13 @@ object Scoring {
         round(exp(-col("avg_logp")), 2).as("ppl"))
   }
 
-  val lmPerplexitySql: String = {
+  /** The LM training + per-doc scoring CTE chain (ends with `agg`:
+    * doc_id, n_bigrams, unrounded avg_logp) — one DuckDB copy shared by
+    * [[lmPerplexitySql]] and [[lmQualityCalibrationSql]], mirroring the
+    * [[lmPerDoc]] seam on the Spark side. */
+  private val lmCtesSql: String = {
     val sh2 = Portable.shinglesSql(2)
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |bg AS (SELECT doc_id, unnest($sh2) AS bg FROM d),
        |tf AS (SELECT doc_id, bg, count(*) AS m FROM bg GROUP BY 1, 2),
        |c2 AS (SELECT bg, sum(m) AS c2 FROM tf GROUP BY 1),
@@ -111,13 +121,100 @@ object Scoring {
        |       JOIN c1 ON split_part(tf.bg, ' ', 1) = c1.pre CROSS JOIN v),
        |agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
        |          sum(m * logp) / sum(m) AS avg_logp
-       |        FROM sc GROUP BY 1)
+       |        FROM sc GROUP BY 1)""".stripMargin
+  }
+
+  val lmPerplexitySql: String =
+    s"""WITH $lmCtesSql
        |SELECT docs.doc_id, agg.n_bigrams,
        |  round(agg.avg_logp, 4) AS avg_logp,
        |  round(exp(-agg.avg_logp), 2) AS ppl
        |FROM (SELECT doc_id FROM documents) docs LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------- perplexity × quality calibration
+  /** LM-score × surface-quality calibration — the report that tells a
+    * curation team whether the two independent selection signals AGREE
+    * (CCNet buckets its corpus exactly this way: perplexity quartiles,
+    * then per-bucket treatment): documents are bucketed by corpus
+    * quartiles of their rounded avg bigram log-probability ([[lmPerDoc]],
+    * the `lm_perplexity` score verbatim) and each bucket reports its doc
+    * count, mean surface quality ([[TextAnalysis.qualityBpExpr]] verbatim
+    * — integer basis points, integer-division mean, no rounding
+    * semantics) and its score range. A monotone mean-quality trend across
+    * buckets validates the LM filter; a flat one says the signals are
+    * orthogonal and both earn their keep.
+    *
+    * Shape at scale: the quartile thresholds come from ONE `percentile`
+    * aggregate over the per-doc score frame and buckets are a comparison
+    * projection against the broadcast threshold row — the
+    * `curriculum_buckets` pattern, deliberately NOT a global `ntile()`
+    * window (which would total-sort the corpus). Thresholds and per-doc
+    * scores are rounded to 4 dp on both engines BEFORE comparison so
+    * bucket boundaries cannot float-drift. Documents with no bigrams
+    * (NULL score) are excluded — they have no LM opinion to calibrate.
+    */
+  def lmQualityCalibration(s: SparkSession, d: String): DataFrame = {
+    // Quartiles are interpolated over the INTEGERIZED score (rounded
+    // 4-dp score × 10⁴ — an exact long, since the 4-dp values are the
+    // established engine-agreed contract): interpolation over integers
+    // yields exact multiples of 0.25, so thresholds need no rounding and
+    // the bucket comparison has NO float-tie class at all. Interpolating
+    // over the raw doubles instead put q25 on a round-4 tie at sf0.01
+    // and moved one document across engines.
+    val scored = lmPerDoc(s, d)
+      .filter(col("n_bigrams").isNotNull)
+      .select(col("doc_id"), col("avg_logp"),
+        round(col("avg_logp") * 10000).cast("long").as("si"))
+    val quality = TextAnalysis.withQualityCounts(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextAnalysis.qualityBpExpr.as("quality_bp"))
+    val q = scored.agg(
+      expr("percentile(si, 0.25)").as("q25"),
+      expr("percentile(si, 0.5)").as("q50"),
+      expr("percentile(si, 0.75)").as("q75"))
+    scored.join(quality, "doc_id")
+      .crossJoin(broadcast(q))
+      .select(col("quality_bp"), col("avg_logp"),
+        (lit(1) + (col("si") > col("q25")).cast("int")
+          + (col("si") > col("q50")).cast("int")
+          + (col("si") > col("q75")).cast("int")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("quality_bp").as("sum_q"),
+        min("avg_logp").as("min_avg_logp"), max("avg_logp").as("max_avg_logp"))
+      .select(col("bucket"), col("n_docs"),
+        expr("sum_q div n_docs").as("mean_quality_bp"),
+        col("min_avg_logp"), col("max_avg_logp"))
+      .orderBy("bucket")
   }
+
+  val lmQualityCalibrationSql: String =
+    s"""WITH $lmCtesSql,
+       |lmr AS (SELECT doc_id, round(avg_logp, 4) AS avg_logp,
+       |          CAST(round(round(avg_logp, 4) * 10000) AS BIGINT) AS si
+       |        FROM agg),
+       |qc AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n,
+       |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS nstop,
+       |    len(list_distinct(string_split(text, ' '))) AS ndist
+       |  FROM documents),
+       |qt AS (SELECT doc_id,
+       |    ${TextAnalysis.QualityBpSqlFrag} AS quality_bp FROM qc),
+       |j AS (SELECT lmr.doc_id, lmr.avg_logp, lmr.si, qt.quality_bp
+       |      FROM lmr JOIN qt USING (doc_id)),
+       |thr AS (SELECT quantile_cont(CAST(si AS DOUBLE), 0.25) AS q25,
+       |               quantile_cont(CAST(si AS DOUBLE), 0.5) AS q50,
+       |               quantile_cont(CAST(si AS DOUBLE), 0.75) AS q75
+       |        FROM j),
+       |b AS (SELECT 1 + CAST(si > q25 AS INT) + CAST(si > q50 AS INT)
+       |        + CAST(si > q75 AS INT) AS bucket,
+       |        quality_bp, avg_logp
+       |      FROM j CROSS JOIN thr)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(quality_bp) // count(*) AS BIGINT) AS mean_quality_bp,
+       |  min(avg_logp) AS min_avg_logp, max(avg_logp) AS max_avg_logp
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ------------------------------------------- persisted LM model serving
   /** Persist the trained bigram-LM statistics so scoring never re-trains —
@@ -544,12 +641,14 @@ object Scoring {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_perplexity" -> (lmPerplexity _),
+    "lm_quality_calibration" -> (lmQualityCalibration _),
     "bm25_topk" -> (bm25Topk _),
     "importance_weights" -> (importanceWeights _),
     "selection_report" -> (selectionReport _))
 
   def oracles: Map[String, String] = Map(
     "lm_perplexity" -> lmPerplexitySql,
+    "lm_quality_calibration" -> lmQualityCalibrationSql,
     "bm25_topk" -> bm25TopkSql,
     "importance_weights" -> importanceWeightsSql,
     "selection_report" -> selectionReportSql)

@@ -1361,7 +1361,128 @@ object TextAnalysis {
        |    AS chunk_fp
        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ------------------------------------------------------------- novelty
+  /** Per-document n-gram novelty — the "how much of this document exists
+    * nowhere else" selection signal (the inverse of the dup-mass signals in
+    * [[graft.operators.Dedup]]): for each document, the share of its
+    * DISTINCT word bigrams whose corpus document-frequency is exactly 1,
+    * in integer basis points. High-novelty documents carry unique content
+    * a selection pass up-weights; near-zero novelty marks template mass.
+    *
+    * Shape at scale: one tokenize+shingle pass into a per-doc distinct
+    * bigram frame (localCheckpoint'd — the textTfidf sibling-scan
+    * discipline), one gram-keyed exchange for document frequencies, one
+    * doc_id-keyed aggregate back. Totality: every document gets a row —
+    * a short doc with zero bigrams reports (0, 0, 0) via the left join +
+    * coalesce, never NULL (the quality-gate lesson).
+    */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s) // shingle arrays get exploded
+    val grams = Tables.parallelize(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(array_distinct(
+        Portable.shingles(Portable.tokens(col("text")), 2))).as("bg"))
+      .localCheckpoint()
+    val dfq = grams.groupBy("bg").agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(dfq, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel_grams"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
+      .withColumn("novelty_bp",
+        expr("(novel_grams * 10000) div greatest(n_grams, 1L)"))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltySql: String = {
+    val sh2 = Portable.shinglesSql(2)
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct($sh2)) AS bg FROM d),
+       |df AS (SELECT bg, count(*) AS df FROM g GROUP BY 1),
+       |p AS (SELECT g.doc_id, count(*) AS n_grams,
+       |        sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS novel_grams
+       |      FROM g JOIN df USING (bg) GROUP BY 1)
+       |SELECT docs.doc_id,
+       |  CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(p.novel_grams, 0) AS BIGINT) AS novel_grams,
+       |  CAST(coalesce(p.novel_grams, 0) * 10000
+       |    // greatest(coalesce(p.n_grams, 0), 1) AS BIGINT) AS novelty_bp
+       |FROM (SELECT doc_id FROM documents) docs LEFT JOIN p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- PMI collocations
+  /** Minimum adjacent-pair count for a collocation candidate and the
+    * report size. */
+  val PmiMinCount: Long = 3L
+  val PmiTopK: Int = 10
+
+  /** Corpus collocations by pointwise mutual information — the phrase
+    * detector a tokenizer/vocabulary-budget decision reads (which adjacent
+    * word pairs co-occur far above chance and deserve a merged vocabulary
+    * entry — the statistical cousin of the BPE pair statistic, normalized
+    * for marginal frequency instead of raw count):
+    *
+    *   pmi(x y) = ln(N · c(xy) / (c(x ·) · c(· y)))
+    *
+    * with the marginals and total N taken over the adjacent-pair relation
+    * (the standard contingency-table formulation), a [[PmiMinCount]]
+    * support floor to kill one-off flukes, and the top [[PmiTopK]] by
+    * (pmi, pair) — pmi rounded to 4 dp BEFORE ranking so both engines
+    * agree at rank boundaries (the bm25 contract).
+    *
+    * Shape at scale: ONE tokenize+shingle pass into pair counts
+    * (localCheckpoint'd); marginals and N are vocabulary-bounded
+    * aggregates OF that frame (broadcast back); the top-k is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def collocationsPmi(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s) // shingle arrays get exploded
+    val pairs = Tables.parallelize(s,
+        Tables.documents(s, d).select(col("text")))
+      .select(explode(Portable.shingles(Portable.tokens(col("text")), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val cx = pairs.groupBy(substring_index(col("bg"), " ", 1).as("x"))
+      .agg(sum("cnt").as("cx"))
+    val cy = pairs.groupBy(substring_index(col("bg"), " ", -1).as("y"))
+      .agg(sum("cnt").as("cy"))
+    val tot = pairs.agg(sum("cnt").as("n"))
+    pairs.filter(col("cnt") >= PmiMinCount)
+      .join(broadcast(cx), substring_index(col("bg"), " ", 1) === col("x"))
+      .join(broadcast(cy), substring_index(col("bg"), " ", -1) === col("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("bg"), col("cnt"),
+        round(log(col("n") * col("cnt") / (col("cx") * col("cy"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bg").asc)
+      .limit(PmiTopK)
+  }
+
+  val collocationsPmiSql: String = {
+    val sh2 = Portable.shinglesSql(2)
+    s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT unnest($sh2) AS bg FROM w),
+       |c AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY 1),
+       |cx AS (SELECT split_part(bg, ' ', 1) AS x, sum(cnt) AS cx FROM c GROUP BY 1),
+       |cy AS (SELECT split_part(bg, ' ', 2) AS y, sum(cnt) AS cy FROM c GROUP BY 1),
+       |n AS (SELECT sum(cnt) AS n FROM c)
+       |SELECT c.bg, CAST(c.cnt AS BIGINT) AS cnt,
+       |  round(ln(CAST(n.n AS DOUBLE) * c.cnt / (cx.cx * cy.cy)), 4) AS pmi
+       |FROM c
+       |JOIN cx ON split_part(c.bg, ' ', 1) = cx.x
+       |JOIN cy ON split_part(c.bg, ' ', 2) = cy.y
+       |CROSS JOIN n
+       |WHERE c.cnt >= $PmiMinCount
+       |ORDER BY pmi DESC, bg LIMIT $PmiTopK""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_novelty" -> (ngramNovelty _),
+    "collocations_pmi" -> (collocationsPmi _),
     "text_chunks" -> (textChunks _),
     "quality_threshold_sweep" -> (qualityThresholdSweep _),
     "curriculum_buckets" -> (curriculumBuckets _),
@@ -1390,6 +1511,8 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "ngram_novelty" -> ngramNoveltySql,
+    "collocations_pmi" -> collocationsPmiSql,
     "text_chunks" -> textChunksSql,
     "quality_threshold_sweep" -> qualityThresholdSweepSql,
     "curriculum_buckets" -> curriculumBucketsSql,

@@ -13,6 +13,16 @@ object GraftBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Wrap a single-row, single-column DataFrame as a scalar-subquery
+    * expression — the form `BloomFilterMightContain` (and any other
+    * runtime-filter-style probe) requires for its build side: the
+    * subquery executes once and its value is broadcast into the probe
+    * expression, never re-evaluated per row. */
+  def scalarSubquery(df: DataFrame): Expression =
+    catalyst.expressions.ScalarSubquery(
+      df.queryExecution.analyzed,
+      Nil, catalyst.expressions.NamedExpression.newExprId, Nil, None, None, None)
+
   /** Unpersist the RDD behind a `localCheckpoint()`ed DataFrame. Iterative
     * algorithms (connected components) checkpoint each round; without this
     * the superseded rounds' blocks stay pinned until the session ends.

@@ -1136,4 +1136,97 @@ class OperatorSpec extends AnyFunSuite {
     assert(scored.filter(col("keep")).count() +
       scored.filter(!col("keep")).count() == 5L)
   }
+
+  test("ngram novelty: total over the corpus, bounded, both regimes populated") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.TextAnalysis.ngramNovelty(spark, dir).collect()
+      assert(rows.length == Tables.documents(spark, dir).count(),
+        s"$dir: novelty must emit one row per document (totality)")
+      rows.foreach { r =>
+        val (n, novel, bp) = (r.getAs[Long]("n_grams"),
+          r.getAs[Long]("novel_grams"), r.getAs[Long]("novelty_bp"))
+        assert(novel >= 0 && novel <= n, s"$dir: novel_grams $novel outside [0, $n]")
+        assert(bp >= 0 && bp <= 10000, s"$dir: novelty_bp $bp outside [0, 10000]")
+      }
+      // materiality: the signal discriminates on the fixture — template
+      // mass at zero AND unique content above it
+      assert(rows.exists(_.getAs[Long]("novelty_bp") == 0), s"$dir: no zero-novelty docs")
+      assert(rows.exists(_.getAs[Long]("novelty_bp") > 0), s"$dir: no novel docs")
+    }
+  }
+
+  test("collocations: top-k by PMI matches a brute-force count over the corpus") {
+    import operators.TextAnalysis.{PmiMinCount, PmiTopK}
+    val got = operators.TextAnalysis.collocationsPmi(spark, sf).collect()
+      .map(r => (r.getAs[String]("bg"), r.getAs[Long]("cnt"), r.getAs[Double]("pmi")))
+    assert(got.length == PmiTopK)
+    got.foreach { case (_, cnt, _) => assert(cnt >= PmiMinCount) }
+    // brute force: adjacent-pair counts + contingency marginals in Scala
+    val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val pairs = texts.flatMap(t => t.split(" ").sliding(2).withFilter(_.length == 2)
+      .map(a => (a(0), a(1))))
+    val cxy = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cx = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cy = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = pairs.length.toLong
+    val expect = cxy.toSeq.filter(_._2 >= PmiMinCount)
+      .map { case ((x, y), c) =>
+        val pmi = BigDecimal(math.log(n.toDouble * c / (cx(x) * cy(y))))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (s"$x $y", c, pmi)
+      }
+      .sortBy { case (bg, _, pmi) => (-pmi, bg) }
+      .take(PmiTopK)
+    assert(got.toSeq == expect,
+      s"got:\n${got.mkString("\n")}\nexpected:\n${expect.mkString("\n")}")
+  }
+
+  test("span bloom screen: no false negatives, measured false-positive rate is sane") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val flags = operators.Dedup.spanBloomFlags(spark, dir).cache()
+      try {
+        val exact = flags.filter(col("exact_hit")).count()
+        val missed = flags.filter(col("exact_hit") && !col("bloom_hit")).count()
+        val flagged = flags.filter(col("bloom_hit")).count()
+        val clean = flags.filter(!col("exact_hit")).count()
+        val fp = flags.filter(!col("exact_hit") && col("bloom_hit")).count()
+        assert(exact > 0, s"$dir: fixture must carry cross-batch duplicate spans")
+        assert(clean > 0, s"$dir: fixture must carry novel spans")
+        assert(missed == 0, s"$dir: bloom filter dropped $missed true duplicates")
+        assert(flagged >= exact, s"$dir: flagged $flagged < exact $exact")
+        // ~8 bits/item sizing → ~2% theoretical fp; 20% is the loud-failure bound
+        assert(fp * 5 <= clean, s"$dir: false-positive rate ${fp}/${clean} above 20%")
+      } finally flags.unpersist()
+      // and the oracle-facing rollup carries the verdict everywhere
+      val rolled = operators.Dedup.dedupSpanBloom(spark, dir).collect()
+      assert(rolled.forall(_.getAs[Boolean]("bloom_covers_exact")))
+      assert(rolled.exists(_.getAs[Long]("n_exact_dup") > 0) &&
+        rolled.exists(_.getAs[Long]("n_exact_dup") == 0),
+        s"$dir: both screen branches must be populated")
+    }
+  }
+
+  test("lm-quality calibration partitions the scored corpus into balanced quartiles") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.Scoring.lmQualityCalibration(spark, dir).collect()
+        .sortBy(_.getAs[Int]("bucket"))
+      assert(rows.map(_.getAs[Int]("bucket")).toSeq == Seq(1, 2, 3, 4),
+        s"$dir: all four quartile buckets must be populated")
+      val scored = operators.Scoring.lmPerplexity(spark, dir)
+        .filter(col("n_bigrams").isNotNull).count()
+      val total = rows.map(_.getAs[Long]("n_docs")).sum
+      assert(total == scored, s"$dir: buckets must partition the scored docs")
+      // quartile assignment: no bucket more than twice the even share
+      // (ties can shift membership, gross skew means broken thresholds)
+      rows.foreach(r => assert(r.getAs[Long]("n_docs") * 2 <= scored,
+        s"$dir: bucket ${r.getAs[Int]("bucket")} holds over half the corpus"))
+      // score ranges are ordered across buckets
+      rows.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo.getAs[Double]("max_avg_logp") <= hi.getAs[Double]("min_avg_logp"),
+          s"$dir: bucket ranges overlap")
+      }
+    }
+  }
 }
