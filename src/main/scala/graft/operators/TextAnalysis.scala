@@ -1376,12 +1376,19 @@ object TextAnalysis {
     * a short doc with zero bigrams reports (0, 0, 0) via the left join +
     * coalesce, never NULL (the quality-gate lesson).
     */
+  /** THE distinct-bigram projection `(doc_id, bg)` the novelty family
+    * derives from — one copy of the shingle + distinct shape shared by
+    * [[ngramNovelty]], [[writeNoveltyModel]] and [[noveltyScoreBatch]],
+    * so the in-corpus signal, the persisted document frequencies and the
+    * serving path can never disagree about what a "gram" is. */
+  private def docBigramsDistinct(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(
+      Portable.shingles(Portable.tokens(col("text")), 2))).as("bg"))
+
   def ngramNovelty(s: SparkSession, d: String): DataFrame = {
     Tables.tuneSession(s) // shingle arrays get exploded
-    val grams = Tables.parallelize(s,
-        Tables.documents(s, d).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(array_distinct(
-        Portable.shingles(Portable.tokens(col("text")), 2))).as("bg"))
+    val grams = docBigramsDistinct(Tables.parallelize(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text"))))
       .localCheckpoint()
     val dfq = grams.groupBy("bg").agg(count(lit(1)).as("df"))
     val perDoc = grams.join(dfq, "bg")
@@ -1397,6 +1404,57 @@ object TextAnalysis {
         expr("(novel_grams * 10000) div greatest(n_grams, 1L)"))
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------- persisted novelty model
+  /** Persist the corpus bigram document frequencies — the novelty family's
+    * train-offline/serve-online split (the LM/DSIR/BM25/tokenizer
+    * contract): the corpus-wide df relation is computed ONCE and an
+    * ingest pipeline scores arriving batches against it without
+    * rescanning the corpus. The model is bigram-vocabulary-bounded —
+    * the same key space (and therefore the same serving-join class) as
+    * the LM's c2 relation: broadcast when it fits, gram-keyed shuffle
+    * join when it doesn't.
+    */
+  def writeNoveltyModel(s: SparkSession, d: String, dir: String): Unit = {
+    Tables.tuneSession(s)
+    docBigramsDistinct(Tables.parallelize(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text"))))
+      .groupBy("bg").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/gramdf")
+  }
+
+  /** Score a probe batch `(doc_id, text)` against a FROZEN df relation —
+    * the serving half of the novelty family, with the generalization the
+    * in-corpus query never needs: grams ABSENT from the model
+    * (`unseen_grams` — content the corpus has never produced, the
+    * ingest-time novelty signal) alongside grams seen exactly once
+    * (`rare_grams`, which equals the in-corpus `novel_grams` when the
+    * probes ARE the training corpus — the identity NoveltyModelSpec
+    * pins). Total: every probe gets a row, zero-gram probes report
+    * (0, 0, 0, 0). Output UNORDERED (the serving-path contract).
+    */
+  def noveltyScoreBatch(probes: DataFrame, gramDf: DataFrame): DataFrame = {
+    Tables.tuneSession(probes.sparkSession)
+    val perDoc = docBigramsDistinct(probes)
+      .join(gramDf, Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df").isNull, 1L).otherwise(0L)).as("unseen_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("rare_grams"))
+    probes.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("unseen_grams"), lit(0L)).as("unseen_grams"),
+        coalesce(col("rare_grams"), lit(0L)).as("rare_grams"))
+      .withColumn("unseen_bp",
+        expr("(unseen_grams * 10000) div greatest(n_grams, 1L)"))
+  }
+
+  /** Convenience serving entry: read the persisted df relation and score. */
+  def noveltyScoreFromModel(s: SparkSession, modelDir: String,
+      probes: DataFrame): DataFrame =
+    noveltyScoreBatch(probes, s.read.parquet(s"$modelDir/gramdf"))
 
   val ngramNoveltySql: String = {
     val sh2 = Portable.shinglesSql(2)

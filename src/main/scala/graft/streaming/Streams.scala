@@ -1082,6 +1082,34 @@ object Streams {
     (q, cached)
   }
 
+  // --------------------------------------------- streaming novelty scoring
+  /** Streaming novelty scoring over micro-batches of `(doc_id, text)`
+    * rows against the persisted corpus bigram-df model
+    * (`TextAnalysis.writeNoveltyModel`) — the ingest-time "is this batch
+    * new content or re-crawled mass" signal. Serving goes through
+    * literally the same `TextAnalysis.noveltyScoreBatch` composition as
+    * the batch path (replay parity exact, per-record enrichment, no
+    * cross-batch state), and a redelivered batch byte-replaces its own
+    * `batch_id=<id>` directory.
+    */
+  def noveltyScoreSinkBatch(batch: DataFrame, id: Long, gramDf: DataFrame,
+      outDir: String): Unit =
+    graft.operators.TextAnalysis.noveltyScoreBatch(batch, gramDf)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  def streamNoveltyScore(df: DataFrame, spark: SparkSession, modelDir: String,
+      outDir: String, checkpoint: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    val gramDf = spark.read.parquet(s"$modelDir/gramdf").persist()
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        noveltyScoreSinkBatch(batch.toDF(), id, gramDf, outDir)
+      }
+      .start()
+    (q, gramDf)
+  }
+
   // --------------------------------------------- streaming media ingest
   /** The per-batch media ingest transform: decode stub + resize geometry
     * over `(doc_id, payload)` rows — the df-level seam shared by the
