@@ -484,8 +484,12 @@ object Similarity {
         s"vec_dot(embedding, CAST(array(${emb.mkString(",")}) AS ARRAY<FLOAT>))")
       struct((dot / (col("nrm") * lit(cnorm))).as("sim"), lit(-cid).as("negc"))
     }
+    // csim (the winning cell's cosine) rides along for consumers that
+    // need centroid typicality (semdedup's keep rule); cell-only
+    // consumers project it away and Catalyst prunes the extra column
+    val g = greatest(sims: _*)
     e.select(col("vec_id"), col("embedding"), col("nrm"),
-      (greatest(sims: _*).getField("negc") * -1).as("cell"))
+      (g.getField("negc") * -1).as("cell"), g.getField("sim").as("csim"))
   }
 
   /** Top-2 cell assignment against a driver-held codebook — the probe-side
@@ -698,6 +702,7 @@ object Similarity {
       .repartition(1) // k×64 floats: one tiny file, read whole at serve time
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
     assignCells(e, codebook)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/corpus")
   }
 
@@ -1182,6 +1187,147 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  // ------------------------------------------------------- semantic dedup
+  /** Near-dup cosine threshold for [[semdedupPrune]] — the
+    * `dedup_embedding` contract (one definition of "embedding near-dup"
+    * across the family). */
+  private val SemdedupThreshold = 0.4
+
+  /** Per-vector SemDeDup flag frame `(vec_id, embedding, nrm, cell, csim,
+    * dropped)` — the production path of [[semdedupPrune]] (Abbas et al.
+    * 2023: cluster the embedding space with k-means, then prune
+    * near-duplicates WITHIN each cluster, keeping the member least
+    * similar to its centroid — the most atypical copy carries the most
+    * diversity). The keep rule is local and deterministic: a vector is
+    * dropped iff some same-cell neighbor at cosine ≥ threshold has a
+    * strictly lower (centroid-cosine, vec_id) key — so every within-cell
+    * dup component keeps its (csim, id)-minimal member, and pair
+    * comparison never needs iteration or a window.
+    *
+    * Shape at scale: THE point of SemDeDup — pairwise work is confined
+    * to cells (n²/k per cell for balanced cells vs n² global), the
+    * k-means passes are the bounded-codebook collect class, and the
+    * verdict frame is one cell-keyed exchange + one anti-join against
+    * the dropped set.
+    */
+  private[graft] def semdedupFlags(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
+      .filter(col("nrm") > 0) // the NaN-cosine guard (decontaminate_embedding contract)
+      .localCheckpoint()
+    val assigned = assignCells(e, trainCodebook(e))
+      .localCheckpoint() // read by both sides of the pair join + the flag join
+    val pairs = assigned.as("p").join(assigned.as("q"),
+        col("p.cell") === col("q.cell") && col("p.vec_id") < col("q.vec_id"))
+      .select(col("p.vec_id").as("a"), col("q.vec_id").as("b"),
+        col("p.csim").as("ca"), col("q.csim").as("cb"),
+        round(expr("vec_dot(p.embedding, q.embedding)") / (col("p.nrm") * col("q.nrm")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= SemdedupThreshold)
+    val dropped = pairs
+      .select(when(struct(col("ca"), col("a")) > struct(col("cb"), col("b")),
+        col("a")).otherwise(col("b")).as("vec_id"))
+      .distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        col("csim"), coalesce(col("is_dropped"), lit(false)).as("dropped"))
+  }
+
+  /** Oracle-closed registered form of SemDeDup — the trained-IVF verdict
+    * pattern (`ann_ivf_trained_topk`): cluster membership and the
+    * dropped set depend on k-means internals DuckDB can never reproduce,
+    * so the COMPARED frame carries only engine-portable truths — the
+    * corpus size and the GLOBAL near-dup pair count at the
+    * `dedup_embedding` threshold (an all-pairs relation both engines
+    * compute verbatim) — plus four verdicts computed in-frame:
+    *
+    *   - `conservation_ok`: kept + dropped = corpus (no row vanishes
+    *     into a NULL flag). PROVABLE.
+    *   - `resolved_ok`: every CO-CLUSTERED true pair lost at least one
+    *     member. PROVABLE: the pair itself forces its (csim, id)-max
+    *     member into the dropped set.
+    *   - `dropped_have_neighbor_ok`: every dropped vector has a same-cell
+    *     neighbor at ≥ threshold. PROVABLE: only such pairs generate
+    *     drops.
+    *   - `coclustered_floor_ok`: the share of true pairs the clustering
+    *     co-locates (SemDeDup's recall knob — a pair split across cells
+    *     is invisible to the prune) is at least [[SemdedupCoclusterFloorPct]]%.
+    *     Fixture-calibrated with margin; a degenerate codebook (all
+    *     vectors one cell would pass here but fail the ann recall floor;
+    *     near-random scatter fails this one) turns the row red.
+    *
+    * The oracle asserts all four as literals. Raw per-vector flags stay
+    * available as [[semdedupFlags]] (spec-checked brute-force).
+    */
+  def semdedupPrune(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val flags = semdedupFlags(s, d).localCheckpoint() // read by 3 branches
+    val truePairs = flags.as("p").join(broadcast(flags.as("q")),
+        col("p.vec_id") < col("q.vec_id"))
+      .select(
+        (col("p.cell") === col("q.cell")).as("same_cell"),
+        (col("p.dropped") || col("q.dropped")).as("any_dropped"),
+        round(expr("vec_dot(p.embedding, q.embedding)") / (col("p.nrm") * col("q.nrm")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= SemdedupThreshold)
+    val pairStats = truePairs.agg(
+      count(lit(1)).as("n_true_pairs"),
+      sum(when(col("same_cell"), 1L).otherwise(0L)).as("n_coclustered"),
+      sum(when(col("same_cell") && col("any_dropped"), 1L).otherwise(0L)).as("n_resolved"))
+    val docStats = flags.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+      sum(when(!col("dropped"), 1L).otherwise(0L)).as("n_kept"))
+    // every dropped id must appear in some co-clustered qualifying pair:
+    // recompute the co-clustered pair id set and anti-join the dropped set
+    val pairIds = flags.as("p").join(broadcast(flags.as("q")),
+        col("p.cell") === col("q.cell") && col("p.vec_id") < col("q.vec_id"))
+      .filter(round(expr("vec_dot(p.embedding, q.embedding)") /
+        (col("p.nrm") * col("q.nrm")), 4) >= SemdedupThreshold)
+      .select(explode(array(col("p.vec_id"), col("q.vec_id"))).as("vec_id"))
+      .distinct()
+    val orphanDrops = flags.filter(col("dropped"))
+      .join(pairIds, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    docStats.crossJoin(broadcast(pairStats)).crossJoin(broadcast(orphanDrops))
+      .select(
+        col("n_docs"), col("n_true_pairs"),
+        (col("n_kept") + col("n_dropped") === col("n_docs")).as("conservation_ok"),
+        (col("n_resolved") === col("n_coclustered")).as("resolved_ok"),
+        (col("n_orphans") === 0L).as("dropped_have_neighbor_ok"),
+        (col("n_coclustered") * 100 >= col("n_true_pairs") * SemdedupCoclusterFloorPct)
+          .as("coclustered_floor_ok"))
+  }
+
+  /** Calibrated co-cluster floor (percent) for [[semdedupPrune]]'s
+    * in-bound verdict. */
+  private val SemdedupCoclusterFloorPct = 25L
+
+  val semdedupPruneSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |v AS (SELECT * FROM e WHERE nrm > 0),
+      |pairs AS (
+      |  SELECT p.vec_id AS a, q.vec_id AS b,
+      |    round(
+      |      list_sum(list_transform(range(1, len(p.embedding) + 1),
+      |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+      |      / (p.nrm * q.nrm), 4) AS cosine
+      |  FROM v p JOIN v q ON p.vec_id < q.vec_id)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_true_pairs,
+      |  TRUE AS conservation_ok,
+      |  TRUE AS resolved_ok,
+      |  TRUE AS dropped_have_neighbor_ok,
+      |  TRUE AS coclustered_floor_ok
+      |FROM pairs WHERE cosine >= $SemdedupThreshold""".stripMargin
+
   // ------------------------------------------------------- outlier audit
   /** Embedding-quality outlier audit: per label, the cosine of every
     * vector against its label centroid, reduced to (count, mean, stddev,
@@ -1300,6 +1446,7 @@ object Similarity {
     "pq_adc_topk" -> (pqAdcTopk _),
     "pq_adc_rerank_topk" -> (pqAdcRerankTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
+    "semdedup_prune" -> (semdedupPrune _),
     "centroid_by_label" -> (centroidByLabel _))
 
   def oracles: Map[String, String] = Map(
@@ -1316,5 +1463,6 @@ object Similarity {
     "pq_adc_topk" -> pqAdcTopkSql,
     "pq_adc_rerank_topk" -> pqAdcRerankTopkSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
+    "semdedup_prune" -> semdedupPruneSql,
     "centroid_by_label" -> centroidByLabelSql)
 }

@@ -1207,6 +1207,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup: dropped set equals the brute-force keep rule; both branches populated") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val flags = operators.Similarity.semdedupFlags(spark, dir).collect()
+      val dropped = flags.filter(_.getAs[Boolean]("dropped"))
+        .map(_.getAs[Long]("vec_id")).toSet
+      val kept = flags.filterNot(_.getAs[Boolean]("dropped"))
+        .map(_.getAs[Long]("vec_id")).toSet
+      assert(dropped.nonEmpty && kept.nonEmpty,
+        s"$dir: semantic prune must both keep and drop on the fixture")
+      assert(dropped.size + kept.size == flags.length)
+      // brute force: same-cell pairs at rounded cosine >= 0.4 drop their
+      // (csim, vec_id)-max member — recomputed from scratch in Scala
+      val vecs = flags.map { r =>
+        (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray,
+          r.getAs[Double]("nrm"), r.getAs[Int]("cell"), r.getAs[Double]("csim"))
+      }
+      val expectDropped = (for {
+        (ia, ea, na, ca, sa) <- vecs.iterator
+        (ib, eb, nb, cb, sb) <- vecs.iterator
+        if ia < ib && ca == cb
+        cos = BigDecimal(ea.zip(eb).map { case (x, y) => x.toDouble * y }.sum / (na * nb))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if cos >= 0.4
+      } yield if (sa > sb || (sa == sb && ia > ib)) ia else ib).toSet
+      assert(dropped == expectDropped,
+        s"$dir: dropped mismatch — engine-only: ${(dropped -- expectDropped).take(5)}, " +
+          s"brute-only: ${(expectDropped -- dropped).take(5)}")
+    }
+  }
+
   test("lm-quality calibration partitions the scored corpus into balanced quartiles") {
     import org.apache.spark.sql.functions.col
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
