@@ -1210,13 +1210,21 @@ object Similarity {
     * verdict frame is one cell-keyed exchange + one anti-join against
     * the dropped set.
     */
-  private[graft] def semdedupFlags(s: SparkSession, d: String): DataFrame = {
+  private[graft] def semdedupFlags(s: SparkSession, d: String): DataFrame =
+    semdedupBase(s, d)._2
+
+  /** The codebook + flag-frame pair behind [[semdedupFlags]] — split out so
+    * [[writeSemdedupIndex]] can persist the codebook it trained instead of
+    * training twice. */
+  private def semdedupBase(s: SparkSession, d: String)
+      : (Seq[(Int, Array[Float])], DataFrame) = {
     graft.functions.VecFunctions.register(s)
     val e = Tables.parallelize(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
       .filter(col("nrm") > 0) // the NaN-cosine guard (decontaminate_embedding contract)
       .localCheckpoint()
-    val assigned = assignCells(e, trainCodebook(e))
+    val codebook = trainCodebook(e)
+    val assigned = assignCells(e, codebook)
       .localCheckpoint() // read by both sides of the pair join + the flag join
     val pairs = assigned.as("p").join(assigned.as("q"),
         col("p.cell") === col("q.cell") && col("p.vec_id") < col("q.vec_id"))
@@ -1230,9 +1238,10 @@ object Similarity {
         col("a")).otherwise(col("b")).as("vec_id"))
       .distinct()
       .withColumn("is_dropped", lit(true))
-    assigned.join(dropped, Seq("vec_id"), "left")
+    val flags = assigned.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
         col("csim"), coalesce(col("is_dropped"), lit(false)).as("dropped"))
+    (codebook, flags)
   }
 
   /** Oracle-closed registered form of SemDeDup — the trained-IVF verdict
@@ -1327,6 +1336,70 @@ object Similarity {
       |  TRUE AS dropped_have_neighbor_ok,
       |  TRUE AS coclustered_floor_ok
       |FROM pairs WHERE cosine >= $SemdedupThreshold""".stripMargin
+
+  // --------------------------------------------- semdedup screen serving
+  /** Persist the semantic-dedup screen artifacts — the semdedup family's
+    * train-offline/serve-online split (the `writeAnnIndex` pattern):
+    * the trained codebook (k×64 floats) plus the KEPT members only,
+    * cell-partitioned. An ingest pipeline screens arriving embeddings
+    * against the kept set — "does this duplicate content we already
+    * decided to train on" — without re-running k-means or the
+    * within-cell prune. By the keep rule no two kept members of a cell
+    * are within the threshold of each other, so the index is itself
+    * duplicate-free.
+    */
+  def writeSemdedupIndex(s: SparkSession, d: String, dir: String): Unit = {
+    val (codebook, flags) = semdedupBase(s, d)
+    import s.implicits._
+    codebook.map { case (cid, emb) => (cid, emb.toSeq) }
+      .toDF("cell", "centroid")
+      .repartition(1) // k×64 floats: one tiny file, read whole at serve time
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    flags.filter(!col("dropped"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/kept")
+  }
+
+  /** Screen a probe batch `(vec_id, embedding)` against a FROZEN semdedup
+    * index: assign each probe to its cell (literal-centroid argmax — the
+    * [[assignCells]] projection) and count kept members of THAT CELL
+    * within the threshold (self-matches by vec_id excluded, so
+    * re-screening the index against itself reports clean). Only the
+    * probed cells' partitions are read. Total: zero-norm probes (no
+    * cosine defined — the NaN guard class) report 0 matches, not NULL.
+    * Output UNORDERED (the serving-path contract).
+    */
+  def semdedupScreenBatch(probes: DataFrame,
+      codebook: Seq[(Int, Array[Float])], kept: DataFrame): DataFrame = {
+    val p = probes
+      .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
+    val q = assignCells(p.filter(col("nrm") > 0), codebook)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("cell"))
+    val matches = q.join(kept, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .filter(round(expr("vec_dot(qemb, embedding)") / (col("qnrm") * col("nrm")), 4)
+        >= SemdedupThreshold)
+      .groupBy(col("qid").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup_kept"))
+    probes.select(col("vec_id"))
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_dup_kept"), lit(0L)).as("n_dup_kept"))
+      .withColumn("is_dup", col("n_dup_kept") > 0)
+  }
+
+  /** Convenience serving entry: read the persisted index and screen. */
+  def semdedupScreenFromModel(s: SparkSession, indexDir: String,
+      probes: DataFrame): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val codebook = s.read.parquet(s"$indexDir/codebook")
+      .orderBy("cell").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Float]]("centroid").toArray))
+      .toSeq
+    semdedupScreenBatch(probes,
+      codebook, s.read.parquet(s"$indexDir/kept"))
+  }
 
   // ------------------------------------------------------- outlier audit
   /** Embedding-quality outlier audit: per label, the cosine of every

@@ -1110,6 +1110,41 @@ object Streams {
     (q, gramDf)
   }
 
+  // --------------------------------------------- streaming semdedup screen
+  /** Streaming semantic-dedup screening over micro-batches of `(vec_id,
+    * embedding)` rows against the persisted semdedup index
+    * (`Similarity.writeSemdedupIndex`) — the ingest-time "does this
+    * duplicate content we already kept" gate. The codebook is one bounded
+    * driver read at stream start; the kept set is cached; each
+    * micro-batch goes through literally the same
+    * `Similarity.semdedupScreenBatch` composition as the batch path
+    * (replay parity exact), and a redelivered batch byte-replaces its
+    * own `batch_id=<id>` directory.
+    */
+  def semdedupScreenSinkBatch(batch: DataFrame, id: Long,
+      codebook: Seq[(Int, Array[Float])], kept: DataFrame,
+      outDir: String): Unit =
+    graft.operators.Similarity.semdedupScreenBatch(batch, codebook, kept)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  def streamSemdedupScreen(df: DataFrame, spark: SparkSession,
+      indexDir: String, outDir: String, checkpoint: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    graft.functions.VecFunctions.register(spark)
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+      .orderBy("cell").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Float]]("centroid").toArray))
+      .toSeq
+    val kept = spark.read.parquet(s"$indexDir/kept").persist()
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        semdedupScreenSinkBatch(batch.toDF(), id, codebook, kept, outDir)
+      }
+      .start()
+    (q, kept)
+  }
+
   // --------------------------------------------- streaming media ingest
   /** The per-batch media ingest transform: decode stub + resize geometry
     * over `(doc_id, payload)` rows — the df-level seam shared by the
