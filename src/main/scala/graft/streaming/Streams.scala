@@ -1110,6 +1110,33 @@ object Streams {
     (q, gramDf)
   }
 
+  // ----------------------------------------- streaming quality classifier
+  /** Streaming distilled-quality scoring over micro-batches of `(doc_id,
+    * text)` rows against the persisted classifier
+    * (`Scoring.writeQualityClassifier`) — the production shape of the
+    * fastText pattern: the expensive gate labeled a corpus once, the
+    * cheap student model screens ingest forever after. The 13-value
+    * model row is read ONCE at stream start and inlined as literals into
+    * every micro-batch's codegen projection (no join at all); a
+    * redelivered batch byte-replaces its own `batch_id=<id>` directory.
+    */
+  def qcScoreSinkBatch(batch: DataFrame, id: Long, w: Array[Double],
+      mu: Array[Double], sd: Array[Double], outDir: String): Unit =
+    graft.operators.Scoring.qcScoreBatch(batch, w, mu, sd)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  def streamQualityClassify(df: DataFrame, spark: SparkSession,
+      modelDir: String, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (w, mu, sd) = graft.operators.Scoring.qcModelFromDir(spark, modelDir)
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        qcScoreSinkBatch(batch.toDF(), id, w, mu, sd, outDir)
+      }
+      .start()
+  }
+
   // --------------------------------------------- streaming semdedup screen
   /** Streaming semantic-dedup screening over micro-batches of `(vec_id,
     * embedding)` rows against the persisted semdedup index
