@@ -707,15 +707,23 @@ object Scoring {
     val d1 = QcDim + 1
     var w = Array.fill(d1)(0.0)
     for (_ <- 0 until QcIters) {
-      // z0 = the bias column; p and s = p(1-p) from the current weights
+      // the sigmoid is projected ONCE per row into (diff, s) and the 54
+      // aggregate expressions touch only those two columns — inlining the
+      // sigmoid string into every aggregate made each iteration's codegen
+      // compile a 55-fold copy of it (measured: the compile time, not the
+      // 5000-row pass, dominated the query)
       val lin = (s"${w(0)}" +: (1 to QcDim).map(i => s"${w(i)}*z$i")).mkString(" + ")
-      val p = s"(1.0 / (1.0 + exp(-($lin))))"
-      def zc(i: Int) = if (i == 0) "1.0" else s"z$i"
+      val scored = z.select(col("*"),
+        expr(s"1.0 / (1.0 + exp(-($lin)))").as("__p"))
+        .select(col("*"),
+          (col("__p") - col("y")).as("__diff"),
+          (col("__p") * (lit(1.0) - col("__p"))).as("__s"))
+      def zc(i: Int) = if (i == 0) lit(1.0) else col(s"z$i")
       val gradExprs = (0 until d1).map(i =>
-        avg(expr(s"($p - y) * ${zc(i)}")).as(s"g$i"))
+        avg(col("__diff") * zc(i)).as(s"g$i"))
       val hessExprs = for { i <- 0 until d1; j <- i until d1 } yield
-        avg(expr(s"$p * (1.0 - $p) * ${zc(i)} * ${zc(j)}")).as(s"h${i}_$j")
-      val r = z.agg(gradExprs.head, (gradExprs.tail ++ hessExprs): _*).collect()(0)
+        avg(col("__s") * zc(i) * zc(j)).as(s"h${i}_$j")
+      val r = scored.agg(gradExprs.head, (gradExprs.tail ++ hessExprs): _*).collect()(0)
       val g = Array.tabulate(d1)(i => r.getDouble(i))
       val h = Array.ofDim[Double](d1, d1)
       var k = d1

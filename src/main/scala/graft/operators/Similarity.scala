@@ -1222,10 +1222,18 @@ object Similarity {
     val e = Tables.parallelize(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
       .filter(col("nrm") > 0) // the NaN-cosine guard (decontaminate_embedding contract)
-      .localCheckpoint()
+      .localCheckpoint() // the k-means passes re-read a materialized frame
     val codebook = trainCodebook(e)
-    val assigned = assignCells(e, codebook)
-      .localCheckpoint() // read by both sides of the pair join + the flag join
+    // the heavy vec_dot passes run over SCAN-BACKED frames, never the
+    // checkpoint: checkpointed rows deserialize their float arrays out of
+    // the unsafe format and the pairwise kernel loses whole-stage speed —
+    // measured 4-5× on the all-pairs pass at sf0.1. Re-deriving the
+    // assignment projection per consumer re-scans 2000 parquet rows,
+    // which is noise next to that.
+    val fresh = Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
+      .filter(col("nrm") > 0)
+    val assigned = assignCells(fresh, codebook)
     val pairs = assigned.as("p").join(assigned.as("q"),
         col("p.cell") === col("q.cell") && col("p.vec_id") < col("q.vec_id"))
       .select(col("p.vec_id").as("a"), col("q.vec_id").as("b"),
@@ -1233,12 +1241,16 @@ object Similarity {
         round(expr("vec_dot(p.embedding, q.embedding)") / (col("p.nrm") * col("q.nrm")), 4)
           .as("cosine"))
       .filter(col("cosine") >= SemdedupThreshold)
+    // the dropped id set IS checkpointed: it is array-free (ids only, ∝
+    // near-dup density) and every flag consumer reuses it without
+    // re-running the within-cell pair join
     val dropped = pairs
       .select(when(struct(col("ca"), col("a")) > struct(col("cb"), col("b")),
         col("a")).otherwise(col("b")).as("vec_id"))
       .distinct()
       .withColumn("is_dropped", lit(true))
-    val flags = assigned.join(dropped, Seq("vec_id"), "left")
+      .localCheckpoint()
+    val flags = assigned.join(broadcast(dropped), Seq("vec_id"), "left")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
         col("csim"), coalesce(col("is_dropped"), lit(false)).as("dropped"))
     (codebook, flags)
@@ -1272,15 +1284,23 @@ object Similarity {
     */
   def semdedupPrune(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecFunctions.register(s)
-    val flags = semdedupFlags(s, d).localCheckpoint() // read by 3 branches
+    // scan-backed (NOT checkpointed — the semdedupBase note): the heavy
+    // all-pairs kernel keeps its unsafe-array fast path, and the branches
+    // that reuse flags re-derive a cheap 2000-row projection
+    val flags = semdedupFlags(s, d)
+    // ONE all-pairs pass feeds every pair-level statistic — the truth
+    // counts, the resolution verdict, AND the co-clustered id set for the
+    // orphan check (a second all-pairs join here doubled the query's cost)
     val truePairs = flags.as("p").join(broadcast(flags.as("q")),
         col("p.vec_id") < col("q.vec_id"))
       .select(
+        col("p.vec_id").as("a"), col("q.vec_id").as("b"),
         (col("p.cell") === col("q.cell")).as("same_cell"),
         (col("p.dropped") || col("q.dropped")).as("any_dropped"),
         round(expr("vec_dot(p.embedding, q.embedding)") / (col("p.nrm") * col("q.nrm")), 4)
           .as("cosine"))
       .filter(col("cosine") >= SemdedupThreshold)
+      .localCheckpoint()
     val pairStats = truePairs.agg(
       count(lit(1)).as("n_true_pairs"),
       sum(when(col("same_cell"), 1L).otherwise(0L)).as("n_coclustered"),
@@ -1289,13 +1309,9 @@ object Similarity {
       count(lit(1)).as("n_docs"),
       sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
       sum(when(!col("dropped"), 1L).otherwise(0L)).as("n_kept"))
-    // every dropped id must appear in some co-clustered qualifying pair:
-    // recompute the co-clustered pair id set and anti-join the dropped set
-    val pairIds = flags.as("p").join(broadcast(flags.as("q")),
-        col("p.cell") === col("q.cell") && col("p.vec_id") < col("q.vec_id"))
-      .filter(round(expr("vec_dot(p.embedding, q.embedding)") /
-        (col("p.nrm") * col("q.nrm")), 4) >= SemdedupThreshold)
-      .select(explode(array(col("p.vec_id"), col("q.vec_id"))).as("vec_id"))
+    // every dropped id must appear in some co-clustered qualifying pair
+    val pairIds = truePairs.filter(col("same_cell"))
+      .select(explode(array(col("a"), col("b"))).as("vec_id"))
       .distinct()
     val orphanDrops = flags.filter(col("dropped"))
       .join(pairIds, Seq("vec_id"), "left_anti")
