@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Portable
-import graft.operators.{Dedup, Packing, Scoring, TextAnalysis}
+import graft.operators.{Dedup, Packing, Scoring, Similarity, TextAnalysis}
 
 /** End-to-end batch curation smoke run — the composed pipeline a
   * pretraining-data user actually operates, driven through the SAME
@@ -16,11 +16,13 @@ import graft.operators.{Dedup, Packing, Scoring, TextAnalysis}
   *
   *   raw corpus → Gopher quality gate → DSIR selection (served from a
   *   model trained ONCE on the raw corpus — the train-offline/
-  *   serve-online discipline, not a per-stage retrain) → exact dedup
-  *   (fingerprint keep-first) → benchmark decontamination (n-gram screen
-  *   vs the raw corpus's held-out split, run AFTER dedup where the
-  *   corpus is smallest) → leakage-safe cluster split audit →
-  *   sequence packing.
+  *   serve-online discipline, not a per-stage retrain) →
+  *   distilled-classifier audit (the trained student must agree with the
+  *   teacher gate on its own survivors) → exact dedup (fingerprint
+  *   keep-first) → semantic dedup (SemDeDup embedding-space prune) →
+  *   benchmark decontamination (n-gram screen vs the raw corpus's
+  *   held-out split, run AFTER dedup where the corpus is smallest) →
+  *   leakage-safe cluster split audit → sequence packing.
   *
   * Each stage's invariant is checked (monotone funnel, selection
   * conservation kept + dropped = arrived, survivor =
@@ -95,6 +97,24 @@ object CurationSmoke {
           n1b > 0 && n1b < n1,
         s"docs $n1 -> $n1b (kept $nScoredKeep + dropped $nScoredDrop = arrived $n1, thr=$thr)")
 
+      // stage 1c — distilled-gate audit (non-filtering): the classifier
+      // trained ONCE on the raw corpus (the fastText distillation the
+      // oracle-checked quality_classifier query trains) scores the gate's
+      // survivors; since every survivor passed the teacher, the student
+      // must agree on a healthy majority — a collapsed or inverted
+      // student fails loudly here, in the composed pipeline, not just in
+      // its unit oracle.
+      val qcDir = s"$base/qc_model"
+      Scoring.writeQualityClassifier(spark, sfDir, qcDir)
+      val audit = Scoring.qcScoreFromModel(spark, qcDir,
+        Tables.documents(spark, s1b).select(col("doc_id"), col("text")))
+        .localCheckpoint()
+      val aTot = audit.count()
+      val aKeep = audit.filter(col("qc_keep")).count()
+      check("classifier_audit",
+        aTot == n1b && aKeep * 100 >= aTot * 70,
+        s"student keeps $aKeep of $aTot gate survivors")
+
       // stage 2 — exact dedup: keep the first doc per normalized
       // fingerprint (THE shared identity every dedup operator uses)
       val s2 = s"$base/s2"
@@ -111,6 +131,25 @@ object CurationSmoke {
       check("exact_dedup", n2 == distinctFp && n2 <= n1b,
         s"docs $n1b -> $n2 (distinct fingerprints $distinctFp)")
 
+      // stage 2a — semantic dedup: the embedding-space prune (SemDeDup)
+      // over the raw corpus's embedding table (vec_id ≡ doc_id), dropped
+      // ids anti-joined out of the exact-dedup survivors. Documents
+      // without an embedding (or pruned earlier) are unaffected — the
+      // prune only ever removes, the conservation check still balances.
+      val s2a = s"$base/s2a"
+      val semDropped = Similarity.semdedupFlags(spark, sfDir)
+        .filter(col("dropped")).select(col("vec_id").as("doc_id"))
+        .localCheckpoint()
+      val nSemHit = Tables.documents(spark, s2)
+        .join(semDropped, "doc_id").count()
+      Tables.documents(spark, s2)
+        .join(semDropped, Seq("doc_id"), "left_anti")
+        .write.parquet(s"$s2a/documents.parquet")
+      val n2a = nDocs(s2a)
+      check("semantic_dedup",
+        n2a + nSemHit == n2 && n2a > 0,
+        s"docs $n2 -> $n2a (semantic near-dups removed $nSemHit)")
+
       // stage 2b — benchmark decontamination: drop survivors sharing any
       // n-gram with the raw corpus's held-out split (which includes
       // evicting held-out docs themselves if they survived this far —
@@ -118,16 +157,16 @@ object CurationSmoke {
       // set broadcasts; run after dedup where the corpus is smallest.
       val s2b = s"$base/s2b"
       val overlap = Dedup.ngramOverlapCounts(
-        Tables.documents(spark, s2).select(col("doc_id"), col("text")),
+        Tables.documents(spark, s2a).select(col("doc_id"), col("text")),
         Dedup.benchGramHashes(spark, sfDir))
       val nFlagged = overlap.count()
-      Tables.documents(spark, s2)
+      Tables.documents(spark, s2a)
         .join(overlap.select("doc_id"), Seq("doc_id"), "left_anti")
         .write.parquet(s"$s2b/documents.parquet")
       val n2b = nDocs(s2b)
       check("decontaminate",
-        n2b + nFlagged == n2 && n2b > 0,
-        s"docs $n2 -> $n2b (flagged $nFlagged + clean $n2b = arrived $n2)")
+        n2b + nFlagged == n2a && n2b > 0,
+        s"docs $n2a -> $n2b (flagged $nFlagged + clean $n2b = arrived $n2a)")
 
       // stage 3 — leakage-safe cluster split audit on the clean corpus
       val split = Dedup.splitLeakageSafe(spark, s2b).collect()
