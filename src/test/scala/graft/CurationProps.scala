@@ -176,4 +176,45 @@ object CurationProps extends Properties("Curation") {
         .toMap
       Prop(got == expected) :| s"got=$got expected=$expected"
     }
+
+  property("ngram_novelty equals the brute-force df=1 share per document") =
+    Prop.forAll(corpusGen) { corpus =>
+      val dir = stage(corpus)
+      def grams(t: String): Set[String] =
+        t.split(" ").sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+      val perDoc = corpus.map { case (id, t, _) => id -> grams(t) }
+      val df = perDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      val expected = perDoc.map { case (id, gs) =>
+        val n = gs.size.toLong
+        val novel = gs.count(g => df(g) == 1).toLong
+        id -> (n, novel, novel * 10000 / math.max(n, 1L))
+      }.toMap
+      val got = TextAnalysis.ngramNovelty(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_grams"), r.getAs[Long]("novel_grams"),
+            r.getAs[Long]("novelty_bp"))).toMap
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
+  property("collocations_pmi equals the brute-force contingency ranking") =
+    Prop.forAll(corpusGen) { corpus =>
+      val dir = stage(corpus)
+      val pairs = corpus.flatMap(_._2.split(" ").sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1))))
+      val cxy = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cx = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val cy = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = pairs.size.toLong
+      val expected = cxy.toSeq
+        .filter(_._2 >= TextAnalysis.PmiMinCount)
+        .map { case ((x, y), c) =>
+          (s"$x $y", c, round4(math.log(n.toDouble * c / (cx(x) * cy(y)))))
+        }
+        .sortBy { case (bg, _, pmi) => (-pmi, bg) }
+        .take(TextAnalysis.PmiTopK)
+      val got = TextAnalysis.collocationsPmi(spark, dir).collect()
+        .map(r => (r.getAs[String]("bg"), r.getAs[Long]("cnt"),
+          r.getAs[Double]("pmi"))).toSeq
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
 }
