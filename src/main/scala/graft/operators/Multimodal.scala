@@ -77,7 +77,10 @@ object Multimodal {
     * "frame sample" shape for transport/storage of large media, with a
     * per-chunk content hash.
     */
-  def multimodalChunks(s: SparkSession, d: String): DataFrame = {
+  /** THE per-chunk relation `(doc_id, chunk_idx, chunk_len, chunk_md5)` —
+    * shared by [[multimodalChunks]] and [[multimodalChunkDedup]] so both
+    * mean the same thing by "chunk". */
+  private def chunkFrame(s: SparkSession, d: String): DataFrame = {
     Tables.tuneSession(s) // chunk transform array gets exploded
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
@@ -95,8 +98,65 @@ object Multimodal {
         col("doc_id"), col("chunk_idx"),
         length(col("chunk")).as("chunk_len"),
         md5(col("chunk")).as("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx")
   }
+
+  def multimodalChunks(s: SparkSession, d: String): DataFrame =
+    chunkFrame(s, d).orderBy("doc_id", "chunk_idx")
+
+  /** Content-defined chunk dedup over the media payloads — the
+    * storage-dedup report every blob store runs (and the media analog of
+    * `dedup_spans`): a chunk is SHARED when its content hash occurs at
+    * more than one (doc, position) in the corpus, so a content store
+    * keeping one copy per distinct hash saves exactly the shared bytes.
+    * Per payload: chunk count, shared-chunk count, shared share in
+    * integer basis points, and the bytes a dedup store would not have to
+    * hold for this payload (its occurrences of multi-occurrence chunks
+    * beyond the canonical copy are FREE only once corpus-wide, so the
+    * per-doc column counts bytes of chunks whose hash also occurs
+    * elsewhere — the upper bound a per-doc report can state without
+    * choosing a canonical owner).
+    *
+    * Shape at scale: one chunking pass, one chunk-hash-keyed exchange
+    * for occurrence counts (partial+final), one doc_id rollup — the
+    * dedup_spans cost envelope with hashes instead of token spans.
+    */
+  def multimodalChunkDedup(s: SparkSession, d: String): DataFrame = {
+    val chunks = chunkFrame(s, d).localCheckpoint()
+    val occ = chunks.groupBy("chunk_md5").agg(count(lit(1)).as("occ"))
+    chunks.join(occ, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("shared_chunks"),
+        sum(when(col("occ") > 1, col("chunk_len").cast("long")).otherwise(0L))
+          .as("shared_bytes"))
+      .withColumn("shared_bp",
+        expr("(shared_chunks * 10000) div greatest(n_chunks, 1L)"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalChunkDedupSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |    CAST(ceil(CAST(length(text) AS DOUBLE) / 256) AS INTEGER) AS n_chunks
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx, text
+      |  FROM c),
+      |ch AS (
+      |  SELECT doc_id,
+      |    length(substring(text, chunk_idx * 256 + 1, 256)) AS chunk_len,
+      |    md5(substring(text, chunk_idx * 256 + 1, 256)) AS chunk_md5
+      |  FROM e),
+      |occ AS (SELECT chunk_md5, count(*) AS occ FROM ch GROUP BY 1)
+      |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN occ.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS shared_chunks,
+      |  CAST(sum(CASE WHEN occ.occ > 1 THEN ch.chunk_len ELSE 0 END) AS BIGINT)
+      |    AS shared_bytes,
+      |  CAST(sum(CASE WHEN occ.occ > 1 THEN 1 ELSE 0 END) * 10000
+      |    // greatest(count(*), 1) AS BIGINT) AS shared_bp
+      |FROM ch JOIN occ USING (chunk_md5)
+      |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
 
   val multimodalChunksSql: String =
     """WITH c AS (
@@ -257,6 +317,7 @@ object Multimodal {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_chunks" -> (multimodalChunks _),
+    "multimodal_chunk_dedup" -> (multimodalChunkDedup _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_framesample" -> (multimodalFrameSample _))
@@ -265,6 +326,7 @@ object Multimodal {
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_chunks" -> multimodalChunksSql,
+    "multimodal_chunk_dedup" -> multimodalChunkDedupSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_resize" -> multimodalResizeSql,
     "multimodal_framesample" -> multimodalFrameSampleSql)

@@ -1272,20 +1272,89 @@ object TextAnalysis {
     * layout is `partitionBy(shard)` with files internally ordered by the
     * position key.
     */
+  /** Shard count and THE shard-key expression — one definition shared by
+    * [[shardAssignment]] and [[shardMixAudit]], so the audit can never
+    * describe a different sharding than the assignment produces. */
+  val ShardCount = 8
+  private def shardKey: org.apache.spark.sql.Column =
+    Portable.hash28(concat(lit("shard_"), col("doc_id"))) % ShardCount
+  private def shardKeySql: String =
+    s"(${Portable.hash28Sql("'shard_' || doc_id")} % $ShardCount)"
+
   def shardAssignment(s: SparkSession, d: String): DataFrame = {
-    val nShards = 8
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("k"), col("doc_id"))
     Tables.documents(s, d)
       .select(col("doc_id"),
         size(Portable.tokens(col("text"))).cast("long").as("n_tokens"),
-        (Portable.hash28(concat(lit("shard_"), col("doc_id"))) % nShards)
-          .as("shard"),
+        shardKey.as("shard"),
         Portable.hash28(concat(lit("pos_"), col("doc_id"))).as("k"))
       .withColumn("pos", row_number().over(w))
       .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Shard mixing audit — the check that makes [[shardAssignment]]'s
+    * output TRUSTABLE for training: per shard, how far its source
+    * token-mixture deviates from the global mixture (total-variation
+    * distance in integer basis points — half the sum of absolute
+    * per-source share differences). A training run that consumes shards
+    * sequentially sees each shard's mixture, not the global one, so a
+    * shard with high TV silently biases the early curriculum; random
+    * hashing should keep every shard's TV small and this report proves
+    * it per corpus rather than assuming it.
+    *
+    * Shape at scale: one corpus scan into (shard × source) partial
+    * counts — everything after that aggregate is ≤ shards×sources rows.
+    * A dense grid (shard total ⨯ source total) restores combinations a
+    * shard happens to miss, so an absent source still contributes its
+    * global share to that shard's TV. All-integer arithmetic.
+    */
+  def shardMixAudit(s: SparkSession, d: String): DataFrame = {
+    val cell = Tables.documents(s, d)
+      .select(col("source"),
+        size(Portable.tokens(col("text"))).cast("long").as("n"),
+        shardKey.as("shard"))
+      .groupBy("shard", "source")
+      .agg(count(lit(1)).as("docs"), sum("n").as("toks"))
+    val shardTot = cell.groupBy("shard")
+      .agg(sum("docs").as("sdocs"), sum("toks").as("stoks"))
+    val srcTot = cell.groupBy("source").agg(sum("toks").as("gtoks"))
+    val allTot = cell.agg(sum("toks").as("atoks"))
+    shardTot.crossJoin(broadcast(srcTot)).crossJoin(broadcast(allTot))
+      .join(cell, Seq("shard", "source"), "left")
+      .select(col("shard"), col("sdocs"), col("stoks"),
+        expr("coalesce(toks, 0L) * 10000 div greatest(stoks, 1L)").as("shard_bp"),
+        expr("gtoks * 10000 div greatest(atoks, 1L)").as("global_bp"))
+      .groupBy("shard")
+      .agg(first("sdocs").as("n_docs"), first("stoks").as("n_tokens"),
+        expr("sum(abs(shard_bp - global_bp)) div 2").as("tv_bp"))
+      .orderBy("shard")
+  }
+
+  val shardMixAuditSql: String =
+    s"""WITH base AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |    $shardKeySql AS shard
+       |  FROM documents),
+       |cell AS (
+       |  SELECT shard, source, count(*) AS docs, sum(n) AS toks
+       |  FROM base GROUP BY 1, 2),
+       |st AS (SELECT shard, sum(docs) AS sdocs, sum(toks) AS stoks
+       |       FROM cell GROUP BY 1),
+       |gt AS (SELECT source, sum(toks) AS gtoks FROM cell GROUP BY 1),
+       |at AS (SELECT sum(toks) AS atoks FROM cell),
+       |grid AS (
+       |  SELECT st.shard, st.sdocs, st.stoks,
+       |    coalesce(c.toks, 0) * 10000 // greatest(st.stoks, 1) AS shard_bp,
+       |    gt.gtoks * 10000 // greatest(at.atoks, 1) AS global_bp
+       |  FROM st CROSS JOIN gt CROSS JOIN at
+       |  LEFT JOIN cell c ON c.shard = st.shard AND c.source = gt.source)
+       |SELECT shard, CAST(any_value(sdocs) AS BIGINT) AS n_docs,
+       |  CAST(any_value(stoks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(abs(shard_bp - global_bp)) // 2 AS BIGINT) AS tv_bp
+       |FROM grid GROUP BY shard ORDER BY shard""".stripMargin
 
   val shardAssignmentSql: String = {
     val hs = Portable.hash28Sql("'shard_' || doc_id")
@@ -1547,6 +1616,7 @@ object TextAnalysis {
     "ngram_top_per_source" -> (ngramTopPerSource _),
     "mixture_temperature" -> (mixtureTemperature _),
     "shard_assignment" -> (shardAssignment _),
+    "shard_mix_audit" -> (shardMixAudit _),
     "vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "length_histogram" -> (lengthHistogram _),
     "mixture_rebalance" -> (mixtureRebalance _),
@@ -1577,6 +1647,7 @@ object TextAnalysis {
     "ngram_top_per_source" -> ngramTopPerSourceSql,
     "mixture_temperature" -> mixtureTemperatureSql,
     "shard_assignment" -> shardAssignmentSql,
+    "shard_mix_audit" -> shardMixAuditSql,
     "vocab_coverage" -> vocabCoverageSql,
     "length_histogram" -> lengthHistogramSql,
     "mixture_rebalance" -> mixtureRebalanceSql,

@@ -1237,6 +1237,57 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("shard mix audit: all shards present, totals conserve, TV bounded and nonzero") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.TextAnalysis.shardMixAudit(spark, dir).collect()
+        .sortBy(_.getAs[Long]("shard"))
+      assert(rows.map(_.getAs[Long]("shard")).toSeq ==
+        (0L until operators.TextAnalysis.ShardCount.toLong),
+        s"$dir: every shard must appear")
+      assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+        Tables.documents(spark, dir).count(), s"$dir: shards must partition the corpus")
+      rows.foreach { r =>
+        val tv = r.getAs[Long]("tv_bp")
+        // TV in [0, 10000); identically-zero TV would mean the audit is
+        // comparing a shard against itself
+        assert(tv >= 0 && tv < 10000, s"$dir: tv_bp $tv out of range")
+      }
+      assert(rows.exists(_.getAs[Long]("tv_bp") > 0),
+        s"$dir: hashed shards of a finite corpus cannot all match the global mixture exactly")
+      // agreement with the assignment query's shard populations
+      val fromAssign = operators.TextAnalysis.shardAssignment(spark, dir).collect()
+        .groupBy(_.getAs[Long]("shard")).view.mapValues(_.length.toLong).toMap
+      rows.foreach(r => assert(
+        fromAssign(r.getAs[Long]("shard")) == r.getAs[Long]("n_docs"),
+        s"$dir: audit and assignment disagree on shard ${r.getAs[Long]("shard")}"))
+    }
+  }
+
+  test("media chunk dedup: shared mass matches a brute-force hash count") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.Multimodal.multimodalChunkDedup(spark, dir).collect()
+      assert(rows.exists(_.getAs[Long]("shared_chunks") > 0) &&
+        rows.exists(_.getAs[Long]("shared_chunks") == 0),
+        s"$dir: both shared and unique payload regimes must be populated")
+      // brute force on the raw text payloads
+      val texts = Tables.documents(spark, dir).select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val allChunks = texts.flatMap { case (id, t) =>
+        t.grouped(256).map(c => (id, c)) }
+      val occ = allChunks.groupBy(_._2).view.mapValues(_.length).toMap
+      val expect = allChunks.groupBy(_._1).view.mapValues { cs =>
+        (cs.length.toLong, cs.count(c => occ(c._2) > 1).toLong,
+          cs.filter(c => occ(c._2) > 1).map(_._2.length.toLong).sum)
+      }.toMap
+      rows.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val got = (r.getAs[Long]("n_chunks"), r.getAs[Long]("shared_chunks"),
+          r.getAs[Long]("shared_bytes"))
+        assert(got == expect(id), s"$dir doc $id: got $got expected ${expect(id)}")
+      }
+    }
+  }
+
   test("lm-quality calibration partitions the scored corpus into balanced quartiles") {
     import org.apache.spark.sql.functions.col
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
