@@ -836,6 +836,72 @@ object Dedup {
        |JOIN src sb ON p.doc_b = sb.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------- split overlap
+  /** Cross-split n-gram overlap audit — the lexical-leakage telemetry of
+    * the NAIVE doc-keyed split ([[graft.operators.Relational.splitOf]],
+    * one definition with `sample_split` and the leakage-safe split's
+    * `naive_split` column): for each split pair, the distinct word
+    * bigrams both sides contain and their Jaccard overlap in integer
+    * basis points. This is the quantified version of WHY
+    * `split_leakage_safe` exists — near-dup families straddling a naive
+    * split show up here as shared gram mass between train and eval.
+    *
+    * Shape at scale: one tokenize pass into a distinct (split, gram)
+    * relation; sizes and the three pair intersections are gram-keyed
+    * aggregates of that relation; the dense pair grid (from the 3-row
+    * size table) restores a pair even if its intersection is empty.
+    */
+  def splitGramOverlap(s: SparkSession, d: String): DataFrame = {
+    Tables.tuneSession(s) // shingle arrays get exploded
+    val grams = parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(Relational.splitOf(col("doc_id")).as("split"),
+        explode(array_distinct(
+          Portable.shingles(Portable.tokens(col("text")), 2))).as("bg"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = grams.groupBy("split").agg(count(lit(1)).as("n"))
+    val shared = grams.as("a").join(grams.as("b"),
+        col("a.bg") === col("b.bg") && col("a.split") < col("b.split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    sizes.as("sa").join(sizes.as("sb"), col("sa.split") < col("sb.split"))
+      .select(col("sa.split").as("split_a"), col("sb.split").as("split_b"),
+        col("sa.n").as("grams_a"), col("sb.n").as("grams_b"))
+      .join(shared, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"), col("grams_a"), col("grams_b"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+      .withColumn("jaccard_bp", expr(
+        "(shared_grams * 10000) div greatest(grams_a + grams_b - shared_grams, 1L)"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val splitGramOverlapSql: String = {
+    val sh2 = Portable.shinglesSql(2)
+    val split = Relational.splitCaseSql(
+      s"(${Portable.hash28Sql("doc_id::VARCHAR")} % 10)")
+    s"""WITH d AS (
+       |  SELECT $split AS split, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT DISTINCT split, unnest(list_distinct($sh2)) AS bg FROM d),
+       |sz AS (SELECT split, count(*) AS n FROM g GROUP BY 1),
+       |sh AS (
+       |  SELECT a.split AS split_a, b.split AS split_b, count(*) AS shared_grams
+       |  FROM g a JOIN g b ON a.bg = b.bg AND a.split < b.split
+       |  GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT sa.split AS split_a, sb.split AS split_b,
+       |    sa.n AS grams_a, sb.n AS grams_b
+       |  FROM sz sa JOIN sz sb ON sa.split < sb.split)
+       |SELECT grid.split_a, grid.split_b,
+       |  CAST(grams_a AS BIGINT) AS grams_a, CAST(grams_b AS BIGINT) AS grams_b,
+       |  CAST(coalesce(sh.shared_grams, 0) AS BIGINT) AS shared_grams,
+       |  CAST(coalesce(sh.shared_grams, 0) * 10000
+       |    // greatest(grams_a + grams_b - coalesce(sh.shared_grams, 0), 1)
+       |    AS BIGINT) AS jaccard_bp
+       |FROM grid LEFT JOIN sh
+       |  ON grid.split_a = sh.split_a AND grid.split_b = sh.split_b
+       |ORDER BY grid.split_a, grid.split_b""".stripMargin
+  }
+
   // ------------------------------------------------------------- decontamination
   /** Benchmark decontamination (train/eval overlap detection): training
     * docs sharing any word-trigram with the held-out pseudo-benchmark
@@ -1418,6 +1484,7 @@ object Dedup {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_span_bloom" -> (dedupSpanBloom _),
+    "split_gram_overlap" -> (splitGramOverlap _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
     "decontaminate_ngram" -> (decontaminateNgram _),
@@ -1438,6 +1505,7 @@ object Dedup {
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_span_bloom" -> dedupSpanBloomSql,
+    "split_gram_overlap" -> splitGramOverlapSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_indexed" -> dedupIncrementalSql,
     "decontaminate_ngram" -> decontaminateNgramSql,

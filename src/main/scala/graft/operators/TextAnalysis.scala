@@ -1607,7 +1607,103 @@ object TextAnalysis {
        |ORDER BY pmi DESC, bg LIMIT $PmiTopK""".stripMargin
   }
 
+  // ------------------------------------------------------- epoch budget
+  /** Training token budget the epoch plan is computed for — a plan-time
+    * constant standing in for the run's compute budget. */
+  val EpochBudgetTokens: Long = 1000000L
+
+  /** Per-source epoch plan — the table a pretraining run derives from its
+    * mixture weights (the LLaMA/Gopher recipe tables): allocate the token
+    * budget across sources by the TEMPERATURE sampling shares
+    * ([[mixtureTemperature]]'s oracle-checked output, consumed verbatim —
+    * one definition of the share), then report how many epochs of each
+    * source that allocation implies (allocated ÷ available) and the
+    * repeat count a data loader provisions (⌈epochs⌉). epochs > 1 is the
+    * upsampling-by-repetition regime the temperature boost creates for
+    * small sources; a planner reads this table to see repetition BEFORE
+    * it trains on it.
+    *
+    * Shape at scale: everything after [[mixtureTemperature]]'s one scan
+    * is arithmetic over a ≤|sources| frame. Derived values come from the
+    * ROUNDED 4-dp share (the engine-agreed value), so both engines
+    * compute the plan from identical inputs.
+    */
+  def epochBudget(s: SparkSession, d: String): DataFrame =
+    mixtureTemperature(s, d)
+      .select(col("source"), col("n_tokens"), col("sample_share"))
+      .withColumn("alloc_tokens",
+        round(col("sample_share") * EpochBudgetTokens, 0).cast("long"))
+      .withColumn("epochs",
+        round(col("alloc_tokens").cast("double") / col("n_tokens"), 4))
+      .withColumn("n_repeats", ceil(col("epochs")).cast("long"))
+      .orderBy("source")
+
+  val epochBudgetSql: String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n_tokens) AS total FROM per),
+       |sh AS (
+       |  SELECT source, n_tokens,
+       |    sqrt(CAST(n_tokens AS DOUBLE) / total) AS pq
+       |  FROM per CROSS JOIN tot),
+       |z AS (SELECT sum(pq) AS z FROM sh),
+       |mt AS (SELECT source, n_tokens, round(pq / z, 4) AS sample_share
+       |       FROM sh CROSS JOIN z),
+       |plan AS (
+       |  SELECT source, n_tokens, sample_share,
+       |    CAST(round(sample_share * $EpochBudgetTokens) AS BIGINT) AS alloc_tokens
+       |  FROM mt)
+       |SELECT source, n_tokens, sample_share, alloc_tokens,
+       |  round(CAST(alloc_tokens AS DOUBLE) / n_tokens, 4) AS epochs,
+       |  CAST(ceil(round(CAST(alloc_tokens AS DOUBLE) / n_tokens, 4)) AS BIGINT)
+       |    AS n_repeats
+       |FROM plan ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------ source profile
+  /** Per-source distribution profile — the length/quality percentile
+    * matrix a mixture decision reads next to the share table: token-count
+    * quartiles + max and the median surface quality per source. Quartile
+    * probabilities only (p·(n−1) lands on exact quarter fractions, so
+    * interpolation over the integer values is exactly representable and
+    * the `percentile` ↔ `quantile_cont` portable pair cannot float-drift
+    * — the curriculum_buckets lesson applied per group).
+    *
+    * Shape at scale: ONE scan computing (n, quality counts) per doc, one
+    * source-keyed aggregate; percentile state is per-group.
+    */
+  def sourceProfile(s: SparkSession, d: String): DataFrame =
+    withQualityCounts(
+        Tables.documents(s, d).select(col("source"), col("text")))
+      .select(col("source"), col("n"), qualityBpExpr.as("quality_bp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n, 0.25)"), 4).as("p25_tokens"),
+        round(expr("percentile(n, 0.5)"), 4).as("p50_tokens"),
+        round(expr("percentile(n, 0.75)"), 4).as("p75_tokens"),
+        max("n").as("max_tokens"),
+        round(expr("percentile(quality_bp, 0.5)"), 4).as("p50_quality_bp"))
+      .orderBy("source")
+
+  val sourceProfileSql: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS nstop,
+       |    len(list_distinct(string_split(text, ' '))) AS ndist
+       |  FROM documents),
+       |q AS (SELECT source, n, CAST($QualityBpSqlFrag AS BIGINT) AS quality_bp FROM t)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(quantile_cont(CAST(n AS DOUBLE), 0.25), 4) AS p25_tokens,
+       |  round(quantile_cont(CAST(n AS DOUBLE), 0.5), 4) AS p50_tokens,
+       |  round(quantile_cont(CAST(n AS DOUBLE), 0.75), 4) AS p75_tokens,
+       |  CAST(max(n) AS BIGINT) AS max_tokens,
+       |  round(quantile_cont(CAST(quality_bp AS DOUBLE), 0.5), 4) AS p50_quality_bp
+       |FROM q GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "epoch_budget" -> (epochBudget _),
+    "source_profile" -> (sourceProfile _),
     "ngram_novelty" -> (ngramNovelty _),
     "collocations_pmi" -> (collocationsPmi _),
     "text_chunks" -> (textChunks _),
@@ -1639,6 +1735,8 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "epoch_budget" -> epochBudgetSql,
+    "source_profile" -> sourceProfileSql,
     "ngram_novelty" -> ngramNoveltySql,
     "collocations_pmi" -> collocationsPmiSql,
     "text_chunks" -> textChunksSql,

@@ -1288,6 +1288,56 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch budget: allocation tracks the budget, epochs and repeats are consistent") {
+    import operators.TextAnalysis.EpochBudgetTokens
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.TextAnalysis.epochBudget(spark, dir).collect()
+      assert(rows.nonEmpty)
+      val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+      assert(math.abs(alloc - EpochBudgetTokens) <= EpochBudgetTokens / 100,
+        s"$dir: allocated $alloc drifts >1% from the $EpochBudgetTokens budget")
+      rows.foreach { r =>
+        val (n, a, e, rep) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("alloc_tokens"),
+          r.getAs[Double]("epochs"), r.getAs[Long]("n_repeats"))
+        assert(math.abs(e - a.toDouble / n) < 1e-3, s"$dir: epochs $e != $a/$n")
+        assert(rep == math.ceil(e).toLong, s"$dir: n_repeats $rep != ceil($e)")
+      }
+    }
+  }
+
+  test("source profile: ordered quartiles, corpus partition") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.TextAnalysis.sourceProfile(spark, dir).collect()
+      assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+        Tables.documents(spark, dir).count())
+      rows.foreach { r =>
+        val (p25, p50, p75, mx) = (r.getAs[Double]("p25_tokens"),
+          r.getAs[Double]("p50_tokens"), r.getAs[Double]("p75_tokens"),
+          r.getAs[Long]("max_tokens"))
+        assert(p25 <= p50 && p50 <= p75 && p75 <= mx,
+          s"$dir ${r.getString(0)}: quartiles out of order ($p25, $p50, $p75, $mx)")
+      }
+    }
+  }
+
+  test("split gram overlap: three pairs, bounded jaccard, the naive split leaks") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.Dedup.splitGramOverlap(spark, dir).collect()
+      assert(rows.length == 3, s"$dir: want the 3 unordered split pairs")
+      rows.foreach { r =>
+        val (a, b, sharedG) = (r.getAs[Long]("grams_a"), r.getAs[Long]("grams_b"),
+          r.getAs[Long]("shared_grams"))
+        assert(sharedG <= math.min(a, b), s"$dir: intersection exceeds a side")
+        val j = r.getAs[Long]("jaccard_bp")
+        assert(j >= 0 && j <= 10000)
+      }
+      // the audit's reason to exist: the naive split shares gram mass
+      // between train and eval on this template-heavy fixture
+      assert(rows.exists(_.getAs[Long]("shared_grams") > 0),
+        s"$dir: expected lexical leakage across the naive split")
+    }
+  }
+
   test("lm-quality calibration partitions the scored corpus into balanced quartiles") {
     import org.apache.spark.sql.functions.col
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
