@@ -121,6 +121,33 @@ object StreamingSmoke {
     check("quality_gate_stream", acc + rej == 3L && rej >= 2L,
       s"accepted=$acc rejected=$rej of 3")
 
+    // distilled-classifier serving leg: train the student ONCE on the
+    // fixture corpus, then score a micro-batched stream mixing obvious
+    // rejects with a corpus document the teacher gate keeps — the
+    // model-at-ingest shape (weights read once, inlined into codegen,
+    // no join per batch)
+    val sfDir = "/root/testdata/sf0.001"
+    val qcModel = s"$base/qc_model"
+    graft.operators.Scoring.writeQualityClassifier(spark, sfDir, qcModel)
+    val keptDoc = graft.operators.TextAnalysis
+      .gopherVerdicts(graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")))
+      .filter(col("keep")).select("doc_id", "text")
+      .limit(1).collect()(0)
+    val cin = MemoryStream[(Long, String)]
+    val cq = Streams.streamQualityClassify(cin.toDF().toDF("doc_id", "text"),
+      spark, qcModel, s"$base/qc_out", s"$base/ckq")
+    cin.addData((900L, "x"), (keptDoc.getLong(0), keptDoc.getString(1)))
+    cq.processAllAvailable()
+    cin.addData((901L, ""))
+    cq.processAllAvailable(); cq.stop()
+    val qcOut = spark.read.parquet(s"$base/qc_out")
+    val qcKeep = qcOut.filter(col("qc_keep")).count()
+    val qcDrop = qcOut.filter(!col("qc_keep")).count()
+    check("classifier_stream",
+      qcOut.count() == 3L && qcKeep + qcDrop == 3L && qcDrop >= 2L,
+      s"scored=${qcOut.count()} keep=$qcKeep drop=$qcDrop")
+
     // raw-media ingest leg: binary files dropped into a landing zone come
     // out decoded with in-box resize geometry
     val landing = s"$base/media"
