@@ -804,34 +804,16 @@ object Scoring {
           .as("both_classes_ok"))
   }
 
-  val qualityClassifierSql: String = {
-    val sh2 = Portable.shinglesSql(2)
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w,
-       |    length(replace(text, ' ', '')) AS ch
-       |  FROM documents),
-       |s AS (
-       |  SELECT doc_id, len(w) AS n, ch,
-       |    len(list_distinct(w)) AS nd,
-       |    len($sh2) AS nbg,
-       |    len(list_distinct($sh2)) AS ndbg
-       |  FROM d),
-       |m AS (
-       |  SELECT CAST(n AS BIGINT) AS n_tokens,
-       |    CAST((ch * 100) // greatest(n, 1) AS BIGINT) AS mwl_c,
-       |    CAST((nd * 10000) // greatest(n, 1) AS BIGINT) AS diversity_bp,
-       |    CAST(((nbg - ndbg) * 10000) // greatest(nbg, 1) AS BIGINT) AS dup2_bp
-       |  FROM s),
+  val qualityClassifierSql: String =
+    s"""WITH ${TextAnalysis.GopherMetricCtesSql},
        |k AS (
-       |  SELECT (n_tokens BETWEEN 30 AND 1000) AND (mwl_c BETWEEN 380 AND 500)
-       |    AND diversity_bp >= 3500 AND dup2_bp <= 600 AS keep
+       |  SELECT ${TextAnalysis.GopherKeepSqlFrag} AS keep
        |  FROM m)
        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
        |  TRUE AS accuracy_floor_ok,
        |  TRUE AS both_classes_ok
        |FROM k""".stripMargin
-  }
 
   /** Persist the trained classifier (weights + standardization — one
     * 13-value row) and serve from it; the LM/DSIR/BM25/novelty serving
@@ -840,6 +822,9 @@ object Scoring {
     val feats = qcFeatures(Tables.documents(s, d).select(col("doc_id"), col("text")))
       .localCheckpoint()
     val (w, mu, sd) = trainQc(feats)
+    // nothing lazy escapes this method: release the feature blocks so a
+    // long-lived pipeline session (the smokes) doesn't pin them
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(feats)
     import s.implicits._
     Seq((w.toSeq, mu.toSeq, sd.toSeq)).toDF("w", "mu", "sd")
       .repartition(1)

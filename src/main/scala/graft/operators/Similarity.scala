@@ -717,12 +717,19 @@ object Similarity {
     * `AnnIndexSpec` pins identity AND that the plan scans the embeddings
     * table only for the probes, zero corpus re-reads).
     */
-  def annFromIndex(s: SparkSession, probes: DataFrame, indexDir: String): DataFrame = {
-    graft.functions.VecFunctions.register(s)
-    val codebook = s.read.parquet(s"$indexDir/codebook")
+  /** Read a persisted codebook back in cell order — the ONE definition of
+    * the k×64 bounded driver read (the sanctioned collect class), shared
+    * by [[annFromIndex]], [[semdedupScreenFromModel]] and
+    * `Streams.streamSemdedupScreen`. */
+  def codebookFromDir(s: SparkSession, indexDir: String): Seq[(Int, Array[Float])] =
+    s.read.parquet(s"$indexDir/codebook")
       .orderBy("cell").collect()
       .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Float]]("centroid").toArray))
       .toSeq
+
+  def annFromIndex(s: SparkSession, probes: DataFrame, indexDir: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val codebook = codebookFromDir(s, indexDir)
     val corpus = s.read.parquet(s"$indexDir/corpus")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val q = assignCells(
@@ -1224,6 +1231,9 @@ object Similarity {
       .filter(col("nrm") > 0) // the NaN-cosine guard (decontaminate_embedding contract)
       .localCheckpoint() // the k-means passes re-read a materialized frame
     val codebook = trainCodebook(e)
+    // k-means is fully materialized (per-round collects) — nothing lazy
+    // reads e after this point, so its blocks are released immediately
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(e)
     // the heavy vec_dot passes run over SCAN-BACKED frames, never the
     // checkpoint: checkpointed rows deserialize their float arrays out of
     // the unsafe format and the pairwise kernel loses whole-stage speed —
@@ -1301,14 +1311,20 @@ object Similarity {
           .as("cosine"))
       .filter(col("cosine") >= SemdedupThreshold)
       .localCheckpoint()
+    // sums coalesced: on a corpus with ZERO qualifying pairs the empty
+    // aggregate yields NULL sums, and NULL === NULL / NULL >= 0 would turn
+    // the verdicts NULL instead of TRUE — the NULL-verdict vanishing class
+    // the quality gate's totality fix closed
     val pairStats = truePairs.agg(
       count(lit(1)).as("n_true_pairs"),
-      sum(when(col("same_cell"), 1L).otherwise(0L)).as("n_coclustered"),
-      sum(when(col("same_cell") && col("any_dropped"), 1L).otherwise(0L)).as("n_resolved"))
+      coalesce(sum(when(col("same_cell"), 1L).otherwise(0L)), lit(0L))
+        .as("n_coclustered"),
+      coalesce(sum(when(col("same_cell") && col("any_dropped"), 1L).otherwise(0L)),
+        lit(0L)).as("n_resolved"))
     val docStats = flags.agg(
       count(lit(1)).as("n_docs"),
-      sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
-      sum(when(!col("dropped"), 1L).otherwise(0L)).as("n_kept"))
+      coalesce(sum(when(col("dropped"), 1L).otherwise(0L)), lit(0L)).as("n_dropped"),
+      coalesce(sum(when(!col("dropped"), 1L).otherwise(0L)), lit(0L)).as("n_kept"))
     // every dropped id must appear in some co-clustered qualifying pair
     val pairIds = truePairs.filter(col("same_cell"))
       .select(explode(array(col("a"), col("b"))).as("vec_id"))
@@ -1374,6 +1390,9 @@ object Similarity {
     flags.filter(!col("dropped"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/kept")
+    // the writes are done and nothing lazy escapes: release the dropped-id
+    // checkpoint backing the flag frame
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(flags)
   }
 
   /** Screen a probe batch `(vec_id, embedding)` against a FROZEN semdedup
@@ -1409,12 +1428,8 @@ object Similarity {
   def semdedupScreenFromModel(s: SparkSession, indexDir: String,
       probes: DataFrame): DataFrame = {
     graft.functions.VecFunctions.register(s)
-    val codebook = s.read.parquet(s"$indexDir/codebook")
-      .orderBy("cell").collect()
-      .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Float]]("centroid").toArray))
-      .toSeq
     semdedupScreenBatch(probes,
-      codebook, s.read.parquet(s"$indexDir/kept"))
+      codebookFromDir(s, indexDir), s.read.parquet(s"$indexDir/kept"))
   }
 
   // ------------------------------------------------------- outlier audit

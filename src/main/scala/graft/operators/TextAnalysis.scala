@@ -164,9 +164,14 @@ object TextAnalysis {
         col("r_len") && col("r_wordlen") && col("r_diversity") && col("r_repetition"))
   }
 
-  val qualityGopherSql: String = {
+  /** The Gopher metric CTE chain (tables `d`, `s`, `m`; `m` has doc_id +
+    * the four integer metrics) and the keep predicate over `m`'s columns
+    * — ONE DuckDB copy of the teacher rule shared by [[qualityGopherSql]]
+    * and `Scoring.qualityClassifierSql`, so the student's oracle can
+    * never compute `n_keep` against a stale teacher definition. */
+  private[operators] val GopherMetricCtesSql: String = {
     val sh2 = Portable.shinglesSql(2)
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS w,
        |    length(replace(text, ' ', '')) AS ch
        |  FROM documents),
@@ -181,16 +186,21 @@ object TextAnalysis {
        |    CAST((ch * 100) // greatest(n, 1) AS BIGINT) AS mwl_c,
        |    CAST((nd * 10000) // greatest(n, 1) AS BIGINT) AS diversity_bp,
        |    CAST(((nbg - ndbg) * 10000) // greatest(nbg, 1) AS BIGINT) AS dup2_bp
-       |  FROM s)
+       |  FROM s)""".stripMargin
+  }
+  private[operators] val GopherKeepSqlFrag: String =
+    """(n_tokens BETWEEN 30 AND 1000) AND (mwl_c BETWEEN 380 AND 500)
+      |    AND diversity_bp >= 3500 AND dup2_bp <= 600""".stripMargin
+
+  val qualityGopherSql: String =
+    s"""WITH $GopherMetricCtesSql
        |SELECT doc_id, n_tokens, mwl_c, diversity_bp, dup2_bp,
        |  n_tokens BETWEEN 30 AND 1000 AS r_len,
        |  mwl_c BETWEEN 380 AND 500 AS r_wordlen,
        |  diversity_bp >= 3500 AS r_diversity,
        |  dup2_bp <= 600 AS r_repetition,
-       |  (n_tokens BETWEEN 30 AND 1000) AND (mwl_c BETWEEN 380 AND 500)
-       |    AND diversity_bp >= 3500 AND dup2_bp <= 600 AS keep
+       |  $GopherKeepSqlFrag AS keep
        |FROM m ORDER BY doc_id""".stripMargin
-  }
 
   // ------------------------------------------------------------- token count
   /** Whitespace vs BPE-ish (regex subword) token counts, rolled up per
@@ -1584,7 +1594,11 @@ object TextAnalysis {
       .join(broadcast(cy), substring_index(col("bg"), " ", -1) === col("y"))
       .crossJoin(broadcast(tot))
       .select(col("bg"), col("cnt"),
-        round(log(col("n") * col("cnt") / (col("cx") * col("cy"))), 4).as("pmi"))
+        // multiply in DOUBLE (matching the oracle's CAST): long N × long
+        // cnt overflows 2^63 at real corpus scale (N ~ 10^13) and ANSI
+        // mode would throw where the oracle keeps computing
+        round(log(col("n").cast("double") * col("cnt") /
+          (col("cx").cast("double") * col("cy"))), 4).as("pmi"))
       .orderBy(col("pmi").desc, col("bg").asc)
       .limit(PmiTopK)
   }

@@ -1158,10 +1158,7 @@ object Streams {
       indexDir: String, outDir: String, checkpoint: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
     graft.functions.VecFunctions.register(spark)
-    val codebook = spark.read.parquet(s"$indexDir/codebook")
-      .orderBy("cell").collect()
-      .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Float]]("centroid").toArray))
-      .toSeq
+    val codebook = graft.operators.Similarity.codebookFromDir(spark, indexDir)
     val kept = spark.read.parquet(s"$indexDir/kept").persist()
     val q = df.writeStream
       .option("checkpointLocation", checkpoint)
