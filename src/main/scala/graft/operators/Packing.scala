@@ -106,6 +106,53 @@ object Packing {
         max("doc_id").as("last_doc"))
       .orderBy("bin_id")
 
+  /** Packing efficiency report — the trade-off audit of concat-then-chunk
+    * packing: per bin, the docs and tokens it holds, its overflow beyond
+    * the [[PackBudget]] (tokens that spill into the next chunk), and the
+    * count of BOUNDARY-CROSSING documents — the docs a packed training
+    * run truncates across sequence boundaries, i.e. the attention
+    * contamination the packing strategy trades for zero padding. A
+    * curation team reads this next to `pack_sequences` to decide whether
+    * the crossing rate justifies a document-aware packer.
+    *
+    * Shape at scale: the same two-phase offset machinery as
+    * [[packSequences]] (no global window), plus one integer projection.
+    */
+  def packEfficiency(s: SparkSession, d: String): DataFrame =
+    offsets(s, d)
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"start_tok div $PackBudget").as("bin_id"),
+        when(col("n_tok") > 0,
+          expr(s"(start_tok + n_tok - 1) div $PackBudget") >
+            expr(s"start_tok div $PackBudget"))
+          .otherwise(lit(false)).as("crossing"))
+      .groupBy("bin_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum(when(col("crossing"), 1L).otherwise(0L)).as("n_crossing"),
+        greatest(sum("n_tok") - PackBudget, lit(0L)).as("overflow_toks"))
+      .orderBy("bin_id")
+
+  val packEfficiencySql: String =
+    s"""WITH o AS (
+       |  SELECT doc_id, n_tok,
+       |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)),
+       |b AS (
+       |  SELECT start_tok // $PackBudget AS bin_id, n_tok,
+       |    CASE WHEN n_tok > 0 THEN
+       |      (start_tok + n_tok - 1) // $PackBudget > start_tok // $PackBudget
+       |    ELSE FALSE END AS crossing
+       |  FROM o)
+       |SELECT CAST(bin_id AS BIGINT) AS bin_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN crossing THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
+       |  CAST(greatest(sum(n_tok) - $PackBudget, 0) AS BIGINT) AS overflow_toks
+       |FROM b GROUP BY bin_id ORDER BY bin_id""".stripMargin
+
   val packSequencesSql: String =
     s"""WITH o AS (
        |  SELECT doc_id, n_tok,
@@ -450,12 +497,14 @@ object Packing {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "assign_row_ids" -> (assignRowIds _),
     "pack_sequences" -> (packSequences _),
+    "pack_efficiency" -> (packEfficiency _),
     "zorder_layout" -> (zorderLayout _),
     "zorder_pruning" -> (zorderPruning _))
 
   def oracles: Map[String, String] = Map(
     "assign_row_ids" -> assignRowIdsSql,
     "pack_sequences" -> packSequencesSql,
+    "pack_efficiency" -> packEfficiencySql,
     "zorder_layout" -> zorderLayoutSql,
     "zorder_pruning" -> zorderPruningSql)
 }

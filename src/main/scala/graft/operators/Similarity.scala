@@ -1194,6 +1194,52 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  // ------------------------------------------------- hard-negative mining
+  /** Hard-negative triplet mining — the contrastive-training data op
+    * (DPR/SBERT recipe: each anchor trains against its nearest neighbor
+    * as the positive and NEAR-but-not-nearest neighbors as hard
+    * negatives, which carry far more gradient signal than random
+    * negatives): for every probe anchor, emit (anchor, positive = rank 1,
+    * hard negative = ranks 2–3) pairs with both cosines and the margin
+    * the triplet loss would see. Built on the same [[bruteTopk]] seam as
+    * `ann_bruteforce_topk` — at scale the anchor search swaps to the
+    * LSH/IVF variants with this reshaping tail unchanged.
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val top = bruteTopk(Tables.parallelize(s, Tables.embeddings(s, d)), 3)
+      .localCheckpoint() // read by both sides of the positive×negative join
+    val pos = top.filter(col("rank") === 1)
+      .select(col("qid"), col("vec_id").as("pos_id"), col("cosine").as("pos_cos"))
+    val neg = top.filter(col("rank") > 1)
+      .select(col("qid"), col("rank").as("neg_rank"),
+        col("vec_id").as("neg_id"), col("cosine").as("neg_cos"))
+    pos.join(neg, "qid")
+      .select(col("qid"), col("pos_id"), col("pos_cos"),
+        col("neg_rank"), col("neg_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 4).as("margin"))
+      .orderBy("qid", "neg_rank")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH scored AS (
+       |  SELECT p.vec_id AS qid, q.vec_id AS vec_id, $cosineSqlPQ AS cosine
+       |  FROM embeddings p JOIN embeddings q ON q.vec_id <> p.vec_id
+       |  WHERE p.vec_id % 100 = 0),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+       |      AS INTEGER) AS rank
+       |  FROM scored),
+       |pos AS (SELECT qid, vec_id AS pos_id, cosine AS pos_cos
+       |        FROM ranked WHERE rank = 1),
+       |neg AS (SELECT qid, rank AS neg_rank, vec_id AS neg_id, cosine AS neg_cos
+       |        FROM ranked WHERE rank IN (2, 3))
+       |SELECT pos.qid, pos_id, pos_cos, neg_rank, neg_id, neg_cos,
+       |  round(pos_cos - neg_cos, 4) AS margin
+       |FROM pos JOIN neg ON pos.qid = neg.qid
+       |ORDER BY pos.qid, neg_rank""".stripMargin
+
   // ------------------------------------------------------- semantic dedup
   /** Near-dup cosine threshold for [[semdedupPrune]] — the
     * `dedup_embedding` contract (one definition of "embedding near-dup"
@@ -1551,6 +1597,7 @@ object Similarity {
     "pq_adc_rerank_topk" -> (pqAdcRerankTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "semdedup_prune" -> (semdedupPrune _),
+    "hard_negatives" -> (hardNegatives _),
     "centroid_by_label" -> (centroidByLabel _))
 
   def oracles: Map[String, String] = Map(
@@ -1568,5 +1615,6 @@ object Similarity {
     "pq_adc_rerank_topk" -> pqAdcRerankTopkSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "semdedup_prune" -> semdedupPruneSql,
+    "hard_negatives" -> hardNegativesSql,
     "centroid_by_label" -> centroidByLabelSql)
 }

@@ -1338,6 +1338,47 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: two per anchor, margins non-negative, positive outranks") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.Similarity.hardNegatives(spark, dir).collect()
+      val byAnchor = rows.groupBy(_.getAs[Long]("qid"))
+      assert(byAnchor.nonEmpty)
+      byAnchor.foreach { case (qid, rs) =>
+        assert(rs.length == 2, s"$dir anchor $qid: want ranks 2 and 3")
+        assert(rs.map(_.getAs[Int]("neg_rank")).sorted.toSeq == Seq(2, 3))
+        rs.foreach { r =>
+          assert(r.getAs[Double]("pos_cos") >= r.getAs[Double]("neg_cos"),
+            s"$dir anchor $qid: positive must outrank the hard negative")
+          assert(r.getAs[Double]("margin") >= 0)
+          assert(r.getAs[Long]("pos_id") != r.getAs[Long]("neg_id"))
+        }
+      }
+      // materiality: some triplet must have a real margin to learn from
+      assert(rows.exists(_.getAs[Double]("margin") > 0), s"$dir: all margins zero")
+    }
+  }
+
+  test("pack efficiency agrees with pack_sequences and reports real boundary crossings") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val eff = operators.Packing.packEfficiency(spark, dir).collect()
+        .map(r => r.getAs[Long]("bin_id") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("n_crossing"), r.getAs[Long]("overflow_toks"))).toMap
+      val pack = operators.Packing.packSequences(spark, dir).collect()
+        .map(r => r.getAs[Long]("bin_id") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+      assert(eff.keySet == pack.keySet, s"$dir: bin sets differ")
+      eff.foreach { case (bin, (d0, t, c, o)) =>
+        assert((d0, t) == pack(bin), s"$dir bin $bin: doc/token counts differ")
+        assert(c <= d0, s"$dir bin $bin: more crossings than docs")
+        assert(o == math.max(0L, t - operators.Packing.PackBudget),
+          s"$dir bin $bin: overflow inconsistent")
+      }
+      assert(eff.values.exists(_._3 > 0),
+        s"$dir: concat-then-chunk must produce boundary crossings on this corpus")
+    }
+  }
+
   test("lm-quality calibration partitions the scored corpus into balanced quartiles") {
     import org.apache.spark.sql.functions.col
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
