@@ -1286,7 +1286,7 @@ object TextAnalysis {
     * [[shardAssignment]] and [[shardMixAudit]], so the audit can never
     * describe a different sharding than the assignment produces. */
   val ShardCount = 8
-  private def shardKey: org.apache.spark.sql.Column =
+  private[graft] def shardKey: org.apache.spark.sql.Column =
     Portable.hash28(concat(lit("shard_"), col("doc_id"))) % ShardCount
   private def shardKeySql: String =
     s"(${Portable.hash28Sql("'shard_' || doc_id")} % $ShardCount)"

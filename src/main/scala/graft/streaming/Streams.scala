@@ -1110,6 +1110,36 @@ object Streams {
     (q, gramDf)
   }
 
+  // --------------------------------------------- streaming shard routing
+  /** Streaming shard router — the training-shard DELIVERY path: arriving
+    * `(doc_id, text)` rows are assigned their deterministic shard (the
+    * `shard_assignment`/`shard_mix_audit` key, ONE definition) and
+    * written `partitionBy(shard)`, so the landing layout IS the shard
+    * layout a training run consumes and a document lands in the same
+    * shard no matter which micro-batch (or redelivery) carries it. A
+    * redelivered batch byte-replaces its own `batch_id=<id>` directory
+    * (the idempotence discipline), with the shard partitioning nested
+    * inside it — a consumer reading `outDir` sees both partition columns
+    * and shard filters prune directories. The batch query's within-shard
+    * positions are a corpus-level order and deliberately NOT assigned
+    * here — an unbounded stream has no final corpus to rank within;
+    * positions come from the batch pass over the closed corpus.
+    */
+  def shardRouteBatch(batch: DataFrame, id: Long, outDir: String): Unit =
+    batch
+      .withColumn("shard", graft.operators.TextAnalysis.shardKey)
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/batch_id=$id")
+
+  def streamShardRoute(df: DataFrame, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        shardRouteBatch(batch.toDF(), id, outDir)
+      }
+      .start()
+
   // ----------------------------------------- streaming quality classifier
   /** Streaming distilled-quality scoring over micro-batches of `(doc_id,
     * text)` rows against the persisted classifier

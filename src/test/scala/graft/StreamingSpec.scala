@@ -923,6 +923,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming shard router: landed shards equal the batch assignment, layout partitioned") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = SparkTestSession.sf
+    val outDir = java.nio.file.Files.createTempDirectory("graft-shard-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-shard-ckpt").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamShardRoute(
+      in.toDF().toDF("doc_id", "text"), outDir, ckpt)
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val landed = spark.read.parquet(outDir)
+        .select("doc_id", "shard")
+        .collect().map(r => r.getLong(0) -> r.getAs[Number]("shard").longValue).toMap
+      val batch = graft.operators.TextAnalysis.shardAssignment(spark, sf)
+        .select("doc_id", "shard")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(landed == batch,
+        s"landed shards differ from the batch assignment for " +
+          s"${landed.keySet.filter(k => landed(k) != batch(k)).take(3)}")
+      // layout: the landing zone is physically partitioned by shard
+      // inside each batch directory
+      val shardDirs = new java.io.File(s"$outDir/batch_id=0").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("shard="))
+      assert(shardDirs.nonEmpty, "expected shard= partition directories")
+    } finally {
+      q.stop()
+      Seq(outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
+    }
+  }
+
   test("streaming quality gate: a batch with empty/NULL text conserves rows (accepted + quarantined = arrived)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
