@@ -836,6 +836,48 @@ object Dedup {
        |JOIN src sb ON p.doc_b = sb.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------ span provenance
+  /** Hot-span provenance — WHERE the boilerplate lives: for every span
+    * `dedup_spans` would treat as hot ([[SpanHotThreshold]]+ occurrences;
+    * one threshold and one span definition with the removal pass), the
+    * occurrence count, how many distinct documents and distinct SOURCES
+    * carry it. A span syndicated across many sources is shared template
+    * mass (dedup corpus-wide); a span hot inside one source is that
+    * source's own boilerplate (tune the source or the span pass). The
+    * drill-down behind `dedup_spans`' drop counts and the span-level
+    * sibling of `source_overlap_matrix`. The fixture carries NO exact
+    * full-document duplicates (verified at both SFs), so span
+    * granularity is where provenance has signal.
+    *
+    * Shape at scale: the one tokenize+span pass, a doc_id-keyed join to
+    * restore the source column, one span-keyed aggregate. Spans are
+    * emitted as md5 — the compared frame must not carry corpus text.
+    */
+  def spanProvenance(s: SparkSession, d: String): DataFrame = {
+    val spans = docSpans(s, d).select("doc_id", "span")
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    spans.join(src, "doc_id")
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"),
+        countDistinct("source").as("n_sources"))
+      .filter(col("n_occurrences") >= SpanHotThreshold)
+      .select(md5(col("span")).as("span_md5"),
+        col("n_occurrences"), col("n_docs"), col("n_sources"))
+      .orderBy("span_md5")
+  }
+
+  val spanProvenanceSql: String =
+    s"""WITH $docSpansSqlCtes,
+       |j AS (SELECT e.span, e.doc_id, d2.source
+       |      FROM e JOIN documents d2 USING (doc_id))
+       |SELECT md5(span) AS span_md5,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       |FROM j GROUP BY span HAVING count(*) >= $SpanHotThreshold
+       |ORDER BY span_md5""".stripMargin
+
   // ------------------------------------------------------- split overlap
   /** Cross-split n-gram overlap audit — the lexical-leakage telemetry of
     * the NAIVE doc-keyed split ([[graft.operators.Relational.splitOf]],
@@ -1485,6 +1527,7 @@ object Dedup {
     "dedup_spans" -> (dedupSpans _),
     "dedup_span_bloom" -> (dedupSpanBloom _),
     "split_gram_overlap" -> (splitGramOverlap _),
+    "span_provenance" -> (spanProvenance _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
     "decontaminate_ngram" -> (decontaminateNgram _),
@@ -1506,6 +1549,7 @@ object Dedup {
     "dedup_spans" -> dedupSpansSql,
     "dedup_span_bloom" -> dedupSpanBloomSql,
     "split_gram_overlap" -> splitGramOverlapSql,
+    "span_provenance" -> spanProvenanceSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_indexed" -> dedupIncrementalSql,
     "decontaminate_ngram" -> decontaminateNgramSql,

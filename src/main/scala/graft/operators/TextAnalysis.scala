@@ -202,6 +202,46 @@ object TextAnalysis {
        |  $GopherKeepSqlFrag AS keep
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- gate rule matrix
+  /** Gopher-rule co-failure matrix — which gate rules are REDUNDANT:
+    * for every ordered rule pair (including the diagonal — the rule's
+    * own failure count), how many documents fail both. A rule whose
+    * failures are a subset of another's adds no selectivity and costs a
+    * full metric computation per document at 100 TB; a rule with many
+    * solo failures carries unique signal. The verdict columns come from
+    * [[gopherVerdicts]] — one definition of the rules — and the 4×4
+    * matrix is ONE aggregate of 16 conditional sums, unpivoted via
+    * `stack` (no per-pair scan, no shuffle except the 1-row exchange).
+    */
+  def gateRuleMatrix(s: SparkSession, d: String): DataFrame = {
+    val rules = Seq("r_len", "r_wordlen", "r_diversity", "r_repetition")
+    val verdicts = gopherVerdicts(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val sums = for { a <- rules; b <- rules } yield
+      sum(when(!col(a) && !col(b), 1L).otherwise(0L)).as(s"${a}__$b")
+    val stackArgs = (for { a <- rules; b <- rules } yield
+      s"'$a', '$b', ${a}__$b").mkString(", ")
+    verdicts.agg(sums.head, sums.tail: _*)
+      .select(expr(
+        s"stack(${rules.size * rules.size}, $stackArgs) AS (rule_a, rule_b, n_both_fail)"))
+      .orderBy("rule_a", "rule_b")
+  }
+
+  val gateRuleMatrixSql: String = {
+    val rules = Seq(
+      "r_len" -> "NOT (n_tokens BETWEEN 30 AND 1000)",
+      "r_wordlen" -> "NOT (mwl_c BETWEEN 380 AND 500)",
+      "r_diversity" -> "NOT (diversity_bp >= 3500)",
+      "r_repetition" -> "NOT (dup2_bp <= 600)")
+    val cells = (for { (a, fa) <- rules; (b, fb) <- rules } yield
+      s"SELECT '$a' AS rule_a, '$b' AS rule_b, " +
+        s"CAST(sum(CASE WHEN ($fa) AND ($fb) THEN 1 ELSE 0 END) AS BIGINT) " +
+        s"AS n_both_fail FROM m").mkString("\n|UNION ALL\n|")
+    s"""WITH $GopherMetricCtesSql
+       |$cells
+       |ORDER BY rule_a, rule_b""".stripMargin
+  }
+
   // ------------------------------------------------------------- token count
   /** Whitespace vs BPE-ish (regex subword) token counts, rolled up per
     * source. The regex `[a-z]+|[0-9]+|\S` is a stand-in for a BPE
@@ -1742,6 +1782,7 @@ object TextAnalysis {
     "text_token_stats" -> (textTokenStats _),
     "text_quality" -> (textQuality _),
     "quality_gopher" -> (qualityGopher _),
+    "gate_rule_matrix" -> (gateRuleMatrix _),
     "token_count" -> (tokenCount _),
     "text_fingerprint" -> (textFingerprint _),
     "text_rolling_hash" -> (textRollingHash _),
@@ -1775,6 +1816,7 @@ object TextAnalysis {
     "text_token_stats" -> textTokenStatsSql,
     "text_quality" -> textQualitySql,
     "quality_gopher" -> qualityGopherSql,
+    "gate_rule_matrix" -> gateRuleMatrixSql,
     "token_count" -> tokenCountSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_rolling_hash" -> textRollingHashSql,

@@ -1379,6 +1379,42 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("gate rule matrix: symmetric, diagonal-dominant, diagonal equals the gate's failures") {
+    import org.apache.spark.sql.functions.col
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val cells = operators.TextAnalysis.gateRuleMatrix(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_both_fail"))
+        .toMap
+      assert(cells.size == 16, s"$dir: want the full 4x4 matrix")
+      cells.foreach { case ((a, b), n) =>
+        assert(cells((b, a)) == n, s"$dir: matrix not symmetric at ($a,$b)")
+        assert(n <= math.min(cells((a, a)), cells((b, b))),
+          s"$dir: intersection ($a,$b)=$n exceeds a diagonal")
+      }
+      val verdicts = operators.TextAnalysis.gopherVerdicts(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      Seq("r_len", "r_wordlen", "r_diversity", "r_repetition").foreach { rule =>
+        assert(cells((rule, rule)) == verdicts.filter(!col(rule)).count(),
+          s"$dir: diagonal of $rule differs from the gate's failure count")
+      }
+    }
+  }
+
+  test("span provenance: hot spans only, consistent counts, syndication present") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.Dedup.spanProvenance(spark, dir).collect()
+      assert(rows.nonEmpty, s"$dir: the template-heavy fixture must carry hot spans")
+      rows.foreach { r =>
+        val (occ, nd, ns) = (r.getAs[Long]("n_occurrences"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_sources"))
+        assert(occ >= operators.Dedup.SpanHotThreshold)
+        assert(nd <= occ && ns <= nd, s"$dir: inconsistent counts ($occ, $nd, $ns)")
+      }
+      assert(rows.exists(_.getAs[Long]("n_sources") > 1),
+        s"$dir: expected at least one syndicated (multi-source) hot span")
+    }
+  }
+
   test("lm-quality calibration partitions the scored corpus into balanced quartiles") {
     import org.apache.spark.sql.functions.col
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
