@@ -1755,7 +1755,220 @@ object TextAnalysis {
        |  round(quantile_cont(CAST(quality_bp AS DOUBLE), 0.5), 4) AS p50_quality_bp
        |FROM q GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------- entropy
+  /** Per-document token-distribution statistics: Shannon entropy (bits),
+    * vocabulary size, and hapax count — the standard gibberish / spam /
+    * boilerplate detectors a curation pass runs next to the Gopher rules
+    * (low entropy = repeated boilerplate; hapax-heavy = OCR noise).
+    *
+    * Shape: one scan → explode to (doc_id, token) → count → per-doc
+    * aggregate. Both shuffles key on doc_id (the second reuses the
+    * first's partitioning), partial aggregation applies, and state per
+    * key is O(doc vocabulary) — linear and executor-local at 100 TB.
+    * Entropy uses the shuffle-free identity
+    * H = log2(n) − (Σ c·log2 c)/n over per-token counts c.
+    */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"),
+        round(
+          log2(sum("cnt")) -
+            sum(col("cnt") * log2(col("cnt"))) / sum("cnt"),
+          4).as("entropy_bits"))
+      .orderBy("doc_id")
+
+  val tokenEntropySql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tk GROUP BY doc_id, tok)
+      |SELECT doc_id,
+      |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS vocab,
+      |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 4)
+      |    AS entropy_bits
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- readability
+  /** Flesch–Kincaid readability per document — the classic quality prior
+    * (C4/Gopher-era pipelines bucket on it): grade level and reading-ease
+    * from words-per-sentence and syllables-per-word, with syllables
+    * approximated by vowel-group runs (`[aeiouy]+`) — the standard
+    * dictionary-free heuristic.
+    *
+    * Pure regexp/arithmetic projection: one codegen'd scan, no shuffle,
+    * no UDF — the 100 TB plan is a narrow map over the text column.
+    * Sentence count is `max(count of [.!?] runs, 1)` so punctuation-free
+    * documents (the fixture's shape) are one sentence, not a div-0.
+    */
+  def textReadability(s: SparkSession, d: String): DataFrame = {
+    val nw = greatest(size(Portable.tokens(col("text"))), lit(1)).cast("double")
+    val ns = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+      .cast("double")
+    val nsyl = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+      .cast("double")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        nw.cast("long").as("n_words"),
+        ns.cast("long").as("n_sentences"),
+        nsyl.cast("long").as("n_syllables"),
+        round(lit(0.39) * (nw / ns) + lit(11.8) * (nsyl / nw) - lit(15.59), 4)
+          .as("fk_grade"),
+        round(lit(206.835) - lit(1.015) * (nw / ns) - lit(84.6) * (nsyl / nw), 4)
+          .as("flesch_ease"))
+      .orderBy("doc_id")
+  }
+
+  val textReadabilitySql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    greatest(len(string_split(text, ' ')), 1)::DOUBLE AS nw,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE AS ns,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE AS nsyl
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(nw AS BIGINT) AS n_words,
+      |  CAST(ns AS BIGINT) AS n_sentences,
+      |  CAST(nsyl AS BIGINT) AS n_syllables,
+      |  round(0.39 * (nw / ns) + 11.8 * (nsyl / nw) - 15.59, 4) AS fk_grade,
+      |  round(206.835 - 1.015 * (nw / ns) - 84.6 * (nsyl / nw), 4) AS flesch_ease
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- blocklist
+  /** The blocked-term lexicon for [[blocklistScreen]] — stands in for a
+    * C4-style bad-words list; real deployments swap in the full list (the
+    * mechanism — broadcast literal array membership inside a codegen'd
+    * array filter — is unchanged by lexicon size up to the usual broadcast
+    * budget). */
+  private[graft] val Blocklist: Seq[String] = Seq("slow", "dup", "big")
+
+  /** C4-style blocklist screen: per-document blocked-term hit rate in
+    * integer basis points (hits·10⁴ ÷ tokens — integer division, the
+    * [[qualityBpExpr]] discipline, so no rounding semantics cross the
+    * oracle boundary), flag at ≥ 800 bp, reported per source.
+    *
+    * One scan; the lexicon is a plan literal (no join); the only shuffle
+    * is the final per-source aggregate with map-side partials.
+    */
+  def blocklistScreen(s: SparkSession, d: String): DataFrame = {
+    val w = Portable.tokens(col("text"))
+    val lex = Blocklist.map(lit)
+    val perDoc = Tables.documents(s, d).select(
+      col("source"),
+      size(w).cast("long").as("n"),
+      size(filter(w, t => lex.map(t === _).reduce(_ || _))).cast("long").as("hits"))
+      .withColumn("hit_bp", expr("hits * 10000 div greatest(n, 1)"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("hit_bp") >= 800, 1L).otherwise(0L)).as("n_flagged"),
+        sum("hits").as("total_hits"),
+        expr("sum(hits) * 10000 div greatest(sum(n), 1)").as("corpus_hit_bp"))
+      .orderBy("source")
+  }
+
+  val blocklistScreenSql: String = {
+    val inList = Blocklist.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH c AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t IN ($inList))) AS BIGINT) AS hits
+       |  FROM documents),
+       |b AS (SELECT source, n, hits,
+       |        hits * 10000 // greatest(n, 1) AS hit_bp FROM c)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN hit_bp >= 800 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(sum(hits) AS BIGINT) AS total_hits,
+       |  CAST(sum(hits) * 10000 // greatest(sum(n), 1) AS BIGINT) AS corpus_hit_bp
+       |FROM b GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------------- zipf fit
+  /** Corpus-level Zipf law fit: least-squares slope/intercept/R² of
+    * log-frequency vs log-rank over the top-1000 token vocabulary — the
+    * standard corpus-health check (natural text fits slope ≈ −1; machine
+    * spam and template farms bend the curve).
+    *
+    * Shape: one scan → token counts (map-side partial) →
+    * TakeOrderedAndProject for the bounded top-K (distributed top-k, no
+    * global window over the full vocabulary) → rank + regression on the
+    * ≤ K-row frame. K is the scale knob: the full-vocabulary frame never
+    * materializes on one node. The regression uses explicit Σx/Σy/Σxy/Σx²
+    * sums — the same arithmetic DuckDB's mirror runs — rather than each
+    * engine's regr_* implementation, so the two cannot diverge in
+    * accumulation algorithm.
+    */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topK = 1000
+    val counts = Tables.documents(s, d)
+      .select(explode(Portable.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("tok").asc).limit(topK)
+    val ranked = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok").asc)))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    ranked.agg(
+      count(lit(1)).as("k_tokens"),
+      count(lit(1)).cast("double").as("nn"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      .select(
+        col("k_tokens"),
+        round((col("nn") * col("sxy") - col("sx") * col("sy")) /
+          (col("nn") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"),
+        round((col("sy") - col("sx") *
+          ((col("nn") * col("sxy") - col("sx") * col("sy")) /
+            (col("nn") * col("sxx") - col("sx") * col("sx")))) / col("nn"), 4)
+          .as("zipf_intercept"),
+        round(
+          pow(col("nn") * col("sxy") - col("sx") * col("sy"), 2) /
+            ((col("nn") * col("sxx") - col("sx") * col("sx")) *
+              (col("nn") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+  }
+
+  val zipfFitSql: String =
+    """WITH c AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT 1000),
+      |r AS (
+      |  SELECT ln(row_number() OVER (ORDER BY cnt DESC, tok)::DOUBLE) AS x,
+      |         ln(cnt::DOUBLE) AS y
+      |  FROM c),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k_tokens, count(*)::DOUBLE AS nn,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+      |    sum(x*x) AS sxx, sum(y*y) AS syy
+      |  FROM r)
+      |SELECT k_tokens,
+      |  round((nn*sxy - sx*sy) / (nn*sxx - sx*sx), 4) AS zipf_slope,
+      |  round((sy - sx * ((nn*sxy - sx*sy) / (nn*sxx - sx*sx))) / nn, 4)
+      |    AS zipf_intercept,
+      |  round(pow(nn*sxy - sx*sy, 2)
+      |        / ((nn*sxx - sx*sx) * (nn*syy - sy*sy)), 4) AS r2
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_entropy" -> (tokenEntropy _),
+    "text_readability" -> (textReadability _),
+    "blocklist_screen" -> (blocklistScreen _),
+    "zipf_fit" -> (zipfFit _),
     "epoch_budget" -> (epochBudget _),
     "source_profile" -> (sourceProfile _),
     "ngram_novelty" -> (ngramNovelty _),
@@ -1790,6 +2003,10 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "token_entropy" -> tokenEntropySql,
+    "text_readability" -> textReadabilitySql,
+    "blocklist_screen" -> blocklistScreenSql,
+    "zipf_fit" -> zipfFitSql,
     "epoch_budget" -> epochBudgetSql,
     "source_profile" -> sourceProfileSql,
     "ngram_novelty" -> ngramNoveltySql,

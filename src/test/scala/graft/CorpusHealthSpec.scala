@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Targeted semantics for the corpus-health family (token_entropy,
+  * text_readability, blocklist_screen, zipf_fit) — each distributed result
+  * is recomputed brute-force in plain Scala from the raw fixture text, so
+  * the DuckDB oracle and this spec are two independent witnesses.
+  */
+class CorpusHealthSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val docs: Map[Long, String] = {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+    rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("token entropy matches a plain-Scala recompute on every fixture doc") {
+    val got = operators.TextAnalysis.tokenEntropy(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+          r.getAs[Long]("hapax"), r.getAs[Double]("entropy_bits"))))
+      .toMap
+    assert(got.size == docs.size)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val counts = toks.groupBy(identity).map(_._2.size.toLong).toSeq
+      val n = counts.sum.toDouble
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      val ent = round4(log2(n) - counts.map(c => c * log2(c.toDouble)).sum / n)
+      val (gn, gv, gh, ge) = got(id)
+      assert(gn == counts.sum && gv == counts.size &&
+        gh == counts.count(_ == 1L) && ge == ent, s"doc $id")
+    }
+  }
+
+  test("readability: punctuation-free docs are one sentence; formula recomputes") {
+    val rows = operators.TextAnalysis.textReadability(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val nw = math.max(text.split(" ", -1).length, 1).toDouble
+      val ns = math.max("[.!?]+".r.findAllIn(text).size, 1).toDouble
+      val nsyl = "[aeiouy]+".r.findAllIn(text.toLowerCase).size.toDouble
+      assert(r.getAs[Long]("n_sentences") == ns.toLong)
+      assert(r.getAs[Double]("fk_grade") ==
+        round4(0.39 * (nw / ns) + 11.8 * (nsyl / nw) - 15.59))
+      assert(r.getAs[Double]("flesch_ease") ==
+        round4(206.835 - 1.015 * (nw / ns) - 84.6 * (nsyl / nw)))
+    }
+  }
+
+  test("blocklist screen: per-source totals conserve docs and hits") {
+    val rows = operators.TextAnalysis.blocklistScreen(spark, sf).collect()
+    val lex = operators.TextAnalysis.Blocklist.toSet
+    // brute-force: recompute total hits over the whole corpus
+    val allText = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val wantHits = allText.map(_._2.split(" ", -1).count(lex.contains)).map(_.toLong).sum
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.size)
+    assert(rows.map(_.getAs[Long]("total_hits")).sum == wantHits)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+      val bp = r.getAs[Long]("corpus_hit_bp")
+      assert(bp >= 0 && bp <= 10000)
+    }
+  }
+
+  test("zipf fit matches a plain-Scala least-squares recompute") {
+    val row = operators.TextAnalysis.zipfFit(spark, sf).collect().head
+    val counts = docs.values.toSeq.flatMap(_.split(" ", -1))
+      .groupBy(identity).map { case (t, g) => (t, g.size.toLong) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(1000)
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble))
+    }
+    val nn = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val slope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    assert(row.getAs[Long]("k_tokens") == counts.size)
+    assert(math.abs(row.getAs[Double]("zipf_slope") - slope) < 1e-3)
+    assert(row.getAs[Double]("zipf_slope") < 0.0, "frequency must fall with rank")
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+}
