@@ -1514,7 +1514,131 @@ object Dedup {
       |SELECT vec_a, vec_b, cosine FROM pairs
       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
+  // ------------------------------------------------------------ containment
+  /** Asymmetric n-gram containment — C(A→B) = |grams A ∩ grams B| / |grams A|
+    * — the quote/subset detector symmetric Jaccard misses: a short document
+    * wholly embedded in a long one scores near-zero Jaccard (the union is
+    * dominated by the long doc) but containment 1.0. Standard next to
+    * MinHash in dedup stacks (containment search à la suffix filtering).
+    *
+    * Same inverted-index candidate stage as [[jaccardPairs]] (stop-gram
+    * cap, xxhash64 gram keys, equi-join — the scale path is identical and
+    * already slope-measured), then both directed ratios per pair; a pair
+    * is emitted when either direction ≥ 0.9 on the 4-dp-rounded value, so
+    * the oracle's identical rounding cannot disagree at the threshold.
+    */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val retained = retainedGrams(gramSetDF(s, d))
+    val sizes = retained.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    gramPairCounts(retained)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("na"), 4).as("containment_a"),
+        round(col("inter").cast("double") / col("nb"), 4).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= 0.9)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH $gramsSqlCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM grams a JOIN grams b
+       |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(inter AS DOUBLE) / sa.n, 4) AS containment_a,
+       |    round(CAST(inter AS DOUBLE) / sb.n, 4) AS containment_b
+       |  FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, containment_a, containment_b FROM c
+       |WHERE greatest(containment_a, containment_b) >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------ pagerank
+  /** PageRank (damping 0.85, 3 iterations) over the undirected near-dup
+    * graph from the MinHash-LSH candidate pairs — the centrality view of
+    * the duplicate structure: high-rank documents sit at the core of big
+    * near-dup families (template hubs, syndicated boilerplate), which is
+    * the order a curation pass reviews them in.
+    *
+    * Bounded-iteration distributed graph compute: each iteration is one
+    * edge-keyed join + one destination-keyed aggregate — the exact shape
+    * that scales to 10⁹ edges (partition edges by src, re-join the
+    * rank vector per round; AQE handles hub skew). The pair frame is
+    * `localCheckpoint`'d so three unrolled iterations read the LSH join
+    * once, not three times; node count enters as a broadcast one-row
+    * frame, never a driver scalar.
+    */
+  def pagerankSimGraph(s: SparkSession, d: String): DataFrame = {
+    val damping = 0.85
+    val pairs = lshPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+      .localCheckpoint()
+    val nn = broadcast(deg.agg(count(lit(1)).cast("double").as("nn")))
+    var ranks = deg.crossJoin(nn)
+      .select(col("doc_id"), (lit(1.0) / col("nn")).as("rank"),
+        col("outdeg"))
+    for (_ <- 1 to 3) {
+      val inflow = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("rank") / col("outdeg")).as("inflow"))
+      ranks = deg.crossJoin(nn)
+        .join(inflow, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          ((lit(1.0) - damping) / col("nn") +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"),
+          col("outdeg"))
+    }
+    ranks.select(col("doc_id"), col("outdeg").cast("long").as("out_deg"),
+        round(col("rank"), 6).as("pagerank"))
+      .orderBy("doc_id")
+  }
+
+  val pagerankSimGraphSql: String =
+    s"""WITH $lshPairsSqlCtes,
+       |ed AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM lshpairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM lshpairs),
+       |deg AS (SELECT src AS doc_id, count(*)::DOUBLE AS outdeg
+       |        FROM ed GROUP BY 1),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+       |r0 AS (SELECT doc_id, outdeg, 1.0 / (SELECT n FROM nn) AS rank
+       |       FROM deg),
+       |c1 AS (SELECT e.dst AS doc_id, sum(p.rank / p.outdeg) AS inflow
+       |       FROM ed e JOIN r0 p ON e.src = p.doc_id GROUP BY 1),
+       |r1 AS (SELECT g.doc_id, g.outdeg,
+       |         0.15 / (SELECT n FROM nn)
+       |           + 0.85 * coalesce(c.inflow, 0) AS rank
+       |       FROM deg g LEFT JOIN c1 c USING (doc_id)),
+       |c2 AS (SELECT e.dst AS doc_id, sum(p.rank / p.outdeg) AS inflow
+       |       FROM ed e JOIN r1 p ON e.src = p.doc_id GROUP BY 1),
+       |r2 AS (SELECT g.doc_id, g.outdeg,
+       |         0.15 / (SELECT n FROM nn)
+       |           + 0.85 * coalesce(c.inflow, 0) AS rank
+       |       FROM deg g LEFT JOIN c2 c USING (doc_id)),
+       |c3 AS (SELECT e.dst AS doc_id, sum(p.rank / p.outdeg) AS inflow
+       |       FROM ed e JOIN r2 p ON e.src = p.doc_id GROUP BY 1),
+       |r3 AS (SELECT g.doc_id, g.outdeg,
+       |         0.15 / (SELECT n FROM nn)
+       |           + 0.85 * coalesce(c.inflow, 0) AS rank
+       |       FROM deg g LEFT JOIN c3 c USING (doc_id))
+       |SELECT doc_id, CAST(outdeg AS BIGINT) AS out_deg,
+       |  round(rank, 6) AS pagerank
+       |FROM r3 ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pagerank_sim_graph" -> (pagerankSimGraph _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1537,6 +1661,8 @@ object Dedup {
     "decontaminate_embedding" -> (decontaminateEmbedding _))
 
   def oracles: Map[String, String] = Map(
+    "pagerank_sim_graph" -> pagerankSimGraphSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

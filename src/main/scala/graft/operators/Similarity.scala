@@ -1603,7 +1603,190 @@ object Similarity {
       |GROUP BY label, i
       |ORDER BY label, dim""".stripMargin
 
+  // ------------------------------------------------------- silhouette
+  /** Centroid-based silhouette score per label cluster — the cluster-quality
+    * audit a semantic-dedup / SemDeDup pass runs over its k-means
+    * partitioning (how separable are the clusters the pruning trusts?).
+    * Classical silhouette is O(n²) pairwise; the centroid form
+    * (a = distance to own centroid, b = nearest other centroid) is the
+    * standard O(n·k) scale substitute and is what this computes.
+    *
+    * Shape: one scan exploded to (vec_id, dim, x) → per-(label, dim)
+    * centroid averages (k×64 rows, partial aggregation) → dim-keyed join
+    * back (map-side combine collapses the k-fan-out to n·k before the
+    * (vec_id, clabel) shuffle) → per-vector a/b → per-label aggregate.
+    * Every arithmetic step is double precision mirrored verbatim in the
+    * oracle — squared terms use explicit multiplication, not pow(), so
+    * neither engine's libm enters the contract.
+    */
+  def clusterSilhouette(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("xf").cast("double").as("x"))
+    val cent = dims.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(avg("x").as("c"))
+    val dist = dims.join(broadcast(cent), "dim")
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("ss"))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        sqrt(col("ss")).as("dist"))
+    val sil = dist.groupBy("vec_id", "label")
+      .agg(
+        min(when(col("clabel") === col("label"), col("dist"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+      .select(col("label"),
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)).as("sil"))
+    sil.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg("sil"), 4).as("avg_sil"),
+        sum(when(col("sil") < 0, 1L).otherwise(0L)).as("n_misplaced"))
+      .orderBy("label")
+  }
+
+  val clusterSilhouetteSql: String =
+    """WITH dims AS (
+      |  SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+      |cent AS (
+      |  SELECT label AS clabel, dim, avg(x) AS c FROM dims GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT d.vec_id, d.label, c.clabel,
+      |    sqrt(sum((d.x - c.c) * (d.x - c.c))) AS dist
+      |  FROM dims d JOIN cent c ON d.dim = c.dim
+      |  GROUP BY 1, 2, 3),
+      |per AS (
+      |  SELECT vec_id, label,
+      |    min(CASE WHEN clabel = label THEN dist END) AS a,
+      |    min(CASE WHEN clabel <> label THEN dist END) AS b
+      |  FROM dist GROUP BY 1, 2),
+      |sil AS (
+      |  SELECT label,
+      |    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+      |         ELSE 0.0 END AS sil
+      |  FROM per)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  round(avg(sil), 4) AS avg_sil,
+      |  CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced
+      |FROM sil GROUP BY label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------- MMR top-k
+  /** Maximal-marginal-relevance diversified retrieval: per probe, pick 3
+    * results from the brute-force top-8 candidates by the MMR rule
+    * (λ·relevance − (1−λ)·max similarity to already-picked, λ = 0.7) —
+    * the standard redundancy-free retrieval head over an ANN candidate
+    * set (a near-dup-heavy corpus makes plain top-k return one cluster).
+    *
+    * The selection loop is bounded (k = 3) so it unrolls into three
+    * declarative steps — no driver iteration, no UDF. All scores are
+    * arithmetic over 4-dp-rounded cosines, so the oracle's identical
+    * unrolling cannot diverge at a tie; remaining ties break to the
+    * lower vec_id. Candidate and pair frames are per-probe bounded
+    * (≤ 8 and ≤ 64 rows), so at scale the whole tail after the ANN
+    * candidate generation is a narrow per-probe computation.
+    */
+  def annMmrTopk(s: SparkSession, d: String): DataFrame = {
+    val lam = 0.7
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+      .select("vec_id", "embedding")
+    val cf = bruteTopk(e, 8).join(e, "vec_id")
+    val pairs = cf.as("a").join(cf.as("b"),
+        col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.qid").as("pqid"), col("a.vec_id").as("av"),
+        col("b.vec_id").as("bv"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("sim"))
+    val base = cf.select(col("qid"), col("vec_id"), col("cosine").as("rel"),
+      col("rank"))
+    val s1 = base.filter(col("rank") === 1)
+      .select(col("qid"), col("vec_id").as("p1"), col("rel").as("rel1"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    val s2 = base.join(s1, "qid").filter(col("vec_id") =!= col("p1"))
+      .join(pairs, col("pqid") === col("qid") &&
+        col("av") === col("vec_id") && col("bv") === col("p1"))
+      .select(col("qid"), col("vec_id"), col("rel"),
+        (lit(lam) * col("rel") - lit(1 - lam) * col("sim")).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as("p2"), col("rel").as("rel2"))
+    val pa = pairs.select(col("pqid").as("q1"), col("av").as("a1"),
+      col("bv").as("b1"), col("sim").as("sim1"))
+    val pb = pairs.select(col("pqid").as("q2"), col("av").as("a2"),
+      col("bv").as("b2"), col("sim").as("sim2"))
+    val s3 = base.join(s1, "qid").join(s2, "qid")
+      .filter(col("vec_id") =!= col("p1") && col("vec_id") =!= col("p2"))
+      .join(pa, col("q1") === col("qid") &&
+        col("a1") === col("vec_id") && col("b1") === col("p1"))
+      .join(pb, col("q2") === col("qid") &&
+        col("a2") === col("vec_id") && col("b2") === col("p2"))
+      .select(col("qid"), col("vec_id"), col("rel"),
+        (lit(lam) * col("rel") -
+          lit(1 - lam) * greatest(col("sim1"), col("sim2"))).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as("p3"), col("rel").as("rel3"))
+    s1.select(col("qid"), lit(1).as("pick"), col("p1").as("vec_id"),
+        col("rel1").as("rel"))
+      .unionAll(s2.select(col("qid"), lit(2).as("pick"),
+        col("p2").as("vec_id"), col("rel2").as("rel")))
+      .unionAll(s3.select(col("qid"), lit(3).as("pick"),
+        col("p3").as("vec_id"), col("rel3").as("rel")))
+      .orderBy("qid", "pick")
+  }
+
+  val annMmrTopkSql: String =
+    s"""WITH scored AS (
+       |  SELECT p.vec_id AS qid, q.vec_id AS vec_id, $cosineSqlPQ AS cosine
+       |  FROM embeddings p JOIN embeddings q ON q.vec_id <> p.vec_id
+       |  WHERE p.vec_id % 100 = 0),
+       |cf AS (
+       |  SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+       |      AS rank
+       |  FROM scored QUALIFY rank <= 8),
+       |ce AS (
+       |  SELECT c.qid, c.vec_id, c.cosine, c.rank, e.embedding
+       |  FROM cf c JOIN embeddings e ON c.vec_id = e.vec_id),
+       |pr AS (
+       |  SELECT p.qid AS pqid, p.vec_id AS av, q.vec_id AS bv,
+       |    $cosineSqlPQ AS sim
+       |  FROM ce p JOIN ce q ON p.qid = q.qid AND p.vec_id <> q.vec_id),
+       |s1 AS (SELECT qid, vec_id AS p1, cosine AS rel1 FROM cf WHERE rank = 1),
+       |c2 AS (
+       |  SELECT c.qid, c.vec_id, c.cosine,
+       |    0.7 * c.cosine - 0.3 * p.sim AS score
+       |  FROM cf c JOIN s1 ON c.qid = s1.qid AND c.vec_id <> s1.p1
+       |  JOIN pr p ON p.pqid = c.qid AND p.av = c.vec_id AND p.bv = s1.p1),
+       |s2 AS (
+       |  SELECT qid, vec_id AS p2, cosine AS rel2 FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |    FROM c2) WHERE rn = 1),
+       |c3 AS (
+       |  SELECT c.qid, c.vec_id, c.cosine,
+       |    0.7 * c.cosine - 0.3 * greatest(pa.sim, pb.sim) AS score
+       |  FROM cf c
+       |  JOIN s1 ON c.qid = s1.qid JOIN s2 ON c.qid = s2.qid
+       |  JOIN pr pa ON pa.pqid = c.qid AND pa.av = c.vec_id AND pa.bv = s1.p1
+       |  JOIN pr pb ON pb.pqid = c.qid AND pb.av = c.vec_id AND pb.bv = s2.p2
+       |  WHERE c.vec_id <> s1.p1 AND c.vec_id <> s2.p2),
+       |s3 AS (
+       |  SELECT qid, vec_id AS p3, cosine AS rel3 FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |    FROM c3) WHERE rn = 1)
+       |SELECT qid, CAST(1 AS INTEGER) AS pick, p1 AS vec_id, rel1 AS rel FROM s1
+       |UNION ALL
+       |SELECT qid, CAST(2 AS INTEGER), p2, rel2 FROM s2
+       |UNION ALL
+       |SELECT qid, CAST(3 AS INTEGER), p3, rel3 FROM s3
+       |ORDER BY qid, pick""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_silhouette" -> (clusterSilhouette _),
+    "ann_mmr_topk" -> (annMmrTopk _),
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk" -> ((s: SparkSession, d: String) => annLshTopk(s, d)),
     "ann_ivf_topk" -> (annIvfTopk _),
@@ -1622,6 +1805,8 @@ object Similarity {
     "centroid_by_label" -> (centroidByLabel _))
 
   def oracles: Map[String, String] = Map(
+    "cluster_silhouette" -> clusterSilhouetteSql,
+    "ann_mmr_topk" -> annMmrTopkSql,
     "ann_bruteforce_topk" -> annBruteforceTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,

@@ -1964,7 +1964,80 @@ object TextAnalysis {
       |        / ((nn*sxx - sx*sx) * (nn*syy - sy*sy)), 4) AS r2
       |FROM s""".stripMargin
 
+  // ------------------------------------------------------------- fertility
+  /** Tokenizer fertility audit per language: how well the frozen BPE merge
+    * table compresses each language's text — tokens-after over
+    * tokens-before in integer basis points, plus characters per post-BPE
+    * token. The standard multilingual-tokenizer health check: a merge
+    * table trained on the majority language under-compresses the others,
+    * and this report is where that shows up.
+    *
+    * Reuses [[bpeApplyFrozen]]'s chained-literal-replace projection (one
+    * codegen corpus pass, ≤ 20-row driver merge list — the sanctioned
+    * bounded collect) joined back to the language column; the only
+    * shuffle is the per-language aggregate. Ratios are integer bp or
+    * 4-dp-rounded sums-of-longs, so the oracle cannot drift.
+    */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val merges: Seq[String] =
+      bpePairCounts(s, d).collect().map(_.getString(0)).toSeq
+    val applied = bpeApplyFrozen(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), merges)
+    val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("nchars"))
+    applied.join(langs, "doc_id")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok_before").cast("long")).as("tokens_before"),
+        sum(col("n_tok_after").cast("long")).as("tokens_after"),
+        sum("n_merges_applied").as("merges_applied"),
+        expr("sum(CAST(n_tok_after AS BIGINT)) * 10000" +
+          " div sum(CAST(n_tok_before AS BIGINT))").as("compression_bp"),
+        round(sum(col("nchars")).cast("double") /
+          sum(col("n_tok_after").cast("long")), 4).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  val tokenizerFertilitySql: String = {
+    val shingles2 = Portable.shinglesSql(2)
+    s"""WITH RECURSIVE
+       |w AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |prs AS (SELECT unnest($shingles2) AS pair FROM w),
+       |top AS (
+       |  SELECT pair, count(*) AS cnt FROM prs GROUP BY 1
+       |  ORDER BY cnt DESC, pair LIMIT 20),
+       |m AS (
+       |  SELECT ' ' || pair || ' ' AS pat,
+       |    ' ' || replace(pair, ' ', '▁') || ' ' AS rep,
+       |    row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+       |  FROM top),
+       |apply(doc_id, s, i) AS (
+       |  SELECT doc_id, ' ' || text || ' ', 0 FROM documents
+       |  UNION ALL
+       |  SELECT a.doc_id, replace(replace(a.s, m.pat, m.rep), m.pat, m.rep),
+       |    a.i + 1
+       |  FROM apply a JOIN m ON m.rnk = a.i + 1),
+       |fin AS (
+       |  SELECT doc_id, s FROM apply WHERE i = (SELECT count(*) FROM m)),
+       |per AS (
+       |  SELECT d.lang,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tb,
+       |    CAST(len(string_split(f.s, ' ')) - 2 AS BIGINT) AS ta,
+       |    CAST(length(f.s) - length(replace(f.s, '▁', '')) AS BIGINT) AS ma,
+       |    CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS nchars
+       |  FROM fin f JOIN documents d ON d.doc_id = f.doc_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tb) AS BIGINT) AS tokens_before,
+       |  CAST(sum(ta) AS BIGINT) AS tokens_after,
+       |  CAST(sum(ma) AS BIGINT) AS merges_applied,
+       |  CAST(sum(ta) * 10000 // sum(tb) AS BIGINT) AS compression_bp,
+       |  round(CAST(sum(nchars) AS DOUBLE) / sum(ta), 4) AS chars_per_token
+       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tokenizer_fertility" -> (tokenizerFertility _),
     "token_entropy" -> (tokenEntropy _),
     "text_readability" -> (textReadability _),
     "blocklist_screen" -> (blocklistScreen _),
@@ -2003,6 +2076,7 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "tokenizer_fertility" -> tokenizerFertilitySql,
     "token_entropy" -> tokenEntropySql,
     "text_readability" -> textReadabilitySql,
     "blocklist_screen" -> blocklistScreenSql,

@@ -72,6 +72,46 @@ class CorpusHealthSpec extends AnyFunSuite {
     }
   }
 
+  test("containment: matches brute-force directed shingle ratios exactly") {
+    val got = operators.Dedup.dedupContainment(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        (r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b"))))
+      .toMap
+    // brute force over word trigram sets (Dedup.N = 3)
+    val grams = docs.map { case (id, text) =>
+      id -> text.split(" ", -1).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    }
+    val want = (for {
+      (a, ga) <- grams; (b, gb) <- grams if a < b
+      inter = (ga & gb).size.toDouble if inter > 0
+      ca = round4(inter / ga.size); cb = round4(inter / gb.size)
+      if math.max(ca, cb) >= 0.9
+    } yield (a, b) -> ((ca, cb))).toMap
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    // the asymmetric detector's reason to exist: at least one direction
+    // must differ from the other somewhere, or this is just Jaccard
+    assert(got.nonEmpty)
+  }
+
+  test("tokenizer fertility: docs conserved, bp bounded, totals match bpe_apply_merges") {
+    val rows = operators.TextAnalysis.tokenizerFertility(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.size)
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("compression_bp")
+      assert(bp > 0 && bp <= 10000, s"lang ${r.getAs[String]("lang")}")
+      assert(r.getAs[Double]("chars_per_token") > 0.0)
+    }
+    // independent totals from the per-doc query (different plan, same math)
+    val perDoc = operators.TextAnalysis.bpeApplyMerges(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("tokens_before")).sum ==
+      perDoc.map(_.getAs[Int]("n_tok_before").toLong).sum)
+    assert(rows.map(_.getAs[Long]("tokens_after")).sum ==
+      perDoc.map(_.getAs[Int]("n_tok_after").toLong).sum)
+    assert(rows.map(_.getAs[Long]("merges_applied")).sum ==
+      perDoc.map(_.getAs[Long]("n_merges_applied")).sum)
+  }
+
   test("zipf fit matches a plain-Scala least-squares recompute") {
     val row = operators.TextAnalysis.zipfFit(spark, sf).collect().head
     val counts = docs.values.toSeq.flatMap(_.split(" ", -1))
