@@ -1859,22 +1859,35 @@ object TextAnalysis {
     * One scan; the lexicon is a plan literal (no join); the only shuffle
     * is the final per-source aggregate with map-side partials.
     */
-  def blocklistScreen(s: SparkSession, d: String): DataFrame = {
-    val w = Portable.tokens(col("text"))
+  /** Per-document blocklist verdict appended to any frame carrying `text`
+    * — the df-level seam shared by [[blocklistScreen]] (per-source report
+    * tail) and `Streams.streamBlocklistScreen` (ingest-time clean/flagged
+    * routing), so the streamed screen can never drift from the batch
+    * report. TOTAL by construction: NULL text is scored as empty (0
+    * hits → clean) and the bp division is `greatest(n, 1)`-guarded, so no
+    * row can fall out of both routes — the quality gate's
+    * row-conservation discipline.
+    */
+  def blocklistVerdicts(docs: DataFrame): DataFrame = {
+    val w = Portable.tokens(coalesce(col("text"), lit("")))
     val lex = Blocklist.map(lit)
-    val perDoc = Tables.documents(s, d).select(
-      col("source"),
-      size(w).cast("long").as("n"),
-      size(filter(w, t => lex.map(t === _).reduce(_ || _))).cast("long").as("hits"))
+    docs
+      .withColumn("n", size(w).cast("long"))
+      .withColumn("hits",
+        size(filter(w, t => lex.map(t === _).reduce(_ || _))).cast("long"))
       .withColumn("hit_bp", expr("hits * 10000 div greatest(n, 1)"))
-    perDoc.groupBy("source")
+      .withColumn("flagged", col("hit_bp") >= 800)
+  }
+
+  def blocklistScreen(s: SparkSession, d: String): DataFrame =
+    blocklistVerdicts(Tables.documents(s, d).select(col("source"), col("text")))
+      .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("hit_bp") >= 800, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
         sum("hits").as("total_hits"),
         expr("sum(hits) * 10000 div greatest(sum(n), 1)").as("corpus_hit_bp"))
       .orderBy("source")
-  }
 
   val blocklistScreenSql: String = {
     val inList = Blocklist.map(t => s"'${t.replace("'", "''")}'").mkString(", ")

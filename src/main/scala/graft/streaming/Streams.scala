@@ -1396,6 +1396,37 @@ object Streams {
     } finally { v.unpersist(); () }
   }
 
+  /** Per-micro-batch blocklist routing: clean rows to `clean/`, flagged
+    * rows to `flagged/` (hit counts and bp retained as the blame), each
+    * batch byte-replacing its own directory on redelivery. The verdict is
+    * `TextAnalysis.blocklistVerdicts` — the exact expression the batch
+    * `blocklist_screen` report aggregates, and total (NULL/empty text is
+    * clean, never dropped), so clean + flagged = arrived on every batch.
+    */
+  def blocklistScreenBatch(batch: DataFrame, id: Long, outDir: String): Unit = {
+    val v = graft.operators.TextAnalysis.blocklistVerdicts(batch).persist()
+    try {
+      v.filter(!col("flagged")).drop("flagged")
+        .write.mode("overwrite").parquet(s"$outDir/clean/batch_id=$id")
+      v.filter(col("flagged")).drop("flagged")
+        .write.mode("overwrite").parquet(s"$outDir/flagged/batch_id=$id")
+    } finally { v.unpersist(); () }
+  }
+
+  /** Streaming blocklist screen over micro-batches of `(doc_id, text)`
+    * rows — the ingest-time twin of the batch `blocklist_screen` report.
+    * Per-record scoring, no cross-batch state: replay parity with the
+    * batch verdicts is exact.
+    */
+  def streamBlocklistScreen(df: DataFrame, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        blocklistScreenBatch(batch.toDF(), id, outDir)
+      }
+      .start()
+
   /** Streaming quality gate over micro-batches of `(doc_id, text)` rows —
     * the ingestion-time twin of the batch `quality_gopher` query. Scoring
     * is per-record (no cross-batch state), so replay parity with the

@@ -957,6 +957,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming blocklist screen: replay equals batch verdicts, degenerate rows conserved") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = SparkTestSession.sf
+    val outDir = java.nio.file.Files.createTempDirectory("graft-bl-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bl-ckpt").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val degenerate = Seq((910001L, ""), (910002L, null.asInstanceOf[String]))
+    val chunks = docs.toSeq.grouped((docs.length + 1) / 2).toSeq :+ degenerate
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamBlocklistScreen(
+      in.toDF().toDF("doc_id", "text"), outDir, ckpt)
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val clean = spark.read.parquet(s"$outDir/clean")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val flagged = spark.read.parquet(s"$outDir/flagged")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert((clean & flagged).isEmpty)
+      assert(clean ++ flagged ==
+        docs.map(_._1).toSet ++ degenerate.map(_._1).toSet,
+        "rows vanished or doubled across the two routes")
+      // degenerate docs are clean (0 hits), never dropped
+      degenerate.foreach { case (id, _) => assert(clean.contains(id)) }
+      // replay parity: the flagged set equals the batch verdict over the
+      // same fixture docs
+      val batchFlagged = graft.operators.TextAnalysis
+        .blocklistVerdicts(Tables.documents(spark, sf).select("doc_id", "text"))
+        .filter($"flagged").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(flagged == batchFlagged,
+        s"stream-only: ${(flagged -- batchFlagged).take(3)}; " +
+          s"batch-only: ${(batchFlagged -- flagged).take(3)}")
+    } finally {
+      q.stop()
+      Seq(outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
+    }
+  }
+
   test("streaming quality gate: a batch with empty/NULL text conserves rows (accepted + quarantined = arrived)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
