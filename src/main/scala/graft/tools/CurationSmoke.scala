@@ -14,7 +14,9 @@ import graft.operators.{Dedup, Packing, Scoring, Similarity, TextAnalysis}
   * shape of a real 100 TB curation run, where every stage boundary is a
   * restart point):
   *
-  *   raw corpus → Gopher quality gate → DSIR selection (served from a
+  *   raw corpus → blocklist screen (blocked-term-dense docs quarantined
+  *   first, before any scoring spends work on them) →
+  *   Gopher quality gate → DSIR selection (served from a
   *   model trained ONCE on the raw corpus — the train-offline/
   *   serve-online discipline, not a per-stage retrain) →
   *   distilled-classifier audit (the trained student must agree with the
@@ -59,15 +61,30 @@ object CurationSmoke {
       val n0 = nDocs(sfDir)
       val t0 = nTokens(sfDir)
 
+      // stage 0 — blocklist screen: blocked-term-dense docs (≥ 800 bp)
+      // quarantined before any scoring spends work on them — the same
+      // total verdict the streaming screen routes on, so clean + flagged
+      // must equal arrived.
+      val s0 = s"$base/s0"
+      val bl = TextAnalysis.blocklistVerdicts(Tables.documents(spark, sfDir))
+        .localCheckpoint() // read by both routes and the count
+      val nBlFlagged = bl.filter(col("flagged")).count()
+      bl.filter(!col("flagged")).drop("n", "hits", "hit_bp", "flagged")
+        .write.parquet(s"$s0/documents.parquet")
+      val nS0 = nDocs(s0)
+      check("blocklist_screen",
+        nS0 + nBlFlagged == n0 && nS0 > 0 && nBlFlagged > 0,
+        s"docs $n0 -> $nS0 (flagged $nBlFlagged + clean $nS0 = arrived $n0)")
+
       // stage 1 — Gopher quality gate: keep only docs passing all rules
       val s1 = s"$base/s1"
-      val kept = TextAnalysis.qualityGopher(spark, sfDir)
+      val kept = TextAnalysis.qualityGopher(spark, s0)
         .filter(col("keep")).select("doc_id")
-      Tables.documents(spark, sfDir).join(kept, "doc_id")
+      Tables.documents(spark, s0).join(kept, "doc_id")
         .write.parquet(s"$s1/documents.parquet")
       val n1 = nDocs(s1)
-      check("quality_gate", n1 > 0 && n1 < n0,
-        s"docs $n0 -> $n1, tokens $t0 -> ${nTokens(s1)}")
+      check("quality_gate", n1 > 0 && n1 < nS0,
+        s"docs $nS0 -> $n1, tokens $t0 -> ${nTokens(s1)}")
 
       // stage 1b — DSIR selection: score the gate's survivors against the
       // ratio model trained ONCE on the raw corpus, keep the more
