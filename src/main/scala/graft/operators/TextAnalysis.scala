@@ -1762,9 +1762,9 @@ object TextAnalysis {
     * (low entropy = repeated boilerplate; hapax-heavy = OCR noise).
     *
     * Shape: one scan → explode to (doc_id, token) → count → per-doc
-    * aggregate. Both shuffles key on doc_id (the second reuses the
-    * first's partitioning), partial aggregation applies, and state per
-    * key is O(doc vocabulary) — linear and executor-local at 100 TB.
+    * aggregate. Two exchanges — (doc_id, token) then doc_id — both with
+    * map-side partial aggregation and per-key state bounded by the doc
+    * vocabulary — linear and executor-local at 100 TB.
     * Entropy uses the shuffle-free identity
     * H = log2(n) − (Σ c·log2 c)/n over per-token counts c.
     */
@@ -2049,7 +2049,84 @@ object TextAnalysis {
        |FROM per GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------------------- code-switch
+  /** Code-switching / mixed-language detection: language-ID the document
+    * in 20-token windows and report how many distinct languages its
+    * chunks vote for — mixed documents are the class whole-document
+    * language-ID silently mislabels, and a multilingual curation pass
+    * routes them separately (split, re-ID, or drop).
+    *
+    * Reuses [[textLangId]]'s bigram-profile argmax verbatim per chunk
+    * (literal profile arrays, struct-greatest, ties to the alphabetically
+    * largest language). One scan → chunk explode (bounded fan-out:
+    * tokens/20 rows per doc) → per-chunk narrow projection → two
+    * doc-keyed aggregates. The dominant language is a field-wise struct
+    * max over (count, lang) — the oracle replays it with a zero-padded
+    * sortable key, the [[textLangId]] printf discipline.
+    */
+  def codeSwitchReport(s: SparkSession, d: String): DataFrame = {
+    val cs = 20
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST((size(w) + ${cs - 1}) div $cs AS INT) - 1)," +
+          s" i -> concat_ws(' ', slice(w, i * $cs + 1, $cs)))")).as("chunk"))
+      .withColumn("stripped", regexp_replace(col("chunk"), " ", ""))
+      .withColumn("bigrams", array_distinct(
+        expr("transform(sequence(1, greatest(length(stripped) - 1, 1))," +
+          " i -> substr(stripped, i, 2))")))
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
+      struct(
+        size(array_intersect(col("bigrams"), array(prof.map(lit): _*))).as("score"),
+        lit(lang).as("plang"))
+    }
+    val perChunk = chunks
+      .withColumn("best", greatest(scored: _*))
+      .select(col("doc_id"), col("best.plang").as("plang"))
+    perChunk.groupBy("doc_id", "plang").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("cnt"), col("plang"))).as("dm"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("dm.plang").as("dominant_lang"),
+        (col("n_langs") > 1).as("mixed"))
+      .orderBy("doc_id")
+  }
+
+  val codeSwitchReportSql: String = {
+    val scoreCols = langProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
+      val lst = prof.map(p => s"'$p'").mkString(", ")
+      s"len(list_intersect(bigrams, [$lst])) AS s_$lang"
+    }.mkString(",\n      |    ").stripMargin
+    val keys = langProfiles.keys.toSeq.sorted
+      .map(l => s"printf('%02d', s_$l) || '$l'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |ch AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(0, (len(w) + 19) // 20),
+       |    i -> array_to_string(w[(i * 20 + 1):(i * 20 + 20)], ' '))) AS chunk
+       |  FROM w),
+       |st AS (SELECT doc_id, replace(chunk, ' ', '') AS stripped FROM ch),
+       |b AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(length(stripped) - 1, 1) + 1),
+       |    i -> substring(stripped, CAST(i AS INTEGER), 2))) AS bigrams
+       |  FROM st),
+       |s AS (SELECT doc_id, $scoreCols FROM b),
+       |k AS (SELECT doc_id, substring(greatest($keys), 3) AS plang FROM s),
+       |c AS (SELECT doc_id, plang, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM k GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) AS BIGINT) AS n_langs,
+       |  substring(max(printf('%06d', cnt) || plang), 7) AS dominant_lang,
+       |  count(*) > 1 AS mixed
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "code_switch_report" -> (codeSwitchReport _),
     "tokenizer_fertility" -> (tokenizerFertility _),
     "token_entropy" -> (tokenEntropy _),
     "text_readability" -> (textReadability _),
@@ -2089,6 +2166,7 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "code_switch_report" -> codeSwitchReportSql,
     "tokenizer_fertility" -> tokenizerFertilitySql,
     "token_entropy" -> tokenEntropySql,
     "text_readability" -> textReadabilitySql,

@@ -112,6 +112,42 @@ class CorpusHealthSpec extends AnyFunSuite {
       perDoc.map(_.getAs[Long]("n_merges_applied")).sum)
   }
 
+  test("code switch report matches a plain-Scala chunked langid recompute") {
+    // independent copy of the bigram profiles + argmax semantics
+    val profiles = Map(
+      "en" -> Set("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+      "de" -> Set("en", "er", "ch", "de", "ei", "ie", "in", "te", "nd", "ge"),
+      "es" -> Set("de", "en", "os", "es", "la", "ar", "el", "ra", "as", "do"),
+      "fr" -> Set("es", "le", "de", "en", "re", "nt", "on", "er", "ou", "ai"),
+      "zh" -> Set("sh", "zh", "ng", "ia", "ua", "ao", "ei", "ou", "an", "en"))
+    def langOf(chunk: String): String = {
+      val stripped = chunk.replace(" ", "")
+      val n = math.max(stripped.length - 1, 1)
+      val bigrams = (1 to n).map(i =>
+        stripped.slice(i - 1, math.min(i + 1, stripped.length))).toSet
+      // ties break to the alphabetically LARGEST language (struct max)
+      profiles.toSeq.map { case (l, p) => (bigrams.count(p.contains), l) }
+        .maxBy { case (sc, l) => (sc, l) }._2
+    }
+    val got = operators.TextAnalysis.codeSwitchReport(spark, sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val w = text.split(" ", -1).toSeq
+      val chunks = w.grouped(20).map(_.mkString(" ")).toSeq
+      val votes = chunks.map(langOf)
+      val counts = votes.groupBy(identity).map { case (l, v) => (l, v.size) }
+      val dominant = counts.toSeq.maxBy { case (l, c) => (c, l) }._1
+      assert(r.getAs[Long]("n_chunks") == chunks.size.toLong)
+      assert(r.getAs[Long]("n_langs") == counts.size.toLong)
+      assert(r.getAs[String]("dominant_lang") == dominant,
+        s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Boolean]("mixed") == (counts.size > 1))
+    }
+    // the detector must actually find mixed docs in the fixture
+    assert(got.count(_.getAs[Boolean]("mixed")) > 0)
+  }
+
   test("zipf fit matches a plain-Scala least-squares recompute") {
     val row = operators.TextAnalysis.zipfFit(spark, sf).collect().head
     val counts = docs.values.toSeq.flatMap(_.split(" ", -1))
