@@ -1694,14 +1694,21 @@ object Similarity {
     val lam = 0.7
     val e = Tables.parallelize(s, Tables.embeddings(s, d))
       .select("vec_id", "embedding")
-    val cf = bruteTopk(e, 8).join(e, "vec_id")
+    // the unrolled MMR steps reference the candidate and pair frames 3×
+    // each — checkpoint each ARRAY-FREE frame exactly once (the semdedup
+    // rule: long/double columns only), so the brute-force candidate stage
+    // runs once, and the pair cosines read scan-backed float arrays (the
+    // vec_dot unsafe fast path), not deserialized checkpoint rows
+    val cands = bruteTopk(e, 8).localCheckpoint()
+    val base = cands.select(col("qid"), col("vec_id"),
+      col("cosine").as("rel"), col("rank"))
+    val cf = cands.join(e, "vec_id")
     val pairs = cf.as("a").join(cf.as("b"),
         col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.qid").as("pqid"), col("a.vec_id").as("av"),
         col("b.vec_id").as("bv"),
         round(cosine(col("a.embedding"), col("b.embedding")), 4).as("sim"))
-    val base = cf.select(col("qid"), col("vec_id"), col("cosine").as("rel"),
-      col("rank"))
+      .localCheckpoint()
     val s1 = base.filter(col("rank") === 1)
       .select(col("qid"), col("vec_id").as("p1"), col("rel").as("rel1"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
