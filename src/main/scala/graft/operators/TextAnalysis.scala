@@ -1941,18 +1941,19 @@ object TextAnalysis {
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"),
       sum(col("y") * col("y")).as("syy"))
+      // nullif guards: a degenerate corpus (single distinct token → one
+      // regression point) zeroes both variance terms; NULL is the portable
+      // "fit undefined" answer, where bare division would produce
+      // engine-specific NaN/Inf that hash-compare differently
+      .withColumn("cov", col("nn") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", expr("nullif(nn * sxx - sx * sx, 0.0)"))
+      .withColumn("dy", expr("nullif(nn * syy - sy * sy, 0.0)"))
       .select(
         col("k_tokens"),
-        round((col("nn") * col("sxy") - col("sx") * col("sy")) /
-          (col("nn") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"),
-        round((col("sy") - col("sx") *
-          ((col("nn") * col("sxy") - col("sx") * col("sy")) /
-            (col("nn") * col("sxx") - col("sx") * col("sx")))) / col("nn"), 4)
+        round(col("cov") / col("dx"), 4).as("zipf_slope"),
+        round((col("sy") - col("sx") * (col("cov") / col("dx"))) / col("nn"), 4)
           .as("zipf_intercept"),
-        round(
-          pow(col("nn") * col("sxy") - col("sx") * col("sy"), 2) /
-            ((col("nn") * col("sxx") - col("sx") * col("sx")) *
-              (col("nn") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+        round(col("cov") * col("cov") / (col("dx") * col("dy")), 4).as("r2"))
   }
 
   val zipfFitSql: String =
@@ -1968,14 +1969,18 @@ object TextAnalysis {
       |  SELECT CAST(count(*) AS BIGINT) AS k_tokens, count(*)::DOUBLE AS nn,
       |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
       |    sum(x*x) AS sxx, sum(y*y) AS syy
-      |  FROM r)
+      |  FROM r),
+      |g AS (
+      |  SELECT k_tokens, nn, sx, sy,
+      |    nn*sxy - sx*sy AS cov,
+      |    nullif(nn*sxx - sx*sx, 0.0) AS dx,
+      |    nullif(nn*syy - sy*sy, 0.0) AS dy
+      |  FROM s)
       |SELECT k_tokens,
-      |  round((nn*sxy - sx*sy) / (nn*sxx - sx*sx), 4) AS zipf_slope,
-      |  round((sy - sx * ((nn*sxy - sx*sy) / (nn*sxx - sx*sx))) / nn, 4)
-      |    AS zipf_intercept,
-      |  round(pow(nn*sxy - sx*sy, 2)
-      |        / ((nn*sxx - sx*sx) * (nn*syy - sy*sy)), 4) AS r2
-      |FROM s""".stripMargin
+      |  round(cov / dx, 4) AS zipf_slope,
+      |  round((sy - sx * (cov / dx)) / nn, 4) AS zipf_intercept,
+      |  round(cov * cov / (dx * dy), 4) AS r2
+      |FROM g""".stripMargin
 
   // ------------------------------------------------------------- fertility
   /** Tokenizer fertility audit per language: how well the frozen BPE merge
@@ -2066,8 +2071,12 @@ object TextAnalysis {
     */
   def codeSwitchReport(s: SparkSession, d: String): DataFrame = {
     val cs = 20
+    // coalesce: a NULL text would null the chunk array and explode() would
+    // silently drop the row from the report — the anti-totality failure
+    // mode the gate discipline forbids; as empty text it votes one chunk
     val chunks = Tables.documents(s, d)
-      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        Portable.tokens(coalesce(col("text"), lit(""))).as("w"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, CAST((size(w) + ${cs - 1}) div $cs AS INT) - 1)," +
           s" i -> concat_ws(' ', slice(w, i * $cs + 1, $cs)))")).as("chunk"))
