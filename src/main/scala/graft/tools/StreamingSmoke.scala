@@ -121,6 +121,27 @@ object StreamingSmoke {
     check("quality_gate_stream", acc + rej == 3L && rej >= 2L,
       s"accepted=$acc rejected=$rej of 3")
 
+    // blocklist-screen leg: the ingest-time twin of the batch per-source
+    // report — a mixed producer (clean doc, blocked-term-dense doc,
+    // NULL text) must conserve rows across clean/flagged, with the dense
+    // doc flagged and the degenerate one clean (0 hits), never dropped
+    val bin = MemoryStream[(Long, String)]
+    val bq = Streams.streamBlocklistScreen(bin.toDF().toDF("doc_id", "text"),
+      s"$base/bl", s"$base/ckb")
+    bin.addData((10L, "the fast table scan join merge window batch"),
+      (11L, "slow dup big slow dup big slow dup"),
+      (12L, null.asInstanceOf[String]))
+    bq.processAllAvailable(); bq.stop()
+    val blClean = spark.read.parquet(s"$base/bl/clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val blFlagged = spark.read.parquet(s"$base/bl/flagged")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    check("blocklist_stream",
+      (blClean ++ blFlagged) == Set(10L, 11L, 12L) &&
+        (blClean & blFlagged).isEmpty &&
+        blFlagged == Set(11L) && blClean.contains(12L),
+      s"clean=$blClean flagged=$blFlagged")
+
     // distilled-classifier serving leg: train the student ONCE on the
     // fixture corpus, then score a micro-batched stream mixing obvious
     // rejects with a corpus document the teacher gate keeps — the
