@@ -1514,6 +1514,97 @@ object Dedup {
       |SELECT vec_a, vec_b, cosine FROM pairs
       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
+  // ------------------------------------------------------------ winnowing
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * algorithm): hash every k=16-char window, slide a w=25-hash window
+    * over the sequence, keep each window's minimum — the classic LOCAL
+    * fingerprinting scheme with a hard guarantee: any two documents
+    * sharing an exact substring of ≥ w+k−1 = 40 characters share at least
+    * one selected fingerprint. This is the character-level exact-substring
+    * detector next to the word-gram span family (`dedup_spans` needs 5
+    * aligned TOKENS; this fires on any 40-char run — attribution lines,
+    * template fragments, quoted passages that tokenize differently).
+    *
+    * One scan, all per-row array expressions (position hashes + window
+    * minima — O(len·w) comparisons inside codegen, no shuffle), then the
+    * standard inverted-index tail: explode distinct fingerprints, drop
+    * corpus-hot fingerprints (posting length ≥ 16 — site boilerplate
+    * carries no dedup signal, and on this low-entropy fixture the cap
+    * genuinely bites), equi-self-join, per-pair shared count ≥ 3. Unlike
+    * the jaccard stop-gram cap (a Spark-side optimization below the
+    * oracle's notice), the hot cap here is PART OF THE CONTRACT and the
+    * SQL mirror applies the identical deterministic rule. Hashes are the
+    * 28-bit md5-derived portable family, identical in the SQL mirror.
+    */
+  def dedupWinnow(s: SparkSession, d: String): DataFrame =
+    winnowPairs(
+      parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text"))))
+      .orderBy("doc_a", "doc_b")
+
+  /** The df-level winnowing pipeline over any `(doc_id, text)` frame —
+    * the seam the spec drives with planted substring pairs; `minShared`
+    * is the reporting floor (1 exercises the bare guarantee). */
+  private[graft] def winnowPairs(input: DataFrame, minShared: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 16; val w = 25; val hotCap = 16
+    // position hashes are EXPLODED immediately (one row per position), so
+    // the per-position md5 runs exactly once — the earlier array form let
+    // CollapseProject inline the hash array into every window reference,
+    // recomputing the full hash sequence per window (quadratic per doc).
+    // The window minimum is then a running min over a rows-frame: one
+    // doc-keyed exchange + sort, everything else codegen.
+    val pos = input
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(1, length(text) - ${k - 1}),
+             |   i -> CAST(conv(substring(md5(substring(text, i, $k)), 1, 7), 16, 10) AS BIGINT))"""
+            .stripMargin.replace("\n", ""))).as(Seq("i", "h")))
+    val wspec = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    val fp = pos
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("fp", min("h").over(wspec))
+      .filter(col("i") <= col("m") - w) // i is 0-based: starts 0 .. m-w
+      .select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint() // read by the hot count and both join sides
+    val hot = fp.groupBy("fp").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= hotCap).select("fp")
+    val retained = fp.join(broadcast(hot), Seq("fp"), "left_anti")
+    retained.as("a")
+      .join(retained.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  val dedupWinnowSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) >= 40
+      |      THEN list_transform(range(1, length(text) - 14),
+      |        i -> ('0x' || substring(md5(substring(text, CAST(i AS INTEGER), 16)), 1, 7))::BIGINT)
+      |      ELSE [] END AS hs
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) >= 25
+      |      THEN list_distinct(list_transform(range(1, len(hs) - 23),
+      |        j -> list_min(hs[j:j+24])))
+      |      ELSE [] END AS fps
+      |  FROM h),
+      |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      |hot AS (SELECT fp FROM e GROUP BY fp HAVING count(*) >= 16),
+      |r AS (SELECT * FROM e WHERE fp NOT IN (SELECT fp FROM hot)),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_shared FROM p
+      |WHERE n_shared >= 3 ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------ containment
   /** Asymmetric n-gram containment — C(A→B) = |grams A ∩ grams B| / |grams A|
     * — the quote/subset detector symmetric Jaccard misses: a short document
@@ -1639,6 +1730,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank_sim_graph" -> (pagerankSimGraph _),
     "dedup_containment" -> (dedupContainment _),
+    "dedup_winnow" -> (dedupWinnow _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1663,6 +1755,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "pagerank_sim_graph" -> pagerankSimGraphSql,
     "dedup_containment" -> dedupContainmentSql,
+    "dedup_winnow" -> dedupWinnowSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

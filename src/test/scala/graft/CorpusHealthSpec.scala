@@ -112,6 +112,46 @@ class CorpusHealthSpec extends AnyFunSuite {
       perDoc.map(_.getAs[Long]("n_merges_applied")).sum)
   }
 
+  test("winnowing: fixture pairs match a plain-Scala recompute exactly") {
+    val got = operators.Dedup.dedupWinnow(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Long]("n_shared"))).toMap
+    // brute force: per-doc winnowed fingerprint sets via the JVM twin of
+    // the portable hash (PortableProps pins its equality with the SQL form)
+    val k = 16; val w = 25
+    def fps(text: String): Set[Long] =
+      if (text.length < k + w - 1) Set.empty
+      else {
+        val hs = (0 to text.length - k)
+          .map(i => functions.Portable.hash28Jvm(text.substring(i, i + k)))
+        hs.sliding(w).map(_.min).toSet
+      }
+    val all = docs.map { case (id, t) => id -> fps(t) }
+    val postings = all.toSeq.flatMap { case (id, f) => f.map(_ -> id) }
+      .groupBy(_._1).map { case (fp, xs) => fp -> xs.map(_._2).toSet }
+    val hot = postings.filter(_._2.size >= 16).keySet
+    val want = (for {
+      (a, fa) <- all; (b, fb) <- all if a < b
+      shared = ((fa & fb) -- hot).size.toLong if shared >= 3
+    } yield (a, b) -> shared).toMap
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("winnowing guarantee: docs sharing a 40-char substring share a fingerprint") {
+    import spark.implicits._
+    // two otherwise-unrelated docs planted with one exact 40-char run
+    val shared = "zq" * 20 // 40 chars, absent from the filler alphabets
+    val d1 = (1L, "abcdefgh " * 12 + shared + " ijklmnop " * 12)
+    val d2 = (2L, "qrstuvwx " * 12 + shared + " yz012345 " * 12)
+    val out = operators.Dedup.winnowPairs(
+      Seq(d1, d2).toDF("doc_id", "text"), minShared = 1).collect()
+    assert(out.length == 1 &&
+      out.head.getAs[Long]("doc_a") == 1L &&
+      out.head.getAs[Long]("doc_b") == 2L,
+      "the w+k-1 guarantee must surface the planted pair")
+  }
+
   test("code switch report matches a plain-Scala chunked langid recompute") {
     // independent copy of the bigram profiles + argmax semantics
     val profiles = Map(
