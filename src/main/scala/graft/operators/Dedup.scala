@@ -1544,15 +1544,19 @@ object Dedup {
   /** The df-level winnowing pipeline over any `(doc_id, text)` frame —
     * the seam the spec drives with planted substring pairs; `minShared`
     * is the reporting floor (1 exercises the bare guarantee). */
-  private[graft] def winnowPairs(input: DataFrame, minShared: Int = 3): DataFrame = {
+  private val WinnowK = 16
+  private val WinnowW = 25
+  private val WinnowHotCap = 16
+
+  /** Winnowed fingerprint stream (doc_id, fp) for any `(doc_id, text)`
+    * frame — the shared front half of [[winnowPairs]], the index builder
+    * [[writeWinnowIndex]] and the screen [[winnowScreenBatch]], so the
+    * batch query, the persisted index, and the serving path can never
+    * select different fingerprints. Hot-cap NOT applied here (each
+    * consumer applies its own posting rule). */
+  private[graft] def winnowFingerprints(input: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val k = 16; val w = 25; val hotCap = 16
-    // position hashes are EXPLODED immediately (one row per position), so
-    // the per-position md5 runs exactly once — the earlier array form let
-    // CollapseProject inline the hash array into every window reference,
-    // recomputing the full hash sequence per window (quadratic per doc).
-    // The window minimum is then a running min over a rows-frame: one
-    // doc-keyed exchange + sort, everything else codegen.
+    val k = WinnowK; val w = WinnowW
     val pos = input
       .filter(length(col("text")) >= k + w - 1)
       .select(col("doc_id"),
@@ -1562,14 +1566,27 @@ object Dedup {
             .stripMargin.replace("\n", ""))).as(Seq("i", "h")))
     val wspec = Window.partitionBy("doc_id").orderBy("i")
       .rowsBetween(Window.currentRow, w - 1)
-    val fp = pos
+    pos
       .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("fp", min("h").over(wspec))
       .filter(col("i") <= col("m") - w) // i is 0-based: starts 0 .. m-w
       .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Winnowed candidate pairs over any `(doc_id, text)` frame.
+    *
+    * Position hashes are EXPLODED immediately (one row per position), so
+    * the per-position md5 runs exactly once — the earlier array form let
+    * CollapseProject inline the hash array into every window reference,
+    * recomputing the full hash sequence per window (quadratic per doc).
+    * The window minimum is then a running min over a rows-frame: one
+    * doc-keyed exchange + sort, everything else codegen.
+    */
+  private[graft] def winnowPairs(input: DataFrame, minShared: Int = 3): DataFrame = {
+    val fp = winnowFingerprints(input)
       .localCheckpoint() // read by the hot count and both join sides
     val hot = fp.groupBy("fp").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= hotCap).select("fp")
+      .filter(col("cnt") >= WinnowHotCap).select("fp")
     val retained = fp.join(broadcast(hot), Seq("fp"), "left_anti")
     retained.as("a")
       .join(retained.as("b"),
@@ -1577,6 +1594,40 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Persist the corpus's retained winnow fingerprints (hot-capped, the
+    * [[winnowPairs]] rule) as the substring-dedup screen index — the
+    * train-offline half of the winnow family's serving split, the
+    * `writeDedupIndex`/`writeSemdedupIndex` discipline. |index| is
+    * O(corpus positions / w) rows of two longs. */
+  def writeWinnowIndex(s: SparkSession, d: String, dir: String): Unit = {
+    val fp = winnowFingerprints(
+      parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text"))))
+      .localCheckpoint()
+    val hot = fp.groupBy("fp").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= WinnowHotCap).select("fp")
+    fp.join(broadcast(hot), Seq("fp"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/fps")
+  }
+
+  /** Screen a batch of `(doc_id, text)` rows against a persisted winnow
+    * index: fingerprints of the ARRIVING docs only (the index is never
+    * recomputed), joined on the fingerprint key; a doc sharing ≥ 3
+    * retained fingerprints with history is a substring-duplicate
+    * suspect. TOTAL: docs too short to fingerprint (or with no index
+    * hit) surface with 0 hits, never dropped. Output UNORDERED (the
+    * serving contract). */
+  def winnowScreenBatch(batch: DataFrame, indexFps: DataFrame): DataFrame = {
+    val hits = winnowFingerprints(batch)
+      .join(indexFps.select(col("fp"), col("doc_id").as("src_doc")), "fp")
+      .filter(col("src_doc") =!= col("doc_id")) // self-match guard on re-screen
+      .groupBy("doc_id").agg(countDistinct("fp").as("n_index_hits"))
+    batch.select(col("doc_id"), col("text"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_index_hits"), lit(0L)).as("n_index_hits"),
+        (coalesce(col("n_index_hits"), lit(0L)) >= 3).as("suspect"))
   }
 
   val dedupWinnowSql: String =

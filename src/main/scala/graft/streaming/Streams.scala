@@ -1396,6 +1396,33 @@ object Streams {
     } finally { v.unpersist(); () }
   }
 
+  // ------------------------------------------- streaming winnow screen
+  /** Streaming substring-dedup screen over micro-batches of
+    * `(doc_id, text)` rows against the persisted winnow fingerprint
+    * index (`Dedup.writeWinnowIndex`) — ingest-time detection of
+    * documents that quote/embed ≥ 40-char runs of the indexed corpus.
+    * The index relation is cached once for the stream's lifetime (two
+    * long columns); each micro-batch fingerprints only its own rows, and
+    * a redelivered batch byte-replaces its own directory.
+    */
+  def winnowScreenSinkBatch(batch: DataFrame, id: Long, indexFps: DataFrame,
+      outDir: String): Unit =
+    graft.operators.Dedup.winnowScreenBatch(batch, indexFps)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  def streamWinnowScreen(df: DataFrame, spark: SparkSession, indexDir: String,
+      outDir: String, checkpoint: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    val fps = spark.read.parquet(s"$indexDir/fps").persist()
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        winnowScreenSinkBatch(batch.toDF(), id, fps, outDir)
+      }
+      .start()
+    (q, fps)
+  }
+
   /** Per-micro-batch blocklist routing: clean rows to `clean/`, flagged
     * rows to `flagged/` (hit counts and bp retained as the blame), each
     * batch byte-replacing its own directory on redelivery. The verdict is
