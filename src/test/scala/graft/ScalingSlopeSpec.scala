@@ -128,6 +128,47 @@ class ScalingSlopeSpec extends AnyFunSuite {
     } finally Seq(d1, d4).foreach(SparkTestSession.deleteRecursively)
   }
 
+  test("controlled x4 char-rotated corpus: winnow candidates grow linearly") {
+    // winnowing is a CHARACTER-level algorithm, so the token-suffix
+    // upsample above is not content-preserving for it (the "w1 " suffixes
+    // themselves create new shared 16-char runs within a copy — measured
+    // ×19.6 growth before this was understood). The right controlled
+    // corpus is a per-copy character BIJECTION: rotating the alphabet
+    // preserves every within-copy equality structure exactly (same
+    // positions, same window minima pattern) while making cross-copy
+    // 16-char windows disjoint — so candidate pairs must grow ~exactly
+    // linearly, modulo 28-bit hash accidents.
+    val r = 4
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def corpus(copies: Int): String = {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft-winslope-x$copies").toString
+      Tables.documents(spark, base)
+        .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("k"))
+        .select(
+          (col("doc_id") + col("k") * 10000000L).as("doc_id"),
+          (0 until copies).foldLeft(col("text")) { (c, k) =>
+            when(col("k") === k,
+              translate(col("text"), alpha, alpha.drop(k) + alpha.take(k)))
+              .otherwise(c)
+          }.as("text"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      out
+    }
+    val d1 = corpus(1)
+    val d4 = corpus(r)
+    try {
+      val w1 = operators.Dedup.winnowPairs(
+        Tables.documents(spark, d1).select(col("doc_id"), col("text")), 1).count()
+      val w4 = operators.Dedup.winnowPairs(
+        Tables.documents(spark, d4).select(col("doc_id"), col("text")), 1).count()
+      assert(w1 > 0)
+      val wRatio = w4.toDouble / w1
+      assert(wRatio <= 1.2 * r && wRatio >= 0.8 * r,
+        s"winnow candidate growth not ~linear: $w1 -> $w4 (ratio $wRatio) at x$r rows")
+    } finally Seq(d1, d4).foreach(SparkTestSession.deleteRecursively)
+  }
+
   test("natural sf0.1 corpus: minhash pruning power does not degrade with scale") {
     val small = java.nio.file.Files.createTempDirectory("graft-slope-nat").toString
     try {
