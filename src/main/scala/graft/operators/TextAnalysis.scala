@@ -2134,7 +2134,72 @@ object TextAnalysis {
        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------- source KL
+  /** Per-source token-distribution divergence from the corpus:
+    * add-1-smoothed KL(source ‖ corpus) over the corpus's top-500 token
+    * support — the domain-shift diagnostic next to `mixture_drift` (which
+    * compares source SHARES; this compares what each source actually
+    * SAYS). A source whose KL spikes is off-distribution — new crawl
+    * seed, template farm, or language drift — before any model sees it.
+    *
+    * Shape: one scan → (source, token) counts (map-side partials) →
+    * bounded top-K support (TakeOrderedAndProject, never a full-vocab
+    * window) → sources × support (both bounded, broadcast) left-joined
+    * to counts. All probabilities are explicit double ratios with the
+    * identical formula in the oracle; KL in nats, round 6.
+    */
+  def sourceTokenKl(s: SparkSession, d: String): DataFrame = {
+    val topK = 500
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(Portable.tokens(col("text"))).as("tok"))
+    val bySrc = tok.groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // support, totals, and the join all read it
+    val support = bySrc.groupBy("tok").agg(sum("cnt").as("ccnt"))
+      .orderBy(col("ccnt").desc, col("tok").asc).limit(topK)
+    // kk is the ACTUAL support size (≤ topK — a small vocabulary yields
+    // fewer), used in the smoothing denominator exactly as the oracle does
+    val corpusN = support.agg(
+      count(lit(1)).cast("double").as("kk"), sum("ccnt").cast("double").as("cn"))
+    val srcTotals = bySrc.groupBy("source").agg(sum("cnt").as("sn"))
+    val grid = srcTotals.crossJoin(broadcast(support))
+      .join(bySrc, Seq("source", "tok"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .crossJoin(broadcast(corpusN))
+      .withColumn("p", (col("cnt") + lit(1.0)) / (col("sn") + col("kk")))
+      .withColumn("q", col("ccnt").cast("double") / col("cn"))
+    grid.groupBy("source")
+      .agg(
+        count(lit(1)).as("k_support"),
+        round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_nats"))
+      .orderBy("source")
+  }
+
+  val sourceTokenKlSql: String =
+    """WITH tk AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |bysrc AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tk GROUP BY 1, 2),
+      |support AS (
+      |  SELECT tok, sum(cnt) AS ccnt FROM bysrc GROUP BY tok
+      |  ORDER BY ccnt DESC, tok LIMIT 500),
+      |k AS (SELECT count(*)::DOUBLE AS kk, sum(ccnt)::DOUBLE AS cn FROM support),
+      |tot AS (SELECT source, sum(cnt) AS sn FROM bysrc GROUP BY source),
+      |grid AS (
+      |  SELECT t.source, s.tok, s.ccnt, t.sn, coalesce(b.cnt, 0) AS cnt
+      |  FROM tot t CROSS JOIN support s
+      |  LEFT JOIN bysrc b ON b.source = t.source AND b.tok = s.tok),
+      |pq AS (
+      |  SELECT source,
+      |    (cnt + 1.0) / (sn + (SELECT kk FROM k)) AS p,
+      |    ccnt::DOUBLE / (SELECT cn FROM k) AS q
+      |  FROM grid)
+      |SELECT source, CAST(count(*) AS BIGINT) AS k_support,
+      |  round(sum(p * ln(p / q)), 6) AS kl_nats
+      |FROM pq GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_token_kl" -> (sourceTokenKl _),
     "code_switch_report" -> (codeSwitchReport _),
     "tokenizer_fertility" -> (tokenizerFertility _),
     "token_entropy" -> (tokenEntropy _),
@@ -2175,6 +2240,7 @@ object TextAnalysis {
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
+    "source_token_kl" -> sourceTokenKlSql,
     "code_switch_report" -> codeSwitchReportSql,
     "tokenizer_fertility" -> tokenizerFertilitySql,
     "token_entropy" -> tokenEntropySql,

@@ -188,6 +188,37 @@ class CorpusHealthSpec extends AnyFunSuite {
     assert(got.count(_.getAs[Boolean]("mixed")) > 0)
   }
 
+  test("source token KL matches a plain-Scala recompute; KL non-negative") {
+    val rows = operators.TextAnalysis.sourceTokenKl(spark, sf).collect()
+    val bySource = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, xs) =>
+        s -> xs.flatMap(_._2.split(" ", -1)).groupBy(identity)
+          .map { case (t, g) => t -> g.size.toLong }
+      }
+    val corpus = bySource.values.flatten
+      .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sum }
+    val support = corpus.toSeq.sortBy { case (t, c) => (-c, t) }.take(500)
+    val kk = support.size.toDouble
+    val cn = support.map(_._2).sum.toDouble
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val counts = bySource(src)
+      val sn = counts.values.sum.toDouble
+      val kl = support.map { case (t, cc) =>
+        val p = (counts.getOrElse(t, 0L) + 1.0) / (sn + kk)
+        val q = cc / cn
+        p * math.log(p / q)
+      }.sum
+      assert(r.getAs[Long]("k_support") == support.size.toLong)
+      assert(math.abs(r.getAs[Double]("kl_nats") - kl) < 1e-5, s"source $src")
+      // smoothed-KL over a truncated support can dip microscopically below
+      // zero only via smoothing mass; it must stay essentially non-negative
+      assert(r.getAs[Double]("kl_nats") > -0.05)
+    }
+  }
+
   test("zipf fit matches a plain-Scala least-squares recompute") {
     val row = operators.TextAnalysis.zipfFit(spark, sf).collect().head
     val counts = docs.values.toSeq.flatMap(_.split(" ", -1))
