@@ -2157,10 +2157,18 @@ object TextAnalysis {
     val support = bySrc.groupBy("tok").agg(sum("cnt").as("ccnt"))
       .orderBy(col("ccnt").desc, col("tok").asc).limit(topK)
     // kk is the ACTUAL support size (≤ topK — a small vocabulary yields
-    // fewer), used in the smoothing denominator exactly as the oracle does
+    // fewer), used in the smoothing denominator exactly as the oracle
+    // does. sn is the source's SUPPORT-restricted token count, so the
+    // smoothed p sums to exactly 1 over the support — off-support tokens
+    // must not siphon probability mass, or an entirely-novel source
+    // would score NEAR-ZERO KL instead of spiking (the failure mode the
+    // drift spec plants).
     val corpusN = support.agg(
       count(lit(1)).cast("double").as("kk"), sum("ccnt").cast("double").as("cn"))
-    val srcTotals = bySrc.groupBy("source").agg(sum("cnt").as("sn"))
+    val srcTotals = bySrc.select("source").distinct()
+      .join(bySrc.join(broadcast(support.select("tok")), "tok")
+        .groupBy("source").agg(sum("cnt").as("snr")), Seq("source"), "left")
+      .select(col("source"), coalesce(col("snr"), lit(0L)).as("sn"))
     val grid = srcTotals.crossJoin(broadcast(support))
       .join(bySrc, Seq("source", "tok"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
@@ -2184,7 +2192,13 @@ object TextAnalysis {
       |  SELECT tok, sum(cnt) AS ccnt FROM bysrc GROUP BY tok
       |  ORDER BY ccnt DESC, tok LIMIT 500),
       |k AS (SELECT count(*)::DOUBLE AS kk, sum(ccnt)::DOUBLE AS cn FROM support),
-      |tot AS (SELECT source, sum(cnt) AS sn FROM bysrc GROUP BY source),
+      |tsup AS (
+      |  SELECT b.source, sum(b.cnt) AS snr
+      |  FROM bysrc b JOIN support s ON b.tok = s.tok GROUP BY b.source),
+      |tot AS (
+      |  SELECT source, coalesce(t.snr, 0) AS sn
+      |  FROM (SELECT DISTINCT source FROM bysrc) src
+      |  LEFT JOIN tsup t USING (source)),
       |grid AS (
       |  SELECT t.source, s.tok, s.ccnt, t.sn, coalesce(b.cnt, 0) AS cnt
       |  FROM tot t CROSS JOIN support s
@@ -2197,6 +2211,66 @@ object TextAnalysis {
       |SELECT source, CAST(count(*) AS BIGINT) AS k_support,
       |  round(sum(p * ln(p / q)), 6) AS kl_nats
       |FROM pq GROUP BY source ORDER BY source""".stripMargin
+
+  /** Persist the corpus token-distribution model behind [[sourceTokenKl]]
+    * — the top-500 support with corpus probabilities (plus the support
+    * size and mass as a one-row meta) — the train-offline half of the
+    * drift monitor's serving split. |model| = support rows + 1. */
+  def writeTokenKlModel(s: SparkSession, d: String, dir: String): Unit = {
+    val topK = 500
+    val support = Tables.documents(s, d)
+      .select(explode(Portable.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("ccnt"))
+      .orderBy(col("ccnt").desc, col("tok").asc).limit(topK)
+      .localCheckpoint() // written AND aggregated below
+    support.write.mode("overwrite").parquet(s"$dir/support")
+    support.agg(count(lit(1)).cast("double").as("kk"),
+        sum("ccnt").cast("double").as("cn"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Score one batch of `(doc_id, text)` rows against the persisted
+    * token-distribution model: the batch's pooled add-1-smoothed KL vs
+    * the training corpus — the ingest drift alarm ([[sourceTokenKl]]'s
+    * per-source arithmetic, served). Returns ONE row (n_docs, n_tokens,
+    * kl_nats): a spiking series of these is the earliest signal that a
+    * crawl went off-distribution. The model relations are
+    * caller-provided so a stream caches them once. */
+  def tokenKlScoreBatch(batch: DataFrame, support: DataFrame,
+      meta: DataFrame): DataFrame = {
+    val cnt = batch
+      .select(explode(Portable.tokens(coalesce(col("text"), lit("")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // read by the support total and the score join
+    // support-restricted total sn: the smoothed p must sum to 1 over the
+    // support, or an all-novel batch scores ~0 instead of spiking.
+    // n_tokens stays the FULL batch total, and in_support_bp reports
+    // coverage — the second drift signal (an off-distribution crawl shows
+    // up as coverage collapse even before the KL over support moves)
+    val totals = cnt
+      .join(broadcast(support.select(col("tok"), lit(1).as("insup"))),
+        Seq("tok"), "left")
+      .agg(
+        coalesce(sum("cnt"), lit(0L)).as("n_total"),
+        coalesce(sum(when(col("insup") === 1, col("cnt"))), lit(0L))
+          .cast("double").as("sn"))
+    val ndocs = batch.agg(count(lit(1)).as("n_docs"))
+    broadcast(support)
+      .join(cnt, Seq("tok"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .crossJoin(broadcast(meta))
+      .crossJoin(broadcast(totals))
+      .withColumn("p", (col("cnt") + lit(1.0)) / (col("sn") + col("kk")))
+      .withColumn("q", col("ccnt").cast("double") / col("cn"))
+      .agg(round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_nats"),
+        first(col("n_total")).as("n_tokens"),
+        round(first(col("sn")) * 10000.0 /
+          greatest(first(col("n_total")).cast("double"), lit(1.0)), 0)
+          .cast("long").as("in_support_bp"))
+      .crossJoin(broadcast(ndocs))
+      .select(col("n_docs"), col("n_tokens"), col("in_support_bp"),
+        col("kl_nats"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_token_kl" -> (sourceTokenKl _),

@@ -1396,6 +1396,36 @@ object Streams {
     } finally { v.unpersist(); () }
   }
 
+  // ------------------------------------------- streaming KL drift monitor
+  /** Streaming token-distribution drift monitor: each micro-batch of
+    * `(doc_id, text)` rows is pooled and scored as add-1-smoothed KL
+    * against the persisted corpus model
+    * (`TextAnalysis.writeTokenKlModel`) — one (batch_id, n_docs,
+    * n_tokens, kl_nats) row per batch, the earliest off-distribution
+    * alarm an ingest pipeline gets. Model relations cached once; a
+    * redelivered batch byte-replaces its own directory.
+    */
+  def tokenKlSinkBatch(batch: DataFrame, id: Long, support: DataFrame,
+      meta: DataFrame, outDir: String): Unit =
+    graft.operators.TextAnalysis.tokenKlScoreBatch(batch, support, meta)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  def streamTokenKl(df: DataFrame, spark: SparkSession, modelDir: String,
+      outDir: String, checkpoint: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, Seq[DataFrame]) = {
+    val cached = Seq(
+      spark.read.parquet(s"$modelDir/support").persist(),
+      spark.read.parquet(s"$modelDir/meta").persist())
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        tokenKlSinkBatch(batch.toDF(), id, cached(0), cached(1), outDir)
+      }
+      .start()
+    (q, cached)
+  }
+
   // ------------------------------------------- streaming winnow screen
   /** Streaming substring-dedup screen over micro-batches of
     * `(doc_id, text)` rows against the persisted winnow fingerprint

@@ -205,7 +205,9 @@ class CorpusHealthSpec extends AnyFunSuite {
     rows.foreach { r =>
       val src = r.getAs[String]("source")
       val counts = bySource(src)
-      val sn = counts.values.sum.toDouble
+      // support-restricted total (the normalization the operator defines)
+      val supportToks = support.map(_._1).toSet
+      val sn = counts.filter(c => supportToks.contains(c._1)).values.sum.toDouble
       val kl = support.map { case (t, cc) =>
         val p = (counts.getOrElse(t, 0L) + 1.0) / (sn + kk)
         val q = cc / cn
