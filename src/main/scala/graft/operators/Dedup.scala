@@ -1601,10 +1601,15 @@ object Dedup {
     * train-offline half of the winnow family's serving split, the
     * `writeDedupIndex`/`writeSemdedupIndex` discipline. |index| is
     * O(corpus positions / w) rows of two longs. */
-  def writeWinnowIndex(s: SparkSession, d: String, dir: String): Unit = {
-    val fp = winnowFingerprints(
-      parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text"))))
-      .localCheckpoint()
+  def writeWinnowIndex(s: SparkSession, d: String, dir: String): Unit =
+    writeWinnowIndex(
+      parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text"))),
+      dir)
+
+  /** Frame-level overload: index any `(doc_id, text)` corpus slice — the
+    * curation smoke indexes only the held-out split this way. */
+  def writeWinnowIndex(docs: DataFrame, dir: String): Unit = {
+    val fp = winnowFingerprints(docs).localCheckpoint()
     val hot = fp.groupBy("fp").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= WinnowHotCap).select("fp")
     fp.join(broadcast(hot), Seq("fp"), "left_anti")

@@ -167,6 +167,37 @@ object CurationSmoke {
         n2a + nSemHit == n2 && n2a > 0,
         s"docs $n2 -> $n2a (semantic near-dups removed $nSemHit)")
 
+      // stage 2b0 — substring decontamination: winnow fingerprints of the
+      // held-out split (the same doc_id % 97 = 0 eval set the n-gram
+      // screen uses) indexed once; survivors sharing ≥ 3 fingerprints
+      // (any 40-char exact run) with the eval set are dropped FIRST —
+      // the char-level screen catches quotes the token screen would also
+      // catch, but runs before it so each screen's drop count is visible.
+      // On THIS fixture the earlier dedup stages leave no 40-char-run
+      // sharers (suspects = 0 at both SFs — conservation and totality are
+      // what this stage checks here); the positive planted-pair case is
+      // WinnowIndexSpec's job
+      val s2b0 = s"$base/s2b0"
+      val winIdxDir = s"$base/winnow_index"
+      Dedup.writeWinnowIndex(
+        Tables.documents(spark, sfDir).filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text")),
+        winIdxDir)
+      val winVerdicts = Dedup.winnowScreenBatch(
+        Tables.documents(spark, s2a).select(col("doc_id"), col("text")),
+        spark.read.parquet(s"$winIdxDir/fps"))
+        .localCheckpoint()
+      val nWinSuspect = winVerdicts.filter(col("suspect")).count()
+      Tables.documents(spark, s2a)
+        .join(winVerdicts.filter(col("suspect")).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .write.parquet(s"$s2b0/documents.parquet")
+      val n2b0 = nDocs(s2b0)
+      check("substring_decontaminate",
+        n2b0 + nWinSuspect == n2a && n2b0 > 0 &&
+          winVerdicts.count() == n2a,
+        s"docs $n2a -> $n2b0 (substring suspects $nWinSuspect; screen total over all arrivals)")
+
       // stage 2b — benchmark decontamination: drop survivors sharing any
       // n-gram with the raw corpus's held-out split (which includes
       // evicting held-out docs themselves if they survived this far —
@@ -174,16 +205,16 @@ object CurationSmoke {
       // set broadcasts; run after dedup where the corpus is smallest.
       val s2b = s"$base/s2b"
       val overlap = Dedup.ngramOverlapCounts(
-        Tables.documents(spark, s2a).select(col("doc_id"), col("text")),
+        Tables.documents(spark, s2b0).select(col("doc_id"), col("text")),
         Dedup.benchGramHashes(spark, sfDir))
       val nFlagged = overlap.count()
-      Tables.documents(spark, s2a)
+      Tables.documents(spark, s2b0)
         .join(overlap.select("doc_id"), Seq("doc_id"), "left_anti")
         .write.parquet(s"$s2b/documents.parquet")
       val n2b = nDocs(s2b)
       check("decontaminate",
-        n2b + nFlagged == n2a && n2b > 0,
-        s"docs $n2a -> $n2b (flagged $nFlagged + clean $n2b = arrived $n2a)")
+        n2b + nFlagged == n2b0 && n2b > 0,
+        s"docs $n2b0 -> $n2b (flagged $nFlagged + clean $n2b = arrived $n2b0)")
 
       // stage 3 — leakage-safe cluster split audit on the clean corpus
       val split = Dedup.splitLeakageSafe(spark, s2b).collect()

@@ -169,6 +169,31 @@ object StreamingSmoke {
       qcOut.count() == 3L && qcKeep + qcDrop == 3L && qcDrop >= 2L,
       s"scored=${qcOut.count()} keep=$qcKeep drop=$qcDrop")
 
+    // drift-monitor leg: score one in-distribution and one novel batch
+    // against the persisted corpus token model — the in-dist batch must
+    // show full support coverage and near-zero KL, the novel batch a
+    // coverage collapse
+    val klModel = s"$base/kl_model"
+    graft.operators.TextAnalysis.writeTokenKlModel(spark, sfDir, klModel)
+    val kin = MemoryStream[(Long, String)]
+    val (kq, kcache) = Streams.streamTokenKl(
+      kin.toDF().toDF("doc_id", "text"), spark, klModel, s"$base/kl_out",
+      s"$base/ckk")
+    val inDistRows = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(20).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    kin.addData(inDistRows)
+    kq.processAllAvailable()
+    kin.addData(Seq((990L, "ZZZ9 YYY8 XXX7 " * 40)))
+    kq.processAllAvailable(); kq.stop(); kcache.foreach(_.unpersist())
+    val klRows = spark.read.parquet(s"$base/kl_out").collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("in_support_bp"), r.getAs[Double]("kl_nats")))).toMap
+    check("kl_drift_stream",
+      klRows.size == 2 && klRows(0L)._1 == 10000L &&
+        klRows(1L)._1 == 0L && klRows(1L)._2 > klRows(0L)._2,
+      s"in-dist=${klRows.get(0L)} novel=${klRows.get(1L)}")
+
     // raw-media ingest leg: binary files dropped into a landing zone come
     // out decoded with in-box resize geometry
     val landing = s"$base/media"
