@@ -1661,6 +1661,57 @@ object Dedup {
       |SELECT doc_a, doc_b, n_shared FROM p
       |WHERE n_shared >= 3 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------- substring decontamination
+  /** Substring-level benchmark decontamination: winnow fingerprints of
+    * the held-out split (the same `doc_id % 97 = 0` eval set
+    * [[decontaminateNgram]] uses) broadcast against the training side —
+    * training documents sharing ≥ 1 fingerprint (any exact ≥ 40-char
+    * run) are reported, contaminated at ≥ 3. The char-level complement
+    * of the token-trigram screen: it fires on verbatim quotes whose
+    * tokenization differs (whitespace, casing inside the run, attached
+    * punctuation).
+    *
+    * Scale shape = [[decontaminateNgram]]'s: the eval-set fingerprints
+    * broadcast (|eval| is bounded by design), one corpus fingerprint
+    * pass, per-doc count aggregate. Output mirrors the n-gram screen:
+    * only overlapping docs (consumers left-join + coalesce for
+    * totality).
+    */
+  def decontaminateSubstring(s: SparkSession, d: String): DataFrame = {
+    val fps = winnowFingerprints(
+      parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text"))))
+      .localCheckpoint() // read by both split sides
+    val bench = fps.filter(col("doc_id") % 97 === 0).select("fp").distinct()
+    val train = fps.filter(col("doc_id") % 97 =!= 0)
+    train.join(broadcast(bench), Seq("fp"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_fps"))
+      .withColumn("contaminated", col("n_shared_fps") >= 3)
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSubstringSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) >= 40
+      |      THEN list_transform(range(1, length(text) - 14),
+      |        i -> ('0x' || substring(md5(substring(text, CAST(i AS INTEGER), 16)), 1, 7))::BIGINT)
+      |      ELSE [] END AS hs
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) >= 25
+      |      THEN list_distinct(list_transform(range(1, len(hs) - 23),
+      |        j -> list_min(hs[j:j+24])))
+      |      ELSE [] END AS fps
+      |  FROM h),
+      |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      |bench AS (SELECT DISTINCT fp FROM e WHERE doc_id % 97 = 0),
+      |train AS (SELECT doc_id, fp FROM e WHERE doc_id % 97 <> 0)
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fps,
+      |  count(*) >= 3 AS contaminated
+      |FROM train t JOIN bench b USING (fp)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------------------------ containment
   /** Asymmetric n-gram containment — C(A→B) = |grams A ∩ grams B| / |grams A|
     * — the quote/subset detector symmetric Jaccard misses: a short document
@@ -1787,6 +1838,7 @@ object Dedup {
     "pagerank_sim_graph" -> (pagerankSimGraph _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_winnow" -> (dedupWinnow _),
+    "decontaminate_substring" -> (decontaminateSubstring _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -1812,6 +1864,7 @@ object Dedup {
     "pagerank_sim_graph" -> pagerankSimGraphSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_winnow" -> dedupWinnowSql,
+    "decontaminate_substring" -> decontaminateSubstringSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -200,13 +200,72 @@ object TimeSeries {
       |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ts_s, event_id""".stripMargin
 
+  // ---------------------------------------------------------- cohorts
+  /** Weekly retention cohorts over the event stream — the classic
+    * activity-analytics matrix: users grouped by first-seen week, then
+    * for each (cohort, weeks-since) cell the distinct returning users
+    * and the retention rate in integer basis points against the
+    * cohort's week-0 size (every user is active in their own week 0 by
+    * definition, so week 0 rows read 10000 bp by construction — the
+    * built-in sanity row).
+    *
+    * All time arithmetic is integer epoch-day/`div` (no calendar-week
+    * semantics cross the oracle boundary). Shape: one scan →
+    * user-keyed first-seen aggregate joined back (AQE picks broadcast
+    * when the user dimension allows) → two bounded aggregates; the
+    * matrix is |cohorts| × |weeks| rows.
+    */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val cells = ev.join(first, "user_id")
+      .select(col("user_id"),
+        expr("cohort_day div 7").as("cohort_week"),
+        expr("(day - cohort_day) div 7").as("weeks_since"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(countDistinct("user_id").as("n_users"))
+    val sizes = cells.filter(col("weeks_since") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    cells.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("weeks_since"), col("n_users"),
+        col("cohort_size"),
+        expr("n_users * 10000 div cohort_size").as("retention_bp"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+      |cells AS (
+      |  SELECT e.user_id,
+      |    f.cohort_day // 7 AS cohort_week,
+      |    (e.day - f.cohort_day) // 7 AS weeks_since
+      |  FROM ev e JOIN first f USING (user_id)),
+      |agg AS (
+      |  SELECT cohort_week, weeks_since,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM cells GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT cohort_week, n_users AS cohort_size FROM agg
+      |  WHERE weeks_since = 0)
+      |SELECT a.cohort_week, a.weeks_since, a.n_users, s.cohort_size,
+      |  CAST(a.n_users * 10000 // s.cohort_size AS BIGINT) AS retention_bp
+      |FROM agg a JOIN sizes s USING (cohort_week)
+      |ORDER BY cohort_week, weeks_since""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retention_cohorts" -> (retentionCohorts _),
     "sessionize_gaps" -> (sessionizeGaps _),
     "gap_fill_resample" -> (gapFillResample _),
     "event_funnel" -> (eventFunnel _),
     "rolling_range_agg" -> (rollingRangeAgg _))
 
   def oracles: Map[String, String] = Map(
+    "retention_cohorts" -> retentionCohortsSql,
     "sessionize_gaps" -> sessionizeGapsSql,
     "gap_fill_resample" -> gapFillResampleSql,
     "event_funnel" -> eventFunnelSql,

@@ -152,6 +152,44 @@ class CorpusHealthSpec extends AnyFunSuite {
       "the w+k-1 guarantee must surface the planted pair")
   }
 
+  test("substring decontamination matches the JVM fingerprint recompute") {
+    val got = operators.Dedup.decontaminateSubstring(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shared_fps"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    val k = 16; val w = 25
+    def fps(text: String): Set[Long] =
+      if (text.length < k + w - 1) Set.empty
+      else (0 to text.length - k)
+        .map(i => functions.Portable.hash28Jvm(text.substring(i, i + k)))
+        .sliding(w).map(_.min).toSet
+    val all = docs.map { case (id, t) => id -> fps(t) }
+    val bench = all.filter(_._1 % 97 == 0).values.flatten.toSet
+    val want = all.filter(_._1 % 97 != 0)
+      .map { case (id, f) => id -> (f & bench).size.toLong }
+      .filter(_._2 >= 1)
+      .map { case (id, n) => id -> ((n, n >= 3)) }
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    assert(got.nonEmpty, "the raw fixture must show some substring overlap")
+  }
+
+  test("retention cohorts: week-0 rows are exactly the cohort at 10000 bp") {
+    val rows = operators.TimeSeries.retentionCohorts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_users"); val cs = r.getAs[Long]("cohort_size")
+      assert(n <= cs && n > 0)
+      assert(r.getAs[Long]("retention_bp") == n * 10000 / cs)
+      if (r.getAs[Long]("weeks_since") == 0)
+        assert(n == cs && r.getAs[Long]("retention_bp") == 10000L)
+    }
+    // cohort sizes partition the user base
+    val week0 = rows.filter(_.getAs[Long]("weeks_since") == 0)
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(week0.map(_.getAs[Long]("cohort_size")).sum == users)
+  }
+
   test("code switch report matches a plain-Scala chunked langid recompute") {
     // independent copy of the bigram profiles + argmax semantics
     val profiles = Map(
