@@ -1791,7 +1791,53 @@ object Similarity {
        |SELECT qid, CAST(3 AS INTEGER), p3, rel3 FROM s3
        |ORDER BY qid, pick""".stripMargin
 
+  // ------------------------------------------------- cosine histogram
+  /** Pairwise-cosine distribution of the embedding space, 20 equal bins
+    * over [−1, 1] — the geometry health check run before trusting any
+    * cosine threshold (semdedup's 0.4, decontamination's 0.25): a
+    * healthy space shows a near-Gaussian bulk with a thin high-cosine
+    * tail; an anisotropic or collapsed space (all cosines ≈ 0.9) means
+    * every threshold needs recalibration. All-pairs is the declared
+    * oracle baseline at fixture scale; at corpus scale the same query
+    * runs over a deterministic probe slice (the `vec_id % s` sampling
+    * every ANN query here uses) — the histogram is a statistic, so
+    * sampling is the intended production shape.
+    *
+    * Bin = floor((cos₄ₐₚ + 1)·10) clamped to 19, integer counts + share
+    * in bp — no float crosses the oracle boundary after the rounded
+    * cosine itself.
+    */
+  def embeddingCosHistogram(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+      .select("vec_id", "embedding")
+    val pairs = e.as("p").join(e.as("q"), col("p.vec_id") < col("q.vec_id"))
+      .select(round(cosine(col("p.embedding"), col("q.embedding")), 4).as("cos"))
+    val binned = pairs
+      .select(least(floor((col("cos") + 1.0) * 10.0).cast("long"), lit(19L))
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    val total = binned.agg(sum("n_pairs").as("tot"))
+    binned.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_pairs"),
+        expr("n_pairs * 10000 div tot").as("share_bp"))
+      .orderBy("bin")
+  }
+
+  val embeddingCosHistogramSql: String =
+    s"""WITH pairs AS (
+       |  SELECT $cosineSqlPQ AS cos
+       |  FROM embeddings p JOIN embeddings q ON p.vec_id < q.vec_id),
+       |binned AS (
+       |  SELECT least(CAST(floor((cos + 1.0) * 10.0) AS BIGINT), 19) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM pairs GROUP BY 1),
+       |tot AS (SELECT sum(n_pairs) AS tot FROM binned)
+       |SELECT bin, n_pairs,
+       |  CAST(n_pairs * 10000 // (SELECT tot FROM tot) AS BIGINT) AS share_bp
+       |FROM binned ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_cos_histogram" -> (embeddingCosHistogram _),
     "cluster_silhouette" -> (clusterSilhouette _),
     "ann_mmr_topk" -> (annMmrTopk _),
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
@@ -1812,6 +1858,7 @@ object Similarity {
     "centroid_by_label" -> (centroidByLabel _))
 
   def oracles: Map[String, String] = Map(
+    "embedding_cos_histogram" -> embeddingCosHistogramSql,
     "cluster_silhouette" -> clusterSilhouetteSql,
     "ann_mmr_topk" -> annMmrTopkSql,
     "ann_bruteforce_topk" -> annBruteforceTopkSql,

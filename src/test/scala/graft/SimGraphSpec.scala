@@ -93,6 +93,30 @@ class SimGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine histogram: bins partition all pairs, shares sum to ~10000 bp") {
+    val rows = operators.Similarity.embeddingCosHistogram(spark, sf).collect()
+    val n = vecs.size.toLong
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == n * (n - 1) / 2,
+      "bins must partition every unordered pair exactly once")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(b >= 0 && b <= 19)
+    }
+    val bpSum = rows.map(_.getAs[Long]("share_bp")).sum
+    assert(bpSum >= 10000 - rows.length && bpSum <= 10000,
+      s"integer-floor shares must sum to within bins-count of 10000: $bpSum")
+    // spot-check one bin against brute force
+    val brute = (for {
+      (a, (_, va)) <- vecs.toSeq; (b, (_, vb)) <- vecs.toSeq if a < b
+    } yield round4(cos(va, vb))).groupBy(c =>
+      math.min(math.floor((c + 1.0) * 10.0).toLong, 19L))
+      .map { case (bin, xs) => bin -> xs.size.toLong }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == brute(r.getAs[Long]("bin")),
+        s"bin ${r.getAs[Long]("bin")}")
+    }
+  }
+
   test("pagerank: total rank mass is 1, matches a plain-Scala power iteration") {
     val rows = operators.Dedup.pagerankSimGraph(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("out_deg"),
