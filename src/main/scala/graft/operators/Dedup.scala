@@ -1547,6 +1547,12 @@ object Dedup {
   private val WinnowK = 16
   private val WinnowW = 25
   private val WinnowHotCap = 16
+  /** The winnow report floor (shared fingerprints to count as a match) —
+    * ONE definition interpolated into both SQL mirrors and used by the
+    * pair query, the serving screen, and the substring screen, so tuning
+    * it cannot desynchronize batch detection from streaming serving
+    * (review finding: it existed as five independent literals). */
+  private val WinnowMinShared = 3
 
   /** Winnowed fingerprint stream (doc_id, fp) for any `(doc_id, text)`
     * frame — the shared front half of [[winnowPairs]], the index builder
@@ -1582,7 +1588,7 @@ object Dedup {
     * The window minimum is then a running min over a rows-frame: one
     * doc-keyed exchange + sort, everything else codegen.
     */
-  private[graft] def winnowPairs(input: DataFrame, minShared: Int = 3): DataFrame = {
+  private[graft] def winnowPairs(input: DataFrame, minShared: Int = WinnowMinShared): DataFrame = {
     val fp = winnowFingerprints(input)
       .localCheckpoint() // read by the hot count and both join sides
     val hot = fp.groupBy("fp").agg(count(lit(1)).as("cnt"))
@@ -1632,11 +1638,11 @@ object Dedup {
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_index_hits"), lit(0L)).as("n_index_hits"),
-        (coalesce(col("n_index_hits"), lit(0L)) >= 3).as("suspect"))
+        (coalesce(col("n_index_hits"), lit(0L)) >= WinnowMinShared).as("suspect"))
   }
 
   val dedupWinnowSql: String =
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT doc_id,
       |    CASE WHEN length(text) >= 40
       |      THEN list_transform(range(1, length(text) - 14),
@@ -1659,7 +1665,7 @@ object Dedup {
       |  FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, n_shared FROM p
-      |WHERE n_shared >= 3 ORDER BY doc_a, doc_b""".stripMargin
+      |WHERE n_shared >= $WinnowMinShared ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------- substring decontamination
   /** Substring-level benchmark decontamination: winnow fingerprints of
@@ -1685,12 +1691,12 @@ object Dedup {
     val train = fps.filter(col("doc_id") % 97 =!= 0)
     train.join(broadcast(bench), Seq("fp"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_fps"))
-      .withColumn("contaminated", col("n_shared_fps") >= 3)
+      .withColumn("contaminated", col("n_shared_fps") >= WinnowMinShared)
       .orderBy("doc_id")
   }
 
   val decontaminateSubstringSql: String =
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT doc_id,
       |    CASE WHEN length(text) >= 40
       |      THEN list_transform(range(1, length(text) - 14),
@@ -1708,7 +1714,7 @@ object Dedup {
       |bench AS (SELECT DISTINCT fp FROM e WHERE doc_id % 97 = 0),
       |train AS (SELECT doc_id, fp FROM e WHERE doc_id % 97 <> 0)
       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fps,
-      |  count(*) >= 3 AS contaminated
+      |  count(*) >= $WinnowMinShared AS contaminated
       |FROM train t JOIN bench b USING (fp)
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 

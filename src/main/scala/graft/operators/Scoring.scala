@@ -166,6 +166,11 @@ object Scoring {
       .filter(col("n_bigrams").isNotNull)
       .select(col("doc_id"), col("avg_logp"),
         round(col("avg_logp") * 10000).cast("long").as("si"))
+      // read TWICE (quartile aggregate + bucket join): without the
+      // checkpoint the full LM train+score subtree plans — and partly
+      // runs — twice per invocation (the sibling-scan discipline; this
+      // is the costliest multi-consumer frame in the scoring family)
+      .localCheckpoint()
     val quality = TextAnalysis.withQualityCounts(
         Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextAnalysis.qualityBpExpr.as("quality_bp"))

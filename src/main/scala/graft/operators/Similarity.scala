@@ -546,6 +546,26 @@ object Similarity {
     * train on a (potentially) different row set than the unguarded ones. */
   private val trainedCodebooks =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Array[Float])]]
+
+  /** Content stamp of a corpus dir's embeddings table (file count, total
+    * bytes, newest mtime) — folded into every codebook cache key so a
+    * corpus REWRITTEN at the same path within one JVM is retrained, not
+    * served a stale codebook (review finding: the dir-only key silently
+    * survived an overwrite). One driver-side FS listing, no data read. */
+  private def corpusStamp(s: SparkSession, d: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) "absent"
+    else {
+      val it = fs.listFiles(path, true)
+      var len = 0L; var mt = 0L; var n = 0
+      while (it.hasNext) {
+        val f = it.next(); len += f.getLen
+        mt = math.max(mt, f.getModificationTime); n += 1
+      }
+      s"$n-$len-$mt"
+    }
+  }
   private val codebookLock = new Object
   private def trainCodebookCached(e: => DataFrame,
       key: String): Seq[(Int, Array[Float])] =
@@ -604,7 +624,7 @@ object Similarity {
     val e = Tables.parallelize(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
       .localCheckpoint()
-    val codebook = trainCodebookCached(e, s"$d#all")
+    val codebook = trainCodebookCached(e, s"$d#all#${corpusStamp(s, d)}")
     val assigned = assignCells(e, codebook)
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
@@ -658,7 +678,7 @@ object Similarity {
       .localCheckpoint() // read by training passes, probes, and brute truth
     val brute = bruteTopk(e, 3)
       .localCheckpoint() // read 3×: truth rows + two semi-join probes
-    val codebook = trainCodebookCached(e, s"$d#nrm")
+    val codebook = trainCodebookCached(e, s"$d#nrm#${corpusStamp(s, d)}")
     val corpus = assignCells(e, codebook)
     val probes2 = assignCellsTop2(e.filter(col("vec_id") % 100 === 0), codebook)
     val q1 = probes2.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
@@ -715,7 +735,7 @@ object Similarity {
     val e = Tables.parallelize(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
       .localCheckpoint()
-    val codebook = trainCodebookCached(e, s"$d#all")
+    val codebook = trainCodebookCached(e, s"$d#all#${corpusStamp(s, d)}")
     import s.implicits._
     codebook.map { case (cid, emb) => (cid, emb.toSeq) }
       .toDF("cell", "centroid")
@@ -1300,7 +1320,7 @@ object Similarity {
         .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
         .filter(col("nrm") > 0) // the NaN-cosine guard (decontaminate_embedding contract)
         .localCheckpoint()
-    }, s"$d#nrm")
+    }, s"$d#nrm#${corpusStamp(s, d)}")
     // the heavy vec_dot passes run over SCAN-BACKED frames, never the
     // checkpoint: checkpointed rows deserialize their float arrays out of
     // the unsafe format and the pairwise kernel loses whole-stage speed —
@@ -1691,7 +1711,12 @@ object Similarity {
     * candidate generation is a narrow per-probe computation.
     */
   def annMmrTopk(s: SparkSession, d: String): DataFrame = {
+    // BOTH coefficients are independent literals: computing the penalty
+    // as 1 − 0.7 yields 0.30000000000000004, a different double than the
+    // oracle's literal 0.3 — enough to flip an exact-tie argmax between
+    // engines (review finding; the spec's brute force uses 0.3 too)
     val lam = 0.7
+    val pen = 0.3
     val e = Tables.parallelize(s, Tables.embeddings(s, d))
       .select("vec_id", "embedding")
     // the unrolled MMR steps reference the candidate and pair frames 3×
@@ -1716,7 +1741,7 @@ object Similarity {
       .join(pairs, col("pqid") === col("qid") &&
         col("av") === col("vec_id") && col("bv") === col("p1"))
       .select(col("qid"), col("vec_id"), col("rel"),
-        (lit(lam) * col("rel") - lit(1 - lam) * col("sim")).as("score"))
+        (lit(lam) * col("rel") - lit(pen) * col("sim")).as("score"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("qid"), col("vec_id").as("p2"), col("rel").as("rel2"))
     val pa = pairs.select(col("pqid").as("q1"), col("av").as("a1"),
@@ -1731,7 +1756,7 @@ object Similarity {
         col("a2") === col("vec_id") && col("b2") === col("p2"))
       .select(col("qid"), col("vec_id"), col("rel"),
         (lit(lam) * col("rel") -
-          lit(1 - lam) * greatest(col("sim1"), col("sim2"))).as("score"))
+          lit(pen) * greatest(col("sim1"), col("sim2"))).as("score"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("qid"), col("vec_id").as("p3"), col("rel").as("rel3"))
     s1.select(col("qid"), lit(1).as("pick"), col("p1").as("vec_id"),
@@ -1808,8 +1833,13 @@ object Similarity {
     * cosine itself.
     */
   def embeddingCosHistogram(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    // nrm > 0 guard (the decontaminate_embedding discipline): a zero
+    // vector's NaN cosine would land in a NULL bin on one engine and
+    // error on the other; excluded identically on both sides
     val e = Tables.parallelize(s, Tables.embeddings(s, d))
-      .select("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"))
+      .filter(expr("vec_norm(embedding)") > 0)
     val pairs = e.as("p").join(e.as("q"), col("p.vec_id") < col("q.vec_id"))
       .select(round(cosine(col("p.embedding"), col("q.embedding")), 4).as("cos"))
     val binned = pairs
@@ -1824,9 +1854,13 @@ object Similarity {
   }
 
   val embeddingCosHistogramSql: String =
-    s"""WITH pairs AS (
+    s"""WITH nz AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0),
+       |pairs AS (
        |  SELECT $cosineSqlPQ AS cos
-       |  FROM embeddings p JOIN embeddings q ON p.vec_id < q.vec_id),
+       |  FROM nz p JOIN nz q ON p.vec_id < q.vec_id),
        |binned AS (
        |  SELECT least(CAST(floor((cos + 1.0) * 10.0) AS BIGINT), 19) AS bin,
        |    CAST(count(*) AS BIGINT) AS n_pairs

@@ -59,7 +59,6 @@ object CurationSmoke {
 
     try {
       val n0 = nDocs(sfDir)
-      val t0 = nTokens(sfDir)
 
       // stage 0 — blocklist screen: blocked-term-dense docs (≥ 800 bp)
       // quarantined before any scoring spends work on them — the same
@@ -84,7 +83,7 @@ object CurationSmoke {
         .write.parquet(s"$s1/documents.parquet")
       val n1 = nDocs(s1)
       check("quality_gate", n1 > 0 && n1 < nS0,
-        s"docs $nS0 -> $n1, tokens $t0 -> ${nTokens(s1)}")
+        s"docs $nS0 -> $n1, tokens ${nTokens(s0)} -> ${nTokens(s1)}")
 
       // stage 1b — DSIR selection: score the gate's survivors against the
       // ratio model trained ONCE on the raw corpus, keep the more
