@@ -1710,15 +1710,20 @@ object Similarity {
     * (≤ 8 and ≤ 64 rows), so at scale the whole tail after the ANN
     * candidate generation is a narrow per-probe computation.
     */
-  def annMmrTopk(s: SparkSession, d: String): DataFrame = {
+  def annMmrTopk(s: SparkSession, d: String): DataFrame =
+    annMmrTopkFrame(
+      Tables.parallelize(s, Tables.embeddings(s, d))
+        .select("vec_id", "embedding"))
+
+  /** The df-level MMR pipeline over any `(vec_id, embedding)` frame — the
+    * seam `MmrProps` drives with random tie-heavy vectors. */
+  private[graft] def annMmrTopkFrame(e: DataFrame): DataFrame = {
     // BOTH coefficients are independent literals: computing the penalty
     // as 1 − 0.7 yields 0.30000000000000004, a different double than the
     // oracle's literal 0.3 — enough to flip an exact-tie argmax between
     // engines (review finding; the spec's brute force uses 0.3 too)
     val lam = 0.7
     val pen = 0.3
-    val e = Tables.parallelize(s, Tables.embeddings(s, d))
-      .select("vec_id", "embedding")
     // the unrolled MMR steps reference the candidate and pair frames 3×
     // each — checkpoint each ARRAY-FREE frame exactly once (the semdedup
     // rule: long/double columns only), so the brute-force candidate stage
