@@ -1544,6 +1544,9 @@ object Dedup {
   /** The df-level winnowing pipeline over any `(doc_id, text)` frame —
     * the seam the spec drives with planted substring pairs; `minShared`
     * is the reporting floor (1 exercises the bare guarantee). */
+  // All three interpolated (with their derived offsets) into BOTH SQL
+  // mirrors below, so tuning any of them cannot desync the operator from
+  // its oracle — the discipline WinnowMinShared already had.
   private val WinnowK = 16
   private val WinnowW = 25
   private val WinnowHotCap = 16
@@ -1644,20 +1647,20 @@ object Dedup {
   val dedupWinnowSql: String =
     s"""WITH h AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(text) >= 40
-      |      THEN list_transform(range(1, length(text) - 14),
-      |        i -> ('0x' || substring(md5(substring(text, CAST(i AS INTEGER), 16)), 1, 7))::BIGINT)
+      |    CASE WHEN length(text) >= ${WinnowK + WinnowW - 1}
+      |      THEN list_transform(range(1, length(text) - ${WinnowK - 2}),
+      |        i -> ('0x' || substring(md5(substring(text, CAST(i AS INTEGER), $WinnowK)), 1, 7))::BIGINT)
       |      ELSE [] END AS hs
       |  FROM documents),
       |f AS (
       |  SELECT doc_id,
-      |    CASE WHEN len(hs) >= 25
-      |      THEN list_distinct(list_transform(range(1, len(hs) - 23),
-      |        j -> list_min(hs[j:j+24])))
+      |    CASE WHEN len(hs) >= $WinnowW
+      |      THEN list_distinct(list_transform(range(1, len(hs) - ${WinnowW - 2}),
+      |        j -> list_min(hs[j:j+${WinnowW - 1}])))
       |      ELSE [] END AS fps
       |  FROM h),
       |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
-      |hot AS (SELECT fp FROM e GROUP BY fp HAVING count(*) >= 16),
+      |hot AS (SELECT fp FROM e GROUP BY fp HAVING count(*) >= $WinnowHotCap),
       |r AS (SELECT * FROM e WHERE fp NOT IN (SELECT fp FROM hot)),
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1698,16 +1701,16 @@ object Dedup {
   val decontaminateSubstringSql: String =
     s"""WITH h AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(text) >= 40
-      |      THEN list_transform(range(1, length(text) - 14),
-      |        i -> ('0x' || substring(md5(substring(text, CAST(i AS INTEGER), 16)), 1, 7))::BIGINT)
+      |    CASE WHEN length(text) >= ${WinnowK + WinnowW - 1}
+      |      THEN list_transform(range(1, length(text) - ${WinnowK - 2}),
+      |        i -> ('0x' || substring(md5(substring(text, CAST(i AS INTEGER), $WinnowK)), 1, 7))::BIGINT)
       |      ELSE [] END AS hs
       |  FROM documents),
       |f AS (
       |  SELECT doc_id,
-      |    CASE WHEN len(hs) >= 25
-      |      THEN list_distinct(list_transform(range(1, len(hs) - 23),
-      |        j -> list_min(hs[j:j+24])))
+      |    CASE WHEN len(hs) >= $WinnowW
+      |      THEN list_distinct(list_transform(range(1, len(hs) - ${WinnowW - 2}),
+      |        j -> list_min(hs[j:j+${WinnowW - 1}])))
       |      ELSE [] END AS fps
       |  FROM h),
       |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
@@ -1778,8 +1781,16 @@ object Dedup {
     * once, not three times; node count enters as a broadcast one-row
     * frame, never a driver scalar.
     */
+  // Explicit independent literals, NOT teleport = (1.0 - damping): the
+  // subtraction evaluates to 0.15000000000000002 while a literal 0.15 is a
+  // different double — the cross-engine divergence class the MMR lam/pen
+  // fix closed. One definition for both the Column tree and the SQL mirror.
+  private val PageRankDamping = 0.85
+  private val PageRankTeleport = 0.15
+
   def pagerankSimGraph(s: SparkSession, d: String): DataFrame = {
-    val damping = 0.85
+    val damping = PageRankDamping
+    val teleport = PageRankTeleport
     val pairs = lshPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -1798,7 +1809,7 @@ object Dedup {
       ranks = deg.crossJoin(nn)
         .join(inflow, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          ((lit(1.0) - damping) / col("nn") +
+          (lit(teleport) / col("nn") +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"),
           col("outdeg"))
     }
@@ -1821,20 +1832,20 @@ object Dedup {
        |c1 AS (SELECT e.dst AS doc_id, sum(p.rank / p.outdeg) AS inflow
        |       FROM ed e JOIN r0 p ON e.src = p.doc_id GROUP BY 1),
        |r1 AS (SELECT g.doc_id, g.outdeg,
-       |         0.15 / (SELECT n FROM nn)
-       |           + 0.85 * coalesce(c.inflow, 0) AS rank
+       |         $PageRankTeleport / (SELECT n FROM nn)
+       |           + $PageRankDamping * coalesce(c.inflow, 0) AS rank
        |       FROM deg g LEFT JOIN c1 c USING (doc_id)),
        |c2 AS (SELECT e.dst AS doc_id, sum(p.rank / p.outdeg) AS inflow
        |       FROM ed e JOIN r1 p ON e.src = p.doc_id GROUP BY 1),
        |r2 AS (SELECT g.doc_id, g.outdeg,
-       |         0.15 / (SELECT n FROM nn)
-       |           + 0.85 * coalesce(c.inflow, 0) AS rank
+       |         $PageRankTeleport / (SELECT n FROM nn)
+       |           + $PageRankDamping * coalesce(c.inflow, 0) AS rank
        |       FROM deg g LEFT JOIN c2 c USING (doc_id)),
        |c3 AS (SELECT e.dst AS doc_id, sum(p.rank / p.outdeg) AS inflow
        |       FROM ed e JOIN r2 p ON e.src = p.doc_id GROUP BY 1),
        |r3 AS (SELECT g.doc_id, g.outdeg,
-       |         0.15 / (SELECT n FROM nn)
-       |           + 0.85 * coalesce(c.inflow, 0) AS rank
+       |         $PageRankTeleport / (SELECT n FROM nn)
+       |           + $PageRankDamping * coalesce(c.inflow, 0) AS rank
        |       FROM deg g LEFT JOIN c3 c USING (doc_id))
        |SELECT doc_id, CAST(outdeg AS BIGINT) AS out_deg,
        |  round(rank, 6) AS pagerank

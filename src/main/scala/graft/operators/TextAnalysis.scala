@@ -321,28 +321,110 @@ object TextAnalysis {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- edit distance
-  /** Edit-distance near-dup over short strings (part names): pairs within
-    * Levenshtein distance 2, blocked by key range to bound the pair count
-    * (at scale the blocking key would be a fingerprint prefix).
+  /** Edit-distance threshold for the near-dup join — segment count for the
+    * pigeonhole blocking is `EditDistK + 1`. */
+  private val EditDistK = 2
+
+  /** PassJoin-style pigeonhole candidate generation over a `name` frame:
+    * distinct unordered string pairs that could be within Levenshtein
+    * distance ≤ [[EditDistK]] — the COMPLETE filter (no true pair is ever
+    * missed), so the verify step downstream makes the join exact, not
+    * approximate.
+    *
+    * Soundness (Li, Deng, Feng — PassJoin, VLDB 2011): split the build
+    * string into K+1 contiguous segments; with at most K edits, at least
+    * one segment survives untouched and appears verbatim in the probe
+    * string, its start position shifted by at most K (net
+    * insertions−deletions before it). So the BUILD side emits each name's
+    * K+1 canonical segments keyed by `(build_len, seg_idx, seg)`; the
+    * PROBE side emits, for every candidate build length within the
+    * ±K band and every segment index, the substrings at the canonical
+    * start ±K — a bounded constant (≤ (2K+1)²·(K+1) = 75) of probe keys
+    * per name, NEVER O(len) substrings. The equi-join on the triple is the
+    * block: candidate volume scales with block occupancy, not n².
+    *
+    * Contract: names of length ≥ K+1 (segments must be non-empty; part
+    * names are ≥ 7 chars). Callers feed DISTINCT names — duplicate
+    * strings belong in the caller's exact-match leg, not the ed ≥ 1 path.
+    */
+  private[graft] def editDistanceCandidates(names: DataFrame): DataFrame = {
+    val k = EditDistK
+    // canonical segment geometry for a string of length L split into K+1
+    // parts, i = 0..K: len_i = L div (K+1) + (1 if i < L mod (K+1)),
+    // start_i = 1 + i*(L div (K+1)) + least(i, L mod (K+1))   (1-based)
+    val build = names.select(col("name").as("name_b"),
+      expr(
+        s"""inline(transform(sequence(0, $k), i -> struct(
+           |  length(name) AS blk_len, i AS blk_i,
+           |  substring(name,
+           |    1 + i * (length(name) div ${k + 1}) + least(i, length(name) % ${k + 1}),
+           |    (length(name) div ${k + 1}) + IF(i < length(name) % ${k + 1}, 1, 0)
+           |  ) AS seg)))""".stripMargin.replace("\n", " ")))
+    val probe = names.select(col("name").as("name_a"),
+      expr(
+        s"""inline(flatten(transform(
+           |  filter(sequence(length(name) - $k, length(name) + $k), L -> L >= ${k + 1}),
+           |  L -> flatten(transform(sequence(0, $k), i ->
+           |    transform(
+           |      filter(sequence(-$k, $k), d ->
+           |        1 + i * (L div ${k + 1}) + least(i, L % ${k + 1}) + d >= 1 AND
+           |        i * (L div ${k + 1}) + least(i, L % ${k + 1}) + d +
+           |          (L div ${k + 1}) + IF(i < L % ${k + 1}, 1, 0) <= length(name)),
+           |      d -> struct(
+           |        L AS blk_len, i AS blk_i,
+           |        substring(name,
+           |          1 + i * (L div ${k + 1}) + least(i, L % ${k + 1}) + d,
+           |          (L div ${k + 1}) + IF(i < L % ${k + 1}, 1, 0)) AS seg)))))))"""
+          .stripMargin.replace("\n", " ")))
+    probe.join(build, Seq("blk_len", "blk_i", "seg"))
+      .filter(col("name_a") =!= col("name_b"))
+      .select(
+        least(col("name_a"), col("name_b")).as("name_a"),
+        greatest(col("name_a"), col("name_b")).as("name_b"))
+      .distinct()
+  }
+
+  /** Edit-distance near-dup join over part names: ALL key pairs whose
+    * names are within Levenshtein distance ≤ 2 — the WHOLE corpus, no key
+    * slice. Scale shape: (1) dedupe to distinct names FIRST, so the
+    * expensive pair work runs on the name space, never the row space
+    * (identical rows are the dominant duplicate class); (2) candidate
+    * generation is the pigeonhole block equi-join of
+    * [[editDistanceCandidates]] — complete, occupancy-proportional;
+    * (3) Levenshtein verifies only within blocks; (4) key expansion is
+    * two name-keyed equi-joins plus the exact-match self-join (ed = 0).
+    * The brute-force oracle (length-band theta join) is independent of
+    * the blocking, so a blocking bug that loses pairs turns the row/hash
+    * compare red.
     */
   def textEditDistance(s: SparkSession, d: String): DataFrame = {
     val p = Tables.parallelize(s,
-      Tables.part(s, d).filter(col("p_partkey") < 300)
-        .select(col("p_partkey"), col("p_name")))
-    p.as("a").join(broadcast(p.as("b")), col("a.p_partkey") < col("b.p_partkey"))
-      .select(
-        col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
-        levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"))
-      .filter(col("edit_dist") <= 2)
-      .orderBy("key_a", "key_b")
+      Tables.part(s, d).select(col("p_partkey"), col("p_name")))
+      .localCheckpoint() // read by the name-dedupe leg and both key expansions
+    val names = p.select(col("p_name").as("name")).distinct()
+    val matched = editDistanceCandidates(names)
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= EditDistK)
+    val crossName = matched
+      .join(p.select(col("p_name").as("name_a"), col("p_partkey").as("ka")), "name_a")
+      .join(p.select(col("p_name").as("name_b"), col("p_partkey").as("kb")), "name_b")
+      .select(least(col("ka"), col("kb")).as("key_a"),
+        greatest(col("ka"), col("kb")).as("key_b"), col("edit_dist"))
+    val sameName = p.as("a")
+      .join(p.as("b"),
+        col("a.p_name") === col("b.p_name") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+        lit(0).as("edit_dist"))
+    crossName.unionAll(sameName).orderBy("key_a", "key_b")
   }
 
   val textEditDistanceSql: String =
     """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
       |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
       |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-      |WHERE a.p_partkey < 300 AND b.p_partkey < 300
-      |  AND levenshtein(a.p_name, b.p_name) <= 2
+      |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY key_a, key_b""".stripMargin
 
   // ------------------------------------------------------------- language id
@@ -1868,6 +1950,13 @@ object TextAnalysis {
     * row can fall out of both routes — the quality gate's
     * row-conservation discipline.
     */
+  /** Blocklist flag threshold (basis points of blocked-term hits) — ONE
+    * definition interpolated into both the Column verdict and the SQL
+    * mirror, so tuning it cannot desynchronize the batch report, the
+    * oracle, and the streaming clean/flagged routes (which all consume
+    * the `flagged` verdict this constant defines). */
+  private val BlocklistFlagBp = 800L
+
   def blocklistVerdicts(docs: DataFrame): DataFrame = {
     val w = Portable.tokens(coalesce(col("text"), lit("")))
     val lex = Blocklist.map(lit)
@@ -1876,7 +1965,7 @@ object TextAnalysis {
       .withColumn("hits",
         size(filter(w, t => lex.map(t === _).reduce(_ || _))).cast("long"))
       .withColumn("hit_bp", expr("hits * 10000 div greatest(n, 1)"))
-      .withColumn("flagged", col("hit_bp") >= 800)
+      .withColumn("flagged", col("hit_bp") >= BlocklistFlagBp)
   }
 
   def blocklistScreen(s: SparkSession, d: String): DataFrame =
@@ -1901,7 +1990,7 @@ object TextAnalysis {
        |        hits * 10000 // greatest(n, 1) AS hit_bp FROM c)
        |SELECT source,
        |  CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(CASE WHEN hit_bp >= 800 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(sum(CASE WHEN hit_bp >= $BlocklistFlagBp THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
        |  CAST(sum(hits) AS BIGINT) AS total_hits,
        |  CAST(sum(hits) * 10000 // greatest(sum(n), 1) AS BIGINT) AS corpus_hit_bp
        |FROM b GROUP BY source ORDER BY source""".stripMargin

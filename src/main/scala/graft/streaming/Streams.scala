@@ -1407,8 +1407,10 @@ object Streams {
     */
   def tokenKlSinkBatch(batch: DataFrame, id: Long, support: DataFrame,
       meta: DataFrame, outDir: String): Unit =
+    // batch_id comes back via partition-directory inference on read — the
+    // sibling sinks' convention; a duplicate data column would shadow the
+    // inferred partition column (Spark's data-schema-wins overlap rule).
     graft.operators.TextAnalysis.tokenKlScoreBatch(batch, support, meta)
-      .withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
 
   def streamTokenKl(df: DataFrame, spark: SparkSession, modelDir: String,

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Evidence for the PassJoin-style pigeonhole blocking behind
+  * `text_edit_distance` (SURVEY §2 C23 / VERDICT r10 top item): the old
+  * implementation bounded the pair join with a `p_partkey < 300` literal,
+  * silently covering a constant key slice at scale. The replacement must be
+  * (1) COMPLETE — no true ed ≤ 2 pair ever dropped by the candidate
+  * equi-join, over edit geometries that shift segment positions
+  * (insertions/deletions, not just substitutions); and (2)
+  * occupancy-proportional — candidate volume grows with block occupancy,
+  * not n², which this suite measures on cipher-disjoint corpus copies.
+  *
+  * The brute-force sides are plain-Scala Levenshtein over collected rows —
+  * independent of Spark's `levenshtein` and of the blocking plan — so a
+  * candidate-generation bug and an oracle bug cannot cancel.
+  */
+class EditDistanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf01 = "/root/testdata/sf0.01"
+
+  /** Plain-Scala Levenshtein (full DP) — the spec's independent referee. */
+  private def lev(a: String, b: String): Int = {
+    val m = a.length; val n = b.length
+    val d = Array.tabulate(m + 1)(i => i)
+    for (j <- 1 to n) {
+      var prev = d(0); d(0) = j
+      for (i <- 1 to m) {
+        val t = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+        prev = t
+      }
+    }
+    d(m)
+  }
+
+  private def namesDf(names: Seq[String]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(names.map(Row(_)), 4),
+      StructType(Seq(StructField("name", StringType))))
+
+  private def brutePairs(names: Seq[String], k: Int): Set[(String, String)] =
+    (for {
+      i <- names.indices; j <- (i + 1) until names.length
+      if lev(names(i), names(j)) <= k
+    } yield {
+      val (a, b) = (names(i), names(j))
+      if (a <= b) (a, b) else (b, a)
+    }).toSet
+
+  /** Deterministic mutation pool: each base name spawned into variants at
+    * ed 1–2 via substitution, insertion, and deletion at seeded positions —
+    * the three geometries that shift (or don't) segment start positions.
+    * Insertions/deletions are what break naive fixed-position blocking, so
+    * they are the load-bearing cases here.
+    */
+  private def mutatedCorpus(seed: Long): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val bases = Seq("small ring", "red widget", "blue bolt", "hot gear",
+      "small gizmo", "green casing", "steel flange", "copper washer")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def mutate(s: String): String = rnd.nextInt(3) match {
+      case 0 => // substitute
+        val p = rnd.nextInt(s.length)
+        s.updated(p, alpha(rnd.nextInt(26)))
+      case 1 => // insert
+        val p = rnd.nextInt(s.length + 1)
+        s.substring(0, p) + alpha(rnd.nextInt(26)) + s.substring(p)
+      case _ => // delete (keep length >= 3 for the K+1 segment contract)
+        if (s.length <= 3) s
+        else { val p = rnd.nextInt(s.length); s.substring(0, p) + s.substring(p + 1) }
+    }
+    val variants = bases.flatMap { b =>
+      (1 to 12).map { _ =>
+        val once = mutate(b)
+        if (rnd.nextBoolean()) mutate(once) else once
+      }
+    }
+    (bases ++ variants).distinct
+  }
+
+  test("candidate generation is complete over substitution/insert/delete geometries") {
+    val names = mutatedCorpus(seed = 41L)
+    val truth = brutePairs(names, 2)
+    assert(truth.nonEmpty, "fixture must plant true pairs")
+    val cands = TextAnalysis.editDistanceCandidates(namesDf(names))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val missed = truth -- cands
+    assert(missed.isEmpty,
+      s"pigeonhole candidates dropped ${missed.size} true pairs, e.g. ${missed.take(3)}")
+  }
+
+  test("whole-corpus sf0.01 join matches plain-Scala brute force, covering keys the old literal missed") {
+    val p = spark.read.parquet(s"$sf01/part.parquet")
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val truth = (for {
+      i <- p.indices; j <- (i + 1) until p.length
+      d = lev(p(i)._2, p(j)._2) if d <= 2
+    } yield {
+      val (ka, kb) = (p(i)._1, p(j)._1)
+      (math.min(ka, kb), math.max(ka, kb), d)
+    }).toSet
+    val got = TextAnalysis.textEditDistance(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === truth)
+    // documents the old p_partkey < 300 literal's blind spot: most of the
+    // true pair mass lives entirely above the slice
+    val beyond = truth.count { case (a, b, _) => a >= 300 && b >= 300 }
+    assert(beyond > 10000, s"fixture must exercise the former blind spot (got $beyond)")
+  }
+
+  test("cipher-disjoint x4 corpus: candidates grow linearly while the pair space grows quadratically") {
+    val base = mutatedCorpus(seed = 97L)
+    // copy k maps letters through a k-rotated alphabet (space fixed):
+    // a bijection, so within-copy edit distances are preserved exactly,
+    // while any cross-copy segment differs in every letter — block keys
+    // are disjoint across copies BY CONSTRUCTION, and cross-copy edit
+    // distance >= number of letters > 2 (no true cross-copy pairs).
+    def rot(s: String, k: Int): String = s.map { c =>
+      if (c == ' ') c else (((c - 'a') + k) % 26 + 'a').toChar
+    }
+    def corpus(r: Int): Seq[String] =
+      (0 until r).flatMap(k => base.map(rot(_, k)))
+    def candCount(r: Int): Long =
+      TextAnalysis.editDistanceCandidates(namesDf(corpus(r))).count()
+    val c1 = candCount(1)
+    val c4 = candCount(4)
+    assert(c1 > 0)
+    // >= 4x exactly (within-copy structure is cipher-preserved); a small
+    // super-linear remainder is coincidental cross-copy segment collisions
+    // (a Caesar-rotated segment of one name can equal a segment of another
+    // name), bounded here at 10% and rejected downstream by verify
+    assert(c4 >= 4 * c1 && c4 <= (4.4 * c1).toLong,
+      s"disjoint copies must scale candidates ~linearly (x1=$c1, x4=$c4)")
+    // the length-band pair space (what a non-blocked theta join pays) is
+    // quadratic on the same corpora — the gap is the blocking's value
+    def bandPairs(ns: Seq[String]): Long = {
+      val byLen = ns.groupBy(_.length).map { case (l, g) => (l, g.size.toLong) }
+      byLen.map { case (l, n) =>
+        val near = (l - 2 to l + 2).map(ll => byLen.getOrElse(ll, 0L)).sum
+        n * near
+      }.sum / 2
+    }
+    val b1 = bandPairs(corpus(1)); val b4 = bandPairs(corpus(4))
+    assert(b4 >= 15 * b1, s"pair space must be ~quadratic (x1=$b1, x4=$b4)")
+    assert(c4.toDouble / b4 <= c1.toDouble / b1 + 1e-12,
+      s"candidate fraction of the pair space must not grow (x1=${c1.toDouble / b1}, x4=${c4.toDouble / b4})")
+  }
+}
