@@ -36,9 +36,57 @@ object Bench {
   /** The pinned calibration query — cheap, stable, exercised since round 1. */
   private val ProbeQuery = "q6_filter_agg"
 
+  /** Regression threshold vs the committed floor, after noise correction. */
+  private val RegressionFactor = 2.0
+
+  /** Committed per-query warm floors (`bench_floors.json`): the best
+    * idle-host min-of-3 warm time each query has recorded, keyed by the
+    * SF-dir basename so floors measured at sf0.1 never gate an sf0.01 run.
+    * The artifact's `regressions` list carries every query whose
+    * noise-corrected warm time exceeds [[RegressionFactor]] × its floor —
+    * the memory the calibration probe lacked: a spike in a quiet run is a
+    * REGRESSION verdict in the artifact itself, not a judge-side
+    * re-measure a round later. Noise correction divides by
+    * `noise_scale = max(1, probe_now / probe_floor)` — the probe's code
+    * is pinned, so its drift above its own floor measures the host, not
+    * the engine. `SPARK_GRAFT_UPDATE_FLOORS=1` rewrites the file with
+    * min(old, new) per query (adding new queries), which is how floors
+    * ratchet down on idle hosts and never ratchet up.
+    */
+  private def floorsPath: String =
+    sys.env.getOrElse("SPARK_GRAFT_FLOORS", "bench_floors.json")
+
+  private def readFloors(sfBase: String): Map[String, Double] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(new java.io.File(floorsPath))
+      if (root.path("sf").asText("") != sfBase) Map.empty
+      else {
+        val it = root.path("floors").properties().iterator()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  private def writeFloors(sfBase: String, merged: Map[String, Double]): Unit = {
+    val body = merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""    "$k": ${"%.4f".format(v)}""" }
+      .mkString(",\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(floorsPath),
+      s"""{\n  "sf": "$sfBase",\n  "floors": {\n$body\n  }\n}\n""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local-iteration subset (comma-separated names); the driver never sets
+    // it, so the contract run always measures every query — and floor
+    // updates are refused on a subset run below, so a partial measurement
+    // can never overwrite the full-sweep floors file
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val bench = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val loadBefore = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,7 +101,7 @@ object Bench {
     // silently folded into a normal-looking wall time.
     def pass(): (Map[String, Double], List[String]) = {
       val failed = List.newBuilder[String]
-      val times = SparkEntry.queries.map { case (name, fn) =>
+      val times = bench.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -69,6 +117,7 @@ object Bench {
     // min-of-3 single-query timing for the calibration probe (run after the
     // cold pass so codegen/JIT are already paid on both measurements)
     def probe(): Double = SparkEntry.queries.get(ProbeQuery) match {
+      // the probe is always the full-map query: subset runs still calibrate
       case Some(fn) =>
         val reps = Seq.fill(3) {
           val t0 = System.nanoTime()
@@ -101,7 +150,33 @@ object Bench {
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
     val loadAfter = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(warm)},"queries_cold":${timesJson(cold)},"cold_total":$coldTotal,"warm_passes":3,"probe_query":"$ProbeQuery","probe_before_sec":$probeBefore,"probe_after_sec":$probeAfter,"noise_index":$noiseIndex,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
+    // ---- regression gate vs committed floors (noise-corrected) ----
+    val sfBase = new java.io.File(sfDir).getName
+    val floors = readFloors(sfBase)
+    val probeNow = Seq(probeBefore, probeAfter).filter(_ > 0) match {
+      case Nil => -1.0; case xs => xs.min
+    }
+    val noiseScale = floors.get(ProbeQuery) match {
+      case Some(pf) if pf > 0 && probeNow > 0 => math.max(1.0, probeNow / pf)
+      case _ => 1.0
+    }
+    val regressions = warm.toSeq.sortBy(_._1).flatMap { case (k, w) =>
+      floors.get(k) match {
+        case Some(f) if w >= 0 && f > 0 && w / noiseScale > RegressionFactor * f =>
+          Some(s"""{"query":"$k","warm_sec":$w,"floor_sec":$f,"adjusted_sec":${w / noiseScale},"ratio":${"%.2f".format(w / noiseScale / f)}}""")
+        case _ => None
+      }
+    }
+    val regressionsJson = regressions.mkString("[", ",", "]")
+    if (sys.env.get("SPARK_GRAFT_UPDATE_FLOORS").contains("1") && only.isEmpty) {
+      val merged = (floors.keySet ++ warm.keySet).map { k =>
+        val candidates = Seq(floors.get(k), warm.get(k).filter(_ >= 0)).flatten
+        k -> candidates.min
+      }.toMap
+      writeFloors(sfBase, merged)
+      System.err.println(s"bench: floors updated at $floorsPath (${merged.size} queries)")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(warm)},"queries_cold":${timesJson(cold)},"cold_total":$coldTotal,"warm_passes":3,"probe_query":"$ProbeQuery","probe_before_sec":$probeBefore,"probe_after_sec":$probeAfter,"noise_index":$noiseIndex,"noise_scale":${"%.3f".format(noiseScale)},"floors_sf":"${if (floors.nonEmpty) sfBase else ""}","regressions":$regressionsJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) System.err.println(s"bench: ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()
   }
