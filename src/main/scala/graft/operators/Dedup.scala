@@ -589,6 +589,8 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$indexDir/fp")
     bandsDF(s, d).select("doc_id", "band", "bandsig").filter(!isBatch)
       .write.mode("overwrite").parquet(s"$indexDir/bands")
+    graft.models.ModelManifest.write(s, indexDir, "dedup_incremental_index",
+      d, Seq("documents"))
   }
 
   /** The increment-side read path: joins the incoming batch's artifacts
@@ -596,6 +598,10 @@ object Dedup {
     * (the spec asserts the plan's only `documents` scans are the
     * batch-filtered ones). Output is identical to [[dedupIncremental]]. */
   def dedupIncrementalFromIndex(s: SparkSession, d: String, indexDir: String): DataFrame = {
+    // the index encodes THIS corpus's history partition: corpus drift
+    // since the build means the history hashes are stale — fail loudly
+    graft.models.ModelManifest.validateAgainstCorpus(
+      s, indexDir, "dedup_incremental_index", d)
     val isBatch = col("doc_id") % 10 >= 8
     val batchFp = Tables.documents(s, d).filter(isBatch)
       .select(col("doc_id"), normFp.as("fp"))
@@ -1243,8 +1249,11 @@ object Dedup {
     keepBestTail(clusterLabels(s, d), qualityFrame(s, d))
 
   def dedupKeepBestFromLabels(s: SparkSession, d: String,
-      dir: String): DataFrame =
+      dir: String): DataFrame = {
+    graft.models.ModelManifest.validateAgainstCorpus(
+      s, dir, "cluster_labels", d)
     keepBestTail(s.read.parquet(s"$dir/labels"), qualityFrame(s, d))
+  }
 
   private def qualityFrame(s: SparkSession, d: String): DataFrame =
     TextAnalysis.withQualityCounts(
@@ -1375,13 +1384,21 @@ object Dedup {
     * corpus (one projection) + this parquet — no shingles, no pair
     * join, no propagation (plan-pinned by `ClusterLabelsSpec`).
     */
-  def writeClusterLabels(s: SparkSession, d: String, dir: String): Unit =
+  def writeClusterLabels(s: SparkSession, d: String, dir: String): Unit = {
     clusterLabels(s, d).write.mode("overwrite").parquet(s"$dir/labels")
+    graft.models.ModelManifest.write(s, dir, "cluster_labels", d,
+      Seq("documents"))
+  }
 
   private def labeledDocsFromIndex(s: SparkSession, d: String,
-      dir: String): DataFrame =
+      dir: String): DataFrame = {
+    // labels are positional facts about THIS corpus version: a changed
+    // corpus makes every downstream split/weight silently wrong — gate it
+    graft.models.ModelManifest.validateAgainstCorpus(
+      s, dir, "cluster_labels", d)
     labeledFrom(Tables.documents(s, d).select("doc_id"),
       s.read.parquet(s"$dir/labels"))
+  }
 
   def splitLeakageSafe(s: SparkSession, d: String): DataFrame =
     splitTail(labeledDocs(s, d))
@@ -1610,19 +1627,40 @@ object Dedup {
     * train-offline half of the winnow family's serving split, the
     * `writeDedupIndex`/`writeSemdedupIndex` discipline. |index| is
     * O(corpus positions / w) rows of two longs. */
-  def writeWinnowIndex(s: SparkSession, d: String, dir: String): Unit =
+  def writeWinnowIndex(s: SparkSession, d: String, dir: String): Unit = {
     writeWinnowIndex(
       parallelize(s, Tables.documents(s, d).select(col("doc_id"), col("text"))),
       dir)
+    // overwrite the frame-level manifest with the corpus-versioned one
+    graft.models.ModelManifest.write(s, dir, "winnow_index", d,
+      Seq("documents"),
+      Seq("k" -> WinnowK.toString, "w" -> WinnowW.toString,
+        "hot_cap" -> WinnowHotCap.toString))
+  }
 
   /** Frame-level overload: index any `(doc_id, text)` corpus slice — the
-    * curation smoke indexes only the held-out split this way. */
+    * curation smoke indexes only the held-out split this way. The
+    * manifest records the slice as unversioned (no table fingerprint
+    * exists for an arbitrary frame); kind/params validation still
+    * applies at serve time. */
   def writeWinnowIndex(docs: DataFrame, dir: String): Unit = {
     val fp = winnowFingerprints(docs).localCheckpoint()
     val hot = fp.groupBy("fp").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= WinnowHotCap).select("fp")
     fp.join(broadcast(hot), Seq("fp"), "left_anti")
       .write.mode("overwrite").parquet(s"$dir/fps")
+    graft.models.ModelManifest.write(docs.sparkSession, dir, "winnow_index",
+      "<frame>", Nil,
+      Seq("k" -> WinnowK.toString, "w" -> WinnowW.toString,
+        "hot_cap" -> WinnowHotCap.toString))
+  }
+
+  /** The validated read half of the winnow serving split — every consumer
+    * of a persisted winnow index (streaming screen, smoke) loads through
+    * here, so a wrong or schema-drifted artifact fails before any join. */
+  def winnowIndexFps(s: SparkSession, dir: String): DataFrame = {
+    graft.models.ModelManifest.validate(s, dir, "winnow_index")
+    s.read.parquet(s"$dir/fps")
   }
 
   /** Screen a batch of `(doc_id, text)` rows against a persisted winnow

@@ -250,6 +250,8 @@ object Scoring {
     docs.select(explode(col("w")).as("t"))
       .agg(countDistinct("t").as("v"))
       .write.mode("overwrite").parquet(s"$dir/meta")
+    graft.models.ModelManifest.write(s, dir, "lm_bigram", d,
+      Seq("documents"))
   }
 
   /** Score a probe batch `(doc_id, text)` against pre-trained LM
@@ -275,11 +277,13 @@ object Scoring {
 
   /** Convenience serving entry: read the persisted model and score. */
   def lmScoreFromModel(s: SparkSession, modelDir: String,
-      probes: DataFrame): DataFrame =
+      probes: DataFrame): DataFrame = {
+    graft.models.ModelManifest.validate(s, modelDir, "lm_bigram")
     lmScoreBatch(probes,
       s.read.parquet(s"$modelDir/c2"),
       s.read.parquet(s"$modelDir/c1"),
       s.read.parquet(s"$modelDir/meta"))
+  }
 
   // --------------------------------------------------------- BM25 top-k
   /** BM25-scored retrieval: rank the corpus against a fixed query-term
@@ -372,6 +376,7 @@ object Scoring {
     docs.agg(count(lit(1)).as("n_docs"),
         avg(size(col("w")).cast("double")).as("avgdl"))
       .write.mode("overwrite").parquet(s"$dir/meta")
+    graft.models.ModelManifest.write(s, dir, "bm25", d, Seq("documents"))
   }
 
   /** Score a probe batch `(doc_id, text)` against pre-trained BM25
@@ -400,10 +405,12 @@ object Scoring {
 
   /** Convenience serving entry: read the persisted model and score. */
   def bm25ScoreFromModel(s: SparkSession, modelDir: String,
-      probes: DataFrame, terms: Seq[String] = Bm25Terms): DataFrame =
+      probes: DataFrame, terms: Seq[String] = Bm25Terms): DataFrame = {
+    graft.models.ModelManifest.validate(s, modelDir, "bm25")
     bm25ScoreBatch(probes,
       s.read.parquet(s"$modelDir/df"),
       s.read.parquet(s"$modelDir/meta"), terms)
+  }
 
   /** Fixed query-term set for [[bm25Topk]] (drawn from the fixture
     * vocabulary; any out-of-corpus term simply contributes df = 0 rows).
@@ -537,6 +544,8 @@ object Scoring {
           log((col("c_raw") + lit(1.0)) / (col("n_raw") + lit(B.toDouble))))
           .as("lr"))
       .write.mode("overwrite").parquet(s"$dir/ratios")
+    graft.models.ModelManifest.write(s, dir, "dsir", d,
+      Seq("documents"), Seq("buckets" -> B.toString))
   }
 
   /** Score a probe batch `(doc_id, text)` against pre-trained DSIR
@@ -556,8 +565,10 @@ object Scoring {
 
   /** Convenience serving entry: read the persisted ratios and score. */
   def dsirScoreFromModel(s: SparkSession, modelDir: String,
-      probes: DataFrame): DataFrame =
+      probes: DataFrame): DataFrame = {
+    graft.models.ModelManifest.validate(s, modelDir, "dsir")
     dsirScoreBatch(probes, s.read.parquet(s"$modelDir/ratios"))
+  }
 
   /** The DSIR per-doc scoring CTE chain (through `dsirsc(doc_id, n_toks,
     * log_w)`) — ONE SQL definition shared by [[importanceWeightsSql]] and
@@ -834,6 +845,8 @@ object Scoring {
     Seq((w.toSeq, mu.toSeq, sd.toSeq)).toDF("w", "mu", "sd")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/logreg")
+    graft.models.ModelManifest.write(s, dir, "quality_classifier", d,
+      Seq("documents"), Seq("n_features" -> w.length.toString))
   }
 
   /** Read the persisted classifier back: (weights, means, stds) — a
@@ -859,6 +872,7 @@ object Scoring {
   /** Convenience serving entry: read the persisted model and score. */
   def qcScoreFromModel(s: SparkSession, modelDir: String,
       probes: DataFrame): DataFrame = {
+    graft.models.ModelManifest.validate(s, modelDir, "quality_classifier")
     val (w, mu, sd) = qcModelFromDir(s, modelDir)
     qcScoreBatch(probes, w, mu, sd)
   }

@@ -744,6 +744,8 @@ object Similarity {
     assignCells(e, codebook)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/corpus")
+    graft.models.ModelManifest.write(s, indexDir, "ann_ivf_index", d,
+      Seq("embeddings"), Seq("cells" -> codebook.size.toString))
   }
 
   /** Serve a probe batch from a PERSISTED index (see [[writeAnnIndex]]):
@@ -768,6 +770,7 @@ object Similarity {
       .toSeq
 
   def annFromIndex(s: SparkSession, probes: DataFrame, indexDir: String): DataFrame = {
+    graft.models.ModelManifest.validate(s, indexDir, "ann_ivf_index")
     graft.functions.VecFunctions.register(s)
     val codebook = codebookFromDir(s, indexDir)
     val corpus = s.read.parquet(s"$indexDir/corpus")
@@ -1480,6 +1483,9 @@ object Similarity {
     // the writes are done and nothing lazy escapes: release the dropped-id
     // checkpoint backing the flag frame
     org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(flags)
+    graft.models.ModelManifest.write(s, dir, "semdedup_index", d,
+      Seq("embeddings"),
+      Seq("threshold" -> SemdedupThreshold.toString))
   }
 
   /** Screen a probe batch `(vec_id, embedding)` against a FROZEN semdedup
@@ -1514,6 +1520,7 @@ object Similarity {
   /** Convenience serving entry: read the persisted index and screen. */
   def semdedupScreenFromModel(s: SparkSession, indexDir: String,
       probes: DataFrame): DataFrame = {
+    graft.models.ModelManifest.validate(s, indexDir, "semdedup_index")
     graft.functions.VecFunctions.register(s)
     semdedupScreenBatch(probes,
       codebookFromDir(s, indexDir), s.read.parquet(s"$indexDir/kept"))

@@ -1178,13 +1178,17 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .repartition(1) // ≤20 rows: one tiny file
       .write.mode("overwrite").parquet(s"$dir/merges")
+    graft.models.ModelManifest.write(s, dir, "bpe_merges", d,
+      Seq("documents"))
   }
 
   /** Read the persisted merge table back in application order (≤20-row
     * driver collect — the bounded codebook class). */
-  def bpeMergesFromModel(s: SparkSession, dir: String): Seq[String] =
+  def bpeMergesFromModel(s: SparkSession, dir: String): Seq[String] = {
+    graft.models.ModelManifest.validate(s, dir, "bpe_merges")
     s.read.parquet(s"$dir/merges").orderBy("rank")
       .collect().map(_.getAs[String]("pair")).toSeq
+  }
 
   def writeVocabModel(s: SparkSession, d: String, dir: String,
       topK: Int = VocabTopK): Unit = {
@@ -1196,6 +1200,8 @@ object TextAnalysis {
       .limit(topK)
       .repartition(1) // K rows: one tiny file
       .write.mode("overwrite").parquet(s"$dir/vocab")
+    graft.models.ModelManifest.write(s, dir, "tokenizer_vocab", d,
+      Seq("documents"), Seq("top_k" -> topK.toString))
   }
 
   /** Coverage report of a probe batch `(source, text)` under a FROZEN
@@ -1215,8 +1221,10 @@ object TextAnalysis {
 
   /** Convenience serving entry: read the persisted vocabulary and report. */
   def vocabCoverageFromModel(s: SparkSession, modelDir: String,
-      probes: DataFrame): DataFrame =
+      probes: DataFrame): DataFrame = {
+    graft.models.ModelManifest.validate(s, modelDir, "tokenizer_vocab")
     vocabCoverageBatch(probes, s.read.parquet(s"$modelDir/vocab"))
+  }
 
   val vocabCoverageSql: String =
     s"""WITH toks AS (
@@ -1622,6 +1630,8 @@ object TextAnalysis {
         Tables.documents(s, d).select(col("doc_id"), col("text"))))
       .groupBy("bg").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$dir/gramdf")
+    graft.models.ModelManifest.write(s, dir, "ngram_novelty", d,
+      Seq("documents"))
   }
 
   /** Score a probe batch `(doc_id, text)` against a FROZEN df relation —
@@ -1654,8 +1664,10 @@ object TextAnalysis {
 
   /** Convenience serving entry: read the persisted df relation and score. */
   def noveltyScoreFromModel(s: SparkSession, modelDir: String,
-      probes: DataFrame): DataFrame =
+      probes: DataFrame): DataFrame = {
+    graft.models.ModelManifest.validate(s, modelDir, "ngram_novelty")
     noveltyScoreBatch(probes, s.read.parquet(s"$modelDir/gramdf"))
+  }
 
   val ngramNoveltySql: String = {
     val sh2 = Portable.shinglesSql(2)
@@ -2316,6 +2328,8 @@ object TextAnalysis {
     support.agg(count(lit(1)).cast("double").as("kk"),
         sum("ccnt").cast("double").as("cn"))
       .write.mode("overwrite").parquet(s"$dir/meta")
+    graft.models.ModelManifest.write(s, dir, "token_kl", d,
+      Seq("documents"), Seq("top_k" -> topK.toString))
   }
 
   /** Score one batch of `(doc_id, text)` rows against the persisted

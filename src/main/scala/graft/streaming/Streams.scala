@@ -1187,6 +1187,7 @@ object Streams {
   def streamSemdedupScreen(df: DataFrame, spark: SparkSession,
       indexDir: String, outDir: String, checkpoint: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    graft.models.ModelManifest.validate(spark, indexDir, "semdedup_index")
     graft.functions.VecFunctions.register(spark)
     val codebook = graft.operators.Similarity.codebookFromDir(spark, indexDir)
     val kept = spark.read.parquet(s"$indexDir/kept").persist()
@@ -1416,6 +1417,7 @@ object Streams {
   def streamTokenKl(df: DataFrame, spark: SparkSession, modelDir: String,
       outDir: String, checkpoint: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, Seq[DataFrame]) = {
+    graft.models.ModelManifest.validate(spark, modelDir, "token_kl")
     val cached = Seq(
       spark.read.parquet(s"$modelDir/support").persist(),
       spark.read.parquet(s"$modelDir/meta").persist())
@@ -1445,7 +1447,7 @@ object Streams {
   def streamWinnowScreen(df: DataFrame, spark: SparkSession, indexDir: String,
       outDir: String, checkpoint: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
-    val fps = spark.read.parquet(s"$indexDir/fps").persist()
+    val fps = graft.operators.Dedup.winnowIndexFps(spark, indexDir).persist()
     val q = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>

@@ -184,7 +184,7 @@ object CurationSmoke {
         winIdxDir)
       val winVerdicts = Dedup.winnowScreenBatch(
         Tables.documents(spark, s2a).select(col("doc_id"), col("text")),
-        spark.read.parquet(s"$winIdxDir/fps"))
+        Dedup.winnowIndexFps(spark, winIdxDir))
         .localCheckpoint()
       val nWinSuspect = winVerdicts.filter(col("suspect")).count()
       Tables.documents(spark, s2a)
