@@ -332,7 +332,16 @@ object Streams {
     * empty instead of lingering. A hot user's lists are bounded by
     * horizon × their arrival rate, never by lifetime history.
     */
-  class FunnelProcessor
+  /** @param idleRetentionMs event-time idle retention for the O(1)
+    *   per-user summary: once a user's evidence lists have drained AND the
+    *   watermark has advanced `idleRetentionMs` past their last touch, the
+    *   summary row is dropped too, so total state is bounded by the ACTIVE
+    *   key population, not by every user ever seen (the StateDrill ramp).
+    *   A dropped user who returns restarts at stage 0 — the standard
+    *   sessionization retention trade. The default (`Long.MaxValue`) keeps
+    *   summaries forever: exact arrival-order-invariant parity with the
+    *   batch funnel, the replay-spec contract. */
+  class FunnelProcessor(idleRetentionMs: Long = Long.MaxValue)
       extends StatefulProcessor[Long, (Long, String, Long, Timestamp), FunnelStage] {
     private val Inf = Long.MaxValue
     @transient private var summary: org.apache.spark.sql.streaming.ValueState[FunnelSummary] = _
@@ -363,6 +372,11 @@ object Streams {
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       val pending = keepC ++ keepP
       if (pending.nonEmpty) getHandle.registerTimer(pending.max / 1000L + 1L)
+      else if (idleRetentionMs < Inf)
+        // lists are drained: arm the summary's idle-retention GC, keyed
+        // off the watermark at last touch (monotone, deterministic)
+        getHandle.registerTimer(
+          math.max(wmUs / 1000L, 0L) + idleRetentionMs)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long, Timestamp)],
@@ -404,7 +418,16 @@ object Streams {
         clicks.get().foreach(cs += _)
         val ps = scala.collection.mutable.ArrayBuffer[Long]()
         purchases.get().foreach(ps += _)
-        compact(summary.get(), cs.toSeq, ps.toSeq, tv.getCurrentWatermarkInMs() * 1000L)
+        if (cs.isEmpty && ps.isEmpty && idleRetentionMs < Inf) {
+          // two-phase GC: the evidence timer already drained the lists and
+          // armed this retention timer; the user stayed idle through it —
+          // drop the summary row so state tracks the ACTIVE population
+          summary.clear(); clicks.clear(); purchases.clear()
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+        } else {
+          compact(summary.get(), cs.toSeq, ps.toSeq,
+            tv.getCurrentWatermarkInMs() * 1000L)
+        }
       }
       Iterator.empty
     }
@@ -418,7 +441,8 @@ object Streams {
     * `TimeSeries.eventFunnel` exactly (the parity spec's replay mode).
     */
   def streamingFunnel(events: Dataset[(Long, String, Long)],
-      horizon: String = "90 days"): Dataset[FunnelStage] = {
+      horizon: String = "90 days",
+      idleRetentionMs: Long = Long.MaxValue): Dataset[FunnelStage] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.toDF("user_id", "event_type", "ts_us")
@@ -426,7 +450,7 @@ object Streams {
       .withWatermark("event_time", horizon)
       .as[(Long, String, Long, Timestamp)]
       .groupByKey(_._1)
-      .transformWithState(new FunnelProcessor,
+      .transformWithState(new FunnelProcessor(idleRetentionMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

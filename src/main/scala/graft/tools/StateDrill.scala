@@ -1,0 +1,146 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.Streams
+
+/** Sustained-load state drill for the stateful streaming operators
+  * (VERDICT r10 item 4): drives the funnel, stream-stream as-of, and
+  * bounded top-k processors for O(100) micro-batches on the RocksDB
+  * state store and records the per-batch state-row count and trigger
+  * latency — the curves that distinguish a bounded-state design from one
+  * that merely passes a 3-batch spec. A leak shows as a monotone
+  * numRowsTotal ramp; bounded designs plateau.
+  *
+  * Load shape: every batch introduces a fresh key cohort (funnel/as-of)
+  * with event time advancing a fixed step per batch, so the event-time
+  * watermark must both admit new state and expire cohorts older than the
+  * horizon — the steady-state churn of a real ingest. Top-k keeps a
+  * fixed key population (its state bound is per-key by construction —
+  * k + slack entries — so the drill's question is whether per-key state
+  * creeps with update count).
+  *
+  * A tool main, not a ScalaTest: minutes of wall time; the evidence
+  * lands in PLANS.md and any ramp found becomes a spec.
+  */
+object StateDrill {
+  private final case class Curve(name: String,
+      samples: Seq[(Int, Long, Long)]) { // (batch, stateRows, triggerMs)
+    def report(): Boolean = {
+      samples.grouped(math.max(1, samples.size / 12)).foreach { g =>
+        val (b, r, ms) = g.last
+        println(f"[state] $name%-14s batch=$b%4d state_rows=$r%7d trigger_ms=$ms%6d")
+      }
+      val tail = samples.drop(samples.size / 2)
+      val head = samples.slice(samples.size / 6, samples.size / 2)
+      val headMax = head.map(_._2).max
+      val tailMax = tail.map(_._2).max
+      // bounded = the steady-state half never exceeds the warm-up phase's
+      // peak by more than 25% (plateau, not ramp)
+      val flat = tailMax <= (headMax * 1.25).toLong + 4
+      val msTail = tail.map(_._3)
+      println(f"[state] $name%-14s head_max=$headMax tail_max=$tailMax " +
+        f"flat=$flat trigger_ms(median tail)=${msTail.sorted.apply(msTail.size / 2)}")
+      flat
+    }
+  }
+
+  private def sample(q: StreamingQuery, b: Int): (Int, Long, Long) = {
+    val p = q.lastProgress
+    val rows =
+      if (p.stateOperators.nonEmpty) p.stateOperators(0).numRowsTotal else -1L
+    (b, rows, p.durationMs.get("triggerExecution").longValue())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val batches = if (args.length > 0) args(0).toInt else 100
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-state-drill")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val scratch = graft.operators.Scratch.tempParent("graft-state-drill")
+
+    // ---- funnel: 40 fresh users per batch, 3 events each, 10 s event-time
+    // step, 30 s horizon. With idle retention (the production config) the
+    // summary rows expire with their cohort → plateau; without it the
+    // per-user summaries accumulate forever (the exact-batch-parity cost,
+    // reported for the record but not gated on)
+    def funnelLeg(name: String, retentionMs: Long, gate: Boolean) = {
+      val in = MemoryStream[(Long, String, Long)]
+      val q = Streams.streamingFunnel(in.toDS(), horizon = "30 seconds",
+          idleRetentionMs = retentionMs)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$scratch/$name").start()
+      val samples = (0 until batches).map { b =>
+        val t0 = b * 10000000L // 10 s per batch, in µs
+        in.addData((0 until 40).flatMap { i =>
+          val uid = b * 1000L + i
+          Seq((uid, "view", t0 + i), (uid, "click", t0 + 100 + i),
+            (uid, "purchase", t0 + 200 + i))
+        })
+        q.processAllAvailable()
+        sample(q, b)
+      }
+      q.stop()
+      (Curve(name, samples), gate)
+    }
+    val funnelRetained = funnelLeg("funnel", retentionMs = 60000L, gate = true)
+    val funnelForever = funnelLeg("funnel_nottl", Long.MaxValue, gate = false)
+
+    // ---- stream-stream as-of: 30 fresh keys per batch, one right + one
+    // probe each, 10 s step, 20 s horizon, 1 s watermark delay
+    val asofCurve = {
+      val in = MemoryStream[(Long, String, Long, Long)]
+      val q = Streams.streamAsofJoin(in.toDS(), horizonS = 20L)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$scratch/asof").start()
+      val samples = (0 until batches).map { b =>
+        val t0 = b * 10L // 10 s per batch, in s
+        in.addData((0 until 30).flatMap { i =>
+          val uid = b * 1000L + i
+          Seq((uid, "R", 0L, t0 + 1), (uid, "L", b * 100L + i, t0 + 2))
+        })
+        q.processAllAvailable()
+        sample(q, b)
+      }
+      q.stop()
+      Curve("asof", samples)
+    }
+
+    // ---- top-k: fixed 8-key population, 50 updates per key per batch —
+    // per-key state must stay ≤ k + slack entries forever
+    val topkCurve = {
+      val in = MemoryStream[(String, Int)]
+      val q = Streams.streamingTopK(in.toDS(), k = 5)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$scratch/topk").start()
+      val samples = (0 until batches).map { b =>
+        in.addData(for {
+          key <- 0 until 8; i <- 0 until 50
+        } yield (s"key$key", b * 50 + i))
+        q.processAllAvailable()
+        sample(q, b)
+      }
+      q.stop()
+      Curve("topk", samples)
+    }
+
+    val verdicts =
+      (funnelRetained :: funnelForever :: (asofCurve, true) ::
+        (topkCurve, true) :: Nil).map { case (c, gate) =>
+        val flat = c.report(); !gate || flat
+      }
+    println(s"[state] ALL_FLAT=${verdicts.forall(identity)}")
+    spark.stop()
+  }
+}

@@ -297,6 +297,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel idle retention drops dormant summaries; the default keeps them forever") {
+    // The StateDrill finding turned spec: evidence lists were always
+    // GC'd, but the O(1) per-user summary outlived every user — state
+    // grew with DISTINCT USERS EVER SEEN, not the active population.
+    // With idleRetentionMs the summary follows its user out after the
+    // watermark sits idle past the retention; the default preserves the
+    // exact batch-parity semantics (a returning user resumes their
+    // funnel), which is the documented trade.
+    val s2 = SparkTestSession.rocksDbSession("graft-funnel-retention-test")
+    import s2.implicits._
+    implicit val ctx = s2.sqlContext
+    val baseUs = 1704100000L * 1000000L
+    def drive(name: String, retentionMs: Long): (Long, Seq[Streams.FunnelStage]) = {
+      val in = MemoryStream[(Long, String, Long)]
+      val q = Streams.streamingFunnel(in.toDS(), horizon = "5 seconds",
+          idleRetentionMs = retentionMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // cohort: 20 users view at t0
+        in.addData((1L to 20L).map(u => (u, "view", baseUs + u)): _*)
+        q.processAllAvailable()
+        // three heartbeats march the watermark far past horizon+retention:
+        // the first drains evidence, the second arms+fires nothing new,
+        // the third fires the retention timers armed at the drain
+        Seq(600L, 700L, 800L).foreach { s =>
+          in.addData((999L, "view", baseUs + s * 1000000L))
+          q.processAllAvailable()
+        }
+        val rows = q.lastProgress.stateOperators(0).numRowsTotal
+        // user 1 returns with a click at the frontier
+        in.addData((1L, "click", baseUs + 900L * 1000000L))
+        q.processAllAvailable()
+        val snaps = s2.table(name).as[Streams.FunnelStage].collect()
+          .filter(_.user_id == 1L).toSeq
+        (rows, snaps)
+      } finally q.stop()
+    }
+    val (retainedRows, retainedSnaps) = drive("funnel_ret_on", 30000L)
+    val (foreverRows, foreverSnaps) = drive("funnel_ret_off", Long.MaxValue)
+    // retention: only the heartbeat user (and the freshly-returned user 1)
+    // can still hold state — the 20-user cohort's summaries are gone
+    assert(retainedRows <= 8L,
+      s"retention left $retainedRows state rows for a 21-user history")
+    // and the returning user RESTARTED: their click has no prior view to
+    // qualify against, so the latest snapshot is stage 0
+    assert(retainedSnaps.last.stage == 0, s"got ${retainedSnaps.last}")
+    // default: all 21 summaries survive, and the same click RESUMES the
+    // funnel (view at t0 still known -> stage 2)
+    assert(foreverRows >= 21L,
+      s"default retention must keep every summary, saw $foreverRows")
+    assert(foreverSnaps.last.stage == 2, s"got ${foreverSnaps.last}")
+  }
+
   test("streaming frequency monitor: per-window count-min grid equals a single pass") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
