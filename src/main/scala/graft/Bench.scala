@@ -56,6 +56,16 @@ object Bench {
   private def floorsPath: String =
     sys.env.getOrElse("SPARK_GRAFT_FLOORS", "bench_floors.json")
 
+  /** The SF the committed floors file was measured at (None = no file /
+    * unreadable) — guards both gating AND updating: a run at another SF
+    * must neither gate against nor overwrite sf0.1's floors. */
+  private def floorsFileSf: Option[String] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      Some(om.readTree(new java.io.File(floorsPath)).path("sf").asText(""))
+        .filter(_.nonEmpty)
+    } catch { case _: Throwable => None }
+
   private def readFloors(sfBase: String): Map[String, Double] =
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -69,9 +79,15 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** Locale-pinned decimal formatting — a comma-decimal default locale
+    * would otherwise emit invalid JSON that readFloors silently swallows,
+    * disabling the gate with no trace. */
+  private def num(fmt: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+
   private def writeFloors(sfBase: String, merged: Map[String, Double]): Unit = {
     val body = merged.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"""    "$k": ${"%.4f".format(v)}""" }
+      .map { case (k, v) => s"""    "$k": ${num("%.4f", v)}""" }
       .mkString(",\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(floorsPath),
       s"""{\n  "sf": "$sfBase",\n  "floors": {\n$body\n  }\n}\n""")
@@ -85,7 +101,9 @@ object Bench {
     // updates are refused on a subset run below, so a partial measurement
     // can never overwrite the full-sweep floors file
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty) // a blank env var means "all", not "none"
     val bench = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val loadBefore = loadavg()
     val spark = SparkSession.builder()
@@ -163,20 +181,29 @@ object Bench {
     val regressions = warm.toSeq.sortBy(_._1).flatMap { case (k, w) =>
       floors.get(k) match {
         case Some(f) if w >= 0 && f > 0 && w / noiseScale > RegressionFactor * f =>
-          Some(s"""{"query":"$k","warm_sec":$w,"floor_sec":$f,"adjusted_sec":${w / noiseScale},"ratio":${"%.2f".format(w / noiseScale / f)}}""")
+          Some(s"""{"query":"$k","warm_sec":$w,"floor_sec":$f,"adjusted_sec":${w / noiseScale},"ratio":${num("%.2f", w / noiseScale / f)}}""")
         case _ => None
       }
     }
     val regressionsJson = regressions.mkString("[", ",", "]")
     if (sys.env.get("SPARK_GRAFT_UPDATE_FLOORS").contains("1") && only.isEmpty) {
-      val merged = (floors.keySet ++ warm.keySet).map { k =>
-        val candidates = Seq(floors.get(k), warm.get(k).filter(_ >= 0)).flatten
-        k -> candidates.min
-      }.toMap
-      writeFloors(sfBase, merged)
-      System.err.println(s"bench: floors updated at $floorsPath (${merged.size} queries)")
+      // never overwrite floors measured at a DIFFERENT SF — a sf0.01 run
+      // must not destroy the committed sf0.1 floors
+      if (floorsFileSf.forall(_ == sfBase)) {
+        val merged = (floors.keySet ++ warm.keySet).flatMap { k =>
+          // a brand-new query that failed every warm pass has no floor
+          // candidate yet — skip it rather than crash on empty min
+          Seq(floors.get(k), warm.get(k).filter(_ >= 0)).flatten match {
+            case Nil => None
+            case cs => Some(k -> cs.min)
+          }
+        }.toMap
+        writeFloors(sfBase, merged)
+        System.err.println(s"bench: floors updated at $floorsPath (${merged.size} queries)")
+      } else System.err.println(
+        s"bench: floors NOT updated — file is for ${floorsFileSf.get}, this run is $sfBase")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(warm)},"queries_cold":${timesJson(cold)},"cold_total":$coldTotal,"warm_passes":3,"probe_query":"$ProbeQuery","probe_before_sec":$probeBefore,"probe_after_sec":$probeAfter,"noise_index":$noiseIndex,"noise_scale":${"%.3f".format(noiseScale)},"floors_sf":"${if (floors.nonEmpty) sfBase else ""}","regressions":$regressionsJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(warm)},"queries_cold":${timesJson(cold)},"cold_total":$coldTotal,"warm_passes":3,"probe_query":"$ProbeQuery","probe_before_sec":$probeBefore,"probe_after_sec":$probeAfter,"noise_index":$noiseIndex,"noise_scale":${num("%.3f", noiseScale)},"floors_sf":"${if (floors.nonEmpty) sfBase else ""}","regressions":$regressionsJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) System.err.println(s"bench: ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()
   }

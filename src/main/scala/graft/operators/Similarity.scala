@@ -552,20 +552,11 @@ object Similarity {
     * corpus REWRITTEN at the same path within one JVM is retrained, not
     * served a stale codebook (review finding: the dir-only key silently
     * survived an overwrite). One driver-side FS listing, no data read. */
-  private def corpusStamp(s: SparkSession, d: String): String = {
-    val path = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) "absent"
-    else {
-      val it = fs.listFiles(path, true)
-      var len = 0L; var mt = 0L; var n = 0
-      while (it.hasNext) {
-        val f = it.next(); len += f.getLen
-        mt = math.max(mt, f.getModificationTime); n += 1
-      }
-      s"$n-$len-$mt"
-    }
-  }
+  // ONE definition of the file-metadata stamp with the model-manifest
+  // staleness check — a format change cannot diverge the codebook cache
+  // key from the manifest fingerprint
+  private def corpusStamp(s: SparkSession, d: String): String =
+    graft.models.ModelManifest.corpusFingerprint(s, d, Seq("embeddings"))
   private val codebookLock = new Object
   private def trainCodebookCached(e: => DataFrame,
       key: String): Seq[(Int, Array[Float])] =

@@ -372,11 +372,19 @@ object Streams {
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       val pending = keepC ++ keepP
       if (pending.nonEmpty) getHandle.registerTimer(pending.max / 1000L + 1L)
-      else if (idleRetentionMs < Inf)
-        // lists are drained: arm the summary's idle-retention GC, keyed
-        // off the watermark at last touch (monotone, deterministic)
-        getHandle.registerTimer(
-          math.max(wmUs / 1000L, 0L) + idleRetentionMs)
+      else if (idleRetentionMs < Inf) {
+        // lists are drained: arm the summary's idle-retention GC from the
+        // user's newest qualifying activity (their summary timestamps),
+        // falling back to the watermark at last touch. The watermark alone
+        // is wrong at cold start/backfill: batch 0's watermark is 0, and
+        // epoch-0 + retention would expire a fresh user the moment the
+        // watermark initializes to real event time.
+        val finite = Seq(s.t1, s.t2, s.t3).filter(_ != Inf)
+        val baseMs = math.max(math.max(wmUs / 1000L, 0L),
+          if (finite.isEmpty) 0L else finite.max / 1000L)
+        val at = baseMs + idleRetentionMs
+        if (at > baseMs) getHandle.registerTimer(at) // skip on overflow = keep forever
+      }
     }
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long, Timestamp)],
@@ -1032,6 +1040,7 @@ object Streams {
   def streamLmScore(df: DataFrame, spark: SparkSession, modelDir: String,
       outDir: String, checkpoint: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, Seq[DataFrame]) = {
+    graft.models.ModelManifest.validate(spark, modelDir, "lm_bigram")
     val cached = Seq(
       spark.read.parquet(s"$modelDir/c2").persist(),
       spark.read.parquet(s"$modelDir/c1").persist(),
@@ -1062,6 +1071,7 @@ object Streams {
   def streamDsirScore(df: DataFrame, spark: SparkSession, modelDir: String,
       outDir: String, checkpoint: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    graft.models.ModelManifest.validate(spark, modelDir, "dsir")
     val ratios = spark.read.parquet(s"$modelDir/ratios").persist()
     val q = df.writeStream
       .option("checkpointLocation", checkpoint)
@@ -1089,6 +1099,7 @@ object Streams {
       outDir: String, checkpoint: String,
       terms: Seq[String] = graft.operators.Scoring.Bm25Terms)
       : (org.apache.spark.sql.streaming.StreamingQuery, Seq[DataFrame]) = {
+    graft.models.ModelManifest.validate(spark, modelDir, "bm25")
     // cache the |Q|-relevant slice, not the whole vocabulary: the model
     // df is |vocabulary| rows on disk, but this stream only ever scores
     // `terms` — pinning the full relation for the stream's lifetime
@@ -1124,6 +1135,7 @@ object Streams {
   def streamNoveltyScore(df: DataFrame, spark: SparkSession, modelDir: String,
       outDir: String, checkpoint: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    graft.models.ModelManifest.validate(spark, modelDir, "ngram_novelty")
     val gramDf = spark.read.parquet(s"$modelDir/gramdf").persist()
     val q = df.writeStream
       .option("checkpointLocation", checkpoint)
@@ -1182,6 +1194,7 @@ object Streams {
   def streamQualityClassify(df: DataFrame, spark: SparkSession,
       modelDir: String, outDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.models.ModelManifest.validate(spark, modelDir, "quality_classifier")
     val (w, mu, sd) = graft.operators.Scoring.qcModelFromDir(spark, modelDir)
     df.writeStream
       .option("checkpointLocation", checkpoint)
@@ -1377,6 +1390,7 @@ object Streams {
   def streamVocabCoverage(df: DataFrame, spark: SparkSession, modelDir: String,
       outDir: String, checkpoint: String)
       : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    graft.models.ModelManifest.validate(spark, modelDir, "tokenizer_vocab")
     val vocab = spark.read.parquet(s"$modelDir/vocab").persist()
     val q = df.writeStream
       .option("checkpointLocation", checkpoint)
@@ -1435,6 +1449,8 @@ object Streams {
     // batch_id comes back via partition-directory inference on read — the
     // sibling sinks' convention; a duplicate data column would shadow the
     // inferred partition column (Spark's data-schema-wins overlap rule).
+    // Layout contract: inference types small ids as INTEGER, so readers
+    // that want a Long must cast — never rely on boxed numeric equality.
     graft.operators.TextAnalysis.tokenKlScoreBatch(batch, support, meta)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
 

@@ -33,8 +33,11 @@ object StateDrill {
         val (b, r, ms) = g.last
         println(f"[state] $name%-14s batch=$b%4d state_rows=$r%7d trigger_ms=$ms%6d")
       }
-      val tail = samples.drop(samples.size / 2)
-      val head = samples.slice(samples.size / 6, samples.size / 2)
+      // guard tiny smoke runs (batches <= 2): fall back to the full series
+      // rather than crash on an empty slice after the run already paid
+      def nonEmptyOrAll(s: Seq[(Int, Long, Long)]) = if (s.nonEmpty) s else samples
+      val tail = nonEmptyOrAll(samples.drop(samples.size / 2))
+      val head = nonEmptyOrAll(samples.slice(samples.size / 6, samples.size / 2))
       val headMax = head.map(_._2).max
       val tailMax = tail.map(_._2).max
       // bounded = the steady-state half never exceeds the warm-up phase's

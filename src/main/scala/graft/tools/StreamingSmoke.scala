@@ -186,7 +186,9 @@ object StreamingSmoke {
     kq.processAllAvailable()
     kin.addData(Seq((990L, "ZZZ9 YYY8 XXX7 " * 40)))
     kq.processAllAvailable(); kq.stop(); kcache.foreach(_.unpersist())
-    val klRows = spark.read.parquet(s"$base/kl_out").collect()
+    // batch_id is partition-inferred (IntegerType for small ids)
+    val klRows = spark.read.parquet(s"$base/kl_out")
+      .withColumn("batch_id", col("batch_id").cast("long")).collect()
       .map(r => r.getAs[Long]("batch_id") ->
         ((r.getAs[Long]("in_support_bp"), r.getAs[Double]("kl_nats")))).toMap
     check("kl_drift_stream",

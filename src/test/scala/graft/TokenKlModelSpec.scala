@@ -63,7 +63,12 @@ class TokenKlModelSpec extends AnyFunSuite {
       try {
         in.addData(inDist); q.processAllAvailable()
         in.addData(driftRows); q.processAllAvailable()
-        val out = spark.read.parquet(outDir).collect()
+        // batch_id is partition-inferred (IntegerType for small ids) —
+        // cast explicitly rather than lean on boxed cooperative equality
+        val out = spark.read.parquet(outDir)
+          .withColumn("batch_id",
+            org.apache.spark.sql.functions.col("batch_id").cast("long"))
+          .collect()
           .map(r => r.getAs[Long]("batch_id") ->
             ((r.getAs[Long]("n_docs"), r.getAs[Long]("in_support_bp"),
               r.getAs[Double]("kl_nats")))).toMap
