@@ -85,13 +85,16 @@ object ScaleDrill {
 
     import graft.operators.{Dedup, Similarity, TextAnalysis}
     import graft.operators.TemporalJoins
-    val families: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      ("text_fingerprint", TextAnalysis.queries("text_fingerprint")),
-      ("dedup_ngram_jaccard", Dedup.queries("dedup_ngram_jaccard")),
-      ("dedup_containment", Dedup.queries("dedup_containment")),
-      ("dedup_clusters", Dedup.queries("dedup_clusters")),
-      ("semdedup_prune", Similarity.queries("semdedup_prune")),
-      ("asof_join_native", TemporalJoins.queries("asof_join_native")))
+    val defaults = Seq("text_fingerprint", "dedup_ngram_jaccard",
+      "dedup_containment", "dedup_clusters", "semdedup_prune",
+      "asof_join_native", "dedup_winnow", "dedup_minhash_lsh",
+      "quality_classifier", "lm_perplexity")
+    val all = TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ TemporalJoins.queries ++
+      graft.operators.Scoring.queries
+    val chosen = if (args.length > 2) args(2).split(",").toSeq else defaults
+    val families: Seq[(String, (SparkSession, String) => DataFrame)] =
+      chosen.map(n => n -> all(n))
 
     println(f"[drill] ${"family"}%-22s ${"t_base"}%9s ${"t_x" + copies}%9s ${"ratio"}%7s ${"exponent"}%8s rows")
     val rows = families.map { case (name, fn) =>
