@@ -494,10 +494,104 @@ object Packing {
     groups.size
   }
 
+  // -------------------------------------------------- padding-waste curve
+  /** Bucket counts evaluated by [[paddingWasteCurve]] — powers of two so
+    * each curve point's quantile boundary set contains the previous
+    * point's (nested refinement), which is what makes the waste column
+    * provably non-increasing down the report. */
+  val PaddingBucketCounts: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** Padding-waste curve for length-bucketed batching — the OTHER answer
+    * to heterogeneous document lengths (the alternative pack_sequences
+    * sidesteps by concatenation): batch within length buckets and pad
+    * every document to its bucket's max. This report is the decision
+    * table for the bucket-count knob: for B ∈ [[PaddingBucketCounts]]
+    * quantile buckets (thresholds = i/B percentiles of the token count,
+    * rounded 4 dp on both engines — the `curriculum_buckets` portable
+    * pair), the padded token volume, the real token volume, and the
+    * waste share in bp. Because each B's boundary set is nested in the
+    * next's, buckets refine and waste is non-increasing in B — the spec
+    * asserts the monotonicity, the oracle pins the exact integers.
+    *
+    * Scale shape: ONE tokenize pass into (doc_id, n) — localCheckpoint'd
+    * and reused by all four curve points; per point, one broadcast
+    * percentile row, a narrow bucket-assignment projection, and a B-row
+    * aggregate (waste per bucket = count·max − sum, so no second per-doc
+    * pass); the report is |PaddingBucketCounts| rows. No window over
+    * corpus rows anywhere.
+    */
+  def paddingWasteCurve(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.parallelize(s, Tables.documents(s, d)
+      .select(size(Portable.tokens(col("text"))).cast("long").as("n")))
+      .localCheckpoint()
+    val curves = PaddingBucketCounts.map { b =>
+      val thresholds = (1 until b).map { i =>
+        round(expr(s"percentile(n, ${i.toDouble / b})"), 4).as(s"t$i")
+      }
+      val bucketed =
+        if (b == 1) perDoc.select(col("n"), lit(1).as("bucket"))
+        else {
+          val q = perDoc.agg(thresholds.head, thresholds.tail: _*)
+          perDoc.crossJoin(broadcast(q))
+            .select(col("n"),
+              (1 until b).map(i => (col("n") > col(s"t$i")).cast("int"))
+                .foldLeft(lit(1))(_ + _).as("bucket"))
+        }
+      bucketed.groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), sum("n").as("real"), max("n").as("bmax"))
+        .agg(
+          coalesce(sum(col("cnt") * col("bmax")), lit(0L)).as("padded_tokens"),
+          coalesce(sum("real"), lit(0L)).as("real_tokens"))
+        .select(lit(b).as("n_buckets"), col("padded_tokens"), col("real_tokens"),
+          (col("padded_tokens") - col("real_tokens")).as("waste_tokens"),
+          expr("(padded_tokens - real_tokens) * 10000 div greatest(padded_tokens, 1L)")
+            .as("waste_bp"))
+    }
+    curves.reduce(_ unionAll _).orderBy("n_buckets")
+  }
+
+  val paddingWasteCurveSql: String = {
+    def point(b: Int): String =
+      if (b == 1)
+        """SELECT 1 AS n_buckets,
+          |  CAST(count(*) * max(n) AS BIGINT) AS padded_tokens,
+          |  CAST(sum(n) AS BIGINT) AS real_tokens FROM t""".stripMargin
+      else {
+        val thr = (1 until b).map(i =>
+          s"round(quantile_cont(n, ${i.toDouble / b}), 4) AS t$i").mkString(", ")
+        val assign = (1 until b).map(i =>
+          s"(CASE WHEN n > (SELECT t$i FROM q$b) THEN 1 ELSE 0 END)")
+          .mkString("1 + ", " + ", "")
+        s"""SELECT $b AS n_buckets,
+           |  CAST(sum(cnt * bmax) AS BIGINT) AS padded_tokens,
+           |  CAST(sum(realv) AS BIGINT) AS real_tokens
+           |FROM (
+           |  SELECT bucket, count(*) AS cnt, sum(n) AS realv, max(n) AS bmax
+           |  FROM (SELECT n, $assign AS bucket FROM t) GROUP BY bucket)""".stripMargin
+      }
+    val qCtes = PaddingBucketCounts.filter(_ > 1).map { b =>
+      val thr = (1 until b).map(i =>
+        s"round(quantile_cont(n, ${i.toDouble / b}), 4) AS t$i").mkString(", ")
+      s"q$b AS (SELECT $thr FROM t)"
+    }.mkString(",\n")
+    val points = PaddingBucketCounts.map(point).mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |$qCtes
+       |SELECT n_buckets, padded_tokens, real_tokens,
+       |  CAST(padded_tokens - real_tokens AS BIGINT) AS waste_tokens,
+       |  CAST((padded_tokens - real_tokens) * 10000
+       |    // greatest(padded_tokens, 1) AS BIGINT) AS waste_bp
+       |FROM ($points)
+       |ORDER BY n_buckets""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "assign_row_ids" -> (assignRowIds _),
     "pack_sequences" -> (packSequences _),
     "pack_efficiency" -> (packEfficiency _),
+    "padding_waste_curve" -> (paddingWasteCurve _),
     "zorder_layout" -> (zorderLayout _),
     "zorder_pruning" -> (zorderPruning _))
 
@@ -505,6 +599,7 @@ object Packing {
     "assign_row_ids" -> assignRowIdsSql,
     "pack_sequences" -> packSequencesSql,
     "pack_efficiency" -> packEfficiencySql,
+    "padding_waste_curve" -> paddingWasteCurveSql,
     "zorder_layout" -> zorderLayoutSql,
     "zorder_pruning" -> zorderPruningSql)
 }

@@ -1379,6 +1379,46 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("padding waste curve: brute-force agreement, waste non-increasing in bucket count") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val rows = operators.Packing.paddingWasteCurve(spark, dir).collect()
+        .map(r => (r.getAs[Int]("n_buckets"), r.getAs[Long]("padded_tokens"),
+          r.getAs[Long]("real_tokens"), r.getAs[Long]("waste_tokens"),
+          r.getAs[Long]("waste_bp")))
+      assert(rows.map(_._1).toSeq == operators.Packing.PaddingBucketCounts)
+      // plain-Scala recompute with the same 4-dp interpolated quantiles
+      val ns = Tables.documents(spark, dir)
+        .select(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ").as("w"))
+        .collect().map(_.getAs[Seq[String]]("w").size.toLong).sorted
+      def quantile(p: Double): Double = {
+        val idx = p * (ns.length - 1)
+        val lo = idx.toInt; val frac = idx - lo
+        val v =
+          if (lo + 1 < ns.length) ns(lo) + frac * (ns(lo + 1) - ns(lo))
+          else ns(lo).toDouble
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      rows.foreach { case (b, padded, real, waste, bp) =>
+        val thr = (1 until b).map(i => quantile(i.toDouble / b))
+        val byBucket = ns.groupBy(n => 1 + thr.count(n > _))
+        val wantPadded = byBucket.values.map(g => g.length.toLong * g.max).sum
+        val wantReal = ns.sum
+        assert(padded == wantPadded && real == wantReal,
+          s"$dir B=$b: got ($padded,$real) want ($wantPadded,$wantReal)")
+        assert(waste == padded - real && bp == waste * 10000 / math.max(padded, 1L))
+      }
+      // nested quantile boundaries => refining buckets => monotone waste
+      rows.sliding(2).foreach { case Array(a, c) =>
+        assert(c._4 <= a._4,
+          s"$dir: waste must not increase ${a._1}->${c._1} buckets (${a._4} -> ${c._4})")
+      }
+      // materiality: bucketing must actually help on this corpus
+      assert(rows.last._4 < rows.head._4,
+        s"$dir: 8 buckets must beat 1 bucket (${rows.head._4} -> ${rows.last._4})")
+    }
+  }
+
   test("gate rule matrix: symmetric, diagonal-dominant, diagonal equals the gate's failures") {
     import org.apache.spark.sql.functions.col
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
