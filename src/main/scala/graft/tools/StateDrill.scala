@@ -120,6 +120,51 @@ object StateDrill {
       Curve("asof", samples)
     }
 
+    // ---- late panes: windowed delta panes over churning (user, window)
+    // keys — state is GC'd when the watermark passes the window end, so
+    // rows must plateau at ~the horizon's worth of open windows
+    val panesCurve = {
+      val in = MemoryStream[Streams.Msg]
+      val q = Streams.latePanes(in.toDS())
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$scratch/panes").start()
+      val samples = (0 until batches).map { b =>
+        val t0 = 1704100000000L + b * 60000L // 1 min of event time per batch
+        in.addData((0 until 30).map { i =>
+          Streams.Msg(new java.sql.Timestamp(t0 + i * 1000L), b * 100 + i)
+        })
+        q.processAllAvailable()
+        sample(q, b)
+      }
+      q.stop()
+      Curve("late_panes", samples)
+    }
+
+    // ---- watermark dedup (3.5+ id-only-key API): fresh ids per batch,
+    // duplicates within the batch — state must drain behind the watermark
+    val dedupCurve = {
+      val in = MemoryStream[(Long, Long)]
+      val deduped = Streams.streamingDedupWithinWatermark(
+        in.toDF().toDF("id", "es")
+          .withColumn("event_time",
+            org.apache.spark.sql.functions.timestamp_seconds(
+              org.apache.spark.sql.functions.col("es"))),
+        "event_time", "30 seconds", Seq("id"))
+      val q = deduped.writeStream.format("noop")
+        .option("checkpointLocation", s"$scratch/dedup").start()
+      val samples = (0 until batches).map { b =>
+        val t0 = b * 10L
+        in.addData((0 until 40).flatMap { i =>
+          val id = b * 1000L + i
+          Seq((id, t0), (id, t0 + 1)) // a redelivery per id
+        })
+        q.processAllAvailable()
+        sample(q, b)
+      }
+      q.stop()
+      Curve("wm_dedup", samples)
+    }
+
     // ---- top-k: fixed 8-key population, 50 updates per key per batch —
     // per-key state must stay ≤ k + slack entries forever
     val topkCurve = {
@@ -140,6 +185,7 @@ object StateDrill {
 
     val verdicts =
       (funnelRetained :: funnelForever :: (asofCurve, true) ::
+        (panesCurve, true) :: (dedupCurve, true) ::
         (topkCurve, true) :: Nil).map { case (c, gate) =>
         val flat = c.report(); !gate || flat
       }
