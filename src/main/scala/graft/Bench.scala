@@ -39,6 +39,18 @@ object Bench {
   /** Regression threshold vs the committed floor, after noise correction. */
   private val RegressionFactor = 2.0
 
+  /** Ceiling on the noise correction. The probe runs THROUGH the engine
+    * under test, so an engine-wide slowdown (a scan/filter-path
+    * regression) inflates the probe exactly like every other query and
+    * unbounded division would silently launder a uniform regression into
+    * a "noisy host" verdict. Two defenses: (a) the probe itself is gated
+    * UNCORRECTED against its own floor — a drifted probe is a loud
+    * `probe_regression` entry in the artifact, never a universal excuse —
+    * and (b) the correction other queries receive is capped here, so even
+    * a wildly drifted probe can at most halve-ish the gate's sensitivity,
+    * not disable it. */
+  private val NoiseScaleCap = 2.5
+
   /** Committed per-query warm floors (`bench_floors.json`): the best
     * idle-host min-of-3 warm time each query has recorded, keyed by the
     * SF-dir basename so floors measured at sf0.1 never gate an sf0.01 run.
@@ -175,13 +187,20 @@ object Bench {
       case Nil => -1.0; case xs => xs.min
     }
     val noiseScale = floors.get(ProbeQuery) match {
-      case Some(pf) if pf > 0 && probeNow > 0 => math.max(1.0, probeNow / pf)
+      case Some(pf) if pf > 0 && probeNow > 0 =>
+        math.min(NoiseScaleCap, math.max(1.0, probeNow / pf))
       case _ => 1.0
     }
+    // the probe gates itself UNCORRECTED (dividing the probe by its own
+    // drift would make it structurally un-flaggable); everything else is
+    // gated after the capped correction
+    val probeRegression = floors.get(ProbeQuery).exists(pf =>
+      pf > 0 && probeNow > 0 && probeNow > RegressionFactor * pf)
     val regressions = warm.toSeq.sortBy(_._1).flatMap { case (k, w) =>
+      val scale = if (k == ProbeQuery) 1.0 else noiseScale
       floors.get(k) match {
-        case Some(f) if w >= 0 && f > 0 && w / noiseScale > RegressionFactor * f =>
-          Some(s"""{"query":"$k","warm_sec":$w,"floor_sec":$f,"adjusted_sec":${w / noiseScale},"ratio":${num("%.2f", w / noiseScale / f)}}""")
+        case Some(f) if w >= 0 && f > 0 && w / scale > RegressionFactor * f =>
+          Some(s"""{"query":"$k","warm_sec":$w,"floor_sec":$f,"adjusted_sec":${w / scale},"ratio":${num("%.2f", w / scale / f)}}""")
         case _ => None
       }
     }
@@ -203,7 +222,7 @@ object Bench {
       } else System.err.println(
         s"bench: floors NOT updated — file is for ${floorsFileSf.get}, this run is $sfBase")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(warm)},"queries_cold":${timesJson(cold)},"cold_total":$coldTotal,"warm_passes":3,"probe_query":"$ProbeQuery","probe_before_sec":$probeBefore,"probe_after_sec":$probeAfter,"noise_index":$noiseIndex,"noise_scale":${num("%.3f", noiseScale)},"floors_sf":"${if (floors.nonEmpty) sfBase else ""}","regressions":$regressionsJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(warm)},"queries_cold":${timesJson(cold)},"cold_total":$coldTotal,"warm_passes":3,"probe_query":"$ProbeQuery","probe_before_sec":$probeBefore,"probe_after_sec":$probeAfter,"noise_index":$noiseIndex,"noise_scale":${num("%.3f", noiseScale)},"probe_regression":$probeRegression,"floors_sf":"${if (floors.nonEmpty) sfBase else ""}","regressions":$regressionsJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) System.err.println(s"bench: ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()
   }

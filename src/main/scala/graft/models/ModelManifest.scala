@@ -58,8 +58,24 @@ object ModelManifest {
       case c => c.toString
     } + "\""
 
+  /** Retrain-safety gate: delete any EXISTING manifest before the model
+    * parquet writes start. Every `write*` path calls this first, so the
+    * interrupted-retrain window is closed from both sides — a crash
+    * before the data writes finish leaves a dir with no manifest (the
+    * old one is already gone), and a crash before [[write]] runs leaves
+    * the same; either way [[validate]] refuses the dir. Without this, a
+    * crash mid-retrain left the OLD valid manifest over
+    * partially-rewritten data, and an unchanged corpus made even the
+    * fingerprint check pass (ADVICE r11). */
+  def invalidate(s: SparkSession, modelDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$modelDir/$FileName")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, false)
+  }
+
   /** Write the manifest for a model trained from `tables` under `sfDir`.
-    * Call AFTER the model parquet writes succeed: a crashed training run
+    * Call AFTER the model parquet writes succeed (and [[invalidate]]
+    * BEFORE they start): a crashed training run
     * leaves no manifest, and the serving path refuses the partial dir. */
   def write(s: SparkSession, modelDir: String, kind: String, sfDir: String,
       tables: Seq[String], params: Seq[(String, String)] = Nil): Unit = {

@@ -583,6 +583,7 @@ object Dedup {
     * pass over history per artifact, paid once, amortized over every later
     * increment. */
   def writeDedupIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    graft.models.ModelManifest.invalidate(s, indexDir)
     val isBatch = col("doc_id") % 10 >= 8
     Tables.documents(s, d).filter(!isBatch)
       .select(col("doc_id"), normFp.as("fp"))
@@ -1385,6 +1386,7 @@ object Dedup {
     * join, no propagation (plan-pinned by `ClusterLabelsSpec`).
     */
   def writeClusterLabels(s: SparkSession, d: String, dir: String): Unit = {
+    graft.models.ModelManifest.invalidate(s, dir)
     clusterLabels(s, d).write.mode("overwrite").parquet(s"$dir/labels")
     graft.models.ModelManifest.write(s, dir, "cluster_labels", d,
       Seq("documents"))
@@ -1644,6 +1646,7 @@ object Dedup {
     * exists for an arbitrary frame); kind/params validation still
     * applies at serve time. */
   def writeWinnowIndex(docs: DataFrame, dir: String): Unit = {
+    graft.models.ModelManifest.invalidate(docs.sparkSession, dir)
     val fp = winnowFingerprints(docs).localCheckpoint()
     val hot = fp.groupBy("fp").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= WinnowHotCap).select("fp")

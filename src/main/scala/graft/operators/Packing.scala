@@ -553,9 +553,11 @@ object Packing {
   val paddingWasteCurveSql: String = {
     def point(b: Int): String =
       if (b == 1)
+        // coalesce mirrors the Column tree's coalesce(sum(...), 0L): on an
+        // EMPTY corpus max(n)/sum(n) are NULL and the engines would diverge
         """SELECT 1 AS n_buckets,
-          |  CAST(count(*) * max(n) AS BIGINT) AS padded_tokens,
-          |  CAST(sum(n) AS BIGINT) AS real_tokens FROM t""".stripMargin
+          |  CAST(coalesce(count(*) * max(n), 0) AS BIGINT) AS padded_tokens,
+          |  CAST(coalesce(sum(n), 0) AS BIGINT) AS real_tokens FROM t""".stripMargin
       else {
         val thr = (1 until b).map(i =>
           s"round(quantile_cont(n, ${i.toDouble / b}), 4) AS t$i").mkString(", ")
@@ -563,8 +565,8 @@ object Packing {
           s"(CASE WHEN n > (SELECT t$i FROM q$b) THEN 1 ELSE 0 END)")
           .mkString("1 + ", " + ", "")
         s"""SELECT $b AS n_buckets,
-           |  CAST(sum(cnt * bmax) AS BIGINT) AS padded_tokens,
-           |  CAST(sum(realv) AS BIGINT) AS real_tokens
+           |  CAST(coalesce(sum(cnt * bmax), 0) AS BIGINT) AS padded_tokens,
+           |  CAST(coalesce(sum(realv), 0) AS BIGINT) AS real_tokens
            |FROM (
            |  SELECT bucket, count(*) AS cnt, sum(n) AS realv, max(n) AS bmax
            |  FROM (SELECT n, $assign AS bucket FROM t) GROUP BY bucket)""".stripMargin

@@ -237,6 +237,7 @@ object Scoring {
     * must not be re-run per scoring batch.
     */
   def writeLmModel(s: SparkSession, d: String, dir: String): Unit = {
+    graft.models.ModelManifest.invalidate(s, dir)
     Tables.tuneSession(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
@@ -367,6 +368,7 @@ object Scoring {
     * or ranking against a new query never re-reads the corpus.
     */
   def writeBm25Model(s: SparkSession, d: String, dir: String): Unit = {
+    graft.models.ModelManifest.invalidate(s, dir)
     Tables.tuneSession(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
@@ -524,6 +526,7 @@ object Scoring {
     * B rows of `(bucket, lr)` parquet, always broadcast-sized.
     */
   def writeDsirModel(s: SparkSession, d: String, dir: String): Unit = {
+    graft.models.ModelManifest.invalidate(s, dir)
     Tables.tuneSession(s)
     val B = DsirBuckets
     val observed = Tables.documents(s, d)
@@ -835,6 +838,7 @@ object Scoring {
     * 13-value row) and serve from it; the LM/DSIR/BM25/novelty serving
     * contract applied to the distilled gate. */
   def writeQualityClassifier(s: SparkSession, d: String, dir: String): Unit = {
+    graft.models.ModelManifest.invalidate(s, dir)
     val feats = qcFeatures(Tables.documents(s, d).select(col("doc_id"), col("text")))
       .localCheckpoint()
     val (w, mu, sd) = trainQc(feats)

@@ -67,6 +67,48 @@ object ScaleDrill {
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
+  /** Committed per-family exponent floors (`slope_floors.json`) — the
+    * scale-dimension twin of `bench_floors.json` (VERDICT r11 item 3):
+    * bench floors gate per-query TIME; nothing gated the measured growth
+    * EXPONENT, so a plan rewrite that kept the sf0.1 constant but bent a
+    * family quadratic would pass every gate until someone re-read the
+    * drill table. The drill now emits `slope_regressions:[...]` for any
+    * family whose measured exponent exceeds its committed floor +
+    * [[SlopeMargin]] (exponents at the small end are noisy — a constant
+    * ±30% between the two scales moves the exponent by log(1.3)/log(10)
+    * ≈ 0.11, so the margin absorbs measurement noise, not algorithmic
+    * drift) or the absolute [[SlopeCeiling]]. Floors are keyed by the
+    * copies factor: an x10 exponent must never gate an x3 run.
+    * `SPARK_GRAFT_UPDATE_SLOPES=1` rewrites with min(old, new) — floors
+    * ratchet down, never up. */
+  private val SlopeMargin = 0.25
+  private val SlopeCeiling = 1.35
+  private def slopesPath: String =
+    sys.env.getOrElse("SPARK_GRAFT_SLOPES", "slope_floors.json")
+
+  private def readSlopes(copies: Int): Map[String, Double] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(new java.io.File(slopesPath))
+      if (root.path("copies").asInt(-1) != copies) Map.empty
+      else {
+        val it = root.path("exponents").properties().iterator()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def writeSlopes(copies: Int, merged: Map[String, Double]): Unit = {
+    val body = merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""    "$k": ${num(v)}""" }.mkString(",\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(slopesPath),
+      s"""{\n  "copies": $copies,\n  "exponents": {\n$body\n  }\n}\n""")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val copies = if (args.length > 1) args(1).toInt else 10
@@ -109,6 +151,32 @@ object ScaleDrill {
     }
     val worst = rows.maxBy(_._5)
     println(f"[drill] worst exponent: ${worst._1} ${worst._5}%.2f")
+    // ---- slope regression gate vs committed exponent floors ----
+    val floors = readSlopes(copies)
+    val regressions = rows.sortBy(_._1).flatMap { case (name, _, _, _, expo) =>
+      val floorHit = floors.get(name)
+        .filter(f => expo > f + SlopeMargin)
+        .map(f => s"""{"family":"$name","exponent":${num(expo)},"floor":${num(f)}}""")
+      val ceilHit =
+        if (expo > SlopeCeiling)
+          Some(s"""{"family":"$name","exponent":${num(expo)},"ceiling":$SlopeCeiling}""")
+        else None
+      floorHit.orElse(ceilHit)
+    }
+    if (sys.env.get("SPARK_GRAFT_UPDATE_SLOPES").contains("1") && args.length <= 2) {
+      // never merge a subset run's exponents over the committed defaults,
+      // and never mix copies factors (readSlopes already refused those)
+      val merged = (floors.keySet ++ rows.map(_._1)).flatMap { k =>
+        Seq(floors.get(k), rows.find(_._1 == k).map(_._5)).flatten match {
+          case Nil => None; case cs => Some(k -> cs.min)
+        }
+      }.toMap
+      writeSlopes(copies, merged)
+      System.err.println(s"[drill] slope floors updated at $slopesPath (${merged.size} families)")
+    }
+    val expJson = rows.sortBy(_._1)
+      .map { case (n, _, _, _, e) => s""""$n":${num(e)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_drill","copies":$copies,"exponents":$expJson,"worst":"${worst._1}","worst_exponent":${num(worst._5)},"slope_regressions":[${regressions.mkString(",")}]}""")
     spark.stop() // Scratch's shutdown hook removes the generated fixture
   }
 }

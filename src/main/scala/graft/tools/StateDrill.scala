@@ -51,10 +51,16 @@ object StateDrill {
   }
 
   private def sample(q: StreamingQuery, b: Int): (Int, Long, Long) = {
+    // lastProgress is null before the first progress event, and the
+    // durationMs map may lack triggerExecution — record -1 instead of
+    // NPE-ing a drill that has been running for minutes (ADVICE r11)
     val p = q.lastProgress
-    val rows =
-      if (p.stateOperators.nonEmpty) p.stateOperators(0).numRowsTotal else -1L
-    (b, rows, p.durationMs.get("triggerExecution").longValue())
+    if (p == null) (b, -1L, -1L)
+    else {
+      val rows =
+        if (p.stateOperators.nonEmpty) p.stateOperators(0).numRowsTotal else -1L
+      (b, rows, p.durationMs.getOrDefault("triggerExecution", -1L).longValue())
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -46,6 +46,9 @@ class ModelManifestSpec extends AnyFunSuite {
     ("winnow_index",
       dir => Dedup.writeWinnowIndex(spark, sf, dir),
       dir => Dedup.winnowIndexFps(spark, dir)),
+    ("edit_index",
+      dir => TextAnalysis.writeEditIndex(spark, sf, dir),
+      dir => TextAnalysis.editIndexSegments(spark, dir)),
     ("bpe_merges",
       dir => TextAnalysis.writeBpeMerges(spark, sf, dir),
       dir => TextAnalysis.bpeMergesFromModel(spark, dir)),
@@ -122,6 +125,26 @@ class ModelManifestSpec extends AnyFunSuite {
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       expectRefusal("schema")(Scoring.bm25ScoreFromModel(spark, dir, docProbes))
+    } finally SparkTestSession.deleteRecursively(base)
+  }
+
+  test("interrupted retrain is refused: invalidate drops the old manifest before data rewrites") {
+    val base = java.nio.file.Files.createTempDirectory("graft-manifest-retrain").toString
+    try {
+      val dir = s"$base/m"
+      Scoring.writeBm25Model(spark, sf, dir)
+      ModelManifest.validate(spark, dir, "bm25")
+      // simulate a retrain that crashed after invalidate (every write*
+      // path's first statement) but before the final manifest write: the
+      // dir still holds full model parquet from the previous train, yet
+      // must read as a partial training run
+      ModelManifest.invalidate(spark, dir)
+      expectRefusal("no manifest.json")(Scoring.bm25ScoreFromModel(spark, dir, docProbes))
+      // a completed retrain re-arms serving
+      Scoring.writeBm25Model(spark, sf, dir)
+      Scoring.bm25ScoreFromModel(spark, dir, docProbes)
+      // invalidate on a dir with no manifest is a no-op, not an error
+      ModelManifest.invalidate(spark, s"$base/never-written")
     } finally SparkTestSession.deleteRecursively(base)
   }
 
