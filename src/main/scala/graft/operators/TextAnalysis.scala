@@ -274,7 +274,11 @@ object TextAnalysis {
     * fingerprint, not the full text, is what shuffles).
     */
   def textFingerprint(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d)
+    // the fixture is one small parquet file = ONE scan split, so without
+    // the local-mode repartition every regex+md5 runs on a single core
+    // (the r11 profile: ~6 s cold for a 5000-row scan); at cluster scale
+    // parallelize is a no-op because the scan already has real splits
+    Tables.parallelize(s, Tables.documents(s, d))
       .select(col("doc_id"), Portable.docFingerprint.as("fingerprint"))
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
@@ -347,12 +351,15 @@ object TextAnalysis {
     * names are ≥ 7 chars). Callers feed DISTINCT names — duplicate
     * strings belong in the caller's exact-match leg, not the ed ≥ 1 path.
     */
-  private[graft] def editDistanceCandidates(names: DataFrame): DataFrame = {
+  /** BUILD half of the PassJoin block key space: each name's K+1
+    * canonical segments keyed by `(blk_len, blk_i, seg)` — the relation
+    * [[writeEditIndex]] persists as the edit-distance screen index. */
+  private[graft] def editSegmentsBuild(names: DataFrame): DataFrame = {
     val k = EditDistK
     // canonical segment geometry for a string of length L split into K+1
     // parts, i = 0..K: len_i = L div (K+1) + (1 if i < L mod (K+1)),
     // start_i = 1 + i*(L div (K+1)) + least(i, L mod (K+1))   (1-based)
-    val build = names.select(col("name").as("name_b"),
+    names.select(col("name").as("name_b"),
       expr(
         s"""inline(transform(sequence(0, $k), i -> struct(
            |  length(name) AS blk_len, i AS blk_i,
@@ -360,7 +367,13 @@ object TextAnalysis {
            |    1 + i * (length(name) div ${k + 1}) + least(i, length(name) % ${k + 1}),
            |    (length(name) div ${k + 1}) + IF(i < length(name) % ${k + 1}, 1, 0)
            |  ) AS seg)))""".stripMargin.replace("\n", " ")))
-    val probe = names.select(col("name").as("name_a"),
+  }
+
+  /** PROBE half: ≤ (2K+1)²·(K+1) candidate keys per name — the
+    * substrings at each candidate build length's canonical starts ±K. */
+  private[graft] def editProbeKeys(names: DataFrame): DataFrame = {
+    val k = EditDistK
+    names.select(col("name").as("name_a"),
       expr(
         s"""inline(flatten(transform(
            |  filter(sequence(length(name) - $k, length(name) + $k), L -> L >= ${k + 1}),
@@ -376,13 +389,16 @@ object TextAnalysis {
            |          1 + i * (L div ${k + 1}) + least(i, L % ${k + 1}) + d,
            |          (L div ${k + 1}) + IF(i < L % ${k + 1}, 1, 0)) AS seg)))))))"""
           .stripMargin.replace("\n", " ")))
-    probe.join(build, Seq("blk_len", "blk_i", "seg"))
+  }
+
+  private[graft] def editDistanceCandidates(names: DataFrame): DataFrame =
+    editProbeKeys(names)
+      .join(editSegmentsBuild(names), Seq("blk_len", "blk_i", "seg"))
       .filter(col("name_a") =!= col("name_b"))
       .select(
         least(col("name_a"), col("name_b")).as("name_a"),
         greatest(col("name_a"), col("name_b")).as("name_b"))
       .distinct()
-  }
 
   /** Edit-distance near-dup join over part names: ALL key pairs whose
     * names are within Levenshtein distance ≤ 2 — the WHOLE corpus, no key
@@ -426,6 +442,100 @@ object TextAnalysis {
       |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY key_a, key_b""".stripMargin
+
+  // --------------------------------------------- edit-distance screen serving
+  /** Persist the PassJoin segment index over the corpus's distinct part
+    * names — the train-offline half of the edit-distance family's serving
+    * split (the `writeWinnowIndex` discipline, VERDICT r11 item 5: the
+    * one dedup family that had no streaming twin). |index| = (K+1) rows
+    * per distinct name, keyed by the pigeonhole block triple; an ingest
+    * pipeline screens arriving names against FROZEN history without
+    * regenerating corpus segments. */
+  def writeEditIndex(s: SparkSession, d: String, dir: String): Unit = {
+    graft.models.ModelManifest.invalidate(s, dir)
+    editSegmentsBuild(
+      Tables.parallelize(s, Tables.part(s, d))
+        .select(col("p_name").as("name")).distinct())
+      .write.mode("overwrite").parquet(s"$dir/segments")
+    graft.models.ModelManifest.write(s, dir, "edit_index", d, Seq("part"),
+      Seq("k" -> EditDistK.toString))
+  }
+
+  /** Validated read half of the edit-index serving split. */
+  def editIndexSegments(s: SparkSession, dir: String): DataFrame = {
+    graft.models.ModelManifest.validate(s, dir, "edit_index")
+    s.read.parquet(s"$dir/segments")
+  }
+
+  /** Screen a batch of `(key, name)` rows against a persisted segment
+    * index: probe-side candidate keys for the ARRIVING names only (≤ 75
+    * per name — the index is never re-segmented), block equi-join,
+    * Levenshtein verify. A probe name identical to an indexed name
+    * surfaces at `best_dist` 0 through the same path (the d = 0 probe
+    * keys hit its own segments) — no separate exact leg. TOTAL: every
+    * input row surfaces; no hit → `n_matches` 0, `best_dist` -1.
+    * Contract: names of length ≥ K+1 on both sides (PassJoin
+    * completeness needs non-empty segments). Output UNORDERED (the
+    * serving contract). */
+  def editScreenBatch(batch: DataFrame, segIndex: DataFrame): DataFrame = {
+    val matched = editProbeKeys(batch.select(col("name")).distinct())
+      .join(segIndex, Seq("blk_len", "blk_i", "seg"))
+      .select(col("name_a"), col("name_b")).distinct()
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= EditDistK)
+      .groupBy(col("name_a").as("name"))
+      .agg(count(lit(1)).as("n_matches"), min("edit_dist").as("best_dist"))
+    batch.join(matched, Seq("name"), "left")
+      .select(col("key"), col("name"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_dist"), lit(-1)).as("best_dist"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("suspect"))
+  }
+
+  /** Oracle-closed registered form of the edit-distance screen: index
+    * ALL distinct part names, screen the held-out 20% key slice after a
+    * deterministic perturbation (even keys lose their last character —
+    * a guaranteed distance-1 near-dup of history; odd keys arrive
+    * verbatim — exact dups at distance 0), so every probe has a known
+    * floor and a blocking bug that loses candidates turns the count/hash
+    * compare red. The DuckDB oracle re-screens by brute force
+    * (length-band theta join), independent of the PassJoin blocking. */
+  def editScreen(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.parallelize(s,
+      Tables.part(s, d).select(col("p_partkey"), col("p_name")))
+      .localCheckpoint() // feeds both the index build and the probe slice
+    val segIndex = editSegmentsBuild(
+      p.select(col("p_name").as("name")).distinct())
+    val probes = p.filter(col("p_partkey") % 10 >= 8)
+      .select(col("p_partkey").as("key"),
+        when(col("p_partkey") % 2 === 0,
+          expr("substring(p_name, 1, length(p_name) - 1)"))
+          .otherwise(col("p_name")).as("name"))
+    editScreenBatch(probes, segIndex).orderBy("key")
+  }
+
+  val editScreenSql: String =
+    """WITH probes AS (
+      |  SELECT p_partkey AS key,
+      |    CASE WHEN p_partkey % 2 = 0
+      |      THEN substring(p_name, 1, length(p_name) - 1)
+      |      ELSE p_name END AS name
+      |  FROM part WHERE p_partkey % 10 >= 8),
+      |names AS (SELECT DISTINCT p_name AS nb FROM part),
+      |m AS (
+      |  SELECT p.name,
+      |    CAST(count(*) AS BIGINT) AS n_matches,
+      |    CAST(min(levenshtein(p.name, n.nb)) AS INTEGER) AS best_dist
+      |  FROM (SELECT DISTINCT name FROM probes) p JOIN names n
+      |    ON abs(length(p.name) - length(n.nb)) <= 2
+      |      AND levenshtein(p.name, n.nb) <= 2
+      |  GROUP BY p.name)
+      |SELECT key, probes.name AS name,
+      |  CAST(coalesce(n_matches, 0) AS BIGINT) AS n_matches,
+      |  CAST(coalesce(best_dist, -1) AS INTEGER) AS best_dist,
+      |  coalesce(n_matches, 0) > 0 AS suspect
+      |FROM probes LEFT JOIN m ON m.name = probes.name
+      |ORDER BY key""".stripMargin
 
   // ------------------------------------------------------------- language id
   /** Character-bigram language-ID heuristic. Profiles are fixed constants
@@ -1172,6 +1282,7 @@ object TextAnalysis {
     * (the counts are audit metadata; serving reads only `tok`).
     */
   def writeBpeMerges(s: SparkSession, d: String, dir: String): Unit = {
+    graft.models.ModelManifest.invalidate(s, dir)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("pair").asc)
     bpePairCounts(s, d)
@@ -1192,6 +1303,7 @@ object TextAnalysis {
 
   def writeVocabModel(s: SparkSession, d: String, dir: String,
       topK: Int = VocabTopK): Unit = {
+    graft.models.ModelManifest.invalidate(s, dir)
     Tables.tuneSession(s)
     Tables.parallelize(s, Tables.documents(s, d).select(col("text")))
       .select(explode(Portable.tokens(col("text"))).as("tok"))
@@ -1625,6 +1737,7 @@ object TextAnalysis {
     * join when it doesn't.
     */
   def writeNoveltyModel(s: SparkSession, d: String, dir: String): Unit = {
+    graft.models.ModelManifest.invalidate(s, dir)
     Tables.tuneSession(s)
     docBigramsDistinct(Tables.parallelize(s,
         Tables.documents(s, d).select(col("doc_id"), col("text"))))
@@ -2318,6 +2431,7 @@ object TextAnalysis {
     * size and mass as a one-row meta) — the train-offline half of the
     * drift monitor's serving split. |model| = support rows + 1. */
   def writeTokenKlModel(s: SparkSession, d: String, dir: String): Unit = {
+    graft.models.ModelManifest.invalidate(s, dir)
     val topK = 500
     val support = Tables.documents(s, d)
       .select(explode(Portable.tokens(col("text"))).as("tok"))
@@ -2414,6 +2528,7 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _),
     "text_rolling_hash" -> (textRollingHash _),
     "text_edit_distance" -> (textEditDistance _),
+    "edit_screen" -> (editScreen _),
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
@@ -2455,5 +2570,6 @@ object TextAnalysis {
     "text_fingerprint" -> textFingerprintSql,
     "text_rolling_hash" -> textRollingHashSql,
     "text_edit_distance" -> textEditDistanceSql,
+    "edit_screen" -> editScreenSql,
     "text_langid" -> textLangIdSql)
 }
