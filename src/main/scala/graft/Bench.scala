@@ -97,6 +97,38 @@ object Bench {
   private def num(fmt: String, v: Double): String =
     String.format(java.util.Locale.ROOT, fmt, Double.box(v))
 
+  /** The per-query regression gate, pure for the spec's sake: given this
+    * run's warm times, the committed floors, and the probe's current
+    * min-of-3, returns (noise_scale, probe_regression, regression JSON
+    * fragments). Three properties the spec pins:
+    *   - the probe is judged UNCORRECTED against its own floor — its own
+    *     drift can never divide itself under the gate;
+    *   - every other query's correction is capped at [[NoiseScaleCap]],
+    *     so an engine-wide slowdown inflating the probe cannot fully
+    *     launder a uniform regression;
+    *   - floorless/failed queries are never flagged.
+    */
+  private[graft] def gate(warm: Map[String, Double],
+      floors: Map[String, Double], probeNow: Double)
+      : (Double, Boolean, Seq[String]) = {
+    val noiseScale = floors.get(ProbeQuery) match {
+      case Some(pf) if pf > 0 && probeNow > 0 =>
+        math.min(NoiseScaleCap, math.max(1.0, probeNow / pf))
+      case _ => 1.0
+    }
+    val probeRegression = floors.get(ProbeQuery).exists(pf =>
+      pf > 0 && probeNow > 0 && probeNow > RegressionFactor * pf)
+    val regressions = warm.toSeq.sortBy(_._1).flatMap { case (k, w) =>
+      val scale = if (k == ProbeQuery) 1.0 else noiseScale
+      floors.get(k) match {
+        case Some(f) if w >= 0 && f > 0 && w / scale > RegressionFactor * f =>
+          Some(s"""{"query":"$k","warm_sec":$w,"floor_sec":$f,"adjusted_sec":${w / scale},"ratio":${num("%.2f", w / scale / f)}}""")
+        case _ => None
+      }
+    }
+    (noiseScale, probeRegression, regressions)
+  }
+
   private def writeFloors(sfBase: String, merged: Map[String, Double]): Unit = {
     val body = merged.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""    "$k": ${num("%.4f", v)}""" }
@@ -186,24 +218,8 @@ object Bench {
     val probeNow = Seq(probeBefore, probeAfter).filter(_ > 0) match {
       case Nil => -1.0; case xs => xs.min
     }
-    val noiseScale = floors.get(ProbeQuery) match {
-      case Some(pf) if pf > 0 && probeNow > 0 =>
-        math.min(NoiseScaleCap, math.max(1.0, probeNow / pf))
-      case _ => 1.0
-    }
-    // the probe gates itself UNCORRECTED (dividing the probe by its own
-    // drift would make it structurally un-flaggable); everything else is
-    // gated after the capped correction
-    val probeRegression = floors.get(ProbeQuery).exists(pf =>
-      pf > 0 && probeNow > 0 && probeNow > RegressionFactor * pf)
-    val regressions = warm.toSeq.sortBy(_._1).flatMap { case (k, w) =>
-      val scale = if (k == ProbeQuery) 1.0 else noiseScale
-      floors.get(k) match {
-        case Some(f) if w >= 0 && f > 0 && w / scale > RegressionFactor * f =>
-          Some(s"""{"query":"$k","warm_sec":$w,"floor_sec":$f,"adjusted_sec":${w / scale},"ratio":${num("%.2f", w / scale / f)}}""")
-        case _ => None
-      }
-    }
+    val (noiseScale, probeRegression, regressions) =
+      gate(warm, floors, probeNow)
     val regressionsJson = regressions.mkString("[", ",", "]")
     if (sys.env.get("SPARK_GRAFT_UPDATE_FLOORS").contains("1") && only.isEmpty) {
       // never overwrite floors measured at a DIFFERENT SF — a sf0.01 run
