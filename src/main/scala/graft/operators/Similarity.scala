@@ -1479,21 +1479,27 @@ object Similarity {
     * pattern (`ann_ivf_trained_topk`): cluster membership and the
     * dropped set depend on k-means internals DuckDB can never reproduce,
     * so the COMPARED frame carries only engine-portable truths — the
-    * corpus size and the GLOBAL near-dup pair count at the
-    * `dedup_embedding` threshold (an all-pairs relation both engines
-    * compute verbatim) — plus four verdicts computed in-frame:
+    * corpus size and the PROBE-ANCHORED near-dup pair count at the
+    * `dedup_embedding` threshold: ordered pairs whose lower id lies in
+    * the fixed first-[[SemdedupProbes]]-ids panel, a relation both
+    * engines compute verbatim in O(probes · n) (the r12 drill caught the
+    * previous global all-pairs bookkeeping at exponent 1.6 — the one
+    * quadratic left in the query after the adaptive-k fix made the
+    * production prune cell-bounded) — plus four verdicts computed
+    * in-frame:
     *
     *   - `conservation_ok`: kept + dropped = corpus (no row vanishes
     *     into a NULL flag). PROVABLE.
-    *   - `resolved_ok`: every CO-CLUSTERED true pair lost at least one
-    *     member. PROVABLE: the pair itself forces its (csim, id)-max
+    *   - `resolved_ok`: every CO-CLUSTERED true probe pair lost at least
+    *     one member. PROVABLE: the pair itself forces its (csim, id)-max
     *     member into the dropped set.
-    *   - `dropped_have_neighbor_ok`: every dropped vector has a same-cell
-    *     neighbor at ≥ threshold. PROVABLE: only such pairs generate
-    *     drops.
-    *   - `coclustered_floor_ok`: the share of true pairs the clustering
-    *     co-locates (SemDeDup's recall knob — a pair split across cells
-    *     is invisible to the prune) is at least [[SemdedupCoclusterFloorPct]]%.
+    *   - `dropped_have_neighbor_ok`: every dropped PROBE has a same-cell
+    *     neighbor at ≥ threshold (its own O(probes · occupancy) join,
+    *     both id orders). PROVABLE: only such pairs generate drops.
+    *   - `coclustered_floor_ok`: the share of true probe pairs the
+    *     clustering co-locates (SemDeDup's recall knob — a pair split
+    *     across cells is invisible to the prune) is at least
+    *     [[SemdedupCoclusterFloorPct]]%.
     *     Fixture-calibrated with margin; a degenerate codebook (all
     *     vectors one cell would pass here but fail the ann recall floor;
     *     near-random scatter fails this one) turns the row red.
@@ -1504,14 +1510,23 @@ object Similarity {
   def semdedupPrune(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecFunctions.register(s)
     // scan-backed (NOT checkpointed — the semdedupBase note): the heavy
-    // all-pairs kernel keeps its unsafe-array fast path, and the branches
+    // pair kernels keep their unsafe-array fast path, and the branches
     // that reuse flags re-derive a cheap 2000-row projection
     val flags = semdedupFlags(s, d)
-    // ONE all-pairs pass feeds every pair-level statistic — the truth
-    // counts, the resolution verdict, AND the co-clustered id set for the
-    // orphan check (a second all-pairs join here doubled the query's cost)
-    val truePairs = flags.as("p").join(broadcast(flags.as("q")),
-        col("p.vec_id") < col("q.vec_id"))
+    // ONE probe-anchored pair pass feeds the truth counts, the resolution
+    // verdict, AND the orphan check's co-clustered id set. The probe set
+    // is the FIXED first-[[SemdedupProbes]]-ids slice (engine-portable:
+    // the DuckDB oracle selects the identical rows), so truth bookkeeping
+    // is O(probes · n) — the r12 drill caught the previous GLOBAL
+    // all-pairs pass at exponent 1.6: the production prune had become
+    // cell-bounded (adaptive k) while the verdict harness itself was the
+    // one quadratic left in the query. A fixed-size probe panel is the
+    // standard statistical gate at corpus scale: 200 anchors give the
+    // co-cluster floor thousands of pair samples at any SF, and every
+    // PROVABLE verdict below is stated over the probe family, where it
+    // remains provable.
+    val truePairs = broadcast(flags.filter(col("vec_id") < SemdedupProbes).as("p"))
+      .join(flags.as("q"), col("p.vec_id") < col("q.vec_id"))
       .select(
         col("p.vec_id").as("a"), col("q.vec_id").as("b"),
         (col("p.cell") === col("q.cell")).as("same_cell"),
@@ -1525,7 +1540,7 @@ object Similarity {
     // the verdicts NULL instead of TRUE — the NULL-verdict vanishing class
     // the quality gate's totality fix closed
     val pairStats = truePairs.agg(
-      count(lit(1)).as("n_true_pairs"),
+      count(lit(1)).as("n_probe_pairs"),
       coalesce(sum(when(col("same_cell"), 1L).otherwise(0L)), lit(0L))
         .as("n_coclustered"),
       coalesce(sum(when(col("same_cell") && col("any_dropped"), 1L).otherwise(0L)),
@@ -1534,22 +1549,36 @@ object Similarity {
       count(lit(1)).as("n_docs"),
       coalesce(sum(when(col("dropped"), 1L).otherwise(0L)), lit(0L)).as("n_dropped"),
       coalesce(sum(when(!col("dropped"), 1L).otherwise(0L)), lit(0L)).as("n_kept"))
-    // every dropped id must appear in some co-clustered qualifying pair
-    val pairIds = truePairs.filter(col("same_cell"))
-      .select(explode(array(col("a"), col("b"))).as("vec_id"))
-      .distinct()
+    // every DROPPED PROBE must have a same-cell neighbor at >= threshold
+    // (drops only arise from such pairs — provable). This check is its
+    // own probe-anchored join, NOT a filter of truePairs: a dropped
+    // probe's only neighbor may carry a smaller id, and the ordered pair
+    // family above would miss it.
+    val neighbored = broadcast(flags.filter(col("vec_id") < SemdedupProbes)
+        .filter(col("dropped")).as("p"))
+      .join(flags.as("q"),
+        col("p.cell") === col("q.cell") && col("p.vec_id") =!= col("q.vec_id"))
+      .filter(round(expr("vec_dot(p.embedding, q.embedding)") /
+        (col("p.nrm") * col("q.nrm")), 4) >= SemdedupThreshold)
+      .select(col("p.vec_id").as("vec_id")).distinct()
     val orphanDrops = flags.filter(col("dropped"))
-      .join(pairIds, Seq("vec_id"), "left_anti")
+      .filter(col("vec_id") < SemdedupProbes)
+      .join(neighbored, Seq("vec_id"), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
     docStats.crossJoin(broadcast(pairStats)).crossJoin(broadcast(orphanDrops))
       .select(
-        col("n_docs"), col("n_true_pairs"),
+        col("n_docs"), col("n_probe_pairs"),
         (col("n_kept") + col("n_dropped") === col("n_docs")).as("conservation_ok"),
         (col("n_resolved") === col("n_coclustered")).as("resolved_ok"),
         (col("n_orphans") === 0L).as("dropped_have_neighbor_ok"),
-        (col("n_coclustered") * 100 >= col("n_true_pairs") * SemdedupCoclusterFloorPct)
+        (col("n_coclustered") * 100 >= col("n_probe_pairs") * SemdedupCoclusterFloorPct)
           .as("coclustered_floor_ok"))
   }
+
+  /** Fixed truth-probe panel size for [[semdedupPrune]]'s bookkeeping:
+    * the first ids, NOT a modulo slice — a modulo keeps probe count ∝ n
+    * and the truth pass quadratic again at scale. */
+  private val SemdedupProbes = 200
 
   /** Calibrated co-cluster floor (percent) for [[semdedupPrune]]'s
     * in-bound verdict. */
@@ -1568,10 +1597,10 @@ object Similarity {
       |      list_sum(list_transform(range(1, len(p.embedding) + 1),
       |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
       |      / (p.nrm * q.nrm), 4) AS cosine
-      |  FROM v p JOIN v q ON p.vec_id < q.vec_id)
+      |  FROM v p JOIN v q ON p.vec_id < $SemdedupProbes AND p.vec_id < q.vec_id)
       |SELECT
       |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_docs,
-      |  CAST(count(*) AS BIGINT) AS n_true_pairs,
+      |  CAST(count(*) AS BIGINT) AS n_probe_pairs,
       |  TRUE AS conservation_ok,
       |  TRUE AS resolved_ok,
       |  TRUE AS dropped_have_neighbor_ok,

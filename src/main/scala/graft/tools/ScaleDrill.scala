@@ -32,36 +32,6 @@ import graft.Tables
   * PLANS.md evidence, not in every `sbt test` loop.
   */
 object ScaleDrill {
-  private def upsample(spark: SparkSession, base: String, copies: Int,
-      out: String): Unit = {
-    Tables.documents(spark, base)
-      .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("k"))
-      .select(
-        (col("doc_id") + col("k") * 10000000L).as("doc_id"),
-        when(col("k") === 0, col("text")).otherwise(
-          regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1w"), col("k")))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    Tables.embeddings(spark, base)
-      .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("k"))
-      .select(
-        (col("vec_id") + col("k") * 10000000L).as("vec_id"),
-        expr("transform(sequence(0, size(embedding) - 1), " +
-          "i -> element_at(embedding, CAST((i + k) % size(embedding) AS INT) + 1))")
-          .as("embedding"),
-        col("label"))
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    Tables.events(spark, base)
-      .select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("k"))
-      .select(
-        (col("event_id") + col("k") * 100000000L).as("event_id"),
-        col("ts"),
-        (col("user_id") + col("k") * 10000000L).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
-  }
-
   private def time(f: => Long): (Double, Long) = {
     val t0 = System.nanoTime(); val n = f
     ((System.nanoTime() - t0) / 1e9, n)
@@ -122,7 +92,10 @@ object ScaleDrill {
     spark.sparkContext.setLogLevel("WARN")
     val big = graft.operators.Scratch.tempParent(s"graft-sfx$copies").toString
     println(s"[drill] generating x$copies fixture at $big ...")
-    val (genT, _) = time { upsample(spark, base, copies, big); 0L }
+    // full-table generation (SfGen) so part-keyed families can drill too;
+    // documents/embeddings/events use the identical construction the
+    // original drill-local upsample had
+    val (genT, _) = time { SfGen.upsampleAll(spark, base, copies, big); 0L }
     println(f"[drill] generated in $genT%.1f s")
 
     import graft.operators.{Dedup, Similarity, TextAnalysis}
@@ -130,7 +103,8 @@ object ScaleDrill {
     val defaults = Seq("text_fingerprint", "dedup_ngram_jaccard",
       "dedup_containment", "dedup_clusters", "semdedup_prune",
       "asof_join_native", "dedup_winnow", "dedup_minhash_lsh",
-      "quality_classifier", "lm_perplexity")
+      "quality_classifier", "lm_perplexity", "text_edit_distance",
+      "edit_screen")
     val all = TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ TemporalJoins.queries ++
       graft.operators.Scoring.queries
