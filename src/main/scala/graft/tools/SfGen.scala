@@ -51,12 +51,17 @@ object SfGen {
       .write.mode("overwrite").parquet(s"$out/supplier.parquet")
 
     // p_name gets a copy-distinct suffix so the edit-distance families
-    // see linear near-dup growth (copy k's names are >2 edits from every
-    // other copy's), mirroring the documents construction
+    // see linear near-dup growth, mirroring the documents construction.
+    // The copy digit is TRIPLED (" cpy111", " cpy222", …): single-digit
+    // suffixes left every copy's names Levenshtein-1 from its siblings'
+    // and the x10 pair mass grew x61 (the first drill run with part
+    // families caught it); with >=3 edits between any two suffixes the
+    // true pair structure per copy is exactly the base corpus's
     copied(Tables.part(spark, base), copies)
       .select((col("p_partkey") + col("k") * C).as("p_partkey"),
         when(col("k") === 0, col("p_name"))
-          .otherwise(concat(col("p_name"), lit(" cpy"), col("k"))).as("p_name"),
+          .otherwise(concat(col("p_name"), lit(" cpy"),
+            col("k"), col("k"), col("k"))).as("p_name"),
         col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
       .write.mode("overwrite").parquet(s"$out/part.parquet")
 
