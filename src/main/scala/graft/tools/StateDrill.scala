@@ -132,12 +132,11 @@ object StateDrill {
       q.stop()
       (Curve(name, samples), gate)
     }
-    val funnelRetained = funnelLeg("funnel", retentionMs = 60000L, gate = true)
-    val funnelForever = funnelLeg("funnel_nottl", Long.MaxValue, gate = false)
+
 
     // ---- stream-stream as-of: 30 fresh keys per batch, one right + one
     // probe each, 10 s step, 20 s horizon, 1 s watermark delay
-    val asofCurve = {
+    def asofLeg() = {
       val in = MemoryStream[(Long, String, Long, Long)]
       val q = Streams.streamAsofJoin(in.toDS(), horizonS = 20L)
         .writeStream.format("noop")
@@ -158,7 +157,7 @@ object StateDrill {
     // ---- late panes: windowed delta panes over churning (user, window)
     // keys — state is GC'd when the watermark passes the window end, so
     // rows must plateau at ~the horizon's worth of open windows
-    val panesCurve = {
+    def panesLeg() = {
       val in = MemoryStream[Streams.Msg]
       val q = Streams.latePanes(in.toDS())
         .writeStream.format("noop")
@@ -177,7 +176,7 @@ object StateDrill {
 
     // ---- watermark dedup (3.5+ id-only-key API): fresh ids per batch,
     // duplicates within the batch — state must drain behind the watermark
-    val dedupCurve = {
+    def dedupLeg() = {
       val in = MemoryStream[(Long, Long)]
       val deduped = Streams.streamingDedupWithinWatermark(
         in.toDF().toDF("id", "es")
@@ -202,7 +201,7 @@ object StateDrill {
 
     // ---- top-k: fixed 8-key population, 50 updates per key per batch —
     // per-key state must stay ≤ k + slack entries forever
-    val topkCurve = {
+    def topkLeg() = {
       val in = MemoryStream[(String, Int)]
       val q = Streams.streamingTopK(in.toDS(), k = 5)
         .writeStream.format("noop")
@@ -218,12 +217,22 @@ object StateDrill {
       Curve("topk", samples)
     }
 
-    val verdicts =
-      (funnelRetained :: funnelForever :: (asofCurve, true) ::
-        (panesCurve, true) :: (dedupCurve, true) ::
-        (topkCurve, true) :: Nil).map { case (c, gate) =>
-        val flat = c.report(); !gate || flat
-      }
+    // leg filter (args(2) = comma list) so long-horizon runs can split
+    // into separately scheduled chunks; default = all six legs
+    val legs: Seq[(String, () => (Curve, Boolean))] = Seq(
+      "funnel" -> (() => funnelLeg("funnel", retentionMs = 60000L, gate = true)),
+      "funnel_nottl" -> (() => funnelLeg("funnel_nottl", Long.MaxValue, gate = false)),
+      "asof" -> (() => (asofLeg(), true)),
+      "late_panes" -> (() => (panesLeg(), true)),
+      "wm_dedup" -> (() => (dedupLeg(), true)),
+      "topk" -> (() => (topkLeg(), true)))
+    val chosen: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet
+      else legs.map(_._1).toSet
+    val verdicts = legs.filter(l => chosen(l._1)).map { case (_, thunk) =>
+      val (c, gate) = thunk()
+      val flat = c.report(); !gate || flat
+    }
     println(s"[state] ALL_FLAT=${verdicts.forall(identity)}")
     spark.stop()
   }
