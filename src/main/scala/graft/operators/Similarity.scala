@@ -1983,11 +1983,16 @@ object Similarity {
     * cosine threshold (semdedup's 0.4, decontamination's 0.25): a
     * healthy space shows a near-Gaussian bulk with a thin high-cosine
     * tail; an anisotropic or collapsed space (all cosines ≈ 0.9) means
-    * every threshold needs recalibration. All-pairs is the declared
-    * oracle baseline at fixture scale; at corpus scale the same query
-    * runs over a deterministic probe slice (the `vec_id % s` sampling
-    * every ANN query here uses) — the histogram is a statistic, so
-    * sampling is the intended production shape.
+    * every threshold needs recalibration. The histogram is a STATISTIC,
+    * so its pair family is the same fixed probe panel as
+    * [[semdedupPrune]]'s bookkeeping — ordered pairs whose lower id lies
+    * in the first [[SemdedupProbes]] ids, O(probes · n) at any corpus
+    * size (a `vec_id % s` modulo slice was the previously-documented
+    * production shape, but a modulo keeps probe count ∝ n and the pass
+    * quadratic — the same lesson the slope gate taught the semdedup
+    * verdict). Each probe contributes its full cosine profile against
+    * the corpus, so the binned shape estimates the pairwise distribution
+    * with thousands of samples per fixture and millions at scale.
     *
     * Bin = floor((cos₄ₐₚ + 1)·10) clamped to 19, integer counts + share
     * in bp — no float crosses the oracle boundary after the rounded
@@ -2001,7 +2006,8 @@ object Similarity {
     val e = Tables.parallelize(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"))
       .filter(expr("vec_norm(embedding)") > 0)
-    val pairs = e.as("p").join(e.as("q"), col("p.vec_id") < col("q.vec_id"))
+    val pairs = broadcast(e.filter(col("vec_id") < SemdedupProbes).as("p"))
+      .join(e.as("q"), col("p.vec_id") < col("q.vec_id"))
       .select(round(cosine(col("p.embedding"), col("q.embedding")), 4).as("cos"))
     val binned = pairs
       .select(least(floor((col("cos") + 1.0) * 10.0).cast("long"), lit(19L))
@@ -2021,7 +2027,7 @@ object Similarity {
        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0),
        |pairs AS (
        |  SELECT $cosineSqlPQ AS cos
-       |  FROM nz p JOIN nz q ON p.vec_id < q.vec_id),
+       |  FROM nz p JOIN nz q ON p.vec_id < $SemdedupProbes AND p.vec_id < q.vec_id),
        |binned AS (
        |  SELECT least(CAST(floor((cos + 1.0) * 10.0) AS BIGINT), 19) AS bin,
        |    CAST(count(*) AS BIGINT) AS n_pairs
