@@ -213,6 +213,37 @@ object StreamingSmoke {
         media.filter(col("out_w") === 224 || col("out_h") === 224).count() == 4L,
       s"rows=${media.count()} (fit-to-box geometry)")
 
+    // edit-distance screen leg: names arriving at ingest are screened
+    // against the persisted PassJoin segment index of fixture part-name
+    // history — an exact dup (dist 0), a one-char-dropped near-dup
+    // (dist 1), and a novel name (no hits) across two micro-batches
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val editIdx = s"$base/editidx"
+      graft.operators.TextAnalysis.writeEditIndex(spark, "/root/testdata/sf0.001", editIdx)
+      val someName = graft.Tables.part(spark, "/root/testdata/sf0.001")
+        .select("p_name").head().getString(0)
+      val ein = MemoryStream[(Long, String)]
+      val (eq, ecache) = Streams.streamEditScreen(
+        ein.toDF().toDF("key", "name"), spark, editIdx,
+        s"$base/editout", s"$base/cke")
+      ein.addData(Seq((1L, someName), (2L, someName.dropRight(1))))
+      eq.processAllAvailable()
+      ein.addData(Seq((3L, "qqqqxxxxzzzz")))
+      eq.processAllAvailable()
+      eq.stop(); ecache.unpersist()
+      val screened = spark.read.parquet(s"$base/editout").collect()
+        .map(r => r.getAs[Long]("key") ->
+          ((r.getAs[Int]("best_dist"), r.getAs[Boolean]("suspect")))).toMap
+      check("edit_screen",
+        screened.size == 3 &&
+          screened(1L) == ((0, true)) && screened(2L) == ((1, true)) &&
+          screened(3L) == ((-1, false)),
+        s"verdicts=$screened")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }
