@@ -133,4 +133,22 @@ object Tables {
     if (spark.sparkContext.isLocal)
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
+
+  /** [[parallelize]] gated on the input's OPTIMIZER-ESTIMATED size — for
+    * stages whose per-row work is light and LINEAR (one regex + hash
+    * pass), where the exchange only pays for itself once the single
+    * split is big enough to keep cores busy. Below the threshold the
+    * repartition is pure overhead (measured: +40% warm on the sf0.1
+    * fingerprint pass); above it the single-threaded scan dominates
+    * (measured: 4× at the ×10 drill corpus). O(n²)-downstream consumers
+    * must keep unconditional [[parallelize]]: their work amplifies any
+    * input size, so the size of the INPUT is a bad proxy there.
+    * `stats.sizeInBytes` on a parquet scan is file metadata (compressed
+    * bytes) — one analysis pass, no data read. */
+  def parallelizeIfLarge(spark: SparkSession, df: DataFrame,
+      minBytes: Long = 4L << 20): DataFrame =
+    if (spark.sparkContext.isLocal &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes > minBytes)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
 }

@@ -274,11 +274,13 @@ object TextAnalysis {
     * fingerprint, not the full text, is what shuffles).
     */
   def textFingerprint(s: SparkSession, d: String): DataFrame = {
-    // the fixture is one small parquet file = ONE scan split, so without
-    // the local-mode repartition every regex+md5 runs on a single core
-    // (the r11 profile: ~6 s cold for a 5000-row scan); at cluster scale
-    // parallelize is a no-op because the scan already has real splits
-    Tables.parallelize(s, Tables.documents(s, d))
+    // size-conditional local repartition: a single small parquet file is
+    // ONE scan split, so the regex+md5 pass runs single-threaded — but
+    // below ~4 MB the exchange costs more than the parallelism buys
+    // (measured both ways; the closing-bench gate caught the
+    // unconditional version at 3× its warm floor). At cluster scale the
+    // scan has real splits and this is a no-op either way.
+    Tables.parallelizeIfLarge(s, Tables.documents(s, d))
       .select(col("doc_id"), Portable.docFingerprint.as("fingerprint"))
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))

@@ -37,34 +37,46 @@ object ScaleDrill {
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
-  /** Committed per-family exponent floors (`slope_floors.json`) — the
+  /** Committed per-family scale floors (`slope_floors.json`) — the
     * scale-dimension twin of `bench_floors.json` (VERDICT r11 item 3):
-    * bench floors gate per-query TIME; nothing gated the measured growth
-    * EXPONENT, so a plan rewrite that kept the sf0.1 constant but bent a
+    * bench floors gate per-query TIME at sf0.1; nothing gated behavior
+    * AT SCALE, so a plan rewrite that kept the sf0.1 constant but bent a
     * family quadratic would pass every gate until someone re-read the
-    * drill table. The drill now emits `slope_regressions:[...]` for any
-    * family whose measured exponent exceeds its committed floor +
-    * [[SlopeMargin]] (exponents at the small end are noisy — a constant
-    * ±30% between the two scales moves the exponent by log(1.3)/log(10)
-    * ≈ 0.11, so the margin absorbs measurement noise, not algorithmic
-    * drift) or the absolute [[SlopeCeiling]]. Floors are keyed by the
-    * copies factor: an x10 exponent must never gate an x3 run.
-    * `SPARK_GRAFT_UPDATE_SLOPES=1` rewrites with min(old, new) — floors
-    * ratchet down, never up. */
-  private val SlopeMargin = 0.25
+    * drill table.
+    *
+    * What the gate compares is the ×N-END TIME (`t_big`, min-ratcheted
+    * like bench floors — lower is unambiguously better) plus an absolute
+    * exponent ceiling, NOT an exponent floor: a raw-exponent ratchet is
+    * ill-posed because a constant-factor improvement at the BASE scale
+    * raises the measured exponent while making every absolute number
+    * better (the conditional-repartition fingerprint fix measured
+    * exponent 0.40 over the old plan's −0.04 precisely because its base
+    * got 2× faster at an equal t_big — a "regression" no user ever
+    * experiences). A genuine quadratic bend cannot hide from this pair:
+    * it either blows past [[SlopeBigFactor]] × the committed t_big or
+    * crosses [[SlopeCeiling]]. Measured exponents are still recorded in
+    * the file and artifact for the round record. Floors are keyed by
+    * the copies factor: an ×10 t_big must never gate an ×3 run.
+    * `SPARK_GRAFT_UPDATE_SLOPES=1` rewrites each family with the run of
+    * min(t_big) — ratchet down, never up. */
+  private val SlopeBigFactor = 2.0
   private val SlopeCeiling = 1.35
   private def slopesPath: String =
     sys.env.getOrElse("SPARK_GRAFT_SLOPES", "slope_floors.json")
 
-  private def readSlopes(copies: Int): Map[String, Double] =
+  private def readSlopes(copies: Int): Map[String, (Double, Double)] =
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(new java.io.File(slopesPath))
       if (root.path("copies").asInt(-1) != copies) Map.empty
       else {
-        val it = root.path("exponents").properties().iterator()
-        val b = Map.newBuilder[String, Double]
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        val it = root.path("families").properties().iterator()
+        val b = Map.newBuilder[String, (Double, Double)]
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> ((e.getValue.path("t_big").asDouble(),
+            e.getValue.path("exponent").asDouble()))
+        }
         b.result()
       }
     } catch { case _: Throwable => Map.empty }
@@ -72,11 +84,14 @@ object ScaleDrill {
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-  private def writeSlopes(copies: Int, merged: Map[String, Double]): Unit = {
+  private def writeSlopes(copies: Int,
+      merged: Map[String, (Double, Double)]): Unit = {
     val body = merged.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"""    "$k": ${num(v)}""" }.mkString(",\n")
+      .map { case (k, (tb, e)) =>
+        s"""    "$k": {"t_big": ${num(tb)}, "exponent": ${num(e)}}""" }
+      .mkString(",\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(slopesPath),
-      s"""{\n  "copies": $copies,\n  "exponents": {\n$body\n  }\n}\n""")
+      s"""{\n  "copies": $copies,\n  "families": {\n$body\n  }\n}\n""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -125,24 +140,27 @@ object ScaleDrill {
     }
     val worst = rows.maxBy(_._5)
     println(f"[drill] worst exponent: ${worst._1} ${worst._5}%.2f")
-    // ---- slope regression gate vs committed exponent floors ----
+    // ---- scale regression gate vs committed x-N-end time floors ----
     val floors = readSlopes(copies)
-    val regressions = rows.sortBy(_._1).flatMap { case (name, _, _, _, expo) =>
-      val floorHit = floors.get(name)
-        .filter(f => expo > f + SlopeMargin)
-        .map(f => s"""{"family":"$name","exponent":${num(expo)},"floor":${num(f)}}""")
+    val regressions = rows.sortBy(_._1).flatMap { case (name, _, tBig, _, expo) =>
+      val bigHit = floors.get(name)
+        .filter { case (fb, _) => fb > 0 && tBig > SlopeBigFactor * fb }
+        .map { case (fb, _) =>
+          s"""{"family":"$name","t_big":${num(tBig)},"floor_t_big":${num(fb)},"exponent":${num(expo)}}""" }
       val ceilHit =
         if (expo > SlopeCeiling)
           Some(s"""{"family":"$name","exponent":${num(expo)},"ceiling":$SlopeCeiling}""")
         else None
-      floorHit.orElse(ceilHit)
+      bigHit.orElse(ceilHit)
     }
     if (sys.env.get("SPARK_GRAFT_UPDATE_SLOPES").contains("1") && args.length <= 2) {
-      // never merge a subset run's exponents over the committed defaults,
+      // never merge a subset run's numbers over the committed defaults,
       // and never mix copies factors (readSlopes already refused those)
       val merged = (floors.keySet ++ rows.map(_._1)).flatMap { k =>
-        Seq(floors.get(k), rows.find(_._1 == k).map(_._5)).flatten match {
-          case Nil => None; case cs => Some(k -> cs.min)
+        val cand = rows.find(_._1 == k).map(r => (r._3, r._5))
+        (floors.get(k).toSeq ++ cand.toSeq) match {
+          case Nil => None
+          case cs => Some(k -> cs.minBy(_._1)) // run with the best t_big wins
         }
       }.toMap
       writeSlopes(copies, merged)
