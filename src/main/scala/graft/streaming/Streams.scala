@@ -1535,6 +1535,55 @@ object Streams {
     (q, segs)
   }
 
+  /** Screen-AND-GROW variant (the `dedup_incremental` maintenance shape
+    * applied to the edit family): each micro-batch is screened against
+    * base history PLUS every prior batch's accumulated segments, then
+    * appends its own names' segments under `indexDir/appended/
+    * batch_id=<id>` — so a near-dup of a name first seen three batches
+    * ago is caught without any reindex of history. Idempotent on
+    * redelivery from both sides: the screen reads the appended root
+    * THROUGH a `batch_id =!= id` partition filter (a redelivered batch
+    * never sees its own previous write — partition pruning drops the
+    * dir), and the re-append byte-replaces its own directory. The
+    * per-batch cost is probe-keys(batch) + a scan of the accumulated
+    * segment relation — the standard incremental-index trade; compaction
+    * of `appended/` back into the base via [[graft.operators.TextAnalysis.writeEditIndex]]
+    * is the offline maintenance job.
+    */
+  def editScreenGrowSinkBatch(batch: DataFrame, id: Long, baseSegs: DataFrame,
+      indexDir: String, outDir: String): Unit = {
+    val s = batch.sparkSession
+    val appendedRoot = s"$indexDir/appended"
+    val prior =
+      try s.read.parquet(appendedRoot)
+        .filter(col("batch_id") =!= id)
+        .select("name_b", "blk_len", "blk_i", "seg")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        baseSegs.limit(0).select("name_b", "blk_len", "blk_i", "seg")
+      }
+    graft.operators.TextAnalysis
+      .editScreenBatch(batch, baseSegs.select("name_b", "blk_len", "blk_i", "seg")
+        .unionByName(prior))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+    graft.operators.TextAnalysis
+      .editSegmentsBuild(batch.select(col("name")).distinct())
+      .write.mode("overwrite").parquet(s"$appendedRoot/batch_id=$id")
+  }
+
+  def streamEditScreenGrow(df: DataFrame, spark: SparkSession,
+      indexDir: String, outDir: String, checkpoint: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    val segs = graft.operators.TextAnalysis
+      .editIndexSegments(spark, indexDir).persist()
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        editScreenGrowSinkBatch(batch.toDF(), id, segs, indexDir, outDir)
+      }
+      .start()
+    (q, segs)
+  }
+
   /** Per-micro-batch blocklist routing: clean rows to `clean/`, flagged
     * rows to `flagged/` (hit counts and bp retained as the blame), each
     * batch byte-replacing its own directory on redelivery. The verdict is

@@ -82,6 +82,64 @@ class EditScreenSpec extends AnyFunSuite {
     }
   }
 
+  test("edit screen grow: a near-dup of a name first seen in a PRIOR batch is caught") {
+    import spark.implicits._
+    val corpusDir = writeCorpus()
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-editg-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-editg-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-editg-ck").toString
+    try {
+      operators.TextAnalysis.writeEditIndex(spark, corpusDir, indexDir)
+      implicit val ctx = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val (q, cached) = Streams.streamEditScreenGrow(
+        in.toDF().toDF("key", "name"), spark, indexDir, outDir, ckpt)
+      try {
+        // batch 0: a wholly novel name (not near base corpus) — clean,
+        // but its segments join the index
+        in.addData(Seq((20L, "zebraquux")))
+        q.processAllAvailable()
+        // batch 1: dist-1 of the batch-0 name (caught ONLY via growth),
+        // dist-1 of base history (caught via the frozen index), novel
+        in.addData(Seq((21L, "zebraquu"), (22L, "alphabrav"), (23L, "kkkkkwwww")))
+        q.processAllAvailable()
+        val got = spark.read.parquet(outDir).collect()
+          .map(r => r.getAs[Long]("key") ->
+            ((r.getAs[Long]("n_matches"), r.getAs[Int]("best_dist"),
+              r.getAs[Boolean]("suspect")))).toMap
+        assert(got(20L) == ((0L, -1, false)), s"batch-0 novel: ${got(20L)}")
+        assert(got(21L) == ((1L, 1, true)),
+          s"cross-batch near-dup must be caught via index growth: ${got(21L)}")
+        assert(got(22L) == ((1L, 1, true)), s"base-history near-dup: ${got(22L)}")
+        assert(got(23L) == ((0L, -1, false)), s"batch-1 novel: ${got(23L)}")
+        // the appended index holds both batches' segments, (K+1) per name
+        val appended = spark.read.parquet(s"$indexDir/appended")
+        assert(appended.count() == 4 * 3L,
+          "appended segments must cover every arrived distinct name")
+        // redelivery-shaped rerun of batch 1's SCREEN: reading the
+        // appended root through the own-batch exclusion must reproduce
+        // batch 1's verdicts exactly (its own write is partition-pruned)
+        val base = operators.TextAnalysis.editIndexSegments(spark, indexDir)
+        val prior = spark.read.parquet(s"$indexDir/appended")
+          .filter(org.apache.spark.sql.functions.col("batch_id") =!= 1L)
+          .select("name_b", "blk_len", "blk_i", "seg")
+        val again = operators.TextAnalysis.editScreenBatch(
+          Seq((21L, "zebraquu"), (22L, "alphabrav"), (23L, "kkkkkwwww"))
+            .toDF("key", "name"),
+          base.select("name_b", "blk_len", "blk_i", "seg").unionByName(prior))
+          .collect().map(r => r.getAs[Long]("key") ->
+            ((r.getAs[Long]("n_matches"), r.getAs[Int]("best_dist"),
+              r.getAs[Boolean]("suspect")))).toMap
+        assert(again == got.filter(_._1 >= 21L),
+          "redelivered screen must replay batch-1 verdicts identically")
+      } finally { q.stop(); cached.unpersist() }
+    } finally {
+      Seq(corpusDir, indexDir, outDir, ckpt)
+        .foreach(SparkTestSession.deleteRecursively)
+    }
+  }
+
   test("edit screen batch parity with the whole-corpus pair query on fixture names") {
     // screening the fixture's own distinct names against their own index
     // must reproduce text_edit_distance's name-level matches: every name
