@@ -469,6 +469,44 @@ object TextAnalysis {
     s.read.parquet(s"$dir/segments")
   }
 
+  /** Offline compaction for an index grown by
+    * `Streams.streamEditScreenGrow`: folds every `appended/batch_id=*`
+    * segment batch into the base relation (exact-duplicate rows from
+    * re-screened names collapse) and removes the appended tree, so the
+    * per-batch screen goes back to scanning ONE compact relation — the
+    * maintenance job that keeps the incremental-index trade bounded.
+    * Crash-safe by the retrain discipline: the manifest is invalidated
+    * FIRST and rewritten LAST, with the new segments staged beside the
+    * old and swapped by rename — an interruption at any point leaves a
+    * manifest-less dir every serving path refuses. No-op (manifest
+    * untouched) when nothing was appended. */
+  def compactEditIndex(s: SparkSession, dir: String): Unit = {
+    val m = graft.models.ModelManifest.validate(s, dir, "edit_index")
+    val conf = s.sparkContext.hadoopConfiguration
+    val appendedRoot = new org.apache.hadoop.fs.Path(s"$dir/appended")
+    val fs = appendedRoot.getFileSystem(conf)
+    if (!fs.exists(appendedRoot)) return
+    val merged = s.read.parquet(s"$dir/segments")
+      .unionByName(s.read.parquet(appendedRoot.toString)
+        .select("name_b", "blk_len", "blk_i", "seg"))
+      .distinct()
+    graft.models.ModelManifest.invalidate(s, dir)
+    val staged = new org.apache.hadoop.fs.Path(s"$dir/segments.compacting")
+    merged.write.mode("overwrite").parquet(staged.toString)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/segments")
+    fs.delete(live, true)
+    fs.rename(staged, live)
+    fs.delete(appendedRoot, true)
+    // A serving session may hold the pre-compaction segments persisted
+    // (streamEditScreen caches them); the cache manager would otherwise
+    // satisfy a fresh read.parquet of the same path from that stale plan.
+    s.catalog.refreshByPath(dir)
+    graft.models.ModelManifest.write(s, dir, "edit_index", m.sourceDir,
+      m.tables, (m.params +
+        ("compactions" ->
+          (m.params.getOrElse("compactions", "0").toInt + 1).toString)).toSeq)
+  }
+
   /** Screen a batch of `(key, name)` rows against a persisted segment
     * index: probe-side candidate keys for the ARRIVING names only (≤ 75
     * per name — the index is never re-segmented), block equi-join,

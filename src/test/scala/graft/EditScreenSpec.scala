@@ -133,6 +133,28 @@ class EditScreenSpec extends AnyFunSuite {
               r.getAs[Boolean]("suspect")))).toMap
         assert(again == got.filter(_._1 >= 21L),
           "redelivered screen must replay batch-1 verdicts identically")
+        // compaction folds the growth into the base: the appended tree is
+        // gone, the manifest is re-armed (compactions counter bumped),
+        // and a cross-batch near-dup is still caught from the ONE relation
+        operators.TextAnalysis.compactEditIndex(spark, indexDir)
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$indexDir/appended")))
+        val m2 = graft.models.ModelManifest.validate(spark, indexDir, "edit_index")
+        assert(m2.params.get("compactions").contains("1"))
+        val compacted = operators.TextAnalysis.editIndexSegments(spark, indexDir)
+        assert(compacted.count() == (corpus.size + 4) * 3L,
+          "compacted base = original + every arrived distinct name, 3 segments each")
+        val after = operators.TextAnalysis.editScreenBatch(
+          Seq((30L, "zebraquu")).toDF("key", "name"), compacted).collect()
+        assert(after.head.getAs[Int]("best_dist") == 0 &&
+          after.head.getAs[Long]("n_matches") == 2L,
+          // batch-1's zebraquu is now HISTORY (dist 0) and zebraquux is its
+          // dist-1 neighbor — both served from the single compacted relation
+          s"post-compaction screen: ${after.head}")
+        // compaction is idempotent when nothing new was appended
+        operators.TextAnalysis.compactEditIndex(spark, indexDir)
+        assert(graft.models.ModelManifest.validate(spark, indexDir, "edit_index")
+          .params.get("compactions").contains("1"))
       } finally { q.stop(); cached.unpersist() }
     } finally {
       Seq(corpusDir, indexDir, outDir, ckpt)
