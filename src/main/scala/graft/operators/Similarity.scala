@@ -825,13 +825,22 @@ object Similarity {
     * The corpus parquet is partitioned by `cell`, so a probe batch that
     * hits few cells prunes to few partitions at the scan.
     */
-  def writeAnnIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+  def writeAnnIndex(s: SparkSession, d: String, indexDir: String): Unit =
+    writeAnnIndexFrom(s,
+      Tables.parallelize(s, Tables.embeddings(s, d)), d, "all", indexDir)
+
+  /** [[writeAnnIndex]] over an explicit `(vec_id, embedding)` frame — the
+    * grow-serve path builds its base index on the HISTORY slice only.
+    * `variant` keys the codebook cache so differently-sliced builds of the
+    * same corpus dir never share centroids. */
+  private def writeAnnIndexFrom(s: SparkSession, e0: DataFrame, d: String,
+      variant: String, indexDir: String): Unit = {
     graft.models.ModelManifest.invalidate(s, indexDir)
     graft.functions.VecFunctions.register(s)
-    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+    val e = e0
       .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
       .localCheckpoint()
-    val codebook = trainCodebookCached(e, s"$d#all#${corpusStamp(s, d)}")
+    val codebook = trainCodebookCached(e, s"$d#$variant#${corpusStamp(s, d)}")
     import s.implicits._
     codebook.map { case (cid, emb) => (cid, emb.toSeq) }
       .toDF("cell", "centroid")
@@ -879,6 +888,348 @@ object Similarity {
         col("nrm").as("qnrm"), col("cell"))
     serveCells(q, corpus)
   }
+
+  // ------------------------------------------------- incremental ANN index
+  /** Cell-assign one arriving batch with the FROZEN persisted codebook and
+    * append it under `indexDir/appended/batch_id=<id>`, partitioned by
+    * cell — the vector twin of `Streams.editScreenGrowSinkBatch`'s segment
+    * append. No retrain, no base rewrite: the append cost is one narrow
+    * assignment projection over the batch plus its own parquet write, and
+    * a redelivered batch byte-replaces its own directory. Reading the
+    * appended root recovers `batch_id` and `cell` as partition columns, so
+    * a serving join on `cell` still prunes and an own-batch exclusion on
+    * `batch_id` prunes too. `batch` must carry (vec_id, embedding). */
+  def annIndexAppendBatch(batch: DataFrame,
+      codebook: Seq[(Int, Array[Float])], indexDir: String,
+      batchId: Long): Unit = {
+    graft.functions.VecFunctions.register(batch.sparkSession)
+    assignCells(batch.select(col("vec_id"), col("embedding"),
+        expr("vec_norm(embedding)").as("nrm")), codebook)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/appended/batch_id=$batchId")
+  }
+
+  /** The grown corpus relation: base rows (batch_id = -1) plus every
+    * appended batch, `excludeBatch` partition-pruned away when >= 0 (the
+    * redelivery discipline: a re-screened batch never sees its own prior
+    * write). The union is NOT deduplicated here — latest-wins per vec_id
+    * is applied after the cell prune by [[serveCellsLatest]], so serving
+    * never pays a corpus-wide shuffle. */
+  private[graft] def grownCorpus(s: SparkSession, indexDir: String,
+      excludeBatch: Long = -1L): DataFrame = {
+    val base = s.read.parquet(s"$indexDir/corpus")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cell").cast("int").as("cell"))
+      .withColumn("batch_id", lit(-1))
+    val appended =
+      try {
+        val a = s.read.parquet(s"$indexDir/appended")
+        (if (excludeBatch >= 0) a.filter(col("batch_id") =!= excludeBatch)
+         else a)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("cell").cast("int").as("cell"),
+            col("batch_id").cast("int").as("batch_id"))
+      } catch { case _: org.apache.spark.sql.AnalysisException =>
+        base.limit(0) // nothing appended yet
+      }
+    base.unionByName(appended)
+  }
+
+  /** [[serveCells]] over a GROWN corpus: same cell-equi-join + cosine
+    * top-3, with latest-wins upsert semantics applied to the CANDIDATE
+    * relation (partition by (qid, vec_id), keep the highest batch_id) —
+    * a re-ingested vector serves its newest embedding, and the dedup
+    * window runs after the cell prune, over candidates only, never the
+    * corpus. Known trade until [[compactAnnIndex]] runs: a re-ingested
+    * vector whose NEW embedding lands in a DIFFERENT cell leaves its
+    * stale row visible to probes of the old cell — compaction's global
+    * latest-wins removes it. */
+  private def serveCellsLatest(q: DataFrame, corpus: DataFrame): DataFrame = {
+    val wLatest = Window.partitionBy("qid", "vec_id")
+      .orderBy(col("batch_id").desc)
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    q.join(corpus, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cell"), col("vec_id"),
+        round(expr("vec_dot(qemb, embedding)") / (col("qnrm") * col("nrm")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select("qid", "cell", "rank", "vec_id", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  /** The one screen composition shared by [[annFromIndexGrown]] and
+    * `Streams.streamAnnIngest`: probes cell-assigned with the frozen
+    * codebook, served against base ∪ appends (minus `excludeBatch`). */
+  private[graft] def annScreenGrownBatch(probes: DataFrame,
+      codebook: Seq[(Int, Array[Float])], indexDir: String,
+      excludeBatch: Long): DataFrame = {
+    val s = probes.sparkSession
+    graft.functions.VecFunctions.register(s)
+    val q = assignCells(probes.select(col("vec_id"), col("embedding"),
+        expr("vec_norm(embedding)").as("nrm")), codebook)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("cell"))
+    serveCellsLatest(q, grownCorpus(s, indexDir, excludeBatch))
+  }
+
+  /** Serve a probe batch from a GROWN index — [[annFromIndex]] extended
+    * to see every appended batch, so a neighbor ingested after the last
+    * full build is found without any retrain. */
+  def annFromIndexGrown(s: SparkSession, probes: DataFrame,
+      indexDir: String): DataFrame = {
+    graft.models.ModelManifest.validate(s, indexDir, "ann_ivf_index")
+    annScreenGrownBatch(probes, codebookFromDir(s, indexDir), indexDir,
+      excludeBatch = -1L)
+  }
+
+  /** Offline compaction for a grown ANN index: folds `appended/` into the
+    * base corpus with GLOBAL latest-wins upsert semantics per vec_id
+    * (which also clears the moved-cell staleness [[serveCellsLatest]]
+    * documents), under the manifest invalidate-first / rewrite-last
+    * bracket and staged-rename swap shared with
+    * `TextAnalysis.compactEditIndex`. The merge never shuffles the whole
+    * corpus: the latest-wins window runs over the APPENDED rows only, and
+    * base rows are kept via an anti-join against the (small) updated-key
+    * set — AQE broadcasts it when appends are a sliver of the base, the
+    * expected maintenance shape. No-op when nothing was appended. */
+  def compactAnnIndex(s: SparkSession, indexDir: String): Unit = {
+    val m = graft.models.ModelManifest.validate(s, indexDir, "ann_ivf_index")
+    if (!graft.models.IndexMaintenance.exists(s, s"$indexDir/appended")) return
+    val base = s.read.parquet(s"$indexDir/corpus")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cell").cast("int").as("cell"))
+    val appended = s.read.parquet(s"$indexDir/appended")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cell").cast("int").as("cell"),
+        col("batch_id").cast("int").as("batch_id"))
+    val wLatest = Window.partitionBy("vec_id").orderBy(col("batch_id").desc)
+    val latestAppends = appended
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding", "nrm", "cell")
+    val merged = base
+      .join(appended.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .unionByName(latestAppends)
+    graft.models.ModelManifest.invalidate(s, indexDir)
+    graft.models.IndexMaintenance.stagedSwap(s, indexDir, "corpus",
+      Seq("appended")) { staged =>
+      merged.write.mode("overwrite").partitionBy("cell").parquet(staged)
+    }
+    graft.models.ModelManifest.write(s, indexDir, "ann_ivf_index",
+      m.sourceDir, m.tables, graft.models.IndexMaintenance.bumpCompactions(m))
+  }
+
+  /** Per-JVM scratch root for grow-serve indexes (the
+    * `Dedup.dedupIndexDir` discipline: corpus-keyed subdir under a fresh
+    * per-JVM temp parent, shutdown-hook cleanup). */
+  private lazy val annScratchParent: java.nio.file.Path =
+    Scratch.tempParent("graft_ann_grow")
+  private def annGrowDir(d: String): String = {
+    val tag = f"${Portable.hash28Jvm(d)}%08x"
+    new java.io.File(annScratchParent.toFile, tag).getAbsolutePath
+  }
+
+  /** History/arrival split shared by [[annGrowServe]] and
+    * [[annIndexDrift]]: every third vector "arrives" after the base index
+    * was built, the rest are history. Engine-portable predicates. */
+  private val isArrival = col("vec_id") % 3 === 0
+
+  /** Minimum fraction of brute-force top-3 hits the grown-index serve
+    * must recover — same fixture-calibrated floor class as
+    * `trained_recall_floor`. Measured grown recall 0.37/0.30/0.25 at
+    * sf0.001/0.01/0.1 vs STALE (arrival-blind) recall 0.26/0.15/0.15:
+    * 0.20 sits above the stale index at the two larger fixtures, so a
+    * grow regression that makes appends invisible turns the oracle row
+    * red, while the honest grown serve clears it at every SF. */
+  private val GrowRecallFloor = 0.20
+
+  /** Build-once-per-JVM grown index for [[annGrowServe]]: base trained on
+    * history only, arrivals appended in two frozen-codebook batches. */
+  private val grownIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val grownBuildLock = new Object
+  private def grownIndexDir(s: SparkSession, d: String): String =
+    grownBuildLock.synchronized {
+      grownIndexes.getOrElseUpdate(d, {
+        val dir = annGrowDir(d)
+        graft.functions.VecFunctions.register(s)
+        val nz = Tables.parallelize(s, Tables.embeddings(s, d))
+          .filter(expr("vec_norm(embedding)") > 0)
+        writeAnnIndexFrom(s, nz.filter(!isArrival), d, "growbase", dir)
+        val codebook = codebookFromDir(s, dir)
+        val arrivals = nz.filter(isArrival).select("vec_id", "embedding")
+        annIndexAppendBatch(arrivals.filter(col("vec_id") % 6 === 0),
+          codebook, dir, 0L)
+        annIndexAppendBatch(arrivals.filter(col("vec_id") % 6 === 3),
+          codebook, dir, 1L)
+        dir
+      })
+    }
+
+  /** Registered grow-serve query — the oracle-closed form of the
+    * incremental index ([[annIndexAppendBatch]] / [[annFromIndexGrown]]),
+    * in the exact-twin + in-bound-verdict pattern `ann_ivf_trained_topk`
+    * established: the compared frame is the engine-portable brute-force
+    * cosine top-3 over the FULL corpus for the probe panel (arriving
+    * vectors with vec_id % 20 = 0), plus two boolean verdicts from the
+    * engine-specific halves:
+    *
+    *   - `grown_not_worse_than_stale`: truth-hits served from the grown
+    *     index >= hits from the stale base-only index. PROVABLE: probes
+    *     assign to the same cell under the same frozen codebook, the
+    *     grown candidate set is a superset of the stale one (history and
+    *     arrivals are disjoint vec_id sets), and a true top-3 neighbor
+    *     present in any candidate set always ranks in the served top-3.
+    *   - `grown_recall_floor`: grown recall@3 >= [[GrowRecallFloor]] —
+    *     see its scaladoc for the calibration.
+    *
+    * The index is built once per JVM per corpus ([[grownIndexDir]], the
+    * `dedup_incremental_indexed` cost model): Bench's cold pass pays the
+    * build, warm passes measure the serving join. */
+  /** Calibration/spec seam: the grow-serve truth rows WITH the raw hit
+    * counters the verdicts derive from. */
+  private[graft] def annGrowServeFull(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val dir = grownIndexDir(s, d)
+    val nz = Tables.parallelize(s, Tables.embeddings(s, d))
+      .filter(expr("vec_norm(embedding)") > 0)
+      .select("vec_id", "embedding")
+      .localCheckpoint() // probes + truth corpus: read 3×
+    val probes = nz.filter(isArrival && col("vec_id") % 20 === 0)
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val truth = probes
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .join(nz, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qemb"), col("embedding")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "cosine")
+    val grownHits = truth
+      .join(annFromIndexGrown(s, probes, dir), Seq("qid", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("grown_hits"))
+    val staleHits = truth
+      .join(annFromIndex(s, probes, dir), Seq("qid", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("stale_hits"))
+    val nq = truth.select("qid").distinct().agg(count(lit(1)).as("nq"))
+    truth.crossJoin(grownHits).crossJoin(staleHits).crossJoin(nq)
+  }
+
+  def annGrowServe(s: SparkSession, d: String): DataFrame =
+    annGrowServeFull(s, d)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cosine"),
+        (col("grown_hits") >= col("stale_hits")).as("grown_not_worse_than_stale"),
+        (col("grown_hits") >= col("nq") * 3 * lit(GrowRecallFloor))
+          .as("grown_recall_floor"))
+      .orderBy("qid", "rank")
+
+  val annGrowServeSql: String =
+    s"""WITH nz AS (
+       |  SELECT * FROM embeddings
+       |  WHERE sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0),
+       |scored AS (
+       |  SELECT p.vec_id AS qid, q.vec_id AS vec_id, $cosineSqlPQ AS cosine
+       |  FROM nz p JOIN nz q ON q.vec_id <> p.vec_id
+       |  WHERE p.vec_id % 3 = 0 AND p.vec_id % 20 = 0),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, cosine,
+       |  TRUE AS grown_not_worse_than_stale, TRUE AS grown_recall_floor
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** Total-variation distance between the base index's cell-share
+    * distribution and a cohort's — k-row frames, one tiny full-outer
+    * join; returns a single row (tv, n_arrivals). */
+  private def driftTv(baseCells: DataFrame, cohortCells: DataFrame): DataFrame = {
+    val b = baseCells.groupBy("cell").agg(count(lit(1)).as("nb"))
+    val a = cohortCells.groupBy("cell").agg(count(lit(1)).as("na"))
+    val w = Window.partitionBy()
+    b.join(a, Seq("cell"), "full_outer")
+      .select(coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("na"), lit(0L)).as("na"))
+      .select(abs(col("nb") / sum("nb").over(w) -
+        col("na") / sum("na").over(w)).as("d"), col("na"))
+      .agg((sum("d") / 2).as("tv"), sum("na").as("n_arrivals"))
+  }
+
+  /** Flag threshold for [[annIndexDrift]] — see the calibration note in
+    * that scaladoc. */
+  private val DriftTvFlag = 0.15
+
+  /** Calibration/spec seam: the drift rows WITH the engine-internal tv
+    * value (cells are k-means assignments, so tv itself is not
+    * oracle-portable — the registered query projects it away). */
+  private[graft] def annIndexDriftFull(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val e = Tables.parallelize(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"),
+        expr("vec_norm(embedding)").as("nrm"))
+      .filter(col("nrm") > 0)
+      .localCheckpoint() // training passes + two assignment passes
+    val base = e.filter(!isArrival)
+    val codebook = trainCodebookCached(base, s"$d#growbase#${corpusStamp(s, d)}")
+    val baseCells = assignCells(base, codebook).select("cell")
+    val arrivals = e.filter(isArrival)
+    // the shifted cohort is the SAME arrivals pushed into the positive
+    // orthant (component-wise abs) — a stand-in for a genuine domain
+    // shift (new modality, new embedding model); norms are unchanged, so
+    // only the DIRECTION distribution moves
+    val shifted = arrivals.select(col("vec_id"),
+      transform(col("embedding"), x => abs(x)).as("embedding"), col("nrm"))
+    Seq(
+      ("shifted", shifted),
+      ("unbiased", arrivals))
+      .map { case (name, cohort) =>
+        driftTv(baseCells, assignCells(cohort, codebook).select("cell"))
+          .select(lit(name).as("cohort"), col("n_arrivals"),
+            (col("tv") > DriftTvFlag).as("drift_flagged"), col("tv"))
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** Registered drift report — the index-maintenance telemetry that
+    * decides WHEN [[compactAnnIndex]] is not enough and a retrain
+    * ([[writeAnnIndex]]) is due: if arriving data keeps landing where
+    * history did, the frozen codebook still balances cells and grow +
+    * compact suffice; if arrivals drift, occupancy skews and within-cell
+    * serving cost bends away from the trained equilibrium. Two arrival
+    * cohorts over the same history index: "unbiased" (every third
+    * vector — a same-distribution sample, must NOT flag) and "shifted"
+    * (the same arrivals pushed into the positive orthant by
+    * component-wise abs — a domain-shift stand-in, MUST flag). The drift
+    * metric is total-variation distance between base and arrival cell
+    * shares; the [[DriftTvFlag]] = 0.15 threshold is fixture-calibrated
+    * with two-sided margin (measured unbiased 0.03–0.09, shifted
+    * 0.34–0.57 across sf0.001/0.01/0.1). The compared frame carries only
+    * portable columns (cohort, n_arrivals) plus the boolean verdicts —
+    * the k-means cell internals stay out of the oracle, the flag
+    * decisions do not. */
+  def annIndexDrift(s: SparkSession, d: String): DataFrame =
+    annIndexDriftFull(s, d)
+      .select("cohort", "n_arrivals", "drift_flagged")
+      .orderBy("cohort")
+
+  val annIndexDriftSql: String =
+    """WITH nz AS (
+      |  SELECT * FROM embeddings
+      |  WHERE sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0)
+      |SELECT 'shifted' AS cohort, CAST(count(*) AS BIGINT) AS n_arrivals,
+      |  TRUE AS drift_flagged
+      |FROM nz WHERE vec_id % 3 = 0
+      |UNION ALL
+      |SELECT 'unbiased', CAST(count(*) AS BIGINT), FALSE
+      |FROM nz WHERE vec_id % 3 = 0
+      |ORDER BY cohort""".stripMargin
 
   // ------------------------------------------------- retrieval enrichment
   /** ANN retrieval joined to document metadata — the enrichment join every
@@ -2056,7 +2407,9 @@ object Similarity {
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "semdedup_prune" -> (semdedupPrune _),
     "hard_negatives" -> (hardNegatives _),
-    "centroid_by_label" -> (centroidByLabel _))
+    "centroid_by_label" -> (centroidByLabel _),
+    "ann_grow_serve" -> (annGrowServe _),
+    "ann_index_drift" -> (annIndexDrift _))
 
   def oracles: Map[String, String] = Map(
     "embedding_cos_histogram" -> embeddingCosHistogramSql,
@@ -2077,5 +2430,7 @@ object Similarity {
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "semdedup_prune" -> semdedupPruneSql,
     "hard_negatives" -> hardNegativesSql,
-    "centroid_by_label" -> centroidByLabelSql)
+    "centroid_by_label" -> centroidByLabelSql,
+    "ann_grow_serve" -> annGrowServeSql,
+    "ann_index_drift" -> annIndexDriftSql)
 }

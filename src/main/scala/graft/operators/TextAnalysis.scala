@@ -482,29 +482,18 @@ object TextAnalysis {
     * untouched) when nothing was appended. */
   def compactEditIndex(s: SparkSession, dir: String): Unit = {
     val m = graft.models.ModelManifest.validate(s, dir, "edit_index")
-    val conf = s.sparkContext.hadoopConfiguration
-    val appendedRoot = new org.apache.hadoop.fs.Path(s"$dir/appended")
-    val fs = appendedRoot.getFileSystem(conf)
-    if (!fs.exists(appendedRoot)) return
+    if (!graft.models.IndexMaintenance.exists(s, s"$dir/appended")) return
     val merged = s.read.parquet(s"$dir/segments")
-      .unionByName(s.read.parquet(appendedRoot.toString)
+      .unionByName(s.read.parquet(s"$dir/appended")
         .select("name_b", "blk_len", "blk_i", "seg"))
       .distinct()
     graft.models.ModelManifest.invalidate(s, dir)
-    val staged = new org.apache.hadoop.fs.Path(s"$dir/segments.compacting")
-    merged.write.mode("overwrite").parquet(staged.toString)
-    val live = new org.apache.hadoop.fs.Path(s"$dir/segments")
-    fs.delete(live, true)
-    fs.rename(staged, live)
-    fs.delete(appendedRoot, true)
-    // A serving session may hold the pre-compaction segments persisted
-    // (streamEditScreen caches them); the cache manager would otherwise
-    // satisfy a fresh read.parquet of the same path from that stale plan.
-    s.catalog.refreshByPath(dir)
+    graft.models.IndexMaintenance.stagedSwap(s, dir, "segments",
+      Seq("appended")) { staged =>
+      merged.write.mode("overwrite").parquet(staged)
+    }
     graft.models.ModelManifest.write(s, dir, "edit_index", m.sourceDir,
-      m.tables, (m.params +
-        ("compactions" ->
-          (m.params.getOrElse("compactions", "0").toInt + 1).toString)).toSeq)
+      m.tables, graft.models.IndexMaintenance.bumpCompactions(m))
   }
 
   /** Screen a batch of `(key, name)` rows against a persisted segment

@@ -1246,6 +1246,43 @@ object Streams {
     (q, kept)
   }
 
+  // --------------------------------------------- streaming ANN ingest (grow)
+  /** Screen-AND-GROW for the vector index (`editScreenGrowSinkBatch`'s
+    * discipline applied to embeddings): each micro-batch of `(vec_id,
+    * embedding)` rows is served its cosine top-3 from the base index PLUS
+    * every prior batch's appends — so a near-duplicate of a vector first
+    * seen three batches ago is caught without any retrain — then appends
+    * its own cell-assigned rows under `indexDir/appended/batch_id=<id>`.
+    * Idempotent on redelivery from both sides: the screen reads the
+    * appended root through a `batch_id =!= id` partition filter, and the
+    * re-append byte-replaces its own directory. Offline maintenance:
+    * `Similarity.compactAnnIndex` (fold appends, latest-wins) and
+    * `Similarity.annIndexDrift` (decide when a retrain is due instead).
+    */
+  def annIngestSinkBatch(batch: DataFrame, id: Long,
+      codebook: Seq[(Int, Array[Float])], indexDir: String,
+      outDir: String): Unit = {
+    graft.operators.Similarity
+      .annScreenGrownBatch(batch, codebook, indexDir, excludeBatch = id)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+    graft.operators.Similarity
+      .annIndexAppendBatch(batch, codebook, indexDir, id)
+  }
+
+  def streamAnnIngest(df: DataFrame, spark: SparkSession, indexDir: String,
+      outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.models.ModelManifest.validate(spark, indexDir, "ann_ivf_index")
+    graft.functions.VecFunctions.register(spark)
+    val codebook = graft.operators.Similarity.codebookFromDir(spark, indexDir)
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        annIngestSinkBatch(batch.toDF(), id, codebook, indexDir, outDir)
+      }
+      .start()
+  }
+
   // --------------------------------------------- streaming media ingest
   /** The per-batch media ingest transform: decode stub + resize geometry
     * over `(doc_id, payload)` rows — the df-level seam shared by the

@@ -244,6 +244,35 @@ object StreamingSmoke {
         s"verdicts=$screened")
     }
 
+    // ANN grow-ingest leg: embedding vectors arriving at ingest are
+    // screened against the persisted IVF index and appended under the
+    // frozen codebook — a near-dup of a vector that itself ARRIVED one
+    // batch earlier is caught only via the index growth
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val annIdx = s"$base/annidx"
+      graft.operators.Similarity.writeAnnIndex(spark, "/root/testdata/sf0.001", annIdx)
+      val x = Array.fill(64)(1.0f)
+      val xc = x.clone(); xc(0) = 1.2f
+      val ain = MemoryStream[(Long, Seq[Float])]
+      val aq = Streams.streamAnnIngest(
+        ain.toDF().toDF("vec_id", "embedding"), spark, annIdx,
+        s"$base/annout", s"$base/cka")
+      ain.addData(Seq((30001L, x.toSeq)))
+      aq.processAllAvailable()
+      ain.addData(Seq((30002L, xc.toSeq)))
+      aq.processAllAvailable()
+      aq.stop()
+      val top = spark.read.parquet(s"$base/annout")
+        .filter(col("qid") === 30002L && col("rank") === 1)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+      check("ann_ingest_grow",
+        top.length == 1 && top.head._1 == 30001L && top.head._2 > 0.99,
+        s"top=${top.toSeq}")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }
