@@ -1075,9 +1075,12 @@ object Similarity {
     * incremental index ([[annIndexAppendBatch]] / [[annFromIndexGrown]]),
     * in the exact-twin + in-bound-verdict pattern `ann_ivf_trained_topk`
     * established: the compared frame is the engine-portable brute-force
-    * cosine top-3 over the FULL corpus for the probe panel (arriving
-    * vectors with vec_id % 20 = 0), plus two boolean verdicts from the
-    * engine-specific halves:
+    * cosine top-3 over the FULL corpus for the probe panel — arriving
+    * vectors with vec_id % 20 = 0 AND vec_id < 2000, the semdedup
+    * fixed-panel discipline: every fixture id is < 2000 so the oracle
+    * rows are unchanged there, while at ×N the panel stays FIXED and the
+    * truth join is O(panel × n), not O(n²) — plus two boolean verdicts
+    * from the engine-specific halves:
     *
     *   - `grown_not_worse_than_stale`: truth-hits served from the grown
     *     index >= hits from the stale base-only index. PROVABLE: probes
@@ -1100,7 +1103,8 @@ object Similarity {
       .filter(expr("vec_norm(embedding)") > 0)
       .select("vec_id", "embedding")
       .localCheckpoint() // probes + truth corpus: read 3×
-    val probes = nz.filter(isArrival && col("vec_id") % 20 === 0)
+    val probes = nz.filter(isArrival && col("vec_id") % 20 === 0 &&
+      col("vec_id") < 2000)
     val wRank = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     val truth = probes
@@ -1137,7 +1141,7 @@ object Similarity {
        |scored AS (
        |  SELECT p.vec_id AS qid, q.vec_id AS vec_id, $cosineSqlPQ AS cosine
        |  FROM nz p JOIN nz q ON q.vec_id <> p.vec_id
-       |  WHERE p.vec_id % 3 = 0 AND p.vec_id % 20 = 0),
+       |  WHERE p.vec_id % 3 = 0 AND p.vec_id % 20 = 0 AND p.vec_id < 2000),
        |ranked AS (
        |  SELECT qid, vec_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
@@ -1164,6 +1168,21 @@ object Similarity {
   /** Flag threshold for [[annIndexDrift]] — see the calibration note in
     * that scaladoc. */
   private val DriftTvFlag = 0.15
+
+  /** One micro-batch's drift verdict against a persisted index's cell
+    * shares — the seam `Streams.streamAnnDriftMonitor` writes per batch
+    * (same [[driftTv]] metric and [[DriftTvFlag]] threshold as the batch
+    * report, so ingest-time and offline drift can never disagree). */
+  private[graft] def driftVerdictBatch(batch: DataFrame,
+      codebook: Seq[(Int, Array[Float])], baseCells: DataFrame): DataFrame = {
+    graft.functions.VecFunctions.register(batch.sparkSession)
+    val cells = assignCells(batch.select(col("vec_id"), col("embedding"),
+        expr("vec_norm(embedding)").as("nrm")), codebook)
+      .select("cell")
+    driftTv(baseCells, cells)
+      .select(col("n_arrivals"), round(col("tv"), 4).as("tv"),
+        (col("tv") > DriftTvFlag).as("drift_flagged"))
+  }
 
   /** Calibration/spec seam: the drift rows WITH the engine-internal tv
     * value (cells are k-means assignments, so tv itself is not

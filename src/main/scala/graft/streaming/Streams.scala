@@ -1283,6 +1283,41 @@ object Streams {
       .start()
   }
 
+  // --------------------------------------------- streaming ANN drift monitor
+  /** Ingest-time twin of the batch `ann_index_drift` report: each
+    * micro-batch of `(vec_id, embedding)` rows gets ONE verdict row —
+    * (n_arrivals, tv, drift_flagged) against the persisted index's cell
+    * shares — the vector-space counterpart of the KL drift monitor
+    * (`kl_drift_stream` smoke leg). The base cell relation is cached at
+    * stream start (k-row-bounded groupBy feeds the TV join, the corpus
+    * itself is scanned once); per-record work is one frozen-codebook
+    * assignment projection. No cross-batch state: replay parity with the
+    * batch metric is exact, and a redelivered batch byte-replaces its
+    * own directory. */
+  def annDriftSinkBatch(batch: DataFrame, id: Long,
+      codebook: Seq[(Int, Array[Float])], baseCells: DataFrame,
+      outDir: String): Unit =
+    graft.operators.Similarity
+      .driftVerdictBatch(batch, codebook, baseCells)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  def streamAnnDriftMonitor(df: DataFrame, spark: SparkSession,
+      indexDir: String, outDir: String, checkpoint: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    graft.models.ModelManifest.validate(spark, indexDir, "ann_ivf_index")
+    graft.functions.VecFunctions.register(spark)
+    val codebook = graft.operators.Similarity.codebookFromDir(spark, indexDir)
+    val baseCells = spark.read.parquet(s"$indexDir/corpus")
+      .select("cell").persist()
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        annDriftSinkBatch(batch.toDF(), id, codebook, baseCells, outDir)
+      }
+      .start()
+    (q, baseCells)
+  }
+
   // --------------------------------------------- streaming media ingest
   /** The per-batch media ingest transform: decode stub + resize geometry
     * over `(doc_id, payload)` rows — the df-level seam shared by the

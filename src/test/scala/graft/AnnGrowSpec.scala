@@ -149,6 +149,39 @@ class AnnGrowSpec extends AnyFunSuite {
     } finally Seq(dir, outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
   }
 
+  test("streaming drift monitor: in-distribution batch quiet, orthant-shifted batch flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-drift-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ann-drift-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-drift-ck").toString
+    try {
+      import spark.implicits._
+      operators.Similarity.writeAnnIndex(spark, sf, dir)
+      val arrivals = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 3 === 0).select("vec_id", "embedding")
+        .collect()
+        .map(r => (r.getAs[Long](0), r.getAs[scala.collection.Seq[Float]](1).toSeq))
+        .toSeq
+      val shifted = arrivals.map { case (id, v) => (id + 50000L, v.map(math.abs)) }
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[(Long, Seq[Float])]
+      val (q, cached) = Streams.streamAnnDriftMonitor(
+        in.toDF().toDF("vec_id", "embedding"), spark, dir, outDir, ckpt)
+      try {
+        in.addData(arrivals); q.processAllAvailable()
+        in.addData(shifted); q.processAllAvailable()
+        val got = spark.read.parquet(outDir).collect()
+          .map(r => r.getAs[Int]("batch_id") ->
+            ((r.getAs[Long]("n_arrivals"), r.getAs[Double]("tv"),
+              r.getAs[Boolean]("drift_flagged")))).toMap
+        assert(got.size == 2, s"one verdict row per batch: $got")
+        assert(got(0)._1 == arrivals.size && !got(0)._3 && got(0)._2 < 0.15,
+          s"in-distribution batch must stay quiet: ${got(0)}")
+        assert(got(1)._1 == arrivals.size && got(1)._3 && got(1)._2 > 0.3,
+          s"orthant-shifted batch must flag: ${got(1)}")
+      } finally { q.stop(); cached.unpersist() }
+    } finally Seq(dir, outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
+  }
+
   test("drift cohorts separate and grow-serve verdicts hold on the fixture") {
     val drift = operators.Similarity.annIndexDriftFull(spark, sf).collect()
       .map(r => r.getAs[String]("cohort") ->
