@@ -1685,6 +1685,37 @@ object Dedup {
         (coalesce(col("n_index_hits"), lit(0L)) >= WinnowMinShared).as("suspect"))
   }
 
+  /** Offline compaction for a winnow index grown by
+    * `Streams.streamWinnowScreenGrow`: folds the appended per-batch
+    * fingerprint trees into the base relation and RE-APPLIES the global
+    * hot cap — hotness is a CORPUS-level property the per-batch appends
+    * cannot see (boilerplate arriving spread over many batches passes
+    * every per-batch view, but must drop once its total count crosses
+    * [[WinnowHotCap]]), so only this fold can re-establish the
+    * [[winnowPairs]] retention rule over the grown corpus. The cap is
+    * applied to the RETAINED set: a fingerprint the base build already
+    * capped stays gone. Same manifest invalidate-first / rewrite-last
+    * bracket and staged-rename swap as the edit/ANN compactions
+    * (`models.IndexMaintenance`); no-op when nothing was appended. */
+  def compactWinnowIndex(s: SparkSession, dir: String): Unit = {
+    val m = graft.models.ModelManifest.validate(s, dir, "winnow_index")
+    if (!graft.models.IndexMaintenance.exists(s, s"$dir/appended")) return
+    val folded = s.read.parquet(s"$dir/fps").select("doc_id", "fp")
+      .unionByName(s.read.parquet(s"$dir/appended").select("doc_id", "fp"))
+      .distinct()
+      .localCheckpoint() // read by the hot count and the anti-join probe
+    val hot = folded.groupBy("fp").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= WinnowHotCap).select("fp")
+    val merged = folded.join(broadcast(hot), Seq("fp"), "left_anti")
+    graft.models.ModelManifest.invalidate(s, dir)
+    graft.models.IndexMaintenance.stagedSwap(s, dir, "fps",
+      Seq("appended")) { staged =>
+      merged.write.mode("overwrite").parquet(staged)
+    }
+    graft.models.ModelManifest.write(s, dir, "winnow_index", m.sourceDir,
+      m.tables, graft.models.IndexMaintenance.bumpCompactions(m))
+  }
+
   val dedupWinnowSql: String =
     s"""WITH h AS (
       |  SELECT doc_id,

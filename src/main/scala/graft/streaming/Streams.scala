@@ -1578,6 +1578,48 @@ object Streams {
     (q, fps)
   }
 
+  /** Screen-AND-GROW variant for the winnow substring screen (the
+    * `editScreenGrowSinkBatch` discipline): each micro-batch is screened
+    * against base history PLUS every prior batch's accumulated
+    * fingerprints, then appends its own docs' fingerprints under
+    * `indexDir/appended/batch_id=<id>` — so a document quoting one that
+    * itself ARRIVED three batches ago is caught without any reindex.
+    * Idempotent on redelivery from both sides (own-batch partition
+    * filter on the read, byte-replace on the write). The appends carry
+    * NO hot-cap — hotness is a corpus property a batch cannot see;
+    * `Dedup.compactWinnowIndex` re-applies it globally at fold time. */
+  def winnowScreenGrowSinkBatch(batch: DataFrame, id: Long,
+      baseFps: DataFrame, indexDir: String, outDir: String): Unit = {
+    val s = batch.sparkSession
+    val appendedRoot = s"$indexDir/appended"
+    val prior =
+      try s.read.parquet(appendedRoot)
+        .filter(col("batch_id") =!= id)
+        .select("doc_id", "fp")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        baseFps.select("doc_id", "fp").limit(0)
+      }
+    graft.operators.Dedup.winnowScreenBatch(batch,
+      baseFps.select("doc_id", "fp").unionByName(prior))
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+    graft.operators.Dedup.winnowFingerprints(
+        batch.select(col("doc_id"), col("text")))
+      .write.mode("overwrite").parquet(s"$appendedRoot/batch_id=$id")
+  }
+
+  def streamWinnowScreenGrow(df: DataFrame, spark: SparkSession,
+      indexDir: String, outDir: String, checkpoint: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    val fps = graft.operators.Dedup.winnowIndexFps(spark, indexDir).persist()
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        winnowScreenGrowSinkBatch(batch.toDF(), id, fps, indexDir, outDir)
+      }
+      .start()
+    (q, fps)
+  }
+
   // --------------------------------------- streaming edit-distance screen
   /** Streaming edit-distance screen over micro-batches of `(key, name)`
     * rows against the persisted PassJoin segment index
