@@ -2045,6 +2045,88 @@ object Similarity {
       codebookFromDir(s, indexDir), s.read.parquet(s"$indexDir/kept"))
   }
 
+  /** Screen-and-ADMIT verdicts for one ingest micro-batch
+    * (`Streams.streamSemdedupIngest`): each arriving vector is judged
+    * against the kept set PLUS every prior batch's admitted vectors
+    * (`admitted/batch_id=*`, minus `excludeBatch` — the redelivery
+    * discipline) PLUS its own batch's LOWER-vec_id rows, so a batch
+    * admits exactly one of a within-batch near-dup pair and a near-dup
+    * of a vector admitted three batches ago is rejected without any
+    * index rebuild. The within-batch rule is match-any-lower-id —
+    * deterministic and one join, pessimistic on transitive chains (a
+    * chain admits only its lowest id even where intermediate drops break
+    * the links); the offline `semdedup_prune` keep rule is the
+    * refinement a compaction-time re-prune would apply. Emits
+    * `(vec_id, n_dup_kept, is_dup, embedding, nrm, cell)` — total over
+    * the batch; zero-norm rows report 0 matches (no cosine exists) and
+    * carry a NULL cell so the sink can exclude them from the append. */
+  private[graft] def semdedupIngestVerdicts(batch: DataFrame,
+      codebook: Seq[(Int, Array[Float])], indexDir: String,
+      excludeBatch: Long): DataFrame = {
+    val s = batch.sparkSession
+    graft.functions.VecFunctions.register(s)
+    val kept = s.read.parquet(s"$indexDir/kept")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cell").cast("int").as("cell"))
+    val prior =
+      try {
+        val a = s.read.parquet(s"$indexDir/admitted")
+        (if (excludeBatch >= 0) a.filter(col("batch_id") =!= excludeBatch)
+         else a)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("cell").cast("int").as("cell"))
+      } catch { case _: org.apache.spark.sql.AnalysisException =>
+        kept.limit(0)
+      }
+    val p = batch.select(col("vec_id"), col("embedding"),
+      expr("vec_norm(embedding)").as("nrm"))
+    val q = assignCells(p.filter(col("nrm") > 0), codebook)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("cell"))
+    val own = q.select(col("qid").as("vec_id"), col("qemb").as("embedding"),
+      col("qnrm").as("nrm"), col("cell")).withColumn("own", lit(true))
+    val cand = kept.unionByName(prior).withColumn("own", lit(false))
+      .unionByName(own)
+    val matches = q.join(cand, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .filter(!col("own") || col("vec_id") < col("qid"))
+      .filter(round(expr("vec_dot(qemb, embedding)") / (col("qnrm") * col("nrm")), 4)
+        >= SemdedupThreshold)
+      .groupBy(col("qid").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup_kept"))
+    p.join(q.select(col("qid").as("vec_id"), col("cell")), Seq("vec_id"), "left")
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        coalesce(col("n_dup_kept"), lit(0L)).as("n_dup_kept"))
+      .withColumn("is_dup", col("n_dup_kept") > 0)
+  }
+
+  /** Offline compaction for a semdedup index grown by
+    * `Streams.streamSemdedupIngest`: folds `admitted/` into the kept
+    * relation (cell partitioning preserved) under the shared
+    * invalidate-first / rewrite-last manifest bracket and staged-rename
+    * swap. Admitted rows were screened against kept ∪ prior admits at
+    * ingest time, so the fold cannot introduce a near-dup pair the
+    * ingest rule would have rejected; no-op when nothing was admitted. */
+  def compactSemdedupIndex(s: SparkSession, dir: String): Unit = {
+    val m = graft.models.ModelManifest.validate(s, dir, "semdedup_index")
+    if (!graft.models.IndexMaintenance.exists(s, s"$dir/admitted")) return
+    val merged = s.read.parquet(s"$dir/kept")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cell").cast("int").as("cell"))
+      .unionByName(s.read.parquet(s"$dir/admitted")
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("cell").cast("int").as("cell")))
+      .distinct()
+    graft.models.ModelManifest.invalidate(s, dir)
+    graft.models.IndexMaintenance.stagedSwap(s, dir, "kept",
+      Seq("admitted")) { staged =>
+      merged.write.mode("overwrite").partitionBy("cell").parquet(staged)
+    }
+    graft.models.ModelManifest.write(s, dir, "semdedup_index", m.sourceDir,
+      m.tables, graft.models.IndexMaintenance.bumpCompactions(m))
+  }
+
   // ------------------------------------------------------- outlier audit
   /** Embedding-quality outlier audit: per label, the cosine of every
     * vector against its label centroid, reduced to (count, mean, stddev,

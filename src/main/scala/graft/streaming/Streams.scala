@@ -1283,6 +1283,47 @@ object Streams {
       .start()
   }
 
+  // --------------------------------------------- streaming semdedup ingest
+  /** Screen-and-ADMIT semantic dedup at ingest (`streamSemdedupScreen`'s
+    * grow variant): per batch, verdicts against kept ∪ prior admits ∪
+    * own-batch lower ids (`Similarity.semdedupIngestVerdicts`), verdict
+    * rows to `outDir/batch_id=<id>`, and the batch's admitted (non-dup,
+    * nonzero-norm) vectors appended cell-partitioned under
+    * `indexDir/admitted/batch_id=<id>` — so a near-dup of a vector
+    * admitted three batches ago is REJECTED, which the frozen screen
+    * cannot do. Offline maintenance: `Similarity.compactSemdedupIndex`.
+    * Idempotent on redelivery from both sides (own-batch partition
+    * filter on the read, byte-replace on both writes). */
+  def semdedupIngestSinkBatch(batch: DataFrame, id: Long,
+      codebook: Seq[(Int, Array[Float])], indexDir: String,
+      outDir: String): Unit = {
+    val v = graft.operators.Similarity
+      .semdedupIngestVerdicts(batch, codebook, indexDir, excludeBatch = id)
+      .persist()
+    try {
+      v.select("vec_id", "n_dup_kept", "is_dup")
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      v.filter(!col("is_dup") && col("nrm") > 0)
+        .select("vec_id", "embedding", "nrm", "cell")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/admitted/batch_id=$id")
+    } finally { v.unpersist(); () }
+  }
+
+  def streamSemdedupIngest(df: DataFrame, spark: SparkSession,
+      indexDir: String, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.models.ModelManifest.validate(spark, indexDir, "semdedup_index")
+    graft.functions.VecFunctions.register(spark)
+    val codebook = graft.operators.Similarity.codebookFromDir(spark, indexDir)
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        semdedupIngestSinkBatch(batch.toDF(), id, codebook, indexDir, outDir)
+      }
+      .start()
+  }
+
   // --------------------------------------------- streaming ANN drift monitor
   /** Ingest-time twin of the batch `ann_index_drift` report: each
     * micro-batch of `(vec_id, embedding)` rows gets ONE verdict row —
