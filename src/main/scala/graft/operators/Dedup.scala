@@ -1685,6 +1685,66 @@ object Dedup {
         (coalesce(col("n_index_hits"), lit(0L)) >= WinnowMinShared).as("suspect"))
   }
 
+  /** Oracle-closed registered form of the GROWN winnow screen
+    * (`Streams.streamWinnowScreenGrow` semantics as one relational
+    * composition): history documents (doc_id % 3 != 0) form the
+    * hot-capped base index, the % 6 = 0 docs are the already-arrived
+    * append batch — fingerprinted UNCAPPED, exactly the per-batch append
+    * contract — and the % 6 = 3 docs are the arriving batch being
+    * screened (the % 6 = 3 slice is excluded from the index: the stream
+    * has not seen it yet). A doc quoting an APPENDED doc is a suspect
+    * only via the growth half, so an engine that screens against the
+    * frozen base alone flips those rows of the count/hash compare. The
+    * DuckDB oracle recomputes the winnow fingerprints and both index
+    * halves by brute force. */
+  def winnowGrowScreen(s: SparkSession, d: String): DataFrame = {
+    val docs = parallelize(s,
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .localCheckpoint() // feeds three fingerprint passes + the probe rows
+    val histFp = winnowFingerprints(docs.filter(col("doc_id") % 3 =!= 0))
+      .localCheckpoint() // read by the hot count and the retained side
+    val hot = histFp.groupBy("fp").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= WinnowHotCap).select("fp")
+    val idx = histFp.join(broadcast(hot), Seq("fp"), "left_anti")
+      .unionByName(winnowFingerprints(docs.filter(col("doc_id") % 6 === 0)))
+    winnowScreenBatch(docs.filter(col("doc_id") % 6 === 3), idx)
+      .orderBy("doc_id")
+  }
+
+  val winnowGrowScreenSql: String =
+    s"""WITH h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) >= ${WinnowK + WinnowW - 1}
+      |      THEN list_transform(range(1, length(text) - ${WinnowK - 2}),
+      |        i -> ('0x' || substring(md5(substring(text, CAST(i AS INTEGER), $WinnowK)), 1, 7))::BIGINT)
+      |      ELSE [] END AS hs
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) >= $WinnowW
+      |      THEN list_distinct(list_transform(range(1, len(hs) - ${WinnowW - 2}),
+      |        j -> list_min(hs[j:j+${WinnowW - 1}])))
+      |      ELSE [] END AS fps
+      |  FROM h),
+      |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      |hist AS (SELECT * FROM e WHERE doc_id % 3 <> 0),
+      |hot AS (SELECT fp FROM hist GROUP BY fp HAVING count(*) >= $WinnowHotCap),
+      |idx AS (
+      |  SELECT fp FROM hist WHERE fp NOT IN (SELECT fp FROM hot)
+      |  UNION ALL
+      |  SELECT fp FROM e WHERE doc_id % 6 = 0),
+      |hits AS (
+      |  SELECT p.doc_id, CAST(count(DISTINCT p.fp) AS BIGINT) AS n_index_hits
+      |  FROM (SELECT * FROM e WHERE doc_id % 6 = 3) p
+      |  JOIN idx i ON p.fp = i.fp
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(n_index_hits, 0) AS BIGINT) AS n_index_hits,
+      |  coalesce(n_index_hits, 0) >= $WinnowMinShared AS suspect
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 6 = 3) d
+      |LEFT JOIN hits USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Offline compaction for a winnow index grown by
     * `Streams.streamWinnowScreenGrow`: folds the appended per-batch
     * fingerprint trees into the base relation and RE-APPLIES the global
@@ -1927,6 +1987,7 @@ object Dedup {
     "pagerank_sim_graph" -> (pagerankSimGraph _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_winnow" -> (dedupWinnow _),
+    "winnow_grow_screen" -> (winnowGrowScreen _),
     "decontaminate_substring" -> (decontaminateSubstring _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1953,6 +2014,7 @@ object Dedup {
     "pagerank_sim_graph" -> pagerankSimGraphSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_winnow" -> dedupWinnowSql,
+    "winnow_grow_screen" -> winnowGrowScreenSql,
     "decontaminate_substring" -> decontaminateSubstringSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

@@ -566,6 +566,66 @@ object TextAnalysis {
       |FROM probes LEFT JOIN m ON m.name = probes.name
       |ORDER BY key""".stripMargin
 
+  /** Oracle-closed registered form of the GROWN edit screen
+    * (`Streams.streamEditScreenGrow` semantics as one relational
+    * composition): history names (p_partkey % 3 != 0) are the base
+    * index; the % 6 = 0 keys arrive as NEW names (their fixture name
+    * reversed — the raw fixture duplicates every p_name across key
+    * slices, which made a raw-name append vacuous: measured zero
+    * growth-dependent rows) and their segments join the index. Probes
+    * are the arrivals deterministically perturbed (even keys lose the
+    * last character — distance 1 from their own arrival; odd keys probe
+    * verbatim — distance 0), so EVERY probe's guaranteed witness lives
+    * in the APPENDED half: an engine that serves only the frozen base
+    * flips all 334 rows of the sf0.01 count/hash compare (measured).
+    * The DuckDB oracle re-screens by brute force, independent of the
+    * PassJoin blocking. */
+  def editScreenGrow(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.parallelize(s,
+      Tables.part(s, d).select(col("p_partkey"), col("p_name")))
+      .localCheckpoint() // feeds the index build and the probe slice
+    val arrivals = p.filter(col("p_partkey") % 6 === 0)
+      .select(col("p_partkey"), reverse(col("p_name")).as("aname"))
+    val cands = p.filter(col("p_partkey") % 3 =!= 0)
+      .select(col("p_name").as("name"))
+      .union(arrivals.select(col("aname").as("name")))
+      .distinct()
+    val probes = arrivals
+      .select(col("p_partkey").as("key"),
+        when(col("p_partkey") % 2 === 0,
+          expr("substring(aname, 1, length(aname) - 1)"))
+          .otherwise(col("aname")).as("name"))
+    editScreenBatch(probes, editSegmentsBuild(cands)).orderBy("key")
+  }
+
+  val editScreenGrowSql: String =
+    """WITH arrivals AS (
+      |  SELECT p_partkey, reverse(p_name) AS aname
+      |  FROM part WHERE p_partkey % 6 = 0),
+      |probes AS (
+      |  SELECT p_partkey AS key,
+      |    CASE WHEN p_partkey % 2 = 0
+      |      THEN substring(aname, 1, length(aname) - 1)
+      |      ELSE aname END AS name
+      |  FROM arrivals),
+      |names AS (
+      |  SELECT DISTINCT p_name AS nb FROM part WHERE p_partkey % 3 <> 0
+      |  UNION SELECT DISTINCT aname FROM arrivals),
+      |m AS (
+      |  SELECT p.name,
+      |    CAST(count(*) AS BIGINT) AS n_matches,
+      |    CAST(min(levenshtein(p.name, n.nb)) AS INTEGER) AS best_dist
+      |  FROM (SELECT DISTINCT name FROM probes) p JOIN names n
+      |    ON abs(length(p.name) - length(n.nb)) <= 2
+      |      AND levenshtein(p.name, n.nb) <= 2
+      |  GROUP BY p.name)
+      |SELECT key, probes.name AS name,
+      |  CAST(coalesce(n_matches, 0) AS BIGINT) AS n_matches,
+      |  CAST(coalesce(best_dist, -1) AS INTEGER) AS best_dist,
+      |  coalesce(n_matches, 0) > 0 AS suspect
+      |FROM probes LEFT JOIN m ON probes.name = m.name
+      |ORDER BY key""".stripMargin
+
   // ------------------------------------------------------------- language id
   /** Character-bigram language-ID heuristic. Profiles are fixed constants
     * (top bigrams of seed phrases per language); the document's bigram set
@@ -2558,6 +2618,7 @@ object TextAnalysis {
     "text_rolling_hash" -> (textRollingHash _),
     "text_edit_distance" -> (textEditDistance _),
     "edit_screen" -> (editScreen _),
+    "edit_screen_grow" -> (editScreenGrow _),
     "text_langid" -> (textLangId _))
 
   def oracles: Map[String, String] = Map(
@@ -2600,5 +2661,6 @@ object TextAnalysis {
     "text_rolling_hash" -> textRollingHashSql,
     "text_edit_distance" -> textEditDistanceSql,
     "edit_screen" -> editScreenSql,
+    "edit_screen_grow" -> editScreenGrowSql,
     "text_langid" -> textLangIdSql)
 }
