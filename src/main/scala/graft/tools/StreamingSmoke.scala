@@ -273,6 +273,44 @@ object StreamingSmoke {
         s"top=${top.toSeq}")
     }
 
+    // semdedup screen-and-admit leg: a vector admitted in batch 0 causes
+    // its batch-1 near-dup to be REJECTED — the verdict the frozen screen
+    // cannot produce
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val semIdx = s"$base/semidx"
+      graft.operators.Similarity.writeSemdedupIndex(
+        spark, "/root/testdata/sf0.001", semIdx)
+      // premise-guarded novel direction (the SemdedupIndexSpec search)
+      val kept = spark.read.parquet(s"$semIdx/kept").collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      def cos(a: Array[Float], b: Array[Float]) = {
+        def n(v: Array[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+        a.zip(b).map { case (p, q) => p.toDouble * q }.sum / (n(a) * n(b))
+      }
+      val x = (0 until 200).iterator.map(c => Array.tabulate(64)(i =>
+          if (graft.functions.Portable.hash28Jvm(s"smoke_${c}_$i") % 2 == 0) 1.0f
+          else -1.0f))
+        .find(v => kept.map(k => math.abs(cos(v, k))).max < 0.35).get
+      val xc = x.clone(); xc(0) = x(0) * 1.3f
+      val sin = MemoryStream[(Long, Seq[Float])]
+      val sq = Streams.streamSemdedupIngest(
+        sin.toDF().toDF("vec_id", "embedding"), spark, semIdx,
+        s"$base/semout", s"$base/cks")
+      sin.addData(Seq((90001L, x.toSeq)))
+      sq.processAllAvailable()
+      sin.addData(Seq((90002L, xc.toSeq)))
+      sq.processAllAvailable()
+      sq.stop()
+      val verdicts = spark.read.parquet(s"$base/semout").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_dup")).toMap
+      check("semdedup_ingest_grow",
+        verdicts == Map(90001L -> false, 90002L -> true),
+        s"verdicts=$verdicts")
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }
