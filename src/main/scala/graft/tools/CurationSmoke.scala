@@ -249,6 +249,47 @@ object CurationSmoke {
             tok.getAs[Long]("m"),
         s"docs=${tok.getAs[Long]("rows")} tokens ${tok.getAs[Long]("before")} -> " +
           s"${tok.getAs[Long]("after")} (merges ${tok.getAs[Long]("m")})")
+
+      // stage 6 — index maintenance: tomorrow's increments grow the
+      // winnow index built in stage 2b0 (two screen-and-append batches
+      // of clean-corpus docs through the REAL sink-batch path), then the
+      // offline fold (`compactWinnowIndex`) re-establishes the global
+      // hot cap and the single-relation serve. Invariants: the screen is
+      // total per batch, the fold bumps the manifest counter and removes
+      // the appended tree, and an exact copy of an INGESTED doc is a
+      // suspect when screened against the compacted relation alone —
+      // growth survived the fold.
+      val s6out = s"$base/s6out"
+      val clean = Tables.documents(spark, s2b)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val baseFps = Dedup.winnowIndexFps(spark, winIdxDir)
+      val b0 = clean.filter(col("doc_id") % 2 === 0)
+      val b1 = clean.filter(col("doc_id") % 2 === 1)
+      graft.streaming.Streams.winnowScreenGrowSinkBatch(
+        b0, 0L, baseFps, winIdxDir, s6out)
+      graft.streaming.Streams.winnowScreenGrowSinkBatch(
+        b1, 1L, baseFps, winIdxDir, s6out)
+      val screenedTotal = spark.read.parquet(s6out).count()
+      Dedup.compactWinnowIndex(spark, winIdxDir)
+      val m6 = graft.models.ModelManifest.validate(spark, winIdxDir, "winnow_index")
+      val appendedGone = !graft.models.IndexMaintenance
+        .exists(spark, s"$winIdxDir/appended")
+      // probe: the longest ingested doc re-arrives verbatim under a new id
+      val donor = clean.orderBy(length(col("text")).desc, col("doc_id"))
+        .select("text").head().getString(0)
+      val probe = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(999999999L, donor)),
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string"))
+      val caught = Dedup.winnowScreenBatch(probe,
+        Dedup.winnowIndexFps(spark, winIdxDir))
+        .collect().head.getAs[Boolean]("suspect")
+      check("index_maintenance",
+        screenedTotal == n2b && m6.params.get("compactions").contains("1") &&
+          appendedGone && caught,
+        s"screened=$screenedTotal of $n2b, compactions=" +
+          s"${m6.params.getOrElse("compactions", "?")}, appended_gone=$appendedGone, " +
+          s"reingested_copy_caught=$caught")
     } finally spark.stop() // scratch dir is removed by the Scratch hook
     if (failed) sys.exit(1)
   }
