@@ -10,6 +10,7 @@ sorting columns by name and rows by all columns (mirrors the driver's
 hash-compare as described in the build contract).
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -29,8 +30,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # the driver fixtures are single parquet FILES; SfGen-generated
+        # corpora are Spark-written DIRECTORIES of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     ok = bad = 0

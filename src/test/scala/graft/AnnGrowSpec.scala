@@ -196,6 +196,7 @@ class AnnGrowSpec extends AnyFunSuite {
       (g.getAs[Long]("grown_hits"), g.getAs[Long]("stale_hits"), g.getAs[Long]("nq"))
     assert(grown >= stale, s"superset monotonicity: grown=$grown stale=$stale")
     assert(grown > stale, s"fixture margin: appends add recall (grown=$grown stale=$stale)")
+    // the k-aware floor (0.57/sqrt(k)) at the fixture's k = 8 is 0.20
     assert(grown.toDouble / (3 * nq) >= 0.20, s"recall floor: $grown/$nq")
   }
 }
