@@ -44,4 +44,14 @@ private[graft] object IndexMaintenance {
   def bumpCompactions(m: ModelManifest.Manifest): Seq[(String, String)] =
     (m.params + ("compactions" ->
       (m.params.getOrElse("compactions", "0").toInt + 1).toString)).toSeq
+
+  /** The retrained manifest's params: `retrains` bumped, the structural
+    * params the rebuild changed (e.g. the adaptive codebook size)
+    * overwritten, and `compactions` RESET — a retrain is a full rebuild,
+    * so the fold count it audited starts over. */
+  def bumpRetrains(m: ModelManifest.Manifest,
+      updated: (String, String)*): Seq[(String, String)] =
+    (m.params ++ updated +
+      ("retrains" -> (m.params.getOrElse("retrains", "0").toInt + 1).toString) -
+      "compactions").toSeq
 }

@@ -1337,9 +1337,9 @@ object Streams {
     * own directory. */
   def annDriftSinkBatch(batch: DataFrame, id: Long,
       codebook: Seq[(Int, Array[Float])], baseCells: DataFrame,
-      outDir: String): Unit =
+      ownFitErr: Double, outDir: String): Unit =
     graft.operators.Similarity
-      .driftVerdictBatch(batch, codebook, baseCells)
+      .driftVerdictBatch(batch, codebook, baseCells, ownFitErr)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
 
   def streamAnnDriftMonitor(df: DataFrame, spark: SparkSession,
@@ -1350,10 +1350,13 @@ object Streams {
     val codebook = graft.operators.Similarity.codebookFromDir(spark, indexDir)
     val baseCells = spark.read.parquet(s"$indexDir/corpus")
       .select("cell").persist()
+    // the retrain-ratio denominator: the index's own mean fit under its
+    // own codebook — one pass at monitor start, a scalar thereafter
+    val ownFitErr = graft.operators.Similarity.indexOwnFitErr(spark, indexDir)
     val q = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        annDriftSinkBatch(batch.toDF(), id, codebook, baseCells, outDir)
+        annDriftSinkBatch(batch.toDF(), id, codebook, baseCells, ownFitErr, outDir)
       }
       .start()
     (q, baseCells)

@@ -125,6 +125,22 @@ object GrowDrill {
       val after = top1(graft.operators.Similarity.annFromIndex(spark, probe, dir))
       report("ann_ingest_grow", times, tPost,
         before == 1000000L && after == before)
+
+      // retrain stage: full rebuild with a fresh adaptive codebook — the
+      // probe's ingested neighbor must survive the rebuild, the manifest
+      // must audit it, and ingest keeps working under the new codebook
+      val tRetrain = timed(graft.operators.Similarity.retrainAnnIndex(spark, dir))
+      val codebook2 = graft.operators.Similarity.codebookFromDir(spark, dir)
+      val afterRetrain = top1(graft.operators.Similarity.annFromIndex(spark, probe, dir))
+      val tPostRetrain = timed(graft.streaming.Streams.annIngestSinkBatch(
+        batchDf(nBatches + 2L), nBatches + 2L, codebook2, dir, s"$base/annout"))
+      val mr = graft.models.ModelManifest.validate(spark, dir, "ann_ivf_index")
+      val retrainOk = afterRetrain == before &&
+        mr.params.get("retrains").contains("1")
+      if (!retrainOk) failed = true
+      println(f"[growdrill] ann_retrain: ${if (retrainOk) "PASS" else "FAIL"} " +
+        f"(retrain=${tRetrain}%.3fs post_retrain_batch=${tPostRetrain}%.3fs " +
+        f"k=${codebook2.size} top1=$afterRetrain retrains=${mr.params.get("retrains")})")
     }
 
     spark.stop()

@@ -119,7 +119,8 @@ object ScaleDrill {
       "dedup_containment", "dedup_clusters", "semdedup_prune",
       "asof_join_native", "dedup_winnow", "dedup_minhash_lsh",
       "quality_classifier", "lm_perplexity", "text_edit_distance",
-      "edit_screen", "ann_grow_serve", "ann_index_drift")
+      "edit_screen", "ann_grow_serve", "ann_index_drift",
+      "ann_retrain_report")
     val all = TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ TemporalJoins.queries ++
       graft.operators.Scoring.queries

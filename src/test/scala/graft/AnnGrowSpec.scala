@@ -172,12 +172,18 @@ class AnnGrowSpec extends AnyFunSuite {
         val got = spark.read.parquet(outDir).collect()
           .map(r => r.getAs[Int]("batch_id") ->
             ((r.getAs[Long]("n_arrivals"), r.getAs[Double]("tv"),
-              r.getAs[Boolean]("drift_flagged")))).toMap
+              r.getAs[Boolean]("drift_flagged"),
+              r.getAs[Double]("fit_ratio")))).toMap
         assert(got.size == 2, s"one verdict row per batch: $got")
         assert(got(0)._1 == arrivals.size && !got(0)._3 && got(0)._2 < 0.15,
           s"in-distribution batch must stay quiet: ${got(0)}")
         assert(got(1)._1 == arrivals.size && got(1)._3 && got(1)._2 > 0.3,
           s"orthant-shifted batch must flag: ${got(1)}")
+        // fit-ratio telemetry rides the same verdict row: an
+        // in-distribution batch sits at ~1.0 (it IS the training data's
+        // regime), the unseen regime strictly above it
+        assert(got(0)._4 < 1.1 && got(1)._4 > got(0)._4,
+          s"fit telemetry must order the batches: ${got(0)._4} vs ${got(1)._4}")
       } finally { q.stop(); cached.unpersist() }
     } finally Seq(dir, outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
   }
