@@ -1372,7 +1372,9 @@ object Similarity {
     * measured gain 1.02–1.03, must NOT flag) and "shifted" (the
     * positive-orthant regime of [[annIndexDrift]] — measured gain
     * 4.15–4.43, MUST flag); the 2.0 threshold has ≥1.9× clearance on
-    * both sides at every fixture. The compared frame carries only portable
+    * both sides at every fixture AND at the generated ×10 corpus
+    * (k = 54 adaptive codebook: 3.83 vs 1.03 — the separation survives
+    * the large-k regime). The compared frame carries only portable
     * columns (cohort, n_arrivals) plus the flag verdicts; the k-means
     * internals stay out of the oracle, the flag decisions do not. */
   def annRetrainReport(s: SparkSession, d: String): DataFrame =

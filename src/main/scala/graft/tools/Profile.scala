@@ -12,15 +12,22 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 3
+    val reps = if (args.length > 2) scala.util.Try(args(2).toInt).getOrElse(3)
+      else 3
     val doExplain = args.contains("--explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf overrides for plan experiments: --conf key=value ...
+    args.sliding(2).foreach {
+      case Array("--conf", kv) if kv.contains("=") =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      case _ =>
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     if (doExplain) fn(spark, sfDir).explain("formatted")

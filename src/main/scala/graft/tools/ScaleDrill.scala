@@ -59,7 +59,18 @@ object ScaleDrill {
     * the copies factor: an ×10 t_big must never gate an ×3 run.
     * `SPARK_GRAFT_UPDATE_SLOPES=1` rewrites each family with the run of
     * min(t_big) — ratchet down, never up. */
-  private val SlopeBigFactor = 2.0
+  /** Calibrated against MEASURED same-binary variance, not wishfulness:
+    * a round-12 investigation re-ran `dedup_ngram_jaccard` on one fixed
+    * ×10 corpus with unchanged code and got t_big ∈ {5.6, 9.3, 18.4,
+    * 20.8, 28.1, 43.8} across runs — DuckDB confirmed the candidate
+    * pair mass exactly linear (1.27M → 12.7M), GC logs showed zero full
+    * collections, and a 60 s 32-way burn showed no host throttling; the
+    * swings are runtime-adaptive (AQE join-strategy flips + allocation
+    * pressure) and bimodal around ~3×. A 2× factor therefore flags
+    * healthy plans on unlucky runs; 4× stays far below the ~10× a
+    * genuine quadratic bend shows at ×10 while absorbing the measured
+    * noise band. Sampling is min-of-3 per scale for the same reason. */
+  private val SlopeBigFactor = 4.0
   private val SlopeCeiling = 1.35
   private def slopesPath: String =
     sys.env.getOrElse("SPARK_GRAFT_SLOPES", "slope_floors.json")
@@ -130,10 +141,22 @@ object ScaleDrill {
 
     println(f"[drill] ${"family"}%-22s ${"t_base"}%9s ${"t_x" + copies}%9s ${"ratio"}%7s ${"exponent"}%8s rows")
     val rows = families.map { case (name, fn) =>
+      // between-family hygiene: a long-lived drill JVM accumulates pinned
+      // localCheckpoint blocks and cached relations from every previous
+      // family, and the round-12 adjudication measured 2-5× inflation on
+      // later families from exactly this (steady-state re-profiles in a
+      // fresh JVM sat at 1.0-2.7× their floors while the in-drill samples
+      // flagged at 5×). Cross-family state that must survive lives on
+      // disk (indexes) or in driver maps (codebooks), never in Spark
+      // blocks, so dropping them between families is safe by design.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       fn(spark, base).count() // warm-up: codegen + JIT at base scale
-      val tb = Seq.fill(2)(time(fn(spark, base).count())).minBy(_._1)
+      val tb = Seq.fill(3)(time(fn(spark, base).count())).minBy(_._1)
       fn(spark, big).count() // warm-up at big scale (pays any cached builds)
-      val tx = Seq.fill(2)(time(fn(spark, big).count())).minBy(_._1)
+      val tx = Seq.fill(3)(time(fn(spark, big).count())).minBy(_._1)
       val ratio = tx._1 / tb._1
       val expo = math.log(ratio) / math.log(copies.toDouble)
       println(f"[drill] $name%-22s ${tb._1}%8.2fs ${tx._1}%8.2fs $ratio%7.2f $expo%8.2f ${tb._2}->${tx._2}")
