@@ -611,6 +611,45 @@ object Similarity {
           (element_at(col("sks"), 2).getField("negc") * -1).as("cell2"))
     }
 
+  /** Top-n cell assignment EXPLODED to one row per (vector, cell) — the
+    * nprobe-n probe side for the grown-serve joins: same literal/broadcast
+    * split and the same (sim desc, cid asc) struct-order tie-break as
+    * [[assignCells]]/[[assignCellsTop2]]; n = 1 delegates to the argmax
+    * path so default-nprobe callers keep their exact historical plans. A
+    * corpus vector lives in exactly one cell, so an n-cell probe never
+    * yields duplicate (probe, candidate) rows downstream. */
+  private[graft] def assignCellsTopN(e: DataFrame,
+      codebook: Seq[(Int, Array[Float])], n: Int): DataFrame =
+    if (n <= 1)
+      assignCells(e, codebook).select("vec_id", "embedding", "nrm", "cell")
+    else {
+      val sorted = if (codebook.size <= LiteralAssignMaxCells) {
+        val sims = codebook.map { case (cid, emb) =>
+          val cnorm = math.sqrt(emb.map(v => v.toDouble * v.toDouble).sum)
+          val dot = expr(
+            s"vec_dot(embedding, CAST(array(${emb.mkString(",")}) AS ARRAY<FLOAT>))")
+          struct((dot / (col("nrm") * lit(cnorm))).as("sim"), lit(-cid).as("negc"))
+        }
+        e.select(col("vec_id"), col("embedding"), col("nrm"),
+          slice(sort_array(array(sims: _*), asc = false), 1, n).as("top"))
+      } else {
+        val sk = struct(
+          (expr("vec_dot(embedding, cemb)") / (col("nrm") * col("cnrm"))).as("sim"),
+          (-col("cid")).as("negc"))
+        e.join(broadcast(centsFrame(e.sparkSession, codebook)))
+          .select(col("vec_id"), col("embedding"), col("nrm"), sk.as("sk"))
+          .groupBy("vec_id").agg(
+            slice(sort_array(collect_list(col("sk")), asc = false), 1, n).as("top"),
+            first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("top"))
+      }
+      sorted
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          explode(col("top")).as("t"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          (col("t.negc") * -1).as("cell"))
+    }
+
   /** IVF with a TRAINED codebook: a few distributed k-means iterations
     * (assign → per-cell mean via the mergeable [[CentroidAggregator]] →
     * collect the k×64 codebook), then the same serving shape as
@@ -670,8 +709,19 @@ object Similarity {
     // training frame sizes the codebook before seeding; the count is the
     // cheapest pass the training loop makes
     val k = ivfCells(e.count())
-    var codebook: Seq[(Int, Array[Float])] = e.filter(col("vec_id") < k)
-      .orderBy("vec_id").collect()
+    // seeds = the first k ROWS of the training frame by vec_id (a
+    // deterministic TakeOrderedAndProject), NOT `vec_id < k`: on a SLICED
+    // training corpus (the grow-serve history split, a shadow-retrain
+    // candidate) the id-predicate silently under-seeds — at the fixtures
+    // a third of ids < k are arrivals, so the "k = 8" codebook really had
+    // 5 cells, and the k-aware recall floor sat one part in 1e4 above the
+    // measured sf0.1 recall (caught by a full sf0.1 oracle sweep). On an
+    // unsliced corpus the two seedings pick identical rows, so every
+    // full-corpus codebook (trained IVF, persisted index, semdedup) is
+    // byte-identical to before. Codebooks on corpora with >= k vectors
+    // now always have exactly k cells.
+    var codebook: Seq[(Int, Array[Float])] = e
+      .orderBy("vec_id").limit(k).collect()
       .map(r => (r.getAs[Long]("vec_id").toInt, r.getAs[Seq[Float]]("embedding").toArray))
     val centroid = udaf(new CentroidAggregator(64))
     var kmRound = 0
@@ -874,16 +924,17 @@ object Similarity {
       .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Float]]("centroid").toArray))
       .toSeq
 
-  def annFromIndex(s: SparkSession, probes: DataFrame, indexDir: String): DataFrame = {
+  def annFromIndex(s: SparkSession, probes: DataFrame, indexDir: String,
+      nprobe: Int = 1): DataFrame = {
     graft.models.ModelManifest.validate(s, indexDir, "ann_ivf_index")
     graft.functions.VecFunctions.register(s)
     val codebook = codebookFromDir(s, indexDir)
     val corpus = s.read.parquet(s"$indexDir/corpus")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-    val q = assignCells(
+    val q = assignCellsTopN(
         probes.select(col("vec_id"), col("embedding"),
           expr("vec_norm(embedding)").as("nrm")),
-        codebook)
+        codebook, nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"), col("cell"))
     serveCells(q, corpus)
@@ -968,11 +1019,11 @@ object Similarity {
     * codebook, served against base ∪ appends (minus `excludeBatch`). */
   private[graft] def annScreenGrownBatch(probes: DataFrame,
       codebook: Seq[(Int, Array[Float])], indexDir: String,
-      excludeBatch: Long): DataFrame = {
+      excludeBatch: Long, nprobe: Int = 1): DataFrame = {
     val s = probes.sparkSession
     graft.functions.VecFunctions.register(s)
-    val q = assignCells(probes.select(col("vec_id"), col("embedding"),
-        expr("vec_norm(embedding)").as("nrm")), codebook)
+    val q = assignCellsTopN(probes.select(col("vec_id"), col("embedding"),
+        expr("vec_norm(embedding)").as("nrm")), codebook, nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"), col("cell"))
     serveCellsLatest(q, grownCorpus(s, indexDir, excludeBatch))
@@ -982,10 +1033,10 @@ object Similarity {
     * to see every appended batch, so a neighbor ingested after the last
     * full build is found without any retrain. */
   def annFromIndexGrown(s: SparkSession, probes: DataFrame,
-      indexDir: String): DataFrame = {
+      indexDir: String, nprobe: Int = 1): DataFrame = {
     graft.models.ModelManifest.validate(s, indexDir, "ann_ivf_index")
     annScreenGrownBatch(probes, codebookFromDir(s, indexDir), indexDir,
-      excludeBatch = -1L)
+      excludeBatch = -1L, nprobe = nprobe)
   }
 
   /** Offline compaction for a grown ANN index: folds `appended/` into the
@@ -1058,14 +1109,22 @@ object Similarity {
     * requires recall@3 >= [[GrowRecallCoeff]] / sqrt(k) where k is the
     * index's adaptive codebook size — nprobe-1 recall falls as cells
     * multiply, so a fixed floor cannot serve both the k = 8 fixtures and
-    * a ×10 corpus (k = 54). Calibration: 0.57/sqrt(8) = 0.20 against
-    * measured grown recall 0.37/0.30/0.25 at sf0.001/0.01/0.1, and
-    * 0.57/sqrt(54) = 0.078 against measured 0.118 at the generated ×10
-    * corpus — a consistent 1.25–1.85× margin at every point. The floor
-    * alone loses appends-invisibility bite as k grows (the stale recall
-    * also sits above it at ×10), which is what the strict
+    * a ×10 corpus (k ≈ 53). Calibration history: the original 0.57 was
+    * fit against codebooks the id-predicate seeding had silently
+    * UNDER-built (5 cells presented as "k = 8" — see [[trainCodebook]]);
+    * with the seeding fixed, genuine k = 8 recall at the smallest
+    * fixture drops to 0.185 and the first full sf0.1 oracle sweep caught
+    * the old floor sitting one part in 1e4 above the measured value — a
+    * hair-trigger, not a margin. Re-fit at true k: 0.40/sqrt(8) = 0.141
+    * against measured grown recall 0.185/0.296/0.265 at
+    * sf0.001/0.01/0.1 (margins 1.31/2.10/1.87×); at the generated ×10
+    * corpus (k = 54) the constant-fraction [[growNprobe]] serving
+    * measures 0.510 against the 0.054 floor — the √k shape is doubly
+    * conservative once nprobe scales with k. The floor alone loses
+    * appends-invisibility bite as k grows (the stale recall also sits
+    * above it at ×10), which is what the strict
     * `grown_gains_on_appends` verdict is for. */
-  private val GrowRecallCoeff = 0.57
+  private val GrowRecallCoeff = 0.40
 
   /** Build-once-per-JVM grown index for [[annGrowServe]]: base trained on
     * history only, arrivals appended in two frozen-codebook batches. */
@@ -1110,7 +1169,10 @@ object Similarity {
     *     — probes are arrivals, so some of their true neighbors live
     *     only in the appended half; an engine that silently serves the
     *     frozen base alone fails this at every measured scale (margins
-    *     10>7, 8>4, 26>15 at the fixtures, 12>10 at the ×10 corpus).
+    *     5>4, 8>5, 27>18 at the fixtures under the true-k = 8 codebooks,
+    *     52>35 at the generated ×10 corpus under the constant-fraction
+    *     [[growNprobe]] serving — nprobe-1 there measured a 9 = 9 TIE,
+    *     which is why the serve is nprobe-adaptive).
     *   - `grown_recall_floor`: grown recall@3 >= [[GrowRecallCoeff]] /
     *     sqrt(codebook k) — see the coefficient's scaladoc.
     *
@@ -1138,18 +1200,36 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 3)
       .select("qid", "rank", "vec_id", "cosine")
+    val np = growNprobe(growServeCodebookSize(s, d))
     val grownHits = truth
-      .join(annFromIndexGrown(s, probes, dir), Seq("qid", "vec_id"), "left_semi")
+      .join(annFromIndexGrown(s, probes, dir, np), Seq("qid", "vec_id"), "left_semi")
       .agg(count(lit(1)).as("grown_hits"))
     val staleHits = truth
-      .join(annFromIndex(s, probes, dir), Seq("qid", "vec_id"), "left_semi")
+      .join(annFromIndex(s, probes, dir, np), Seq("qid", "vec_id"), "left_semi")
       .agg(count(lit(1)).as("stale_hits"))
     val nq = truth.select("qid").distinct().agg(count(lit(1)).as("nq"))
     truth.crossJoin(grownHits).crossJoin(staleHits).crossJoin(nq)
   }
 
+  /** Diagnostic seam: the grow-serve index's codebook size (the k the
+    * recall floor divides by). */
+  private[graft] def growServeCodebookSize(s: SparkSession, d: String): Int =
+    codebookFromDir(s, grownIndexDir(s, d)).size
+
+  /** Adaptive nprobe for the grow-serve query: serve a CONSTANT corpus
+    * fraction (the fixtures' 1-of-8 cells) as the adaptive codebook
+    * grows — k = 8 keeps the historical nprobe = 1 plans, a ×10 corpus
+    * (k ≈ 53) probes ~7 cells. Without this the strict
+    * `grown_gains_on_appends` verdict loses its large-k bite the same
+    * way the fixed recall floor once did: at true k = 54 under
+    * nprobe-1, grown and stale hits measured a 9 = 9 TIE at the ×10
+    * corpus — an appends-blind engine would have passed. Production
+    * tunes nprobe to its own recall/latency point; the constant-fraction
+    * rule is the calibration-stable choice for the verdict oracle. */
+  private[graft] def growNprobe(k: Int): Int = math.max(1, math.round(k / 8.0f))
+
   def annGrowServe(s: SparkSession, d: String): DataFrame = {
-    val k = codebookFromDir(s, grownIndexDir(s, d)).size
+    val k = growServeCodebookSize(s, d)
     annGrowServeFull(s, d)
       .select(col("qid"), col("rank"), col("vec_id"), col("cosine"),
         (col("grown_hits") >= col("stale_hits")).as("grown_not_worse_than_stale"),
@@ -1369,11 +1449,11 @@ object Similarity {
     * [[RetrainGainFlag]] = 2.0 — then promote it via
     * [[retrainAnnIndex]]. Two cohorts over the same history index:
     * "unbiased" (same-distribution arrivals — a candidate buys nothing,
-    * measured gain 1.02–1.03, must NOT flag) and "shifted" (the
+    * measured gain 1.00–1.01, must NOT flag) and "shifted" (the
     * positive-orthant regime of [[annIndexDrift]] — measured gain
-    * 4.15–4.43, MUST flag); the 2.0 threshold has ≥1.9× clearance on
+    * 3.93–4.29, MUST flag); the 2.0 threshold has ≥1.9× clearance on
     * both sides at every fixture AND at the generated ×10 corpus
-    * (k = 54 adaptive codebook: 3.83 vs 1.03 — the separation survives
+    * (k = 53 adaptive codebook: 3.87 vs 1.00 — the separation survives
     * the large-k regime). The compared frame carries only portable
     * columns (cohort, n_arrivals) plus the flag verdicts; the k-means
     * internals stay out of the oracle, the flag decisions do not. */
