@@ -720,9 +720,15 @@ object Similarity {
     // full-corpus codebook (trained IVF, persisted index, semdedup) is
     // byte-identical to before. Codebooks on corpora with >= k vectors
     // now always have exactly k cells.
+    // cids are the seeds' ROW INDEX (0..k-1), not a truncated vec_id: on
+    // a corpus whose smallest vec_ids exceed Int range (or collide after
+    // .toInt truncation) id-derived cids would silently merge centroids
+    // in the kmeans update map. Relabeling is assignment-invariant —
+    // assignCells partitions by argmax centroid similarity, which does
+    // not depend on the label values, only on their distinctness.
     var codebook: Seq[(Int, Array[Float])] = e
-      .orderBy("vec_id").limit(k).collect()
-      .map(r => (r.getAs[Long]("vec_id").toInt, r.getAs[Seq[Float]]("embedding").toArray))
+      .orderBy("vec_id").limit(k).collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getAs[Seq[Float]]("embedding").toArray) }
     val centroid = udaf(new CentroidAggregator(64))
     var kmRound = 0
     var moved = true
@@ -1124,7 +1130,7 @@ object Similarity {
     * appends-invisibility bite as k grows (the stale recall also sits
     * above it at ×10), which is what the strict
     * `grown_gains_on_appends` verdict is for. */
-  private val GrowRecallCoeff = 0.40
+  private[graft] val GrowRecallCoeff = 0.40
 
   /** Build-once-per-JVM grown index for [[annGrowServe]]: base trained on
     * history only, arrivals appended in two frozen-codebook batches. */
@@ -1294,11 +1300,30 @@ object Similarity {
     graft.functions.VecFunctions.register(batch.sparkSession)
     val assigned = assignCells(batch.select(col("vec_id"), col("embedding"),
         expr("vec_norm(embedding)").as("nrm")), codebook)
-    driftTv(baseCells, assigned.select("cell"))
-      .crossJoin(assigned.agg(avg(lit(1.0) - col("csim")).as("arr_err")))
+    // one groupBy over the assignment pass carries BOTH consumers' state
+    // (per-cell arrival counts for TV, per-cell fit-error sums for the
+    // ratio) — the batch source is scanned exactly once per trigger
+    val perCell = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("na"), sum(lit(1.0) - col("csim")).as("err_sum"))
+    val w = Window.partitionBy()
+    // ownFitErr = 0 is legal (a corpus whose vectors sit exactly on its
+    // centroids — tiny corpus with adaptive k >= n, or duplicates); emit
+    // a null ratio instead of Infinity/NaN in the per-batch verdicts
+    val fitRatio = if (ownFitErr > 0)
+      round(sum("err_sum").over(w) / sum("na").over(w) / ownFitErr, 4)
+    else lit(null).cast("double")
+    baseCells.groupBy("cell").agg(count(lit(1)).as("nb"))
+      .join(perCell, Seq("cell"), "full_outer")
+      .select(coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("err_sum"), lit(0.0)).as("err_sum"))
+      .select(abs(col("nb") / sum("nb").over(w) -
+          col("na") / sum("na").over(w)).as("d"),
+        col("na"), fitRatio.as("fit_ratio"))
+      .agg((sum("d") / 2).as("tv"), sum("na").as("n_arrivals"),
+        first("fit_ratio").as("fit_ratio"))
       .select(col("n_arrivals"), round(col("tv"), 4).as("tv"),
-        (col("tv") > DriftTvFlag).as("drift_flagged"),
-        round(col("arr_err") / ownFitErr, 4).as("fit_ratio"))
+        (col("tv") > DriftTvFlag).as("drift_flagged"), col("fit_ratio"))
   }
 
   /** Mean codebook-fit error of a persisted index's own corpus under its

@@ -18,7 +18,8 @@ object GrowServeDebug {
     val (g, s, n) = (r.getAs[Long]("grown_hits"), r.getAs[Long]("stale_hits"),
       r.getAs[Long]("nq"))
     println(s"[growservedebug] d=$d k=$k grown=$g stale=$s nq=$n " +
-      f"recall=${g.toDouble / (3 * n)}%.4f floor=${0.40 / math.sqrt(k)}%.4f")
+      f"recall=${g.toDouble / (3 * n)}%.4f " +
+      f"floor=${graft.operators.Similarity.GrowRecallCoeff / math.sqrt(k)}%.4f")
     spark.stop()
   }
 }
