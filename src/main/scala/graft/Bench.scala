@@ -20,13 +20,15 @@ import org.apache.spark.sql.SparkSession
   * re-litigated from per-query deltas a round later.
   *
   * On top of loadavg, the artifact carries a CALIBRATION PROBE: one pinned
-  * cheap query (`q6_filter_agg`) is re-measured (min of 3) immediately
-  * before and immediately after the warm passes, and
-  * `noise_index = max(before, after) / min(before, after)` is emitted.
-  * The probe's code never changes round to round, so a noise_index well
-  * above 1 labels the RUN as noisy — per-query spikes in a run whose probe
-  * also spiked are host load, not regressions, adjudicated from the
-  * artifact itself rather than by a judge-side re-measure.
+  * cheap query (`q6_filter_agg`) is re-measured (min of 3) before the
+  * first warm pass, between each pair of passes, and after the last —
+  * four `probe_samples` bracketing the three passes — and
+  * `noise_index = max(samples) / min(samples)` is emitted. The probe's
+  * code never changes round to round, so samples well above the probe's
+  * committed floor label the bracketed PASSES as noisy — per-query spikes
+  * in passes whose brackets also spiked are host load, not regressions,
+  * adjudicated from the artifact itself rather than by a judge-side
+  * re-measure (see [[gate]] for why the correction is per-pass).
   */
 object Bench {
   private def loadavg(): String =
@@ -97,36 +99,73 @@ object Bench {
   private def num(fmt: String, v: Double): String =
     String.format(java.util.Locale.ROOT, fmt, Double.box(v))
 
-  /** The per-query regression gate, pure for the spec's sake: given this
-    * run's warm times, the committed floors, and the probe's current
-    * min-of-3, returns (noise_scale, probe_regression, regression JSON
-    * fragments). Three properties the spec pins:
+  /** The per-query regression gate, pure for the spec's sake: given the
+    * PER-PASS warm times, the committed floors, and the interleaved probe
+    * samples (one measured before pass 1, one between each pair of
+    * passes, one after the last — `probeSamples.length = passes + 1`),
+    * returns (per-pass noise scales, probe_regression, regression JSON
+    * fragments).
+    *
+    * Why per-pass: the r12 driver artifact showed TRANSIENT host load —
+    * probe 1.28× its floor before the warm passes, back UNDER the floor
+    * after them — and a single before/after-min correction (the old
+    * design) read 1.0 while the passes in between ran loaded, flagging
+    * eight code-identical queries at ~2.0–2.4×. Each pass is now
+    * adjudicated by its own probe BRACKET (min of the two adjacent
+    * samples — the conservative side, so a quiet moment next to a noisy
+    * pass corrects LESS, not more), and a query is flagged only when a
+    * STRICT MAJORITY of its bracket-corrected pass times exceed the
+    * factor: one noisy pass anywhere in the run cannot flag an honest
+    * query, and — the converse the spec pins — one spiky bracket around
+    * an otherwise-quiet pass (a load blip that hits the short probe
+    * windows but not the long pass between them) cannot grant a
+    * genuinely regressed query an undeserved discount, because the other
+    * passes' quiet-bracket times still carry the vote.
+    *
+    * Adversarial properties the spec pins (unchanged from the old gate):
     *   - the probe is judged UNCORRECTED against its own floor — its own
     *     drift can never divide itself under the gate;
-    *   - every other query's correction is capped at [[NoiseScaleCap]],
-    *     so an engine-wide slowdown inflating the probe cannot fully
-    *     launder a uniform regression;
+    *   - every pass's correction is capped at [[NoiseScaleCap]], so an
+    *     engine-wide slowdown inflating the probe cannot fully launder a
+    *     uniform regression (and the probe_regression verdict fires
+    *     loudly at 2× regardless);
     *   - floorless/failed queries are never flagged.
     */
-  private[graft] def gate(warm: Map[String, Double],
-      floors: Map[String, Double], probeNow: Double)
-      : (Double, Boolean, Seq[String]) = {
-    val noiseScale = floors.get(ProbeQuery) match {
-      case Some(pf) if pf > 0 && probeNow > 0 =>
-        math.min(NoiseScaleCap, math.max(1.0, probeNow / pf))
-      case _ => 1.0
+  private[graft] def gate(warmPasses: Seq[Map[String, Double]],
+      floors: Map[String, Double], probeSamples: IndexedSeq[Double])
+      : (Seq[Double], Boolean, Seq[String]) = {
+    val probeFloor = floors.get(ProbeQuery).filter(_ > 0)
+    val scales = warmPasses.indices.map { i =>
+      val bracket = Seq(
+        probeSamples.lift(i).getOrElse(-1.0),
+        probeSamples.lift(i + 1).getOrElse(-1.0)).filter(_ > 0)
+      probeFloor match {
+        case Some(pf) if bracket.nonEmpty =>
+          math.min(NoiseScaleCap, math.max(1.0, bracket.min / pf))
+        case _ => 1.0
+      }
     }
-    val probeRegression = floors.get(ProbeQuery).exists(pf =>
-      pf > 0 && probeNow > 0 && probeNow > RegressionFactor * pf)
-    val regressions = warm.toSeq.sortBy(_._1).flatMap { case (k, w) =>
-      val scale = if (k == ProbeQuery) 1.0 else noiseScale
+    val validSamples = probeSamples.filter(_ > 0)
+    val probeRegression = probeFloor.exists(pf =>
+      validSamples.nonEmpty && validSamples.min > RegressionFactor * pf)
+    val names = warmPasses.flatMap(_.keys).distinct.sorted
+    val regressions = names.flatMap { k =>
+      val raw = warmPasses.flatMap(_.get(k)).filter(_ >= 0)
+      val adjusted = warmPasses.zip(scales).flatMap { case (p, s) =>
+        // the probe never corrects itself
+        p.get(k).filter(_ >= 0).map(t => if (k == ProbeQuery) t else t / s)
+      }
       floors.get(k) match {
-        case Some(f) if w >= 0 && f > 0 && w / scale > RegressionFactor * f =>
-          Some(s"""{"query":"$k","warm_sec":$w,"floor_sec":$f,"adjusted_sec":${w / scale},"ratio":${num("%.2f", w / scale / f)}}""")
+        case Some(f) if adjusted.nonEmpty && f > 0 &&
+            adjusted.count(_ > RegressionFactor * f) * 2 > adjusted.size =>
+          // report the lower median of the corrected times — the number
+          // the majority vote actually carried
+          val med = adjusted.sorted.apply((adjusted.size - 1) / 2)
+          Some(s"""{"query":"$k","warm_sec":${raw.min},"floor_sec":$f,"adjusted_sec":$med,"ratio":${num("%.2f", med / f)}}""")
         case _ => None
       }
     }
-    (noiseScale, probeRegression, regressions)
+    (scales, probeRegression, regressions)
   }
 
   private def writeFloors(sfBase: String, merged: Map[String, Double]): Unit = {
@@ -190,13 +229,21 @@ object Bench {
       case None => -1.0
     }
     val (cold, coldFailed) = pass()
-    val probeBefore = probe()
-    val warmPasses = Seq.fill(3)(pass())
-    val probeAfter = probe()
+    // interleaved probe samples: one before the first warm pass, one
+    // between each pair, one after the last — each pass gets a bracket
+    val samplesAndPasses = {
+      val b = Seq.newBuilder[Either[Double, (Map[String, Double], List[String])]]
+      b += Left(probe())
+      (1 to 3).foreach { _ => b += Right(pass()); b += Left(probe()) }
+      b.result()
+    }
+    val probeSamples = samplesAndPasses.collect { case Left(p) => p }.toIndexedSeq
+    val warmPasses = samplesAndPasses.collect { case Right(p) => p }
+    val probeBefore = probeSamples.head
+    val probeAfter = probeSamples.last
+    val validProbe = probeSamples.filter(_ > 0)
     val noiseIndex =
-      if (probeBefore > 0 && probeAfter > 0)
-        math.max(probeBefore, probeAfter) / math.min(probeBefore, probeAfter)
-      else -1.0
+      if (validProbe.nonEmpty) validProbe.max / validProbe.min else -1.0
     // a pass-transient failure keeps the other passes' valid measurements
     // (the query is still listed in `failed`); -1 only when all failed
     val warm = cold.keys.map { k =>
@@ -215,12 +262,14 @@ object Bench {
     // ---- regression gate vs committed floors (noise-corrected) ----
     val sfBase = new java.io.File(sfDir).getName
     val floors = readFloors(sfBase)
-    val probeNow = Seq(probeBefore, probeAfter).filter(_ > 0) match {
-      case Nil => -1.0; case xs => xs.min
-    }
-    val (noiseScale, probeRegression, regressions) =
-      gate(warm, floors, probeNow)
+    val (passScales, probeRegression, regressions) =
+      gate(warmPasses.map(_._1), floors, probeSamples)
     val regressionsJson = regressions.mkString("[", ",", "]")
+    // reported noise_scale = the largest per-pass correction applied (the
+    // human-readable "how loaded did this run get" number)
+    val noiseScale = if (passScales.nonEmpty) passScales.max else 1.0
+    val probeSamplesJson = probeSamples.map(p => num("%.6f", p)).mkString("[", ",", "]")
+    val passScalesJson = passScales.map(s => num("%.3f", s)).mkString("[", ",", "]")
     if (sys.env.get("SPARK_GRAFT_UPDATE_FLOORS").contains("1") && only.isEmpty) {
       // never overwrite floors measured at a DIFFERENT SF — a sf0.01 run
       // must not destroy the committed sf0.1 floors
@@ -238,7 +287,7 @@ object Bench {
       } else System.err.println(
         s"bench: floors NOT updated — file is for ${floorsFileSf.get}, this run is $sfBase")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(warm)},"queries_cold":${timesJson(cold)},"cold_total":$coldTotal,"warm_passes":3,"probe_query":"$ProbeQuery","probe_before_sec":$probeBefore,"probe_after_sec":$probeAfter,"noise_index":$noiseIndex,"noise_scale":${num("%.3f", noiseScale)},"probe_regression":$probeRegression,"floors_sf":"${if (floors.nonEmpty) sfBase else ""}","regressions":$regressionsJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(warm)},"queries_cold":${timesJson(cold)},"cold_total":$coldTotal,"warm_passes":3,"probe_query":"$ProbeQuery","probe_before_sec":$probeBefore,"probe_after_sec":$probeAfter,"probe_samples":$probeSamplesJson,"pass_scales":$passScalesJson,"noise_index":$noiseIndex,"noise_scale":${num("%.3f", noiseScale)},"probe_regression":$probeRegression,"floors_sf":"${if (floors.nonEmpty) sfBase else ""}","regressions":$regressionsJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) System.err.println(s"bench: ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()
   }

@@ -6,60 +6,111 @@ import org.scalatest.funsuite.AnyFunSuite
   * re-measures as the mechanism that adjudicates per-query drift — so its
   * adversarial properties get pinned here rather than re-argued from the
   * artifact each round (ADVICE r11: an engine-wide slowdown used to
-  * divide itself out through the probe).
+  * divide itself out through the probe; round 13: a TRANSIENT load spike
+  * used to evade the before/after-min correction entirely).
+  *
+  * Gate inputs: per-pass warm times + interleaved probe samples (one more
+  * sample than passes; sample i and i+1 bracket pass i).
   */
 class BenchGateSpec extends AnyFunSuite {
   // Bench.ProbeQuery is q6_filter_agg; use the real name so the
   // probe-special-casing under test is the production path
   private val probe = "q6_filter_agg"
 
-  test("quiet run, one real regression: flagged; others pass") {
+  private def quietProbes = IndexedSeq(0.10, 0.10, 0.10, 0.10)
+
+  test("quiet run, one real regression: flagged in every pass; others pass") {
     val floors = Map(probe -> 0.10, "a" -> 0.50, "b" -> 0.30)
-    val warm = Map(probe -> 0.10, "a" -> 1.20, "b" -> 0.35)
-    val (scale, probeReg, regs) = Bench.gate(warm, floors, probeNow = 0.10)
-    assert(scale == 1.0 && !probeReg)
+    val p = Map(probe -> 0.10, "a" -> 1.20, "b" -> 0.35)
+    val (scales, probeReg, regs) = Bench.gate(Seq(p, p, p), floors, quietProbes)
+    assert(scales.forall(_ == 1.0) && !probeReg)
     assert(regs.size == 1 && regs.head.contains("\"query\":\"a\""))
   }
 
   test("uniform engine-wide slowdown cannot launder itself through the probe") {
-    // everything (probe included) 4x slower: pre-fix, noise_scale = 4
-    // divided every query back under its floor and the artifact read
-    // clean. Now the cap keeps the correction at 2.5 (so 4x/2.5 = 1.6x
-    // adjusted -> still under the 2x factor for others... but) the probe
-    // itself is judged uncorrected and turns the run loudly red.
+    // everything (probe included) 4x slower in every pass: the cap keeps
+    // the correction at 2.5 and the probe itself is judged uncorrected —
+    // the run turns loudly red via probe_regression.
     val floors = Map(probe -> 0.10, "a" -> 0.50)
-    val warm = Map(probe -> 0.40, "a" -> 2.00)
-    val (scale, probeReg, _) = Bench.gate(warm, floors, probeNow = 0.40)
-    assert(scale == 2.5, s"noise scale must cap at 2.5, got $scale")
+    val p = Map(probe -> 0.40, "a" -> 2.00)
+    val (scales, probeReg, _) =
+      Bench.gate(Seq(p, p, p), floors, IndexedSeq.fill(4)(0.40))
+    assert(scales.forall(_ == 2.5), s"noise scale must cap at 2.5, got $scales")
     assert(probeReg, "a 4x probe drift must be a probe_regression verdict")
   }
 
   test("extreme uniform slowdown flags the non-probe queries too") {
-    // 6x across the board: capped correction 2.5 leaves a 2.4x adjusted
-    // ratio on 'a' -> flagged even before anyone reads probe_regression
+    // 6x across the board in every pass: capped correction 2.5 leaves a
+    // 2.4x adjusted ratio on 'a' -> flagged even before anyone reads
+    // probe_regression
     val floors = Map(probe -> 0.10, "a" -> 0.50)
-    val warm = Map(probe -> 0.60, "a" -> 3.00)
-    val (_, probeReg, regs) = Bench.gate(warm, floors, probeNow = 0.60)
+    val p = Map(probe -> 0.60, "a" -> 3.00)
+    val (_, probeReg, regs) =
+      Bench.gate(Seq(p, p, p), floors, IndexedSeq.fill(4)(0.60))
     assert(probeReg)
     assert(regs.exists(_.contains("\"query\":\"a\"")))
   }
 
   test("genuinely noisy host within the cap is corrected, not flagged") {
-    // probe 2x over floor (host contention), queries 2.2x: adjusted to
-    // 1.1x -> quiet, exactly the r10-outlier adjudication the gate
-    // automated
+    // probe 2x over floor in every bracket (sustained contention),
+    // queries 2.2x: adjusted to 1.1x -> quiet, exactly the r10-outlier
+    // adjudication the gate automated
     val floors = Map(probe -> 0.10, "a" -> 0.50, "b" -> 0.30)
-    val warm = Map(probe -> 0.20, "a" -> 1.10, "b" -> 0.66)
-    val (scale, probeReg, regs) = Bench.gate(warm, floors, probeNow = 0.20)
-    assert(scale == 2.0)
+    val p = Map(probe -> 0.20, "a" -> 1.10, "b" -> 0.66)
+    val (scales, probeReg, regs) =
+      Bench.gate(Seq(p, p, p), floors, IndexedSeq.fill(4)(0.20))
+    assert(scales.forall(_ == 2.0))
     assert(regs.isEmpty, s"corrected run must be quiet: $regs")
     assert(!probeReg, "2x is exactly the factor, not beyond it")
   }
 
+  test("transient load (the r12 driver artifact) is adjudicated per pass") {
+    // load strikes passes 1-2 (brackets read ~1.4x floor) then lifts; the
+    // LAST probe sample is back under the floor. The old before/after-min
+    // correction read 1.0 and flagged eight code-identical queries at
+    // ~2.0-2.4x. Per-pass brackets correct passes 1-2 by 1.4 and the
+    // noisy-but-corrected times clear the 2x factor.
+    val floors = Map(probe -> 0.10, "a" -> 0.50)
+    val noisy = Map(probe -> 0.14, "a" -> 1.05) // 2.1x floor under load
+    val (scales, probeReg, regs) = Bench.gate(
+      Seq(noisy, noisy, noisy), floors,
+      IndexedSeq(0.14, 0.14, 0.14, 0.09))
+    assert(!probeReg)
+    // pass 3's bracket min is the quiet 0.09 sample -> scale 1.0 there,
+    // but passes 1-2 carry the 1.4 correction and their adjusted 1.5x min
+    // clears the gate
+    assert(scales.take(2).forall(s => math.abs(s - 1.4) < 1e-9), s"$scales")
+    assert(regs.isEmpty, s"transient-noise run must be quiet: $regs")
+  }
+
+  test("a real regression cannot hide behind one noisy bracket") {
+    // a load blip hits pass 1's probe brackets (2.5x discount) while the
+    // regressed query's own time never inflated — the undeserved discount
+    // drops pass 1's adjusted time under the factor, but the two
+    // quiet-bracket passes still carry the majority vote -> flagged
+    val floors = Map(probe -> 0.10, "a" -> 0.50)
+    val slow = Map(probe -> 0.10, "a" -> 1.50)
+    val noisyPass = Map(probe -> 0.25, "a" -> 1.50)
+    val (_, _, regs) = Bench.gate(
+      Seq(noisyPass, slow, slow), floors,
+      IndexedSeq(0.25, 0.25, 0.10, 0.10))
+    assert(regs.size == 1 && regs.head.contains("\"query\":\"a\""))
+  }
+
   test("floorless and failed queries are never flagged; no-floor probe disables correction") {
     val floors = Map("a" -> 0.50)
-    val warm = Map("new_query" -> 9.0, "failed_q" -> -1.0, "a" -> 0.40)
-    val (scale, probeReg, regs) = Bench.gate(warm, floors, probeNow = 0.2)
-    assert(scale == 1.0 && !probeReg && regs.isEmpty)
+    val p = Map("new_query" -> 9.0, "failed_q" -> -1.0, "a" -> 0.40)
+    val (scales, probeReg, regs) =
+      Bench.gate(Seq(p, p, p), floors, IndexedSeq.fill(4)(0.20))
+    assert(scales.forall(_ == 1.0) && !probeReg && regs.isEmpty)
+  }
+
+  test("invalid probe samples fall back to the valid bracket side, else no correction") {
+    val floors = Map(probe -> 0.10, "a" -> 0.50)
+    val p = Map(probe -> 0.10, "a" -> 0.40)
+    val (scales, _, _) = Bench.gate(
+      Seq(p, p, p), floors, IndexedSeq(-1.0, 0.15, -1.0, -1.0))
+    assert(math.abs(scales(0) - 1.5) < 1e-9 && math.abs(scales(1) - 1.5) < 1e-9
+      && scales(2) == 1.0, s"$scales")
   }
 }
