@@ -322,13 +322,79 @@ object DataQuality {
       |  round((n_events - avg(n_events) OVER ()) / stddev_samp(n_events) OVER (), 4) AS z
       |FROM by_day ORDER BY day_s""".stripMargin
 
+  // ---------------------------------------------------------- corpus diff
+  /** Snapshot-to-snapshot corpus reconciliation — the audit a pipeline
+    * runs after every re-ingest of a living corpus: which documents were
+    * ADDED, REMOVED, CHANGED (same id, different content), or carried
+    * UNCHANGED, broken down by source. The "previous" snapshot is derived
+    * deterministically from the fixture (docs with id % 13 = 0 absent →
+    * added now; id % 17 = 0 carried a mutated text → changed; a retired
+    * cohort at id % 19 = 0 present only in prev under offset ids →
+    * removed), so both engines build identical snapshots and the diff
+    * logic itself is what the oracle checks.
+    *
+    * Scale posture: content equality travels as an md5 FINGERPRINT
+    * projected on each side BEFORE the join, so the only wide exchange
+    * shuffles (id, source, 32-byte fp) rows, never document text; the
+    * diff is ONE full-outer join keyed by doc_id (snapshots bucketed or
+    * partitioned by doc_id at 100 TB make it co-located, zero-shuffle)
+    * and the output is O(statuses × sources). This is the batch
+    * complement of [[graft.operators.Relational]]'s CDC apply: CDC
+    * replays a change LOG; the diff recovers the log when none was kept.
+    */
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val curr = docs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("fp"))
+    // retired-cohort ids sit in the dead band between fixture id ranges
+    // (and between SfGen's 10M copy strides), so they never collide with
+    // a real document at any generated scale
+    val prev = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), col("source"),
+        md5(when(col("doc_id") % 17 === 0, concat(col("text"), lit(" OLD")))
+          .otherwise(col("text"))).as("fp"))
+      .unionByName(docs.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + lit(7777777L)).as("doc_id"), col("source"),
+          md5(col("text")).as("fp")))
+    prev.select(col("doc_id"), col("source").as("p_source"), col("fp").as("p_fp"))
+      .join(curr.select(col("doc_id"), col("source").as("c_source"),
+        col("fp").as("c_fp")), Seq("doc_id"), "full_outer")
+      .select(
+        when(col("p_fp").isNull, lit("added"))
+          .when(col("c_fp").isNull, lit("removed"))
+          .when(col("p_fp") =!= col("c_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("c_source"), col("p_source")).as("source"))
+      .groupBy("status", "source").agg(count(lit(1)).as("n_docs"))
+      .orderBy("status", "source")
+  }
+
+  val corpusDiffSql: String =
+    """WITH curr AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+      |prev AS (
+      |  SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 17 = 0 THEN text || ' OLD' ELSE text END) AS fp
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 7777777 AS doc_id, source, md5(text) AS fp
+      |  FROM documents WHERE doc_id % 19 = 0)
+      |SELECT CASE WHEN p.fp IS NULL THEN 'added'
+      |            WHEN c.fp IS NULL THEN 'removed'
+      |            WHEN p.fp <> c.fp THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      |  coalesce(c.source, p.source) AS source,
+      |  CAST(count(*) AS BIGINT) AS n_docs
+      |FROM prev p FULL OUTER JOIN curr c USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns" -> (profileColumns _),
     "fk_integrity" -> (fkIntegrity _),
     "constraint_audit" -> (constraintAudit _),
     "mixture_drift" -> (mixtureDrift _),
     "sample_weighted" -> (sampleWeighted _),
-    "anomaly_days" -> (anomalyDays _))
+    "anomaly_days" -> (anomalyDays _),
+    "corpus_diff" -> (corpusDiff _))
 
   def oracles: Map[String, String] = Map(
     "profile_columns" -> profileColumnsSql,
@@ -336,5 +402,6 @@ object DataQuality {
     "constraint_audit" -> constraintAuditSql,
     "mixture_drift" -> mixtureDriftSql,
     "sample_weighted" -> sampleWeightedSql,
-    "anomaly_days" -> anomalyDaysSql)
+    "anomaly_days" -> anomalyDaysSql,
+    "corpus_diff" -> corpusDiffSql)
 }

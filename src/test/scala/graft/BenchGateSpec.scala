@@ -83,17 +83,29 @@ class BenchGateSpec extends AnyFunSuite {
     assert(regs.isEmpty, s"transient-noise run must be quiet: $regs")
   }
 
-  test("a real regression cannot hide behind one noisy bracket") {
-    // a load blip hits pass 1's probe brackets (2.5x discount) while the
-    // regressed query's own time never inflated — the undeserved discount
-    // drops pass 1's adjusted time under the factor, but the two
-    // quiet-bracket passes still carry the majority vote -> flagged
+  test("in-suite pass variance (the r13 idle false flags) never carries the verdict") {
+    // per-pass times on the full suite swing 2-3x with unchanged code
+    // (AQE flips, allocation pressure): one fast pass + two slow ones.
+    // The gated statistic is the min over corrected passes — the slow
+    // passes cannot flag the query (a majority vote flagged 12
+    // code-identical queries on an idle host before this was pinned).
     val floors = Map(probe -> 0.10, "a" -> 0.50)
-    val slow = Map(probe -> 0.10, "a" -> 1.50)
-    val noisyPass = Map(probe -> 0.25, "a" -> 1.50)
+    val fast = Map(probe -> 0.10, "a" -> 0.55)
+    val slow = Map(probe -> 0.10, "a" -> 1.25)
+    val (_, _, regs) = Bench.gate(Seq(slow, fast, slow), floors, quietProbes)
+    assert(regs.isEmpty, s"one clean pass must clear the query: $regs")
+  }
+
+  test("a spiky-bracket discount is bounded by the cap (accepted residual)") {
+    // a load blip that hits BOTH probe samples around one pass while the
+    // pass itself stayed quiet grants that pass an undeserved discount —
+    // bounded at NoiseScaleCap. A regression beyond cap x factor (here
+    // 6x floor vs 2.5 cap x 2.0 factor = 5x) still cannot hide.
+    val floors = Map(probe -> 0.10, "a" -> 0.50)
+    val slow = Map(probe -> 0.10, "a" -> 3.00) // 6x its floor, every pass
     val (_, _, regs) = Bench.gate(
-      Seq(noisyPass, slow, slow), floors,
-      IndexedSeq(0.25, 0.25, 0.10, 0.10))
+      Seq(slow, slow, slow), floors,
+      IndexedSeq(0.40, 0.40, 0.10, 0.10)) // pass 1 bracket spiked 4x
     assert(regs.size == 1 && regs.head.contains("\"query\":\"a\""))
   }
 

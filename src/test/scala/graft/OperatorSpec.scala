@@ -28,6 +28,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("corpus diff: statuses partition both snapshots, counts conserve") {
+    import org.apache.spark.sql.functions._
+    val diff = operators.DataQuality.corpusDiff(spark, sf)
+      .groupBy("status").agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id").cache()
+    try {
+      val total = docs.count()
+      val added = docs.filter(col("doc_id") % 13 === 0).count()
+      val removed = docs.filter(col("doc_id") % 19 === 0).count()
+      val changed = docs.filter(col("doc_id") % 13 =!= 0 &&
+        col("doc_id") % 17 === 0).count()
+      // every status is MATERIAL at the smallest fixture (an empty cohort
+      // would make the oracle vacuous for that branch)
+      assert(Seq("added", "removed", "changed", "unchanged")
+        .forall(st => diff.getOrElse(st, 0L) > 0), s"$diff")
+      assert(diff("added") == added && diff("removed") == removed &&
+        diff("changed") == changed, s"$diff vs ($added,$removed,$changed)")
+      // the curr snapshot is exactly partitioned by added/changed/unchanged
+      assert(diff("added") + diff("changed") + diff("unchanged") == total)
+    } finally docs.unpersist()
+  }
+
   test("approx_count_distinct within 5% of exact (HLL contract, in-query verdict)") {
     // the 5% bound lives IN the query as a verdict column the DuckDB
     // oracle asserts as TRUE; here we assert it holds at two SFs
