@@ -38,8 +38,21 @@ object Bench {
   /** The pinned calibration query — cheap, stable, exercised since round 1. */
   private val ProbeQuery = "q6_filter_agg"
 
-  /** Regression threshold vs the committed floor, after noise correction. */
-  private val RegressionFactor = 2.0
+  /** Regression threshold vs the committed floor, after noise correction.
+    * Calibrated against MEASURED same-binary variance, exactly as the
+    * slope gate's 4× factor was: floors are best-ever idle-host minima,
+    * and a round-13 same-day pair of full runs with byte-identical query
+    * code (an idle-morning floor-setting run vs an ordinary-afternoon
+    * run, loadavg baseline ~3-4, probe under-correcting because it is
+    * scan-bound while the drifting queries are shuffle/window-bound)
+    * produced min-of-3 corrected ratios up to 2.93× on fifteen queries
+    * with NO code change — a 2.0 factor sits inside the spontaneous
+    * band and flagged all fifteen. 3.5 clears the measured band while
+    * keeping the gate's purpose: a genuine plan bend (the quadratics
+    * and cartesians this gate exists for) shows 5-10×, and an
+    * engine-wide slowdown still trips the UNCORRECTED probe self-gate
+    * at 3.5× its own floor. */
+  private val RegressionFactor = 3.5
 
   /** Ceiling on the noise correction. The probe runs THROUGH the engine
     * under test, so an engine-wide slowdown (a scan/filter-path

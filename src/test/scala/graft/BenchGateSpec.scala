@@ -21,7 +21,7 @@ class BenchGateSpec extends AnyFunSuite {
 
   test("quiet run, one real regression: flagged in every pass; others pass") {
     val floors = Map(probe -> 0.10, "a" -> 0.50, "b" -> 0.30)
-    val p = Map(probe -> 0.10, "a" -> 1.20, "b" -> 0.35)
+    val p = Map(probe -> 0.10, "a" -> 2.00, "b" -> 0.35)
     val (scales, probeReg, regs) = Bench.gate(Seq(p, p, p), floors, quietProbes)
     assert(scales.forall(_ == 1.0) && !probeReg)
     assert(regs.size == 1 && regs.head.contains("\"query\":\"a\""))
@@ -40,13 +40,13 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("extreme uniform slowdown flags the non-probe queries too") {
-    // 6x across the board in every pass: capped correction 2.5 leaves a
-    // 2.4x adjusted ratio on 'a' -> flagged even before anyone reads
+    // 10x across the board in every pass: capped correction 2.5 leaves a
+    // 4x adjusted ratio on 'a' -> flagged even before anyone reads
     // probe_regression
     val floors = Map(probe -> 0.10, "a" -> 0.50)
-    val p = Map(probe -> 0.60, "a" -> 3.00)
+    val p = Map(probe -> 1.00, "a" -> 5.00)
     val (_, probeReg, regs) =
-      Bench.gate(Seq(p, p, p), floors, IndexedSeq.fill(4)(0.60))
+      Bench.gate(Seq(p, p, p), floors, IndexedSeq.fill(4)(1.00))
     assert(probeReg)
     assert(regs.exists(_.contains("\"query\":\"a\"")))
   }
@@ -61,7 +61,7 @@ class BenchGateSpec extends AnyFunSuite {
       Bench.gate(Seq(p, p, p), floors, IndexedSeq.fill(4)(0.20))
     assert(scales.forall(_ == 2.0))
     assert(regs.isEmpty, s"corrected run must be quiet: $regs")
-    assert(!probeReg, "2x is exactly the factor, not beyond it")
+    assert(!probeReg, "2x is inside the 3.5x factor")
   }
 
   test("transient load (the r12 driver artifact) is adjudicated per pass") {
@@ -100,9 +100,9 @@ class BenchGateSpec extends AnyFunSuite {
     // a load blip that hits BOTH probe samples around one pass while the
     // pass itself stayed quiet grants that pass an undeserved discount —
     // bounded at NoiseScaleCap. A regression beyond cap x factor (here
-    // 6x floor vs 2.5 cap x 2.0 factor = 5x) still cannot hide.
+    // 10x floor vs 2.5 cap x 3.5 factor = 8.75x) still cannot hide.
     val floors = Map(probe -> 0.10, "a" -> 0.50)
-    val slow = Map(probe -> 0.10, "a" -> 3.00) // 6x its floor, every pass
+    val slow = Map(probe -> 0.10, "a" -> 5.00) // 10x its floor, every pass
     val (_, _, regs) = Bench.gate(
       Seq(slow, slow, slow), floors,
       IndexedSeq(0.40, 0.40, 0.10, 0.10)) // pass 1 bracket spiked 4x
