@@ -342,20 +342,49 @@ object DataQuality {
     * complement of [[graft.operators.Relational]]'s CDC apply: CDC
     * replays a change LOG; the diff recovers the log when none was kept.
     */
-  def corpusDiff(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val curr = docs.select(col("doc_id"), col("source"),
-      md5(col("text")).as("fp"))
+  /** The fixture-derived snapshots as fingerprint-only (doc_id, source,
+    * fp) frames — the seams the streaming twin shares with the batch
+    * query, so ingest-time and batch-time classification can never
+    * diverge. */
+  private[graft] def currSnapshot(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+
+  private[graft] def prevSnapshot(docs: DataFrame): DataFrame =
     // retired-cohort ids sit in the dead band between fixture id ranges
     // (and between SfGen's 10M copy strides), so they never collide with
     // a real document at any generated scale
-    val prev = docs.filter(col("doc_id") % 13 =!= 0)
+    docs.filter(col("doc_id") % 13 =!= 0)
       .select(col("doc_id"), col("source"),
         md5(when(col("doc_id") % 17 === 0, concat(col("text"), lit(" OLD")))
           .otherwise(col("text"))).as("fp"))
       .unionByName(docs.filter(col("doc_id") % 19 === 0)
         .select((col("doc_id") + lit(7777777L)).as("doc_id"), col("source"),
           md5(col("text")).as("fp")))
+
+  /** One micro-batch's diff verdict: classify ARRIVING current-snapshot
+    * rows against the previous snapshot — added/changed/unchanged per
+    * source. `removed` is deliberately absent: a micro-batch witnesses
+    * presence, never absence, so removal is the end-of-snapshot
+    * reconciliation only the batch [[corpusDiff]] can emit. Per-doc
+    * classification is batching-invariant, so per-batch counts summed
+    * over any replay equal the batch query's non-removed rows exactly
+    * (pinned in StreamingSpec). */
+  private[graft] def diffVerdictBatch(batch: DataFrame,
+      prev: DataFrame): DataFrame =
+    currSnapshot(batch)
+      .join(prev.select(col("doc_id"), col("fp").as("p_fp")),
+        Seq("doc_id"), "left")
+      .select(
+        when(col("p_fp").isNull, lit("added"))
+          .when(col("p_fp") =!= col("fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("source"))
+      .groupBy("status", "source").agg(count(lit(1)).as("n_docs"))
+
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val curr = currSnapshot(docs)
+    val prev = prevSnapshot(docs)
     prev.select(col("doc_id"), col("source").as("p_source"), col("fp").as("p_fp"))
       .join(curr.select(col("doc_id"), col("source").as("c_source"),
         col("fp").as("c_fp")), Seq("doc_id"), "full_outer")

@@ -1362,6 +1362,39 @@ object Streams {
     (q, baseCells)
   }
 
+  // --------------------------------------------- streaming corpus diff
+  /** Ingest-time twin of the batch `corpus_diff` reconciliation: each
+    * micro-batch of arriving current-snapshot rows (doc_id, source,
+    * text) gets its added/changed/unchanged per-source counts against
+    * the PREVIOUS snapshot's fingerprints — re-ingest progress telemetry
+    * as the snapshot lands, instead of one verdict at the end. The
+    * previous snapshot is fingerprinted once at stream start
+    * (fingerprint-only rows persisted — the 100 TB form is a persisted
+    * fp index bucketed by doc_id, making the per-batch left join
+    * co-located); `removed` is deliberately absent per batch (a batch
+    * witnesses presence, never absence — the batch query owns the
+    * end-of-snapshot removal verdict). No cross-batch state: replay
+    * parity with the batch classification is exact and a redelivered
+    * batch byte-replaces its own directory. */
+  def diffSinkBatch(batch: DataFrame, id: Long, prev: DataFrame,
+      outDir: String): Unit =
+    graft.operators.DataQuality.diffVerdictBatch(batch, prev)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
+  def streamCorpusDiff(df: DataFrame, spark: SparkSession, sfDir: String,
+      outDir: String, checkpoint: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery, DataFrame) = {
+    val prev = graft.operators.DataQuality
+      .prevSnapshot(graft.Tables.documents(spark, sfDir)).persist()
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        diffSinkBatch(batch.toDF(), id, prev, outDir)
+      }
+      .start()
+    (q, prev)
+  }
+
   // --------------------------------------------- streaming media ingest
   /** The per-batch media ingest transform: decode stub + resize geometry
     * over `(doc_id, payload)` rows — the df-level seam shared by the

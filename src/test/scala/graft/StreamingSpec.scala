@@ -941,6 +941,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming corpus diff: per-batch counts sum to the batch reconciliation") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = SparkTestSession.sf
+    val outDir = java.nio.file.Files.createTempDirectory("graft-diff-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-diff-ckpt").toString
+    // the stream carries the arriving CURRENT snapshot
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, String, String)]
+    val (q, prev) = Streams.streamCorpusDiff(
+      in.toDF().toDF("doc_id", "source", "text"), spark, sf, outDir, ckpt)
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      // per-doc classification is batching-invariant: per-batch counts
+      // summed over the replay equal the batch query's rows exactly,
+      // minus `removed` (a batch witnesses presence, never absence)
+      val streamed = spark.read.parquet(s"$outDir/batch_id=*")
+        .groupBy("status", "source")
+        .agg(org.apache.spark.sql.functions.sum("n_docs").as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = operators.DataQuality.corpusDiff(spark, sf)
+        .filter(col("status") =!= "removed")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+          s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+      assert(Set("added", "changed", "unchanged")
+        .subsetOf(streamed.keySet.map(_._1)), s"degenerate replay: $streamed")
+    } finally {
+      q.stop(); prev.unpersist()
+      Seq(outDir, ckpt).foreach(SparkTestSession.deleteRecursively)
+    }
+  }
+
   test("streaming BPE apply: micro-batched docs replay to the batch query's rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
