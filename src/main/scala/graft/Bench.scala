@@ -49,10 +49,20 @@ object Bench {
     * with NO code change — a 2.0 factor sits inside the spontaneous
     * band and flagged all fifteen. 3.5 clears the measured band while
     * keeping the gate's purpose: a genuine plan bend (the quadratics
-    * and cartesians this gate exists for) shows 5-10×, and an
-    * engine-wide slowdown still trips the UNCORRECTED probe self-gate
-    * at 3.5× its own floor. */
+    * and cartesians this gate exists for) shows 5-10×. The per-query
+    * widening does NOT widen the engine-wide defense, because the probe
+    * self-gate keeps its own tighter [[ProbeRegressionFactor]]: the
+    * probe is pinned code measured 12× per run (4 samples × min-of-3),
+    * so its MIN has none of the per-query suite variance this factor
+    * absorbs. */
   private val RegressionFactor = 3.5
+
+  /** Probe self-gate threshold — deliberately TIGHTER than
+    * [[RegressionFactor]]: a uniform engine-wide slowdown in the 2-3.5×
+    * band would pass every capped-corrected per-query check, and this
+    * uncorrected 2× verdict on the pinned probe is what still turns the
+    * artifact red there (the adversarial property BenchGateSpec pins). */
+  private val ProbeRegressionFactor = 2.0
 
   /** Ceiling on the noise correction. The probe runs THROUGH the engine
     * under test, so an engine-wide slowdown (a scan/filter-path
@@ -61,9 +71,12 @@ object Bench {
     * a "noisy host" verdict. Two defenses: (a) the probe itself is gated
     * UNCORRECTED against its own floor — a drifted probe is a loud
     * `probe_regression` entry in the artifact, never a universal excuse —
-    * and (b) the correction other queries receive is capped here, so even
-    * a wildly drifted probe can at most halve-ish the gate's sensitivity,
-    * not disable it. */
+    * and (b) the correction other queries receive is capped here, so a
+    * wildly drifted probe degrades the per-query gate's sensitivity by
+    * at most this factor (worst combined masking is cap ×
+    * [[RegressionFactor]] per query) — bounded, and the uniform case
+    * that could exploit it is exactly what the tighter uncorrected
+    * probe self-gate catches first. */
   private val NoiseScaleCap = 2.5
 
   /** Committed per-query warm floors (`bench_floors.json`): the best
@@ -73,10 +86,12 @@ object Bench {
     * noise-corrected warm time exceeds [[RegressionFactor]] × its floor —
     * the memory the calibration probe lacked: a spike in a quiet run is a
     * REGRESSION verdict in the artifact itself, not a judge-side
-    * re-measure a round later. Noise correction divides by
-    * `noise_scale = max(1, probe_now / probe_floor)` — the probe's code
-    * is pinned, so its drift above its own floor measures the host, not
-    * the engine. `SPARK_GRAFT_UPDATE_FLOORS=1` rewrites the file with
+    * re-measure a round later. Noise correction is PER PASS: each warm
+    * pass is divided by `max(1, bracket_min / probe_floor)` where the
+    * bracket is the pass's two adjacent probe samples (see [[gate]]) —
+    * the probe's code is pinned, so its drift above its own floor
+    * measures the host, not the engine. `SPARK_GRAFT_UPDATE_FLOORS=1`
+    * rewrites the file with
     * min(old, new) per query (adding new queries), which is how floors
     * ratchet down on idle hosts and never ratchet up.
     */
@@ -166,7 +181,7 @@ object Bench {
     }
     val validSamples = probeSamples.filter(_ > 0)
     val probeRegression = probeFloor.exists(pf =>
-      validSamples.nonEmpty && validSamples.min > RegressionFactor * pf)
+      validSamples.nonEmpty && validSamples.min > ProbeRegressionFactor * pf)
     val names = warmPasses.flatMap(_.keys).distinct.sorted
     val regressions = names.flatMap { k =>
       val raw = warmPasses.flatMap(_.get(k)).filter(_ >= 0)
@@ -246,15 +261,12 @@ object Bench {
     }
     val (cold, coldFailed) = pass()
     // interleaved probe samples: one before the first warm pass, one
-    // between each pair, one after the last — each pass gets a bracket
-    val samplesAndPasses = {
-      val b = Seq.newBuilder[Either[Double, (Map[String, Double], List[String])]]
-      b += Left(probe())
-      (1 to 3).foreach { _ => b += Right(pass()); b += Left(probe()) }
-      b.result()
-    }
-    val probeSamples = samplesAndPasses.collect { case Left(p) => p }.toIndexedSeq
-    val warmPasses = samplesAndPasses.collect { case Right(p) => p }
+    // between each pair, one after the last — sample i and i+1 bracket
+    // pass i
+    val firstProbe = probe()
+    val passesThenProbes = (1 to 3).map(_ => (pass(), probe()))
+    val warmPasses = passesThenProbes.map(_._1)
+    val probeSamples = (firstProbe +: passesThenProbes.map(_._2)).toIndexedSeq
     val probeBefore = probeSamples.head
     val probeAfter = probeSamples.last
     val validProbe = probeSamples.filter(_ > 0)

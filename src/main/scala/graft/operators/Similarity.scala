@@ -1266,17 +1266,30 @@ object Similarity {
   /** Total-variation distance between the base index's cell-share
     * distribution and a cohort's — k-row frames, one tiny full-outer
     * join; returns a single row (tv, n_arrivals). */
-  private def driftTv(baseCells: DataFrame, cohortCells: DataFrame): DataFrame = {
+  /** TV distance between the base cell shares and a PRE-AGGREGATED
+    * cohort — (cell, na, err_sum) rows — plus the cohort mean fit error
+    * (sum of err_sum over sum of na). The ONE implementation of the
+    * coalesce/share/abs-sum-over-2 math: [[driftTv]] (batch report) and
+    * [[driftVerdictBatch]] (streaming per-batch verdict) both route
+    * through here, so ingest-time and offline drift can never diverge
+    * by construction. */
+  private def driftTvAgg(baseCells: DataFrame, perCell: DataFrame): DataFrame = {
     val b = baseCells.groupBy("cell").agg(count(lit(1)).as("nb"))
-    val a = cohortCells.groupBy("cell").agg(count(lit(1)).as("na"))
     val w = Window.partitionBy()
-    b.join(a, Seq("cell"), "full_outer")
+    b.join(perCell, Seq("cell"), "full_outer")
       .select(coalesce(col("nb"), lit(0L)).as("nb"),
-        coalesce(col("na"), lit(0L)).as("na"))
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("err_sum"), lit(0.0)).as("err_sum"))
       .select(abs(col("nb") / sum("nb").over(w) -
-        col("na") / sum("na").over(w)).as("d"), col("na"))
-      .agg((sum("d") / 2).as("tv"), sum("na").as("n_arrivals"))
+        col("na") / sum("na").over(w)).as("d"), col("na"), col("err_sum"))
+      .agg((sum("d") / 2).as("tv"), sum("na").as("n_arrivals"),
+        (sum("err_sum") / sum("na")).as("arr_err"))
   }
+
+  private def driftTv(baseCells: DataFrame, cohortCells: DataFrame): DataFrame =
+    driftTvAgg(baseCells, cohortCells.groupBy("cell")
+      .agg(count(lit(1)).as("na"), sum(lit(0.0)).as("err_sum")))
+      .select("tv", "n_arrivals")
 
   /** Flag threshold for [[annIndexDrift]] — see the calibration note in
     * that scaladoc. */
@@ -1302,28 +1315,17 @@ object Similarity {
         expr("vec_norm(embedding)").as("nrm")), codebook)
     // one groupBy over the assignment pass carries BOTH consumers' state
     // (per-cell arrival counts for TV, per-cell fit-error sums for the
-    // ratio) — the batch source is scanned exactly once per trigger
-    val perCell = assigned.groupBy("cell")
-      .agg(count(lit(1)).as("na"), sum(lit(1.0) - col("csim")).as("err_sum"))
-    val w = Window.partitionBy()
+    // ratio) — the batch source is scanned exactly once per trigger, and
+    // the TV math itself is the shared driftTvAgg implementation.
     // ownFitErr = 0 is legal (a corpus whose vectors sit exactly on its
     // centroids — tiny corpus with adaptive k >= n, or duplicates); emit
     // a null ratio instead of Infinity/NaN in the per-batch verdicts
-    val fitRatio = if (ownFitErr > 0)
-      round(sum("err_sum").over(w) / sum("na").over(w) / ownFitErr, 4)
-    else lit(null).cast("double")
-    baseCells.groupBy("cell").agg(count(lit(1)).as("nb"))
-      .join(perCell, Seq("cell"), "full_outer")
-      .select(coalesce(col("nb"), lit(0L)).as("nb"),
-        coalesce(col("na"), lit(0L)).as("na"),
-        coalesce(col("err_sum"), lit(0.0)).as("err_sum"))
-      .select(abs(col("nb") / sum("nb").over(w) -
-          col("na") / sum("na").over(w)).as("d"),
-        col("na"), fitRatio.as("fit_ratio"))
-      .agg((sum("d") / 2).as("tv"), sum("na").as("n_arrivals"),
-        first("fit_ratio").as("fit_ratio"))
+    val fitRatio = if (ownFitErr > 0) round(col("arr_err") / ownFitErr, 4)
+      else lit(null).cast("double")
+    driftTvAgg(baseCells, assigned.groupBy("cell")
+        .agg(count(lit(1)).as("na"), sum(lit(1.0) - col("csim")).as("err_sum")))
       .select(col("n_arrivals"), round(col("tv"), 4).as("tv"),
-        (col("tv") > DriftTvFlag).as("drift_flagged"), col("fit_ratio"))
+        (col("tv") > DriftTvFlag).as("drift_flagged"), fitRatio.as("fit_ratio"))
   }
 
   /** Mean codebook-fit error of a persisted index's own corpus under its

@@ -61,7 +61,7 @@ class BenchGateSpec extends AnyFunSuite {
       Bench.gate(Seq(p, p, p), floors, IndexedSeq.fill(4)(0.20))
     assert(scales.forall(_ == 2.0))
     assert(regs.isEmpty, s"corrected run must be quiet: $regs")
-    assert(!probeReg, "2x is inside the 3.5x factor")
+    assert(!probeReg, "2x is exactly the probe factor, not beyond it")
   }
 
   test("transient load (the r12 driver artifact) is adjudicated per pass") {
@@ -69,7 +69,7 @@ class BenchGateSpec extends AnyFunSuite {
     // LAST probe sample is back under the floor. The old before/after-min
     // correction read 1.0 and flagged eight code-identical queries at
     // ~2.0-2.4x. Per-pass brackets correct passes 1-2 by 1.4 and the
-    // noisy-but-corrected times clear the 2x factor.
+    // noisy-but-corrected times clear the factor.
     val floors = Map(probe -> 0.10, "a" -> 0.50)
     val noisy = Map(probe -> 0.14, "a" -> 1.05) // 2.1x floor under load
     val (scales, probeReg, regs) = Bench.gate(
