@@ -134,7 +134,8 @@ object ScaleDrill {
       "ann_retrain_report")
     val all = TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ TemporalJoins.queries ++
-      graft.operators.Scoring.queries
+      graft.operators.Scoring.queries ++
+      graft.operators.DataQuality.queries
     val chosen = if (args.length > 2) args(2).split(",").toSeq else defaults
     val families: Seq[(String, (SparkSession, String) => DataFrame)] =
       chosen.map(n => n -> all(n))
