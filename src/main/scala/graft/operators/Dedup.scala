@@ -103,17 +103,16 @@ object Dedup {
     */
   val MaxPostingLen = 256
 
-  /** Inverted-index pair generation from (doc_id, grams) rows: stop-gram
-    * decision first from a cheap per-gram COUNT (partial-aggregate
-    * friendly; a hot gram's posting list is never collected into a row —
-    * at corpus scale it wouldn't fit one), then an equi-self-join of the
-    * retained gram stream on the gram key (i<j): the join IS the inverted
+  /** Inverted-index candidate generation from (doc_id, grams) rows:
+    * stop-gram decision first from a cheap per-gram COUNT
+    * (partial-aggregate friendly; a hot gram's posting list is never
+    * collected into a row — at corpus scale it wouldn't fit one), then an
+    * equi-self-join on the gram key (i<j): the join IS the inverted
     * index — Spark hash-partitions by gram and streams each posting list's
     * pairs without ever materializing it, entirely inside whole-stage
-    * codegen (the earlier collect_list + interpreted lambda expansion built
-    * 27k arrays and evaluated a non-codegen HigherOrderFunction per list).
-    * Shared-gram counts come off the join; retained-vocabulary set sizes
-    * are joined back in.
+    * codegen. Jaccard additionally prefix-filters the indexed stream
+    * ([[jaccardCandidates]]) so only ~(1−τ) of each doc's grams enter the
+    * join; containment joins the full retained stream ([[gramPairCounts]]).
     *
     * Grams are fingerprinted to 64-bit longs (`xxhash64`) right after the
     * explode, so every downstream shuffle/join keys on 8 bytes instead of a
@@ -148,10 +147,12 @@ object Dedup {
   }
 
   /** Per-pair shared-gram counts (doc_a, doc_b, inter) off the retained
-    * inverted index — THE candidate stage of [[jaccardPairs]], shared with
-    * the scaling-slope counter so the measurement can never drift from the
-    * production join. Takes the [[retainedGrams]] stream so callers
-    * materialize its localCheckpoint exactly once. */
+    * inverted index — the EXACT candidate stage, kept for
+    * [[dedupContainment]]: containment's o ≥ 0.9·min(na,nb) bound gives a
+    * long document no short universal prefix (the required prefix length
+    * depends on the partner's size), so prefix filtering does not transfer
+    * without length-grouped indexes. Jaccard, whose bound is symmetric,
+    * uses the ppjoin-filtered [[jaccardCandidates]] stage instead. */
   private def gramPairCounts(retained: DataFrame): DataFrame =
     retained.as("a")
       .join(retained.as("b"),
@@ -159,27 +160,76 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
 
+  /** Prefix-filter threshold, deliberately just UNDER the reported 0.8:
+    * both engines filter on the 4-dp ROUNDED jaccard, so a pair with true
+    * J ∈ [0.79995, 0.8) still reaches the output — the lossless prefix
+    * bound must therefore be derived from 0.79995, not 0.8; 0.7999 adds a
+    * float-comparison margin at the cost of ~nothing (prefix lengths are
+    * identical for all n < 20000 grams). */
+  private val JaccardTau = 0.7999
+
+  /** Per-doc retained-gram sets as SORTED hashed arrays (gs) with their
+    * sizes — one linear doc-keyed exchange (it replaces the former
+    * separate `sizes` aggregation), localCheckpoint'd because the prefix
+    * explode and both verify-join sides read it. The sort order (hash
+    * value) is the canonical total order the prefix filter needs. */
+  private def jaccardDocArrays(retained: DataFrame): DataFrame =
+    retained.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("g"))).as("gs"),
+        count(lit(1)).as("n"))
+      .localCheckpoint()
+
+  /** ppjoin-style prefix-filtered candidate pairs (Chaudhuri et al.
+    * SSJoin '06 / Bayardo AllPairs '07 / Xiao ppjoin '08): index only each
+    * doc's FIRST n − ⌈τ·n⌉ + 1 grams in the canonical order. Lossless for
+    * J ≥ τ by the prefix-filter lemma — a matching pair shares ≥⌈τ·n⌉
+    * grams with each side, so missing both prefixes is impossible — and
+    * the posting lists (hence the self-join shuffle, the measured
+    * residual of the old plan's ×100 slope) shrink by ~(1−τ) ≈ 5×, with
+    * the pair mass shrinking ~quadratically in that factor. A size filter
+    * (min ≥ τ·max, implied by J ≤ min/max) prunes cross-length collisions
+    * inside the join condition before the distinct. */
+  private def jaccardCandidates(docsArr: DataFrame): DataFrame = {
+    val prefix = docsArr.select(col("doc_id"), col("n"),
+      explode(slice(col("gs"), lit(1),
+        (col("n") - ceil(col("n") * JaccardTau) + lit(1)).cast("int")))
+        .as("g"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") >= col("b.n") * JaccardTau &&
+          col("b.n") >= col("a.n") * JaccardTau)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   def jaccardPairs(gramSets: DataFrame): DataFrame = {
-    val retained = retainedGrams(gramSets)
-    val sizes = retained.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    gramPairCounts(retained)
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+    val docsArr = jaccardDocArrays(retainedGrams(gramSets))
+    // verify stage: exact intersection over the FULL retained sets (the
+    // prefix join only nominates; array_intersect on the sorted hashed
+    // arrays re-derives the same inter the old pair-groupBy counted)
+    jaccardCandidates(docsArr)
+      .join(docsArr.select(col("doc_id").as("doc_a"),
+        col("gs").as("ga"), col("n").as("na")), Seq("doc_a"))
+      .join(docsArr.select(col("doc_id").as("doc_b"),
+        col("gs").as("gb"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+        size(array_intersect(col("ga"), col("gb"))).cast("double").as("inter"),
+        col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= 0.8)
   }
 
-  /** Candidate-pair count of the gram inverted index (distinct doc pairs
-    * sharing ≥1 retained gram) — the pairwise work [[jaccardPairs]] scores
-    * BEFORE any similarity threshold, counted off the SAME
-    * [[gramPairCounts]] stage the production query plans. Grows with
-    * co-occurring vocabulary (≈ quadratically in corpus size for natural
-    * text until the stop-gram cap bites); the ScalingSlopeSpec measures it
-    * at two corpus sizes against the banded paths' candidate counts. */
+  /** Candidate-pair count of the jaccard candidate stage (distinct doc
+    * pairs nominated by the PREFIX-FILTERED inverted index) — the pairwise
+    * verify work [[jaccardPairs]] performs before any similarity
+    * threshold, counted off the SAME [[jaccardCandidates]] stage the
+    * production query plans so the measurement can never drift from the
+    * production join. The ScalingSlopeSpec measures it at two corpus
+    * sizes against the banded paths' candidate counts. */
   private[graft] def gramCandidateCount(s: SparkSession, d: String): Long =
-    gramPairCounts(retainedGrams(gramSetDF(s, d))).count()
+    jaccardCandidates(jaccardDocArrays(retainedGrams(gramSetDF(s, d)))).count()
 
   /** Stage-bisection seams for `tools.GramDebug`. */
   private[graft] def gramSetCount(s: SparkSession, d: String): Long =
@@ -1085,15 +1135,25 @@ object Dedup {
     * to 4 dp AFTER the max and BEFORE the threshold so both engines
     * agree at the boundary (the [[dedupEmbedding]] contract).
     *
-    * Shape at scale: the eval set is bounded by definition (the
-    * benchmark-set posture of [[decontaminateNgram]]) and broadcasts;
-    * the corpus is scanned ONCE; the |train| × |eval| dot products are
-    * embarrassingly parallel codegen'd `vec_dot` calls, and the
-    * partial-max aggregate reduces the exchange to one row per train
-    * vector. If the eval set ever outgrew broadcast, the banded
-    * LSH/IVF routes in [[Similarity]] replace the exact pass — the
-    * same exact-vs-banded economics as the dedup family.
+    * Shape at scale: the eval set is bounded BY CONSTRUCTION — the
+    * fixture's `% 100` eval convention alone grows with the corpus, so
+    * the panel is additionally capped to the first [[DecontamProbeCap]]
+    * eval ids (`vec_id < 100·cap`), the `SemdedupProbes` fixed-panel
+    * discipline: the broadcast side is ≤ cap rows at ANY corpus size
+    * instead of 1% of it (at the fixture SFs the cap is not binding, so
+    * the oracle rows are unchanged; at ×100+ it is what keeps the
+    * broadcast bounded). The corpus is scanned ONCE; the |train| × |eval|
+    * dot products are embarrassingly parallel codegen'd `vec_dot` calls,
+    * and the partial-max aggregate reduces the exchange to one row per
+    * train vector. A REAL benchmark set is bounded by definition; this
+    * cap enforces the same property on the fixture-derived stand-in. If
+    * the eval set ever outgrew broadcast, the banded LSH/IVF routes in
+    * [[Similarity]] replace the exact pass — the same exact-vs-banded
+    * economics as the dedup family.
     */
+  /** Max eval-panel size for [[decontaminateEmbedding]] — mirrored into
+    * the oracle SQL, enforced in the plan (not just documented). */
+  private val DecontamProbeCap = 200
   def decontaminateEmbedding(s: SparkSession, d: String): DataFrame = {
     graft.functions.VecFunctions.register(s)
     // nrm > 0 guard: an all-zero embedding would put NaN/Infinity into the
@@ -1103,8 +1163,10 @@ object Dedup {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
       .filter(col("nrm") > 0)
-    val probes = e.filter(col("vec_id") % 100 === 0)
-    val train = parallelize(s, e.filter(col("vec_id") % 100 =!= 0))
+    val inPanel = col("vec_id") % 100 === 0 &&
+      col("vec_id") < lit(100L * DecontamProbeCap)
+    val probes = e.filter(inPanel)
+    val train = parallelize(s, e.filter(!inPanel))
     train.as("t").crossJoin(broadcast(probes.as("q")))
       .select(col("t.vec_id").as("vec_id"),
         (expr("vec_dot(t.embedding, q.embedding)") / (col("t.nrm") * col("q.nrm")))
@@ -1117,13 +1179,15 @@ object Dedup {
   }
 
   val decontaminateEmbeddingSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       |  FROM embeddings),
-      |probes AS (SELECT * FROM e WHERE vec_id % 100 = 0 AND nrm > 0),
-      |train AS (SELECT * FROM e WHERE vec_id % 100 <> 0 AND nrm > 0),
+      |probes AS (SELECT * FROM e
+      |  WHERE vec_id % 100 = 0 AND vec_id < ${100L * DecontamProbeCap} AND nrm > 0),
+      |train AS (SELECT * FROM e
+      |  WHERE NOT (vec_id % 100 = 0 AND vec_id < ${100L * DecontamProbeCap}) AND nrm > 0),
       |mc AS (
       |  SELECT t.vec_id,
       |    max(list_sum(list_transform(range(1, len(t.embedding) + 1),
@@ -1589,22 +1653,30 @@ object Dedup {
     * select different fingerprints. Hot-cap NOT applied here (each
     * consumer applies its own posting rule). */
   private[graft] def winnowFingerprints(input: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val k = WinnowK; val w = WinnowW
-    val pos = input
+    // Entirely per-row: the position-hash array is bound ONCE as the single
+    // element of a wrapper array and the sliding minima run inside the
+    // transform lambda over that bound variable — the lambda binding is
+    // what defeats CollapseProject's inlining (a bare column reference gets
+    // substituted into every window term, re-hashing the whole document per
+    // window: the quadratic that originally forced a posexplode + window
+    // rewrite). That earlier rewrite exchanged EVERY CHARACTER POSITION of
+    // the corpus (one row per position, doc-keyed sort) — the dominant term
+    // of the ×100 drill at 159 s. This form shuffles nothing: O(len) md5s
+    // + O(len·w) comparisons inside codegen, then only the ~len/w distinct
+    // fingerprints leave the row. array_distinct inside the row replaces
+    // the old global distinct — identical output for the unique-doc_id
+    // frames every caller passes (documents and their slices, micro-batch
+    // rows), and the exact shape of the SQL mirror's list_distinct.
+    input
       .filter(length(col("text")) >= k + w - 1)
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(1, length(text) - ${k - 1}),
-             |   i -> CAST(conv(substring(md5(substring(text, i, $k)), 1, 7), 16, 10) AS BIGINT))"""
-            .stripMargin.replace("\n", ""))).as(Seq("i", "h")))
-    val wspec = Window.partitionBy("doc_id").orderBy("i")
-      .rowsBetween(Window.currentRow, w - 1)
-    pos
-      .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .withColumn("fp", min("h").over(wspec))
-      .filter(col("i") <= col("m") - w) // i is 0-based: starts 0 .. m-w
-      .select(col("doc_id"), col("fp")).distinct()
+      .select(col("doc_id"), explode(expr(
+        s"""element_at(transform(array(
+           |  transform(sequence(1, length(text) - ${k - 1}),
+           |    i -> CAST(conv(substring(md5(substring(text, i, $k)), 1, 7), 16, 10) AS BIGINT))),
+           |  hs -> array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
+           |    j -> array_min(slice(hs, j, $w))))), 1)"""
+          .stripMargin.replace("\n", " "))).as("fp"))
   }
 
   /** Winnowed candidate pairs over any `(doc_id, text)` frame.
