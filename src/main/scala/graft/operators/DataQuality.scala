@@ -346,20 +346,31 @@ object DataQuality {
     * fp) frames — the seams the streaming twin shares with the batch
     * query, so ingest-time and batch-time classification can never
     * diverge. */
+  // Fingerprints are over coalesce(text, '') — md5(NULL) is NULL, and a
+  // null fp would misclassify (a doc present in both snapshots with null
+  // text would read 'added'; a mutated doc with null text would read
+  // 'unchanged' through the null <> comparison). Coalescing makes every
+  // fp non-null, so the status CASE is total. Mirrored in the oracle SQL.
   private[graft] def currSnapshot(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    docs.select(col("doc_id"), col("source"),
+      md5(coalesce(col("text"), lit(""))).as("fp"))
 
   private[graft] def prevSnapshot(docs: DataFrame): DataFrame =
-    // retired-cohort ids sit in the dead band between fixture id ranges
-    // (and between SfGen's 10M copy strides), so they never collide with
-    // a real document at any generated scale
+    // retired-cohort ids are NEGATED (-doc_id - 1): real document ids are
+    // non-negative in every fixture and every SfGen upsample, so the
+    // retired band is PROVABLY disjoint at any scale — unlike the earlier
+    // fixed +7777777 offset, which relied on doc_id ranges staying below
+    // the offset (a >2.2M-contiguous-id corpus would have collided retired
+    // ids with real docs, duplicating join keys in prev and silently
+    // breaking the 'removed' semantics)
     docs.filter(col("doc_id") % 13 =!= 0)
       .select(col("doc_id"), col("source"),
-        md5(when(col("doc_id") % 17 === 0, concat(col("text"), lit(" OLD")))
-          .otherwise(col("text"))).as("fp"))
+        md5(when(col("doc_id") % 17 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" OLD")))
+          .otherwise(coalesce(col("text"), lit("")))).as("fp"))
       .unionByName(docs.filter(col("doc_id") % 19 === 0)
-        .select((col("doc_id") + lit(7777777L)).as("doc_id"), col("source"),
-          md5(col("text")).as("fp")))
+        .select((-col("doc_id") - lit(1L)).as("doc_id"), col("source"),
+          md5(coalesce(col("text"), lit(""))).as("fp")))
 
   /** One micro-batch's diff verdict: classify ARRIVING current-snapshot
     * rows against the previous snapshot — added/changed/unchanged per
@@ -399,13 +410,15 @@ object DataQuality {
   }
 
   val corpusDiffSql: String =
-    """WITH curr AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+    """WITH curr AS (
+      |  SELECT doc_id, source, md5(coalesce(text, '')) AS fp FROM documents),
       |prev AS (
       |  SELECT doc_id, source,
-      |    md5(CASE WHEN doc_id % 17 = 0 THEN text || ' OLD' ELSE text END) AS fp
+      |    md5(CASE WHEN doc_id % 17 = 0 THEN coalesce(text, '') || ' OLD'
+      |             ELSE coalesce(text, '') END) AS fp
       |  FROM documents WHERE doc_id % 13 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 7777777 AS doc_id, source, md5(text) AS fp
+      |  SELECT -doc_id - 1 AS doc_id, source, md5(coalesce(text, '')) AS fp
       |  FROM documents WHERE doc_id % 19 = 0)
       |SELECT CASE WHEN p.fp IS NULL THEN 'added'
       |            WHEN c.fp IS NULL THEN 'removed'

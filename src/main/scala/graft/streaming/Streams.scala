@@ -1372,14 +1372,45 @@ object Streams {
     * (fingerprint-only rows persisted — the 100 TB form is a persisted
     * fp index bucketed by doc_id, making the per-batch left join
     * co-located); `removed` is deliberately absent per batch (a batch
-    * witnesses presence, never absence — the batch query owns the
-    * end-of-snapshot removal verdict). No cross-batch state: replay
-    * parity with the batch classification is exact and a redelivered
-    * batch byte-replaces its own directory. */
+    * witnesses presence, never absence) and is recovered at snapshot
+    * close by [[diffCloseSnapshot]] over the per-batch presence log, so
+    * the streaming path produces the batch query's full four-status
+    * report. No cross-batch state inside the engine (the presence log is
+    * the sink's, not the state store's): replay parity with the batch
+    * classification is exact and a redelivered batch byte-replaces its
+    * own directory. */
   def diffSinkBatch(batch: DataFrame, id: Long, prev: DataFrame,
-      outDir: String): Unit =
-    graft.operators.DataQuality.diffVerdictBatch(batch, prev)
-      .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      outDir: String): Unit = {
+    val b = batch.persist() // read by the verdict and the presence log
+    try {
+      graft.operators.DataQuality.diffVerdictBatch(b, prev)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      // presence log: ids only (8 bytes/doc — at 100 TB this is the
+      // id-projection of the snapshot, bucketable by doc_id), the witness
+      // set [[diffCloseSnapshot]] anti-joins at end of snapshot. Same
+      // batch_id byte-replace idempotency as the verdict itself, and
+      // duplicate ids across a replay are harmless (anti-join semantics
+      // need presence, not multiplicity).
+      b.select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$outDir/seen/batch_id=$id")
+    } finally { b.unpersist(); () }
+  }
+
+  /** End-of-snapshot reconciliation — the `removed` verdict the per-batch
+    * classification deliberately cannot emit (a batch witnesses presence,
+    * never absence): once the snapshot's ingest stream is drained,
+    * anti-join the PREVIOUS snapshot's fingerprint index against the
+    * accumulated presence log and count the survivors per source. The
+    * union of every per-batch verdict plus this terminal frame equals the
+    * batch [[graft.operators.DataQuality.corpusDiff]] report exactly
+    * (StreamingSpec pins the full four-status replay parity). One
+    * id-keyed anti-join — prev bucketed by doc_id at 100 TB makes it
+    * co-located — and an O(sources) aggregate. */
+  def diffCloseSnapshot(spark: SparkSession, prev: DataFrame,
+      outDir: String): DataFrame =
+    prev.join(spark.read.parquet(s"$outDir/seen"), Seq("doc_id"), "left_anti")
+      .select(lit("removed").as("status"), col("source"))
+      .groupBy("status", "source").agg(count(lit(1)).as("n_docs"))
 
   def streamCorpusDiff(df: DataFrame, spark: SparkSession, sfDir: String,
       outDir: String, checkpoint: String)

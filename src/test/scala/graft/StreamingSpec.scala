@@ -958,19 +958,22 @@ class StreamingSpec extends AnyFunSuite {
     try {
       chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
       // per-doc classification is batching-invariant: per-batch counts
-      // summed over the replay equal the batch query's rows exactly,
-      // minus `removed` (a batch witnesses presence, never absence)
-      val streamed = spark.read.parquet(s"$outDir/batch_id=*")
+      // summed over the replay, PLUS the end-of-snapshot reconciliation's
+      // `removed` frame, equal the batch query's full four-status report
+      // exactly (a batch witnesses presence, never absence — removal is
+      // only decidable once the snapshot is drained)
+      val perBatch = spark.read.parquet(s"$outDir/batch_id=*")
         .groupBy("status", "source")
-        .agg(org.apache.spark.sql.functions.sum("n_docs").as("n"))
+        .agg(org.apache.spark.sql.functions.sum("n_docs").as("n_docs"))
+      val streamed = perBatch
+        .unionByName(Streams.diffCloseSnapshot(spark, prev, outDir))
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       val batch = operators.DataQuality.corpusDiff(spark, sf)
-        .filter(col("status") =!= "removed")
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       assert(streamed == batch,
         s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
           s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
-      assert(Set("added", "changed", "unchanged")
+      assert(Set("added", "changed", "unchanged", "removed")
         .subsetOf(streamed.keySet.map(_._1)), s"degenerate replay: $streamed")
     } finally {
       q.stop(); prev.unpersist()
