@@ -19,24 +19,41 @@ import org.apache.spark.sql.SparkSession
   * so a loaded shared host is visible IN the artifact instead of being
   * re-litigated from per-query deltas a round later.
   *
-  * On top of loadavg, the artifact carries a CALIBRATION PROBE: one pinned
-  * cheap query (`q6_filter_agg`) is re-measured (min of 3) before the
-  * first warm pass, between each pair of passes, and after the last —
-  * four `probe_samples` bracketing the three passes — and
-  * `noise_index = max(samples) / min(samples)` is emitted. The probe's
-  * code never changes round to round, so samples well above the probe's
-  * committed floor label the bracketed PASSES as noisy — per-query spikes
-  * in passes whose brackets also spiked are host load, not regressions,
-  * adjudicated from the artifact itself rather than by a judge-side
-  * re-measure (see [[gate]] for why the correction is per-pass).
+  * On top of loadavg, the artifact carries CALIBRATION PROBES: two pinned
+  * cheap queries ([[ProbeQueries]] — one scan-bound, one shuffle/window-
+  * bound, because host drift hits those subsystems unevenly) re-measured
+  * (min of 3 each) before the first warm pass, between each pair of
+  * passes, and after the last — four bracket points per probe — and
+  * `noise_index = max/min` over probe 1's samples is emitted (see the
+  * `noise_index_def` artifact field: the 4-sample definition dates from
+  * r13; earlier artifacts used 2 endpoint samples and read systematically
+  * lower). The probes' code never changes round to round, so samples well
+  * above a probe's committed floor label the bracketed PASSES as noisy —
+  * per-query spikes in passes whose brackets also spiked are host load,
+  * not regressions, adjudicated from the artifact itself rather than by a
+  * judge-side re-measure (see [[gate]] for why the correction is
+  * per-pass and per-probe-max).
   */
 object Bench {
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
     catch { case _: Throwable => "unavailable" }
 
-  /** The pinned calibration query — cheap, stable, exercised since round 1. */
-  private val ProbeQuery = "q6_filter_agg"
+  /** The pinned calibration queries — cheap, stable, code unchanged round
+    * to round. TWO probes because host drift is not one-dimensional: the
+    * round-13 calibration showed the scan-bound probe UNDER-correcting
+    * shuffle/window-bound drift (15 spontaneous 2.0–2.9× min-of-3 drifts
+    * on byte-identical code, which forced the per-query factor out to
+    * 3.5). `q6_filter_agg` is scan/filter-bound (parquet read + partial
+    * agg, no wide exchange); `window_rank` is exchange + sort bound (a
+    * doc-keyed window over orders). Each pass is corrected by whichever
+    * probe's bracket drifted MORE, so shuffle-bound queries get a
+    * shuffle-bound correction. */
+  private[graft] val ProbeQueries = Seq("q6_filter_agg", "window_rank")
+
+  /** Probe 1, kept as the artifact's legacy `probe_*` fields so
+    * cross-round artifact comparisons keep their meaning. */
+  private val ProbeQuery = ProbeQueries.head
 
   /** Regression threshold vs the committed floor, after noise correction.
     * Calibrated against MEASURED same-binary variance, exactly as the
@@ -166,37 +183,106 @@ object Bench {
     *   - floorless/failed queries are never flagged.
     */
   private[graft] def gate(warmPasses: Seq[Map[String, Double]],
-      floors: Map[String, Double], probeSamples: IndexedSeq[Double])
-      : (Seq[Double], Boolean, Seq[String]) = {
-    val probeFloor = floors.get(ProbeQuery).filter(_ > 0)
+      floors: Map[String, Double],
+      probeSamples: Map[String, IndexedSeq[Double]])
+      : (Seq[Double], Boolean, Seq[String], Seq[String]) = {
     val scales = warmPasses.indices.map { i =>
-      val bracket = Seq(
-        probeSamples.lift(i).getOrElse(-1.0),
-        probeSamples.lift(i + 1).getOrElse(-1.0)).filter(_ > 0)
-      probeFloor match {
-        case Some(pf) if bracket.nonEmpty =>
-          math.min(NoiseScaleCap, math.max(1.0, bracket.min / pf))
-        case _ => 1.0
+      val perProbe = probeSamples.toSeq.flatMap { case (p, samples) =>
+        floors.get(p).filter(_ > 0).flatMap { pf =>
+          val bracket = Seq(
+            samples.lift(i).getOrElse(-1.0),
+            samples.lift(i + 1).getOrElse(-1.0)).filter(_ > 0)
+          if (bracket.nonEmpty) Some(bracket.min / pf) else None
+        }
+      }
+      if (perProbe.nonEmpty)
+        math.min(NoiseScaleCap, math.max(1.0, perProbe.max))
+      else 1.0
+    }
+    // Probe self-gate on the SECOND-SMALLEST valid sample (ADVICE r13):
+    // the old all-samples-min was unanimity — an engine-wide slowdown
+    // that dipped under the factor during a single probe window evaded
+    // the verdict while still collecting per-pass corrections elsewhere.
+    // Second-smallest means one lucky window cannot clear a sustained
+    // slowdown, while one unlucky window still cannot convict a healthy
+    // engine (min-of-3 per sample already absorbs blips).
+    val probeRegression = probeSamples.exists { case (p, samples) =>
+      floors.get(p).filter(_ > 0).exists { pf =>
+        val valid = samples.filter(_ > 0).sorted
+        val stat = if (valid.size >= 2) valid(1)
+                   else if (valid.size == 1) valid.head else -1.0
+        stat > ProbeRegressionFactor * pf
       }
     }
-    val validSamples = probeSamples.filter(_ > 0)
-    val probeRegression = probeFloor.exists(pf =>
-      validSamples.nonEmpty && validSamples.min > ProbeRegressionFactor * pf)
     val names = warmPasses.flatMap(_.keys).distinct.sorted
-    val regressions = names.flatMap { k =>
+    val verdicts = names.flatMap { k =>
       val raw = warmPasses.flatMap(_.get(k)).filter(_ >= 0)
       val adjusted = warmPasses.zip(scales).flatMap { case (p, s) =>
-        // the probe never corrects itself
-        p.get(k).filter(_ >= 0).map(t => if (k == ProbeQuery) t else t / s)
+        // a probe never corrects itself (or its sibling probe)
+        p.get(k).filter(_ >= 0)
+          .map(t => if (ProbeQueries.contains(k)) t else t / s)
       }
       floors.get(k) match {
-        case Some(f) if adjusted.nonEmpty && f > 0 &&
-            adjusted.min > RegressionFactor * f =>
-          Some(s"""{"query":"$k","warm_sec":${raw.min},"floor_sec":$f,"adjusted_sec":${adjusted.min},"ratio":${num("%.2f", adjusted.min / f)}}""")
+        case Some(f) if adjusted.nonEmpty && f > 0 =>
+          Some((k, raw.min, adjusted.min, f))
         case _ => None
       }
     }
-    (scales, probeRegression, regressions)
+    val regressions = verdicts.collect {
+      case (k, rawMin, adjMin, f) if adjMin > RegressionFactor * f =>
+        s"""{"query":"$k","warm_sec":$rawMin,"floor_sec":$f,"adjusted_sec":$adjMin,"ratio":${num("%.2f", adjMin / f)}}"""
+    }
+    // Soft-warning list (ADVICE r13): queries whose UNCORRECTED min
+    // clears the factor while the corrected verdict stays green — the
+    // candidates a correction may be masking, surfaced by name so a
+    // judge (or the next idle-host run) can re-measure them instead of
+    // trusting the discount blindly. Advisory only: not a red verdict.
+    val maskedWarnings = verdicts.collect {
+      case (k, rawMin, adjMin, f)
+          if rawMin > RegressionFactor * f && adjMin <= RegressionFactor * f =>
+        k
+    }
+    (scales, probeRegression, regressions, maskedWarnings)
+  }
+
+  /** Cold-band detector (VERDICT r13 item 6): the one unexplained r13
+    * artifact was a 437 s cold pass whose slowness was POSITION-localized
+    * (execution positions 28–35 ran many times their usual cold cost,
+    * everything around them normal) — transient host state, but nothing
+    * machine-flagged it. This flags maximal runs of ≥ [[ColdBandRun]]
+    * CONSECUTIVE queries (execution order) whose cold/warm ratio is ≥
+    * [[ColdBandFactor]] × the run's median cold/warm ratio. Normalizing
+    * by the query's own warm time removes per-query cost differences;
+    * normalizing by the run's median removes the global JIT/codegen
+    * multiple, so what remains is exactly "these adjacent queries paid an
+    * outsized cold cost together" — the band signature. Isolated single
+    * spikes (one query with heavy one-time builds) don't form a run and
+    * stay unflagged. Advisory: emitted as `cold_band` in the artifact. */
+  private val ColdBandRun = 3
+  private val ColdBandFactor = 3.0
+  private[graft] def coldBand(coldOrdered: Seq[(String, Double)],
+      warm: Map[String, Double]): Seq[String] = {
+    val ratios = coldOrdered.flatMap { case (k, c) =>
+      warm.get(k).filter(_ > 0).filter(_ => c > 0).map(w => k -> c / w)
+    }
+    if (ratios.size < 10) Nil // too few positions for a meaningful median
+    else {
+      val sorted = ratios.map(_._2).sorted
+      val median = sorted(sorted.size / 2)
+      val flagged = ratios.map { case (k, r) =>
+        (k, median > 0 && r >= ColdBandFactor * median) }
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < flagged.size) {
+        if (flagged(i)._2) {
+          var j = i
+          while (j < flagged.size && flagged(j)._2) j += 1
+          if (j - i >= ColdBandRun) out ++= flagged.slice(i, j).map(_._1)
+          i = j
+        } else i += 1
+      }
+      out.result()
+    }
   }
 
   private def writeFloors(sfBase: String, merged: Map[String, Double]): Unit = {
@@ -230,10 +316,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // A failed query is reported as -1 sec and listed in `failed` — never
-    // silently folded into a normal-looking wall time.
-    def pass(): (Map[String, Double], List[String]) = {
+    // silently folded into a normal-looking wall time. The ordered seq is
+    // kept alongside the map: the cold-band detector reads EXECUTION
+    // order (a band is a position property, invisible in a name-keyed map).
+    def pass(): (Seq[(String, Double)], List[String]) = {
       val failed = List.newBuilder[String]
-      val times = bench.map { case (name, fn) =>
+      val times = bench.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -246,30 +334,40 @@ object Bench {
       }
       (times, failed.result())
     }
-    // min-of-3 single-query timing for the calibration probe (run after the
-    // cold pass so codegen/JIT are already paid on both measurements)
-    def probe(): Double = SparkEntry.queries.get(ProbeQuery) match {
-      // the probe is always the full-map query: subset runs still calibrate
-      case Some(fn) =>
-        val reps = Seq.fill(3) {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => -1.0 }
-        }.filter(_ >= 0)
-        if (reps.nonEmpty) reps.min else -1.0
-      case None => -1.0
-    }
-    val (cold, coldFailed) = pass()
-    // interleaved probe samples: one before the first warm pass, one
-    // between each pair, one after the last — sample i and i+1 bracket
-    // pass i
+    // min-of-3 single-query timing for each calibration probe (run after
+    // the cold pass so codegen/JIT are already paid on both measurements)
+    def probe(): Map[String, Double] = ProbeQueries.map { p =>
+      // probes are always the full-map queries: subset runs still calibrate
+      p -> (SparkEntry.queries.get(p) match {
+        case Some(fn) =>
+          val reps = Seq.fill(3) {
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => -1.0 }
+          }.filter(_ >= 0)
+          if (reps.nonEmpty) reps.min else -1.0
+        case None => -1.0
+      })
+    }.toMap
+    val (coldOrdered, coldFailed) = pass()
+    val cold = coldOrdered.toMap
+    // interleaved probe samples: one point before the first warm pass, one
+    // between each pair, one after the last — point i and i+1 bracket
+    // pass i; each point measures BOTH probes
     val firstProbe = probe()
     val passesThenProbes = (1 to 3).map(_ => (pass(), probe()))
-    val warmPasses = passesThenProbes.map(_._1)
-    val probeSamples = (firstProbe +: passesThenProbes.map(_._2)).toIndexedSeq
-    val probeBefore = probeSamples.head
-    val probeAfter = probeSamples.last
-    val validProbe = probeSamples.filter(_ > 0)
+    val warmPasses = passesThenProbes.map(p => (p._1._1.toMap, p._1._2))
+    val probePoints = firstProbe +: passesThenProbes.map(_._2)
+    val probeSamples: Map[String, IndexedSeq[Double]] =
+      ProbeQueries.map(p => p -> probePoints.map(_.getOrElse(p, -1.0)).toIndexedSeq).toMap
+    val probe1 = probeSamples(ProbeQuery)
+    val probeBefore = probe1.head
+    val probeAfter = probe1.last
+    // noise_index definition (v2 since r13, unchanged here): max/min over
+    // probe 1's FOUR interleaved samples — systematically ≥ the pre-r13
+    // two-endpoint definition on the same host; cross-round comparisons
+    // against r12-or-earlier artifacts must not read the shift as noise.
+    val validProbe = probe1.filter(_ > 0)
     val noiseIndex =
       if (validProbe.nonEmpty) validProbe.max / validProbe.min else -1.0
     // a pass-transient failure keeps the other passes' valid measurements
@@ -290,13 +388,20 @@ object Bench {
     // ---- regression gate vs committed floors (noise-corrected) ----
     val sfBase = new java.io.File(sfDir).getName
     val floors = readFloors(sfBase)
-    val (passScales, probeRegression, regressions) =
+    val (passScales, probeRegression, regressions, maskedWarnings) =
       gate(warmPasses.map(_._1), floors, probeSamples)
     val regressionsJson = regressions.mkString("[", ",", "]")
+    val maskedJson = maskedWarnings.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val band = coldBand(coldOrdered, warm)
+    val coldBandJson = band.map("\"" + _ + "\"").mkString("[", ",", "]")
     // reported noise_scale = the largest per-pass correction applied (the
     // human-readable "how loaded did this run get" number)
     val noiseScale = if (passScales.nonEmpty) passScales.max else 1.0
-    val probeSamplesJson = probeSamples.map(p => num("%.6f", p)).mkString("[", ",", "]")
+    val probeSamplesJson = probe1.map(p => num("%.6f", p)).mkString("[", ",", "]")
+    val probesJson = ProbeQueries.map { p =>
+      "\"" + p + "\":" +
+        probeSamples(p).map(v => num("%.6f", v)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val passScalesJson = passScales.map(s => num("%.3f", s)).mkString("[", ",", "]")
     if (sys.env.get("SPARK_GRAFT_UPDATE_FLOORS").contains("1") && only.isEmpty) {
       // never overwrite floors measured at a DIFFERENT SF — a sf0.01 run
@@ -315,7 +420,7 @@ object Bench {
       } else System.err.println(
         s"bench: floors NOT updated — file is for ${floorsFileSf.get}, this run is $sfBase")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(warm)},"queries_cold":${timesJson(cold)},"cold_total":$coldTotal,"warm_passes":3,"probe_query":"$ProbeQuery","probe_before_sec":$probeBefore,"probe_after_sec":$probeAfter,"probe_samples":$probeSamplesJson,"pass_scales":$passScalesJson,"noise_index":$noiseIndex,"noise_scale":${num("%.3f", noiseScale)},"probe_regression":$probeRegression,"floors_sf":"${if (floors.nonEmpty) sfBase else ""}","regressions":$regressionsJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(warm)},"queries_cold":${timesJson(cold)},"cold_total":$coldTotal,"warm_passes":3,"probe_query":"$ProbeQuery","probe_before_sec":$probeBefore,"probe_after_sec":$probeAfter,"probe_samples":$probeSamplesJson,"probes":$probesJson,"pass_scales":$passScalesJson,"noise_index":$noiseIndex,"noise_index_def":"max/min over probe 1's 4 interleaved samples (v2 since r13)","noise_scale":${num("%.3f", noiseScale)},"probe_regression":$probeRegression,"uncorrected_over_factor":$maskedJson,"cold_band":$coldBandJson,"floors_sf":"${if (floors.nonEmpty) sfBase else ""}","regressions":$regressionsJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) System.err.println(s"bench: ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()
   }

@@ -116,13 +116,25 @@ object ScaleDrill {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val big = graft.operators.Scratch.tempParent(s"graft-sfx$copies").toString
-    println(s"[drill] generating x$copies fixture at $big ...")
-    // full-table generation (SfGen) so part-keyed families can drill too;
-    // documents/embeddings/events use the identical construction the
-    // original drill-local upsample had
-    val (genT, _) = time { SfGen.upsampleAll(spark, base, copies, big); 0L }
-    println(f"[drill] generated in $genT%.1f s")
+    // SPARK_GRAFT_DRILL_FIXTURE reuses a pre-generated ×copies corpus
+    // (persisted by a prior `SfGen <base> <copies> <dir>` run) so iterative
+    // single-family drills and the round-closing oracle sweep share one
+    // generation instead of paying it per invocation. The caller owns the
+    // fixture's lifetime (no shutdown-hook delete on the reused path).
+    val big = sys.env.get("SPARK_GRAFT_DRILL_FIXTURE") match {
+      case Some(dir) if new java.io.File(dir).isDirectory =>
+        println(s"[drill] reusing fixture at $dir (caller asserts x$copies of $base)")
+        dir
+      case _ =>
+        val dir = graft.operators.Scratch.tempParent(s"graft-sfx$copies").toString
+        println(s"[drill] generating x$copies fixture at $dir ...")
+        // full-table generation (SfGen) so part-keyed families can drill
+        // too; documents/embeddings/events use the identical construction
+        // the original drill-local upsample had
+        val (genT, _) = time { SfGen.upsampleAll(spark, base, copies, dir); 0L }
+        println(f"[drill] generated in $genT%.1f s")
+        dir
+    }
 
     import graft.operators.{Dedup, Similarity, TextAnalysis}
     import graft.operators.TemporalJoins
