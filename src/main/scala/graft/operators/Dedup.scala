@@ -184,20 +184,39 @@ object Dedup {
     * doc's FIRST n − ⌈τ·n⌉ + 1 grams in the canonical order. Lossless for
     * J ≥ τ by the prefix-filter lemma — a matching pair shares ≥⌈τ·n⌉
     * grams with each side, so missing both prefixes is impossible — and
-    * the posting lists (hence the self-join shuffle, the measured
-    * residual of the old plan's ×100 slope) shrink by ~(1−τ) ≈ 5×, with
-    * the pair mass shrinking ~quadratically in that factor. A size filter
-    * (min ≥ τ·max, implied by J ≤ min/max) prunes cross-length collisions
-    * inside the join condition before the distinct. */
+    * the posting lists (hence the self-join shuffle) shrink by ~(1−τ).
+    *
+    * Three filters run INSIDE the join condition, before the distinct:
+    *  - size: min(na,nb) ≥ τ·max(na,nb) (implied by J ≤ min/max);
+    *  - positional (the 'pp' in ppjoin): for a row matching gram t at
+    *    0-based sorted positions (pa, pb), the overlap is bounded by
+    *    min(pa,pb) + 1 + min(na−pa−1, nb−pb−1) — common grams below t
+    *    can't exceed the shorter prefix-below-t, above t can't exceed the
+    *    shorter suffix. Rows whose bound can't reach the required
+    *    α = ⌈τ/(1+τ)·(na+nb)⌉ are dropped; a TRUE pair (o ≥ α) satisfies
+    *    the bound on EVERY shared-gram row (the bound over-estimates o),
+    *    so no true pair loses all its rows — lossless per row, unlike
+    *    ppjoin's tighter accumulating bound, which is not expressible as
+    *    a per-row predicate.
+    * Measured at ×100 (near-dup-heavy fixture): prefix alone cut the
+    * exact stage's candidates to 8.1M; prefix+positional to 7.5M — the
+    * fixture's candidates share many grams, so most survive both filters
+    * and the verify joins' shape (see [[jaccardPairs]]) carries the
+    * larger share of the win there. */
   private def jaccardCandidates(docsArr: DataFrame): DataFrame = {
     val prefix = docsArr.select(col("doc_id"), col("n"),
-      explode(slice(col("gs"), lit(1),
+      posexplode(slice(col("gs"), lit(1),
         (col("n") - ceil(col("n") * JaccardTau) + lit(1)).cast("int")))
-        .as("g"))
+        .as(Seq("p", "g")))
+    val alpha = ceil(lit(JaccardTau / (1 + JaccardTau)) *
+      (col("a.n") + col("b.n")))
     prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") >= col("b.n") * JaccardTau &&
-          col("b.n") >= col("a.n") * JaccardTau)
+          col("b.n") >= col("a.n") * JaccardTau &&
+          least(col("a.p"), col("b.p")) + 1 +
+            least(col("a.n") - col("a.p") - 1, col("b.n") - col("b.p") - 1)
+            >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
@@ -206,11 +225,16 @@ object Dedup {
     val docsArr = jaccardDocArrays(retainedGrams(gramSets))
     // verify stage: exact intersection over the FULL retained sets (the
     // prefix join only nominates; array_intersect on the sorted hashed
-    // arrays re-derives the same inter the old pair-groupBy counted)
+    // arrays re-derives the same inter the old pair-groupBy counted).
+    // shuffle_hash, not sort-merge: the probe side carries a full gram
+    // array per candidate row after the first join, and sorting those
+    // wide rows was the measured dominant cost of the verify at ×100
+    // (the build side is the doc-keyed array relation — corpus-sized but
+    // array-per-doc, exactly what a per-partition hash map holds).
     jaccardCandidates(docsArr)
-      .join(docsArr.select(col("doc_id").as("doc_a"),
+      .join(docsArr.hint("shuffle_hash").select(col("doc_id").as("doc_a"),
         col("gs").as("ga"), col("n").as("na")), Seq("doc_a"))
-      .join(docsArr.select(col("doc_id").as("doc_b"),
+      .join(docsArr.hint("shuffle_hash").select(col("doc_id").as("doc_b"),
         col("gs").as("gb"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ga"), col("gb"))).cast("double").as("inter"),
