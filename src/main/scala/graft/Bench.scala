@@ -57,22 +57,22 @@ object Bench {
 
   /** Regression threshold vs the committed floor, after noise correction.
     * Calibrated against MEASURED same-binary variance, exactly as the
-    * slope gate's 4× factor was: floors are best-ever idle-host minima,
-    * and a round-13 same-day pair of full runs with byte-identical query
-    * code (an idle-morning floor-setting run vs an ordinary-afternoon
-    * run, loadavg baseline ~3-4, probe under-correcting because it is
-    * scan-bound while the drifting queries are shuffle/window-bound)
-    * produced min-of-3 corrected ratios up to 2.93× on fifteen queries
-    * with NO code change — a 2.0 factor sits inside the spontaneous
-    * band and flagged all fifteen. 3.5 clears the measured band while
-    * keeping the gate's purpose: a genuine plan bend (the quadratics
-    * and cartesians this gate exists for) shows 5-10×. The per-query
-    * widening does NOT widen the engine-wide defense, because the probe
-    * self-gate keeps its own tighter [[ProbeRegressionFactor]]: the
-    * probe is pinned code measured 12× per run (4 samples × min-of-3),
-    * so its MIN has none of the per-query suite variance this factor
-    * absorbs. */
-  private val RegressionFactor = 3.5
+    * slope gate's 4× factor was. History: the round-13 calibration pair
+    * (idle-morning floor run vs ordinary-afternoon run, ONE scan-bound
+    * probe) showed corrected ratios up to 2.93× on code-identical
+    * queries — the scan probe could not see the shuffle/window-bound
+    * drift, so the factor was widened to 3.5 to absorb the blindness.
+    * Round 14 added the shuffle-bound second probe (the drift now has a
+    * measuring instrument) and re-derived the factor from a fresh
+    * same-binary pair on the shipped binary: A-vs-B min-of-3 ratios
+    * p50 = 1.13, p99 = 1.58, max = 1.69; worst vs committed floors 2.07×.
+    * 2.5 clears that measured band with margin while restoring the
+    * sensitivity the 3.5 widening cost — a genuine plan bend (the
+    * quadratics and cartesians this gate exists for) shows 5-10×. The
+    * probe self-gate keeps its own tighter [[ProbeRegressionFactor]]:
+    * probes are pinned code measured 12× per run (4 points × min-of-3),
+    * with none of the per-query suite variance this factor absorbs. */
+  private val RegressionFactor = 2.5
 
   /** Probe self-gate threshold — deliberately TIGHTER than
     * [[RegressionFactor]]: a uniform engine-wide slowdown in the 2-3.5×
@@ -125,18 +125,33 @@ object Bench {
         .filter(_.nonEmpty)
     } catch { case _: Throwable => None }
 
-  private def readFloors(sfBase: String): Map[String, Double] =
+  private def readFloorsSection(sfBase: String, section: String): Map[String, Double] =
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(new java.io.File(floorsPath))
       if (root.path("sf").asText("") != sfBase) Map.empty
       else {
-        val it = root.path("floors").properties().iterator()
+        val it = root.path(section).properties().iterator()
         val b = Map.newBuilder[String, Double]
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
         b.result()
       }
     } catch { case _: Throwable => Map.empty }
+
+  private def readFloors(sfBase: String): Map[String, Double] =
+    readFloorsSection(sfBase, "floors")
+
+  /** Committed per-query COLD floors (best-ever cold-pass time, ratcheted
+    * with the warm floors): the reference the cold-band detector
+    * normalizes against. The run median can't distinguish "this query's
+    * cold is always expensive" (heavy codegen, one-time index builds —
+    * its floor is equally high, ratio ~1) from "these adjacent queries
+    * paid an anomalous cold cost this run" (the r13 morning band: many ×
+    * their own usual cold) — per-query floors can. Absent from pre-r14
+    * floors files; the detector is silent until a floor-updating run
+    * writes them. */
+  private def readColdFloors(sfBase: String): Map[String, Double] =
+    readFloorsSection(sfBase, "cold_floors")
 
   /** Locale-pinned decimal formatting — a comma-decimal default locale
     * would otherwise emit invalid JSON that readFloors silently swallows,
@@ -250,47 +265,45 @@ object Bench {
     * (execution positions 28–35 ran many times their usual cold cost,
     * everything around them normal) — transient host state, but nothing
     * machine-flagged it. This flags maximal runs of ≥ [[ColdBandRun]]
-    * CONSECUTIVE queries (execution order) whose cold/warm ratio is ≥
-    * [[ColdBandFactor]] × the run's median cold/warm ratio. Normalizing
-    * by the query's own warm time removes per-query cost differences;
-    * normalizing by the run's median removes the global JIT/codegen
-    * multiple, so what remains is exactly "these adjacent queries paid an
-    * outsized cold cost together" — the band signature. Isolated single
-    * spikes (one query with heavy one-time builds) don't form a run and
-    * stay unflagged. Advisory: emitted as `cold_band` in the artifact. */
+    * CONSECUTIVE queries (execution order) whose cold time is ≥
+    * [[ColdBandFactor]] × their OWN committed cold floor. The first cut
+    * of this detector normalized by the run's median cold/warm ratio and
+    * immediately false-flagged three adjacent heavy-codegen queries on a
+    * healthy idle run — "always-expensive cold" is indistinguishable from
+    * "anomalously expensive cold" without a per-query reference, which is
+    * what the cold floors are. Floorless queries are neutral (never
+    * flagged, and they break a run — conservative for new queries).
+    * Factor calibrated on a same-binary A/B pair: cold ratios p99 = 1.71,
+    * max = 1.97 — 3.0 clears the measured band; the morning band ran
+    * ~10-20× usual colds. Advisory: emitted as `cold_band`. */
   private val ColdBandRun = 3
   private val ColdBandFactor = 3.0
   private[graft] def coldBand(coldOrdered: Seq[(String, Double)],
-      warm: Map[String, Double]): Seq[String] = {
-    val ratios = coldOrdered.flatMap { case (k, c) =>
-      warm.get(k).filter(_ > 0).filter(_ => c > 0).map(w => k -> c / w)
+      coldFloors: Map[String, Double]): Seq[String] = {
+    val flagged = coldOrdered.map { case (k, c) =>
+      (k, c > 0 && coldFloors.get(k).exists(f =>
+        f > 0 && c >= ColdBandFactor * f))
     }
-    if (ratios.size < 10) Nil // too few positions for a meaningful median
-    else {
-      val sorted = ratios.map(_._2).sorted
-      val median = sorted(sorted.size / 2)
-      val flagged = ratios.map { case (k, r) =>
-        (k, median > 0 && r >= ColdBandFactor * median) }
-      val out = Seq.newBuilder[String]
-      var i = 0
-      while (i < flagged.size) {
-        if (flagged(i)._2) {
-          var j = i
-          while (j < flagged.size && flagged(j)._2) j += 1
-          if (j - i >= ColdBandRun) out ++= flagged.slice(i, j).map(_._1)
-          i = j
-        } else i += 1
-      }
-      out.result()
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < flagged.size) {
+      if (flagged(i)._2) {
+        var j = i
+        while (j < flagged.size && flagged(j)._2) j += 1
+        if (j - i >= ColdBandRun) out ++= flagged.slice(i, j).map(_._1)
+        i = j
+      } else i += 1
     }
+    out.result()
   }
 
-  private def writeFloors(sfBase: String, merged: Map[String, Double]): Unit = {
-    val body = merged.toSeq.sortBy(_._1)
+  private def writeFloors(sfBase: String, merged: Map[String, Double],
+      mergedCold: Map[String, Double]): Unit = {
+    def section(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""    "$k": ${num("%.4f", v)}""" }
       .mkString(",\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(floorsPath),
-      s"""{\n  "sf": "$sfBase",\n  "floors": {\n$body\n  }\n}\n""")
+      s"""{\n  "sf": "$sfBase",\n  "floors": {\n${section(merged)}\n  },\n  "cold_floors": {\n${section(mergedCold)}\n  }\n}\n""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -392,7 +405,7 @@ object Bench {
       gate(warmPasses.map(_._1), floors, probeSamples)
     val regressionsJson = regressions.mkString("[", ",", "]")
     val maskedJson = maskedWarnings.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val band = coldBand(coldOrdered, warm)
+    val band = coldBand(coldOrdered, readColdFloors(sfBase))
     val coldBandJson = band.map("\"" + _ + "\"").mkString("[", ",", "]")
     // reported noise_scale = the largest per-pass correction applied (the
     // human-readable "how loaded did this run get" number)
@@ -407,15 +420,19 @@ object Bench {
       // never overwrite floors measured at a DIFFERENT SF — a sf0.01 run
       // must not destroy the committed sf0.1 floors
       if (floorsFileSf.forall(_ == sfBase)) {
-        val merged = (floors.keySet ++ warm.keySet).flatMap { k =>
-          // a brand-new query that failed every warm pass has no floor
-          // candidate yet — skip it rather than crash on empty min
-          Seq(floors.get(k), warm.get(k).filter(_ >= 0)).flatten match {
-            case Nil => None
-            case cs => Some(k -> cs.min)
-          }
-        }.toMap
-        writeFloors(sfBase, merged)
+        def merge(old: Map[String, Double], fresh: Map[String, Double]) =
+          (old.keySet ++ fresh.keySet).flatMap { k =>
+            // a brand-new query that failed every pass has no floor
+            // candidate yet — skip it rather than crash on empty min
+            Seq(old.get(k), fresh.get(k).filter(_ >= 0)).flatten match {
+              case Nil => None
+              case cs => Some(k -> cs.min)
+            }
+          }.toMap
+        val merged = merge(floors, warm)
+        val mergedCold = merge(readColdFloors(sfBase),
+          cold.filter(_._2 >= 0))
+        writeFloors(sfBase, merged, mergedCold)
         System.err.println(s"bench: floors updated at $floorsPath (${merged.size} queries)")
       } else System.err.println(
         s"bench: floors NOT updated — file is for ${floorsFileSf.get}, this run is $sfBase")

@@ -105,7 +105,7 @@ class BenchGateSpec extends AnyFunSuite {
     // a load blip that hits BOTH probe samples around one pass while the
     // pass itself stayed quiet grants that pass an undeserved discount —
     // bounded at NoiseScaleCap. A regression beyond cap x factor (here
-    // 10x floor vs 2.5 cap x 3.5 factor = 8.75x) still cannot hide.
+    // 10x floor vs 2.5 cap x 2.5 factor = 6.25x) still cannot hide.
     val floors = Map(probe -> 0.10, "a" -> 0.50)
     val slow = Map(probe -> 0.10, "a" -> 5.00) // 10x its floor, every pass
     val (_, _, regs, _) = Bench.gate(
@@ -138,9 +138,9 @@ class BenchGateSpec extends AnyFunSuite {
     // the r13 calibration case: scan probe quiet (it is scan-bound),
     // window/shuffle-bound queries 2.2x over floor. The second probe —
     // itself shuffle-bound — reads the same 2.2x drift and corrects the
-    // pass; with only the scan probe the query would flag at 2.2x under
-    // a 2.0 factor (it sat inside 3.5 only because the factor was widened
-    // to absorb exactly this blindness).
+    // pass; with only the scan probe the query would flag at 2.2x
+    // (the old factor sat at 3.5 only to absorb exactly this blindness —
+    // the second probe is what let it tighten to 2.5).
     val floors = Map(probe -> 0.10, probe2 -> 0.20, "shuffly" -> 0.50)
     val p = Map(probe -> 0.10, probe2 -> 0.44, "shuffly" -> 1.10)
     val both = Map(
@@ -176,7 +176,7 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("corrections that mask an over-factor raw time surface as soft warnings") {
-    // raw min 2.0s on a 0.50 floor = 4.0x (over the 3.5 factor); the
+    // raw min 2.0s on a 0.50 floor = 4.0x (over the 2.5 factor); the
     // noisy brackets grant a 2.5-capped correction -> adjusted 1.6x,
     // green — but the query's name must appear in the warning list so
     // the discount is auditable instead of silent.
@@ -189,33 +189,47 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("cold-band detector replays the r13 morning band (positions 28-35)") {
-    // 60 queries, warm 0.5s each; typical cold 2x warm. The morning band:
-    // positions 28-35 cold at 10x warm (5s), neighbors normal. Median
-    // cold/warm ratio ~2 -> band threshold 6x; 8 consecutive positions
-    // over it must come back, nothing else.
+    // 60 queries with committed cold floors of 1s each; the morning band:
+    // positions 28-35 cold at 5x their own floors, neighbors at ~1.2x.
+    // 8 consecutive positions over the 3x-floor threshold must come back,
+    // nothing else.
     val names = (0 until 60).map(i => f"q$i%02d")
-    val warm = names.map(_ -> 0.5).toMap
+    val coldFloors = names.map(_ -> 1.0).toMap
     val cold = names.zipWithIndex.map { case (n, i) =>
-      n -> (if (i >= 28 && i <= 35) 5.0 else 1.0)
+      n -> (if (i >= 28 && i <= 35) 5.0 else 1.2)
     }
-    val band = Bench.coldBand(cold, warm)
+    val band = Bench.coldBand(cold, coldFloors)
     assert(band == (28 to 35).map(i => f"q$i%02d"),
       s"expected exactly the planted band, got $band")
   }
 
-  test("cold-band detector: isolated spikes and uniform cold stay unflagged") {
+  test("cold-band detector: always-expensive colds, isolated spikes, floorless stay unflagged") {
     val names = (0 until 40).map(i => f"q$i%02d")
-    val warm = names.map(_ -> 0.5).toMap
-    // one isolated 10x spike (heavy one-time build) + a pair (run of 2):
-    // below the 3-run minimum, not a band
-    val spiky = names.zipWithIndex.map { case (n, i) =>
-      n -> (if (i == 7 || i == 20 || i == 21) 5.0 else 1.0)
+    val coldFloors = names.zipWithIndex.map { case (n, i) =>
+      // queries 10-12 have EXPENSIVE cold floors (heavy codegen / index
+      // builds every run) — the false-flag case the run-median detector
+      // hit on its first healthy run: high cold, but high floor too
+      n -> (if (i >= 10 && i <= 12) 5.0 else 1.0)
+    }.toMap
+    val normal = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i >= 10 && i <= 12) 5.5 else 1.2)
     }
-    assert(Bench.coldBand(spiky, warm).isEmpty)
-    // uniformly expensive cold pass (global JIT multiple): median absorbs it
-    val uniform = names.map(_ -> 4.0)
-    assert(Bench.coldBand(uniform, warm).isEmpty)
-    // too few positions for a meaningful median: advisory stays silent
-    assert(Bench.coldBand(uniform.take(8), warm).isEmpty)
+    assert(Bench.coldBand(normal, coldFloors).isEmpty,
+      "always-expensive colds at ~their own floors are not a band")
+    // one isolated 10x spike (run of 1) + a pair (run of 2): below the
+    // 3-run minimum, not a band
+    val spiky = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i == 7 || i == 20 || i == 21) 10.0 else 1.0)
+    }
+    assert(Bench.coldBand(spiky, coldFloors).isEmpty)
+    // floorless queries are neutral AND break a would-be band: 28-35 all
+    // spiked but 31 has no floor -> two runs of 3 and 4 remain, both >= 3
+    val gapped = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i >= 28 && i <= 35) 9.0 else 1.0)
+    }
+    val gappedFloors = coldFloors - "q31"
+    val got = Bench.coldBand(gapped, gappedFloors)
+    assert(got == (28 to 35).filter(_ != 31).map(i => f"q$i%02d"),
+      s"floorless member must break but not erase the band: $got")
   }
 }
