@@ -361,21 +361,25 @@ object TextAnalysis {
     // canonical segment geometry for a string of length L split into K+1
     // parts, i = 0..K: len_i = L div (K+1) + (1 if i < L mod (K+1)),
     // start_i = 1 + i*(L div (K+1)) + least(i, L mod (K+1))   (1-based)
-    names.select(col("name").as("name_b"),
+    // Non-`name` input columns pass through (candidate-stage signature
+    // plumbing); a bare `name` frame keeps the persisted-index schema.
+    names.select(col("name").as("name_b") +:
+      names.columns.filterNot(_ == "name").map(col) :+
       expr(
         s"""inline(transform(sequence(0, $k), i -> struct(
            |  length(name) AS blk_len, i AS blk_i,
            |  substring(name,
            |    1 + i * (length(name) div ${k + 1}) + least(i, length(name) % ${k + 1}),
            |    (length(name) div ${k + 1}) + IF(i < length(name) % ${k + 1}, 1, 0)
-           |  ) AS seg)))""".stripMargin.replace("\n", " ")))
+           |  ) AS seg)))""".stripMargin.replace("\n", " ")): _*)
   }
 
   /** PROBE half: ≤ (2K+1)²·(K+1) candidate keys per name — the
     * substrings at each candidate build length's canonical starts ±K. */
   private[graft] def editProbeKeys(names: DataFrame): DataFrame = {
     val k = EditDistK
-    names.select(col("name").as("name_a"),
+    names.select(col("name").as("name_a") +:
+      names.columns.filterNot(_ == "name").map(col) :+
       expr(
         s"""inline(flatten(transform(
            |  filter(sequence(length(name) - $k, length(name) + $k), L -> L >= ${k + 1}),
@@ -390,13 +394,58 @@ object TextAnalysis {
            |        substring(name,
            |          1 + i * (L div ${k + 1}) + least(i, L % ${k + 1}) + d,
            |          (L div ${k + 1}) + IF(i < L % ${k + 1}, 1, 0)) AS seg)))))))"""
-          .stripMargin.replace("\n", " ")))
+          .stripMargin.replace("\n", " ")): _*)
   }
 
+  /** Packed character-histogram signature: 16 saturating 8-bit counters
+    * packed into two longs. Chars a–z, 0–9 and space are bucketed by
+    * `ascii % 16` (via one codegen'd `translate` onto bucket tags
+    * 'A'–'P', each tag counted by a length−replace scan — NO higher-order
+    * lambdas, which run interpreted and cost seconds per million names);
+    * other chars fall through uncounted. A unit edit moves at most one
+    * char out of one bucket and one into another (uncounted chars
+    * contribute 0 on BOTH sides), so ed(a,b) ≤ K ⟹
+    * Σ|cnt_a[i] − cnt_b[i]| ≤ 2K for ANY consistent partial bucketing;
+    * saturation at 255 only shrinks per-bucket deltas
+    * (|min(x,255) − min(y,255)| ≤ |x − y|), so the bound — and the
+    * filter's completeness — survives it. */
+  private val EditSigFrom: String =
+    (('a' to 'z') ++ ('0' to '9') :+ ' ').mkString
+  private val EditSigTo: String =
+    EditSigFrom.map(c => ('A' + (c.toInt % 16)).toChar).mkString
+
+  private def withEditSigs(names: DataFrame, p: String): DataFrame = {
+    def cnt(b: Int): String =
+      s"least(length(tr) - length(replace(tr, '${('A' + b).toChar}', '')), 255)"
+    def packed(lo: Int): String =
+      (0 to 7).map(i => s"shiftleft(CAST(${cnt(lo + i)} AS BIGINT), ${8 * i})")
+        .mkString("(", " + ", ")")
+    names
+      .withColumn("tr", expr(s"translate(name, '$EditSigFrom', '$EditSigTo')"))
+      .withColumn(s"${p}1", expr(packed(0)))
+      .withColumn(s"${p}2", expr(packed(8)))
+      .drop("tr")
+  }
+
+  /** Σ byte-wise |a_i − b_i| over one packed-counter long pair. */
+  private def byteL1(a: String, b: String): String =
+    (0 to 7).map(i =>
+      s"abs((($a >> ${8 * i}) & 255) - (($b >> ${8 * i}) & 255))")
+      .mkString("(", " + ", ")")
+
   private[graft] def editDistanceCandidates(names: DataFrame): DataFrame =
-    editProbeKeys(names)
-      .join(editSegmentsBuild(names), Seq("blk_len", "blk_i", "seg"))
+    editProbeKeys(withEditSigs(names, "sa"))
+      .join(editSegmentsBuild(withEditSigs(names, "sb")),
+        Seq("blk_len", "blk_i", "seg"))
       .filter(col("name_a") =!= col("name_b"))
+      // char-histogram prefilter: complete for ed ≤ K (scaladoc above),
+      // and the block-join's dominant false-positive class — long shared
+      // prefixes with divergent tails (template families, versioned
+      // names) — fails it, so the pair mass entering the distinct
+      // exchange and the Levenshtein verify tracks TRUE near-dup
+      // density, not shared-prefix block occupancy
+      .filter(expr(
+        s"${byteL1("sa1", "sb1")} + ${byteL1("sa2", "sb2")} <= ${2 * EditDistK}"))
       .select(
         least(col("name_a"), col("name_b")).as("name_a"),
         greatest(col("name_a"), col("name_b")).as("name_b"))

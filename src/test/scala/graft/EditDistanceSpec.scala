@@ -154,4 +154,41 @@ class EditDistanceSpec extends AnyFunSuite {
     assert(c4.toDouble / b4 <= c1.toDouble / b1 + 1e-12,
       s"candidate fraction of the pair space must not grow (x1=${c1.toDouble / b1}, x4=${c4.toDouble / b4})")
   }
+
+  test("shared-prefix x4 corpus: histogram prefilter keeps candidates linear where blocks collide") {
+    // The blocking's worst case: template families — long shared prefixes
+    // with short divergent tails (versioned names, boilerplate variants;
+    // SfGen's ×N construction is exactly this shape). Copy k appends
+    // " cpykkk" to every base name: all copies share the whole prefix, so
+    // the PassJoin prefix-segment blocks COLLIDE across copies and the raw
+    // block join pairs every copy with every other (~r² growth); the
+    // tripled digit keeps true cross-copy distance ≥ 3, and its
+    // char-histogram L1 distance is 6 > 2K, so the packed-counter
+    // prefilter must reject every cross-copy pair before the distinct.
+    val base = mutatedCorpus(seed = 53L)
+    def corpus(r: Int): Seq[String] =
+      (0 until r).flatMap(k => base.map(b => s"$b cpy$k$k$k"))
+    // completeness first: the filter must not cost a single true pair
+    val names4 = corpus(4)
+    val truth = brutePairs(names4, 2)
+    assert(truth.nonEmpty)
+    val cands4 = TextAnalysis.editDistanceCandidates(namesDf(names4))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert((truth -- cands4).isEmpty,
+      s"prefilter dropped true pairs: ${(truth -- cands4).take(3)}")
+    // effectiveness: cross-copy candidates all but vanish. Not exactly
+    // zero — 16 buckets over a 37-char alphabet collide ('p' and '0'
+    // share ascii%16 = 0), so a mutation that adds a bucket-colliding
+    // letter can offset one digit's delta — but the surviving stragglers
+    // must be a handful, not the ~|copies|²·|base|² of the raw block join
+    def tail(s: String): String = s.takeRight(3)
+    val crossCopy = cands4.count { case (a, b) => tail(a) != tail(b) }
+    assert(crossCopy <= 5,
+      s"$crossCopy shared-prefix cross-copy pairs survived the histogram filter")
+    // ...so candidate volume stays ~linear in copies even though block
+    // occupancy (and the unfiltered pair mass) grows quadratically
+    val c1 = TextAnalysis.editDistanceCandidates(namesDf(corpus(1))).count()
+    assert(cands4.size >= c1 && cands4.size <= (4.4 * c1).toLong,
+      s"shared-prefix copies must scale candidates ~linearly (x1=$c1, x4=${cands4.size})")
+  }
 }
