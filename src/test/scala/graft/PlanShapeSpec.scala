@@ -50,6 +50,49 @@ class PlanShapeSpec extends AnyFunSuite {
         s"exchange+sort over per-position rows):\n$plan")
   }
 
+  test("edit-distance histogram prefilter sits below the pair-distinct exchange") {
+    // the packed-counter L1 filter must run on the raw block-join output,
+    // BEFORE the distinct's exchange — filtering after it would re-admit
+    // the shared-prefix pair mass (777M rows at ×100) into the shuffle
+    // the filter exists to shrink. In the plan: the partial
+    // HashAggregate → Exchange(name_a, name_b) → final HashAggregate
+    // distinct, with the sa1/sb1 L1 condition strictly below the exchange.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.FilterExec
+    val names = Tables.part(spark, sf)
+      .select(org.apache.spark.sql.functions.col("p_name").as("name")).distinct()
+    val cands = operators.TextAnalysis.editDistanceCandidates(names)
+    cands.count() // finalize AQE
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val top = cands.queryExecution.executedPlan
+    val finalPlan = top.collectFirst {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(top)
+    // Catalyst folds the L1 predicate into the block join's own
+    // condition when it can (better still — pairs die at join time);
+    // accept it as a FilterExec OR a join-condition residual
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def hasL1Filter(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectWithSubqueries {
+        case f: FilterExec if f.condition.toString.contains("sa1") => f
+        case j: BaseJoinExec if j.condition.exists(_.toString.contains("sa1")) => j
+      }.nonEmpty
+    assert(hasL1Filter(finalPlan), s"histogram L1 filter vanished:\n$finalPlan")
+    // the filter must NOT be above any pair-key exchange: every exchange
+    // whose subtree contains the L1 filter proves the filter ran first
+    val pairExchanges = finalPlan.collectWithSubqueries {
+      case e: ShuffleExchangeLike
+        if e.child.output.map(_.name).contains("name_a") &&
+           e.child.output.map(_.name).contains("name_b") => e
+    }
+    assert(pairExchanges.nonEmpty, s"expected the distinct exchange:\n$finalPlan")
+    pairExchanges.foreach { e =>
+      assert(hasL1Filter(e.child),
+        s"a pair exchange runs BEFORE the histogram filter — the " +
+          s"shared-prefix mass is back in the shuffle:\n$e")
+    }
+  }
+
   test("corpus_diff exchanges carry fingerprints, never document text") {
     val df = operators.DataQuality.corpusDiff(spark, sf)
     df.count() // finalize: AQE hides the physical tree until execution
