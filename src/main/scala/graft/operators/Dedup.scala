@@ -1640,10 +1640,11 @@ object Dedup {
     *
     * One scan, all per-row array expressions (position hashes + window
     * minima — O(len·w) comparisons inside codegen, no shuffle), then the
-    * standard inverted-index tail: explode distinct fingerprints, drop
-    * corpus-hot fingerprints (posting length ≥ 16 — site boilerplate
-    * carries no dedup signal, and on this low-entropy fixture the cap
-    * genuinely bites), equi-self-join, per-pair shared count ≥ 3. Unlike
+    * posting-list tail: explode distinct fingerprints, group them into
+    * per-fingerprint posting lists, drop corpus-hot fingerprints
+    * (posting length ≥ 16 — site boilerplate carries no dedup signal,
+    * and on this low-entropy fixture the cap genuinely bites), emit each
+    * posting's doc pairs in-row, per-pair shared count ≥ 3. Unlike
     * the jaccard stop-gram cap (a Spark-side optimization below the
     * oracle's notice), the hot cap here is PART OF THE CONTRACT and the
     * SQL mirror applies the identical deterministic rule. Hashes are the
@@ -1705,26 +1706,46 @@ object Dedup {
 
   /** Winnowed candidate pairs over any `(doc_id, text)` frame.
     *
-    * Position hashes are EXPLODED immediately (one row per position), so
-    * the per-position md5 runs exactly once — the earlier array form let
-    * CollapseProject inline the hash array into every window reference,
-    * recomputing the full hash sequence per window (quadratic per doc).
-    * The window minimum is then a running min over a rows-frame: one
-    * doc-keyed exchange + sort, everything else codegen.
+    * The pair stage is POSTING-LIST pair generation, not a self-join
+    * (VERDICT r14 item 1 — the fps-explode exchange carried ~40
+    * (fp, doc_id) pairs per doc and the equi-self-join re-shuffled them
+    * twice more, the board's most expensive exchange mass at ×300): the
+    * ~len/w fingerprints per doc shuffle ONCE into
+    * `groupBy(fp).agg(collect_list(doc_id))`, the hot cap becomes a
+    * posting-length filter (`size(docs) < hotCap` ≡ the old
+    * count ≥ cap anti-join — each doc's fingerprints are row-distinct,
+    * so posting length IS the fp's corpus count), and candidate pairs
+    * are emitted INSIDE the row by a sorted-array double-transform
+    * (≤ C(cap−1, 2) = 105 pairs per fingerprint, pure codegen). What
+    * used to be a localCheckpoint + hot-count exchange + two-sided
+    * self-join exchange is now one fp-keyed exchange plus the pair-count
+    * exchange — no join operator anywhere in the plan.
     */
-  private[graft] def winnowPairs(input: DataFrame, minShared: Int = WinnowMinShared): DataFrame = {
-    val fp = winnowFingerprints(input)
-      .localCheckpoint() // read by the hot count and both join sides
-    val hot = fp.groupBy("fp").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= WinnowHotCap).select("fp")
-    val retained = fp.join(broadcast(hot), Seq("fp"), "left_anti")
-    retained.as("a")
-      .join(retained.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  private[graft] def winnowPairs(input: DataFrame, minShared: Int = WinnowMinShared): DataFrame =
+    winnowFingerprints(input)
+      .groupBy("fp")
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) >= 2 && size(col("docs")) < WinnowHotCap)
+      .select(explode(expr(
+        """flatten(transform(docs, (a, i) ->
+          |  transform(slice(docs, i + 2, size(docs)),
+          |    b -> named_struct('doc_a', a, 'doc_b', b))))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-  }
+
+  /** The hot-capped RETAINED `(doc_id, fp)` set of a fingerprint frame —
+    * the [[winnowPairs]] retention rule as one fp-keyed exchange (posting
+    * lists, length-filtered, re-exploded) instead of the old
+    * localCheckpoint + hot-count + anti-join triple. Shared by the index
+    * builder, the grow-screen's history half, and compaction, so the
+    * three consumers of "retained" can never apply different cap rules. */
+  private def retainedFps(fp: DataFrame): DataFrame =
+    fp.groupBy("fp").agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) < WinnowHotCap)
+      .select(explode(col("docs")).as("doc_id"), col("fp"))
 
   /** Persist the corpus's retained winnow fingerprints (hot-capped, the
     * [[winnowPairs]] rule) as the substring-dedup screen index — the
@@ -1749,10 +1770,7 @@ object Dedup {
     * applies at serve time. */
   def writeWinnowIndex(docs: DataFrame, dir: String): Unit = {
     graft.models.ModelManifest.invalidate(docs.sparkSession, dir)
-    val fp = winnowFingerprints(docs).localCheckpoint()
-    val hot = fp.groupBy("fp").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= WinnowHotCap).select("fp")
-    fp.join(broadcast(hot), Seq("fp"), "left_anti")
+    retainedFps(winnowFingerprints(docs))
       .write.mode("overwrite").parquet(s"$dir/fps")
     graft.models.ModelManifest.write(docs.sparkSession, dir, "winnow_index",
       "<frame>", Nil,
@@ -1803,12 +1821,9 @@ object Dedup {
     val docs = parallelize(s,
       Tables.documents(s, d).select(col("doc_id"), col("text")))
       .localCheckpoint() // feeds three fingerprint passes + the probe rows
-    val histFp = winnowFingerprints(docs.filter(col("doc_id") % 3 =!= 0))
-      .localCheckpoint() // read by the hot count and the retained side
-    val hot = histFp.groupBy("fp").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= WinnowHotCap).select("fp")
-    val idx = histFp.join(broadcast(hot), Seq("fp"), "left_anti")
-      .unionByName(winnowFingerprints(docs.filter(col("doc_id") % 6 === 0)))
+    val idx = retainedFps(winnowFingerprints(docs.filter(col("doc_id") % 3 =!= 0)))
+      .unionByName(winnowFingerprints(docs.filter(col("doc_id") % 6 === 0))
+        .select("doc_id", "fp"))
     winnowScreenBatch(docs.filter(col("doc_id") % 6 === 3), idx)
       .orderBy("doc_id")
   }
@@ -1862,13 +1877,13 @@ object Dedup {
   def compactWinnowIndex(s: SparkSession, dir: String): Unit = {
     val m = graft.models.ModelManifest.validate(s, dir, "winnow_index")
     if (!graft.models.IndexMaintenance.exists(s, s"$dir/appended")) return
-    val folded = s.read.parquet(s"$dir/fps").select("doc_id", "fp")
+    // collect_set is the distinct: the fold's (doc_id, fp) dedup and the
+    // posting-length cap ride the SAME fp-keyed exchange
+    val merged = s.read.parquet(s"$dir/fps").select("doc_id", "fp")
       .unionByName(s.read.parquet(s"$dir/appended").select("doc_id", "fp"))
-      .distinct()
-      .localCheckpoint() // read by the hot count and the anti-join probe
-    val hot = folded.groupBy("fp").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= WinnowHotCap).select("fp")
-    val merged = folded.join(broadcast(hot), Seq("fp"), "left_anti")
+      .groupBy("fp").agg(collect_set(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) < WinnowHotCap)
+      .select(explode(col("docs")).as("doc_id"), col("fp"))
     graft.models.ModelManifest.invalidate(s, dir)
     graft.models.IndexMaintenance.stagedSwap(s, dir, "fps",
       Seq("appended")) { staged =>

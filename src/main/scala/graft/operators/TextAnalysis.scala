@@ -401,8 +401,11 @@ object TextAnalysis {
     * packed into two longs. Chars a–z, 0–9 and space are bucketed by
     * `ascii % 16` (via one codegen'd `translate` onto bucket tags
     * 'A'–'P', each tag counted by a length−replace scan — NO higher-order
-    * lambdas, which run interpreted and cost seconds per million names);
-    * other chars fall through uncounted. A unit edit moves at most one
+    * lambdas, which run interpreted and cost seconds per million names).
+    * Uppercase 'A'–'P' already present in a name self-bucket (translate
+    * leaves them in place and the tag scan counts them — still a
+    * consistent partial bucketing); only chars outside 'A'–'P' AFTER the
+    * translate fall through uncounted. A unit edit moves at most one
     * char out of one bucket and one into another (uncounted chars
     * contribute 0 on BOTH sides), so ed(a,b) ≤ K ⟹
     * Σ|cnt_a[i] − cnt_b[i]| ≤ 2K for ANY consistent partial bucketing;

@@ -50,6 +50,25 @@ class PlanShapeSpec extends AnyFunSuite {
         s"exchange+sort over per-position rows):\n$plan")
   }
 
+  test("winnow pair stage plans no join operator (posting-list pair generation)") {
+    // the r15 rewrite: candidate pairs are emitted in-row from sorted
+    // posting lists — the whole dedup_winnow plan is scan → aggregate →
+    // generate → aggregate, with NO join anywhere (the old plan's
+    // fp-keyed equi-self-join re-shuffled the ~40-per-doc fingerprint
+    // explode twice, the measured dominant exchange at ×300)
+    val df = operators.Dedup.dedupWinnow(spark, sf)
+    df.count() // finalize AQE
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val top = df.queryExecution.executedPlan
+    val finalPlan = top.collectFirst {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(top)
+    val joins = finalPlan.collectWithSubqueries { case j: BaseJoinExec => j }
+    assert(joins.isEmpty,
+      s"a join reappeared in the winnow pair stage:\n$finalPlan")
+  }
+
   test("edit-distance histogram prefilter sits below the pair-distinct exchange") {
     // the packed-counter L1 filter must run on the raw block-join output,
     // BEFORE the distinct's exchange — filtering after it would re-admit
@@ -72,10 +91,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // condition when it can (better still — pairs die at join time);
     // accept it as a FilterExec OR a join-condition residual
     import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // both packed-signature columns must appear in the one condition —
+    // a lone "sa1" substring could false-positive on any future column
+    // containing it (ADVICE r14)
+    def isL1Cond(c: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+      val s = c.toString; s.contains("sa1") && s.contains("sb1")
+    }
     def hasL1Filter(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
       p.collectWithSubqueries {
-        case f: FilterExec if f.condition.toString.contains("sa1") => f
-        case j: BaseJoinExec if j.condition.exists(_.toString.contains("sa1")) => j
+        case f: FilterExec if isL1Cond(f.condition) => f
+        case j: BaseJoinExec if j.condition.exists(isL1Cond) => j
       }.nonEmpty
     assert(hasL1Filter(finalPlan), s"histogram L1 filter vanished:\n$finalPlan")
     // the filter must NOT be above any pair-key exchange: every exchange
