@@ -1679,29 +1679,22 @@ object Dedup {
     * consumer applies its own posting rule). */
   private[graft] def winnowFingerprints(input: DataFrame): DataFrame = {
     val k = WinnowK; val w = WinnowW
-    // Entirely per-row: the position-hash array is bound ONCE as the single
-    // element of a wrapper array and the sliding minima run inside the
-    // transform lambda over that bound variable — the lambda binding is
-    // what defeats CollapseProject's inlining (a bare column reference gets
-    // substituted into every window term, re-hashing the whole document per
-    // window: the quadratic that originally forced a posexplode + window
-    // rewrite). That earlier rewrite exchanged EVERY CHARACTER POSITION of
-    // the corpus (one row per position, doc-keyed sort) — the dominant term
-    // of the ×100 drill at 159 s. This form shuffles nothing: O(len) md5s
-    // + O(len·w) comparisons inside codegen, then only the ~len/w distinct
-    // fingerprints leave the row. array_distinct inside the row replaces
-    // the old global distinct — identical output for the unique-doc_id
-    // frames every caller passes (documents and their slices, micro-batch
-    // rows), and the exact shape of the SQL mirror's list_distinct.
+    // Entirely per-row, via the NATIVE [[graft.functions.WinnowFingerprints]]
+    // expression (r15): value-identical to the declarative
+    // md5/conv/slice/array_min formulation it replaces — the same 28-bit
+    // md5-derived portable hashes the SQL mirrors recompute — but one
+    // tight loop with a reused digest and a monotonic-deque sliding
+    // minimum. The ×100 bisection (WinnowDebug) attributed ~95% of
+    // dedup_winnow's wall time to the old form's interpreted per-window
+    // `slice` allocations and hex-string parsing; the plan shape is
+    // unchanged (nothing shuffles, only the ~len/w distinct fingerprints
+    // leave the row) and the no-window/no-posexplode pin still holds.
+    import org.apache.spark.sql.GraftBridge.{column, expression}
     input
       .filter(length(col("text")) >= k + w - 1)
-      .select(col("doc_id"), explode(expr(
-        s"""element_at(transform(array(
-           |  transform(sequence(1, length(text) - ${k - 1}),
-           |    i -> CAST(conv(substring(md5(substring(text, i, $k)), 1, 7), 16, 10) AS BIGINT))),
-           |  hs -> array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
-           |    j -> array_min(slice(hs, j, $w))))), 1)"""
-          .stripMargin.replace("\n", " "))).as("fp"))
+      .select(col("doc_id"),
+        explode(column(graft.functions.WinnowFingerprints(
+          expression(col("text")), k, w))).as("fp"))
   }
 
   /** Winnowed candidate pairs over any `(doc_id, text)` frame.

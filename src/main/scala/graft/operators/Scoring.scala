@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -33,15 +33,21 @@ object Scoring {
     *   V = corpus distinct-unigram count,
     *   avg_logp(doc) = Σ m(bg)·ln P(bg) / Σ m(bg),  ppl = e^(−avg_logp).
     *
-    * Shape at scale: the corpus is tokenized ONCE into a per-doc bigram
-    * tf frame (doc_id-keyed partial aggregate, localCheckpoint'd so the
-    * training branch reads the aggregate instead of re-tokenizing — the
-    * [[TextAnalysis.textTfidf]] pattern). Bigram totals c2 and context
-    * totals c1 are vocabulary-bounded aggregates OF that frame; V is a
-    * single-row broadcast. Scoring joins tf ⟕ c2 ⟕ c1 on the n-gram key —
-    * vocabulary-sized relations, so Catalyst broadcasts them when they
-    * fit and shuffle-joins otherwise — then one doc_id-keyed weighted
-    * average. No driver-side state; every relation is an aggregate.
+    * Shape at scale (rebuilt, VERDICT r15 item 3 — the old plan
+    * repartitioned the full token arrays, checkpointed a corpus-sized tf
+    * frame to disk, and let the model joins shuffle; it was the slowest
+    * measured family at ×1000): scoring runs over raw bigram OCCURRENCES
+    * ([[bigramOccurrences]] — per-doc distinct counting is mathematically
+    * redundant for a weighted average, so nothing is counted before the
+    * model joins), the only materialized intermediate is the
+    * VOCABULARY-sized c2 aggregate (localCheckpoint'd; c1 and the
+    * broadcast decision both read it — map-side combine compresses each
+    * partition to the vocabulary before its exchange), and the model
+    * relations are explicitly broadcast when they fit under
+    * [[LmModelBroadcastRows]] — so scoring is one scan-backed explode
+    * through two broadcast hash joins into a doc_id partial aggregate
+    * whose exchange carries ONE row per doc (each doc's occurrence rows
+    * never leave their scan partition before the partial agg).
     * Scores are rounded to 4 dp (ln agreement at that precision is the
     * established [[TextAnalysis.textTfidf]] contract); ppl is derived
     * from the UNROUNDED average, rounded to 2 dp.
@@ -55,21 +61,59 @@ object Scoring {
     * consumers. */
   private def lmPerDoc(s: SparkSession, d: String): DataFrame = {
     Tables.tuneSession(s) // shingle arrays get exploded
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), Portable.tokens(col("text")).as("w"))
-      .repartition(col("doc_id"))
-    // per-doc bigram term frequencies — the one tokenize+explode pass
-    val tf = docs
-      .select(col("doc_id"), explode(Portable.shingles(col("w"), 2)).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("m"))
-      .localCheckpoint()
+    // tf is re-derived per consumer (training aggregate + scoring pass):
+    // one scan + explode is cheaper at every measured scale than
+    // materializing the corpus-sized tf frame to disk. parallelizeIfLarge
+    // spreads the scan (fixture tables are few large part files — a
+    // single 76 MB part reads as ONE partition and serializes the whole
+    // tokenize+explode on one core; the old plan's repartition(doc_id)
+    // was incidentally paying for this parallelism)
+    def tf: DataFrame = bigramOccurrences(Tables.parallelizeIfLarge(s,
+      Tables.documents(s, d).select(col("doc_id"), col("text"))))
     val c2 = tf.groupBy("bg").agg(sum("m").as("c2"))
+      .localCheckpoint() // vocabulary-sized; read by c1, the count, the join
     val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("pre"))
       .agg(sum("c2").as("c1"))
-    val v = docs.select(explode(col("w")).as("t"))
+    val v = Tables.parallelizeIfLarge(s, Tables.documents(s, d).select(col("text")))
+      .select(explode(array_distinct(Portable.tokens(col("text")))).as("t"))
       .agg(countDistinct("t").as("v"))
-    scoreAgainstLm(tf, c2, c1, v, Tables.documents(s, d).select(col("doc_id")))
+    // the broadcast decision is a driver-side count of the CHECKPOINTED
+    // vocab aggregate (one cheap job): an explicit hint, because a
+    // corpus-scale drill's model (~1M bigrams) sits above the 10 MB
+    // auto-broadcast threshold yet far under executor memory — exactly
+    // the join that must never shuffle the corpus-sized tf side
+    val (jc2, jc1) =
+      if (c2.count() <= LmModelBroadcastRows) (broadcast(c2), broadcast(c1))
+      else (c2, c1)
+    scoreAgainstLm(tf, jc2, jc1, v, Tables.documents(s, d).select(col("doc_id")))
   }
+
+  /** Bigram-vocabulary bound under which the LM model relations are
+    * explicitly broadcast by [[lmPerDoc]] (~2M rows ≈ low hundreds of MB
+    * — comfortable for any executor this engine targets); a corpus whose
+    * bigram vocabulary exceeds it falls back to Catalyst's own join
+    * choice (shuffle join keyed on the n-gram). */
+  private val LmModelBroadcastRows = 2000000L
+
+  /** Per-doc bigram OCCURRENCE frame `(doc_id, bg, m = 1)` — the tf input
+    * [[scoreAgainstLm]] consumes, with multiplicity left IMPLICIT: the
+    * m-weighted average over distinct bigrams (Σ m·logp / Σ m) equals the
+    * plain average over raw occurrences, so per-doc distinct counting —
+    * which either shuffles the corpus (the old `groupBy(doc_id, bg)`
+    * behind a token-array repartition plus a corpus-sized tf checkpoint)
+    * or runs interpreted per-element lambdas (an in-row run-length
+    * attempt this replaced: higher-order-function sort/filter/transform
+    * measured 25 s alone at ×100, losing to Tungsten's codegen hash
+    * aggregation it displaced) — is pure waste. One explode, no counting,
+    * no exchange: occurrences flow straight from the scan partition
+    * through the broadcast model joins into the doc_id partial aggregate.
+    * Consumers that need true per-bigram counts (c2) aggregate this frame
+    * by bg, where map-side combine compresses each partition to the
+    * vocabulary before anything shuffles. */
+  private[graft] def bigramOccurrences(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(Portable.shingles(Portable.tokens(col("text")), 2)).as("bg"),
+      lit(1L).as("m"))
 
   /** THE definition of the LM scoring composition — one copy of the
     * formula (k = 0.5 add-k smoothing, weighted average, 4 dp/2 dp
@@ -269,11 +313,10 @@ object Scoring {
   def lmScoreBatch(probes: DataFrame, c2: DataFrame, c1: DataFrame,
       v: DataFrame): DataFrame = {
     Tables.tuneSession(probes.sparkSession)
-    val tf = probes
-      .select(col("doc_id"),
-        explode(Portable.shingles(Portable.tokens(col("text")), 2)).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("m"))
-    scoreAgainstLm(tf, c2, c1, v, probes.select(col("doc_id")))
+    // same in-row counting as training ([[bigramOccurrences]]): a probe
+    // batch pays no exchange before its doc_id partial aggregate
+    scoreAgainstLm(bigramOccurrences(probes.select(col("doc_id"), col("text"))),
+      c2, c1, v, probes.select(col("doc_id")))
   }
 
   /** Convenience serving entry: read the persisted model and score. */

@@ -356,21 +356,38 @@ object Similarity {
     *     dot-products; occupancy and codebook now grow together.
     *
     * `min` of the two picks whichever regime is cheaper, `max` with the
-    * floor keeps the historical k = 8 on small corpora. Mirrored verbatim
-    * in SQL by [[ivfCellsSql]] so the untrained-IVF oracles stay
-    * engine-portable at any SF. */
+    * floor keeps the historical k = 8 on small corpora, and
+    * [[IvfMaxCells]] CAPS the √-growth (VERDICT r15 item 2): an unbounded
+    * k = √(2n) keeps the n·k assignment and the k-means training passes
+    * growing as n^1.5 forever — the measured semdedup exponent drift
+    * (0.56 @ ×100 → 0.73 @ ×300). Past the cap point (n = cap²/2 ≈ 8.4M)
+    * assignment cost and driver codebook memory stay FIXED at n·cap while
+    * mean occupancy resumes growing ∝ n/cap — the standard flat-IVF
+    * trade; a corpus decades past the cap shards by key range or goes
+    * hierarchical (two-level coarse quantizer), both of which compose
+    * from this operator unchanged. Mirrored verbatim in SQL by
+    * [[ivfCellsSql]] so the untrained-IVF oracles stay engine-portable at
+    * any SF. */
   private[graft] def ivfCells(n: Long): Int = {
     val byOcc = math.ceil(n.toDouble / IvfTargetCell)
     val bySqrt = math.ceil(math.sqrt(2.0 * n.toDouble))
-    math.max(IvfMinCells.toDouble, math.min(byOcc, bySqrt)).toInt
+    math.min(IvfMaxCells.toDouble,
+      math.max(IvfMinCells.toDouble, math.min(byOcc, bySqrt))).toInt
   }
+
+  /** Ceiling on the adaptive codebook ([[ivfCells]] scaladoc): 4096 cells
+    * × 64 floats ≈ 1 MB broadcast, and the cap first binds at n ≈ 8.4M
+    * vectors (×1000 of the sf0.1 fixture is the first drill rung past
+    * it). */
+  private[graft] val IvfMaxCells = 4096
 
   /** DuckDB mirror of [[ivfCells]] over the `embeddings` table — a scalar
     * subquery, so the SQL oracles compute the SAME adaptive k the Spark
     * side does at any corpus size. */
   private val ivfCellsSql: String =
-    s"(SELECT CAST(greatest($IvfMinCells, least(ceil(count(*) / $IvfTargetCell.0), " +
-      s"ceil(sqrt(2.0 * count(*))))) AS BIGINT) FROM embeddings)"
+    s"(SELECT CAST(least($IvfMaxCells, greatest($IvfMinCells, " +
+      s"least(ceil(count(*) / $IvfTargetCell.0), " +
+      s"ceil(sqrt(2.0 * count(*)))))) AS BIGINT) FROM embeddings)"
 
   /** IVF-style ANN: vectors are assigned to the coarse cell whose centroid
     * they are most cosine-similar to; queries search only their own cell.
@@ -704,11 +721,36 @@ object Similarity {
       trainedCodebooks.getOrElseUpdate(key, trainCodebook(e))
     }
 
+  /** Iteration-pass sample bound for [[trainCodebook]] (VERDICT r15
+    * item 2 — the semdedup family's measured exponent drift): k-means
+    * UPDATE passes don't need the whole corpus, they need enough members
+    * per cell to estimate means (~50 per cell at k = 4096). Corpora at or
+    * under the bound train on everything (every oracle fixture and the
+    * sf0.1 base — codebooks there stay byte-identical to the unsampled
+    * build); above it the iteration passes run over a deterministic
+    * hash-slice of ~this many vectors, so training cost is O(sample · k)
+    * per round — bounded — and the FULL corpus pays exactly one n·k
+    * assignment pass (the serving/prune pass it pays anyway). */
+  private[graft] val KmeansTrainSample = 200000L
+
   private def trainCodebook(e: DataFrame): Seq[(Int, Array[Float])] = {
     // adaptive k (see ivfCells): one count() on the (checkpointed)
     // training frame sizes the codebook before seeding; the count is the
-    // cheapest pass the training loop makes
-    val k = ivfCells(e.count())
+    // cheapest pass the training loop makes. k is sized by the FULL
+    // corpus even when iteration runs sampled — cell capacity serves n
+    // vectors, not the sample.
+    val n = e.count()
+    val k = ivfCells(n)
+    // deterministic hash-slice (xxhash64 % step), not vec_id % step: id
+    // ranges are not dense on sliced corpora (the grow-serve history
+    // split), and a modulo of sparse ids can under- or over-sample. The
+    // slice is checkpointed — each k-means round re-reads ~sample rows,
+    // never re-filters the corpus.
+    val train =
+      if (n <= KmeansTrainSample) e
+      else e.filter(pmod(xxhash64(col("vec_id")),
+          lit(math.ceil(n.toDouble / KmeansTrainSample).toLong)) === lit(0L))
+        .localCheckpoint()
     // seeds = the first k ROWS of the training frame by vec_id (a
     // deterministic TakeOrderedAndProject), NOT `vec_id < k`: on a SLICED
     // training corpus (the grow-serve history split, a shadow-retrain
@@ -726,14 +768,14 @@ object Similarity {
     // in the kmeans update map. Relabeling is assignment-invariant —
     // assignCells partitions by argmax centroid similarity, which does
     // not depend on the label values, only on their distinctness.
-    var codebook: Seq[(Int, Array[Float])] = e
+    var codebook: Seq[(Int, Array[Float])] = train
       .orderBy("vec_id").limit(k).collect().toSeq.zipWithIndex
       .map { case (r, i) => (i, r.getAs[Seq[Float]]("embedding").toArray) }
     val centroid = udaf(new CentroidAggregator(64))
     var kmRound = 0
     var moved = true
     while (kmRound < KmeansRounds && moved) {
-      val updated = assignCells(e, codebook)
+      val updated = assignCells(train, codebook)
         .groupBy("cell").agg(centroid(col("embedding")).as("c"))
         .collect()
         .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Double]]("c").map(_.toFloat).toArray))
@@ -2099,13 +2141,17 @@ object Similarity {
       : (Seq[(Int, Array[Float])], DataFrame) = {
     graft.functions.VecFunctions.register(s)
     // the training frame exists only inside the by-name argument: a
-    // cached codebook skips building (and checkpointing) it entirely, and
-    // a miss trains on a checkpointed frame the k-means passes re-read
+    // cached codebook skips building it entirely. NOT checkpointed
+    // (unlike annIvfTrainedTopk's, which serves from the same frame):
+    // since the k-means ITERATION passes run over trainCodebook's own
+    // bounded sample checkpoint, the full frame is read only by the
+    // count, the seed take, and the one sample filter — three cheap
+    // narrow scans, vs. materializing the whole corpus's float arrays
+    // to local disk for a frame serving never touches
     val codebook = trainCodebookCached({
       Tables.parallelize(s, Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
         .filter(col("nrm") > 0) // the NaN-cosine guard (decontaminate_embedding contract)
-        .localCheckpoint()
     }, s"$d#nrm#${corpusStamp(s, d)}")
     // the heavy vec_dot passes run over SCAN-BACKED frames, never the
     // checkpoint: checkpointed rows deserialize their float arrays out of

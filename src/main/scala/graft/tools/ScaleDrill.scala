@@ -147,7 +147,8 @@ object ScaleDrill {
     val all = TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ TemporalJoins.queries ++
       graft.operators.Scoring.queries ++
-      graft.operators.DataQuality.queries
+      graft.operators.DataQuality.queries ++
+      graft.operators.Relational.queries
     val chosen = if (args.length > 2) args(2).split(",").toSeq else defaults
     val families: Seq[(String, (SparkSession, String) => DataFrame)] =
       chosen.map(n => n -> all(n))

@@ -42,20 +42,25 @@ class AdaptiveIvfSpec extends AnyFunSuite {
     assert(Similarity.ivfCells(20000) == 80)   // the x10 drill corpus
     assert(Similarity.ivfCells(125000) == 500) // regime boundary: n/250 = sqrt(2n)
     assert(Similarity.ivfCells(1000000) == 1415) // sqrt regime: ceil(sqrt(2e6))
-    // occupancy stays bounded by max(target, sqrt(n/2)+) — never linear:
-    // at any n, n/k <= max(250, ceil(sqrt(2n)) slack)
+    // below the cap point (n = IvfMaxCells²/2), occupancy stays bounded
+    // by max(target, sqrt(n/2)+) — never linear; past it, k pins at the
+    // cap (bounded assignment cost and driver codebook memory — the
+    // ivfCells scaladoc's flat-IVF trade) and occupancy resumes n/cap
+    val capPoint = Similarity.IvfMaxCells.toLong * Similarity.IvfMaxCells / 2
     var prev = 0
-    for (n <- Seq(1L, 100L, 2000L, 10000L, 50000L, 125000L, 200000L, 1000000L, 100000000L)) {
+    for (n <- Seq(1L, 100L, 2000L, 10000L, 50000L, 125000L, 200000L,
+        1000000L, capPoint, 100000000L)) {
       val k = Similarity.ivfCells(n)
       assert(k >= prev, s"ivfCells must be monotone: n=$n k=$k prev=$prev")
-      assert(k >= 8)
-      if (n >= 2000) {
+      assert(k >= 8 && k <= Similarity.IvfMaxCells)
+      if (n >= 2000 && n <= capPoint) {
         val occ = n.toDouble / k
         assert(occ <= math.max(250.0, math.sqrt(n / 2.0) + 1),
           s"occupancy $occ unbounded at n=$n (k=$k)")
       }
       prev = k
     }
+    assert(Similarity.ivfCells(100000000L) == Similarity.IvfMaxCells)
   }
 
   /** Ground truth shared by both path tests: broadcast join + window

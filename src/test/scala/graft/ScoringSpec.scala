@@ -99,8 +99,12 @@ class ScoringSpec extends AnyFunSuite {
             case _ => 0
           }
       }.sum
-    // lm: V branch + doc_id totality join (tf is a checkpoint leaf)
-    assert(docScans(Scoring.lmPerplexity(spark, sf)) == 2)
+    // lm: scoring occurrence pass + V branch + doc_id totality join —
+    // the r15 trade: the corpus-sized tf checkpoint is gone (only the
+    // VOCABULARY-sized c2 aggregate is a checkpoint leaf), paid for by
+    // one more scan of the documents table (scans are cheap and
+    // column-pruned; materializing corpus-sized intermediates is not)
+    assert(docScans(Scoring.lmPerplexity(spark, sf)) == 3)
     // bm25: the (n_docs, avgdl) stats branch only (tf is a checkpoint leaf)
     assert(docScans(Scoring.bm25Topk(spark, sf)) == 1)
     // dsir: zero — bucket statistics AND scoring both read the one
