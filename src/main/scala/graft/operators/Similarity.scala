@@ -527,6 +527,16 @@ object Similarity {
   // ------------------------------------------------------- trained IVF
   private val KmeansRounds = 3
 
+  /** Round cap when training on a bounded sample (n > KmeansTrainSample):
+    * sampled rounds cost O(sample·k) — at the ×300 drill ~1/15 of a full
+    * round — so the sampled path can afford the extra iterations that
+    * buy back clustering BALANCE. Balance is not cosmetic there: the
+    * within-cell prune is Σ occupancy² per cell, and the r15 A/B
+    * (SPARK_GRAFT_KMEANS_SAMPLE override) measured a 3-round sampled
+    * codebook serving 39% slower than the full-corpus one on identical
+    * serving code — noisy sample means had left hot cells behind. */
+  private val KmeansRoundsSampled = 8
+
   /** Assign every vector to its nearest codebook cell (cosine argmax,
     * ties → lower cell id) as ONE narrow projection: the codebook is
     * driver-held, so each centroid becomes a literal float array and the
@@ -574,21 +584,22 @@ object Similarity {
       e.select(col("vec_id"), col("embedding"), col("nrm"),
         (g.getField("negc") * -1).as("cell"), g.getField("sim").as("csim"))
     } else {
-      // large-k path: broadcast the centroid frame, reduce the n×k
-      // candidate relation with a map-side-combining max over
-      // struct(sim, negc, ...) — lexicographic struct order IS the
-      // literal path's argmax tie-break (sim desc, cid asc), and negc is
-      // distinct per candidate so the trailing payload fields never
-      // participate in the comparison
-      val cand = struct(
-        (expr("vec_dot(embedding, cemb)") / (col("nrm") * col("cnrm"))).as("sim"),
-        (-col("cid")).as("negc"), col("embedding"), col("nrm"))
-      e.join(broadcast(centsFrame(e.sparkSession, codebook)))
-        .select(col("vec_id"), cand.as("cand"))
-        .groupBy("vec_id").agg(max(col("cand")).as("w"))
-        .select(col("vec_id"), col("w.embedding").as("embedding"),
-          col("w.nrm").as("nrm"), (col("w.negc") * -1).as("cell"),
-          col("w.sim").as("csim"))
+      // large-k path (r15): ONE native argmax expression per row over the
+      // driver-held codebook — the previous broadcast-join + max(struct)
+      // reduction materialized n×k candidate ROWS (7.35 billion at the
+      // ×300 drill), and per-row plumbing, not dot-product arithmetic,
+      // was the measured dominant term of every big-k family. CellArgmax
+      // reproduces the join path's values and (sim desc, cid asc)
+      // tie-break term for term; the relation never leaves n rows and
+      // nothing is joined at all. The struct lands behind ONE alias
+      // (CollapseProject won't inline a non-cheap alias used twice, so
+      // the loop runs once per row).
+      import org.apache.spark.sql.GraftBridge.{column, expression}
+      val w = column(graft.functions.CellArgmax(
+        expression(col("embedding")), expression(col("nrm")), codebook.toArray))
+      e.select(col("vec_id"), col("embedding"), col("nrm"), w.as("w"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("w.cell").as("cell"), col("w.csim").as("csim"))
     }
 
   /** Top-2 cell assignment against a driver-held codebook — the probe-side
@@ -730,8 +741,11 @@ object Similarity {
     * build); above it the iteration passes run over a deterministic
     * hash-slice of ~this many vectors, so training cost is O(sample · k)
     * per round — bounded — and the FULL corpus pays exactly one n·k
-    * assignment pass (the serving/prune pass it pays anyway). */
-  private[graft] val KmeansTrainSample = 200000L
+    * assignment pass (the serving/prune pass it pays anyway).
+    * `SPARK_GRAFT_KMEANS_SAMPLE` overrides the bound — a drill knob for
+    * A/B-ing sampled vs full training cost/quality at big fixtures. */
+  private[graft] val KmeansTrainSample: Long =
+    sys.env.get("SPARK_GRAFT_KMEANS_SAMPLE").map(_.toLong).getOrElse(200000L)
 
   private def trainCodebook(e: DataFrame): Seq[(Int, Array[Float])] = {
     // adaptive k (see ivfCells): one count() on the (checkpointed)
@@ -772,9 +786,10 @@ object Similarity {
       .orderBy("vec_id").limit(k).collect().toSeq.zipWithIndex
       .map { case (r, i) => (i, r.getAs[Seq[Float]]("embedding").toArray) }
     val centroid = udaf(new CentroidAggregator(64))
+    val rounds = if (n <= KmeansTrainSample) KmeansRounds else KmeansRoundsSampled
     var kmRound = 0
     var moved = true
-    while (kmRound < KmeansRounds && moved) {
+    while (kmRound < rounds && moved) {
       val updated = assignCells(train, codebook)
         .groupBy("cell").agg(centroid(col("embedding")).as("c"))
         .collect()
