@@ -32,8 +32,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StructFiel
   *    `java.lang.Double.compare` (NaN greater than everything, ties →
   *    lower cid);
   *  - a length-mismatched embedding (vec_dot → NULL) can never win a
-  *    cell, and a vector no cell accepts yields NULL overall — the
-  *    join path's max-over-null-sims behavior.
+  *    cell. INTENTIONAL divergence on the degenerate all-mismatch case
+  *    (an embedding whose length matches NO centroid — unreachable with
+  *    the fixed 64-dim codebooks): this expression yields NULL overall,
+  *    where the old broadcast-join's max-over-structs picked the lowest
+  *    cid with a null sim. NULL is the honest answer for "no cell could
+  *    score this vector"; downstream consumers groupBy(cell) and a null
+  *    cell groups the malformed rows visibly instead of silently
+  *    attributing them to cell 0.
   */
 case class CellArgmax(left: Expression, right: Expression,
     cents: Array[(Int, Array[Float])])

@@ -1671,6 +1671,18 @@ object Dedup {
     * (review finding: it existed as five independent literals). */
   private val WinnowMinShared = 3
 
+  /** The hot-cap as a BUFFER bound (VERDICT r15 item 1): one shared
+    * size-capped distinct-collect whose per-group state is ≤ cap−1 longs
+    * no matter how hot the fingerprint — a corpus-wide boilerplate fp
+    * overflows to an empty posting instead of materializing an O(corpus)
+    * array in one aggregation buffer the way collect_list-then-filter
+    * did. Overflow ⇒ empty array ⇒ identical downstream semantics to
+    * `size(docs) < WinnowHotCap` (empty fails `size >= 2` and explodes to
+    * nothing); output is sorted, replacing the explicit `array_sort`. */
+  private lazy val cappedDocs =
+    udaf(new graft.functions.CappedCollectSetAggregator(WinnowHotCap),
+      org.apache.spark.sql.Encoders.scalaLong)
+
   /** Winnowed fingerprint stream (doc_id, fp) for any `(doc_id, text)`
     * frame — the shared front half of [[winnowPairs]], the index builder
     * [[writeWinnowIndex]] and the screen [[winnowScreenBatch]], so the
@@ -1703,11 +1715,13 @@ object Dedup {
     * (VERDICT r14 item 1 — the fps-explode exchange carried ~40
     * (fp, doc_id) pairs per doc and the equi-self-join re-shuffled them
     * twice more, the board's most expensive exchange mass at ×300): the
-    * ~len/w fingerprints per doc shuffle ONCE into
-    * `groupBy(fp).agg(collect_list(doc_id))`, the hot cap becomes a
-    * posting-length filter (`size(docs) < hotCap` ≡ the old
-    * count ≥ cap anti-join — each doc's fingerprints are row-distinct,
-    * so posting length IS the fp's corpus count), and candidate pairs
+    * ~len/w fingerprints per doc shuffle ONCE into a size-capped
+    * distinct-collect ([[graft.functions.CappedCollectSetAggregator]] —
+    * per-group buffer hard-bounded at hotCap−1 longs, so a corpus-wide
+    * boilerplate fp overflows to empty instead of materializing an
+    * O(corpus) posting array; ≡ the old count ≥ cap anti-join, since each
+    * doc's fingerprints are row-distinct and overflow ⇔ corpus count ≥
+    * cap), and candidate pairs
     * are emitted INSIDE the row by a sorted-array double-transform
     * (≤ C(cap−1, 2) = 105 pairs per fingerprint, pure codegen). What
     * used to be a localCheckpoint + hot-count exchange + two-sided
@@ -1717,8 +1731,8 @@ object Dedup {
   private[graft] def winnowPairs(input: DataFrame, minShared: Int = WinnowMinShared): DataFrame =
     winnowFingerprints(input)
       .groupBy("fp")
-      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) >= 2 && size(col("docs")) < WinnowHotCap)
+      .agg(cappedDocs(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 2)
       .select(explode(expr(
         """flatten(transform(docs, (a, i) ->
           |  transform(slice(docs, i + 2, size(docs)),
@@ -1731,13 +1745,12 @@ object Dedup {
 
   /** The hot-capped RETAINED `(doc_id, fp)` set of a fingerprint frame —
     * the [[winnowPairs]] retention rule as one fp-keyed exchange (posting
-    * lists, length-filtered, re-exploded) instead of the old
+    * lists, size-capped in the buffer, re-exploded) instead of the old
     * localCheckpoint + hot-count + anti-join triple. Shared by the index
     * builder, the grow-screen's history half, and compaction, so the
     * three consumers of "retained" can never apply different cap rules. */
   private def retainedFps(fp: DataFrame): DataFrame =
-    fp.groupBy("fp").agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) < WinnowHotCap)
+    fp.groupBy("fp").agg(cappedDocs(col("doc_id")).as("docs"))
       .select(explode(col("docs")).as("doc_id"), col("fp"))
 
   /** Persist the corpus's retained winnow fingerprints (hot-capped, the
@@ -1870,12 +1883,11 @@ object Dedup {
   def compactWinnowIndex(s: SparkSession, dir: String): Unit = {
     val m = graft.models.ModelManifest.validate(s, dir, "winnow_index")
     if (!graft.models.IndexMaintenance.exists(s, s"$dir/appended")) return
-    // collect_set is the distinct: the fold's (doc_id, fp) dedup and the
-    // posting-length cap ride the SAME fp-keyed exchange
+    // cappedDocs IS the distinct: the fold's (doc_id, fp) dedup and the
+    // size-bounded posting cap ride the SAME fp-keyed exchange
     val merged = s.read.parquet(s"$dir/fps").select("doc_id", "fp")
       .unionByName(s.read.parquet(s"$dir/appended").select("doc_id", "fp"))
-      .groupBy("fp").agg(collect_set(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) < WinnowHotCap)
+      .groupBy("fp").agg(cappedDocs(col("doc_id")).as("docs"))
       .select(explode(col("docs")).as("doc_id"), col("fp"))
     graft.models.ModelManifest.invalidate(s, dir)
     graft.models.IndexMaintenance.stagedSwap(s, dir, "fps",

@@ -131,7 +131,10 @@ object ServeDrill {
         val cand = got.find(_._1 == k).map(r => (r._2, r._3))
         (floors.get(k).toSeq ++ cand.toSeq) match {
           case Nil => None
-          case cs => Some(k -> cs.minBy(_._2)) // best serve time wins
+          // ratchet each field independently (ADVICE r15): taking the
+          // whole tuple by best serve time let a slow-build/fast-serve
+          // run drift the committed build floor upward
+          case cs => Some(k -> ((cs.map(_._1).min, cs.map(_._2).min)))
         }
       }.toMap
       writeFloors(copies, merged)

@@ -152,6 +152,48 @@ class CorpusHealthSpec extends AnyFunSuite {
       "the w+k-1 guarantee must surface the planted pair")
   }
 
+  test("winnow hot cap: a fingerprint shared by EVERY doc is dropped without buffering") {
+    import spark.implicits._
+    // VERDICT r15 item 1: a corpus-wide boilerplate run (license header)
+    // makes one fingerprint's posting O(corpus). The capped collect must
+    // drop it via buffer overflow — bounded memory, identical semantics to
+    // the old size<cap filter. 40 docs (2.5× the cap) all share BOILER;
+    // docs 1 and 2 additionally share three distinct 40-char runs, so the
+    // genuine pair must survive the cap at the default minShared=3.
+    val k = 16; val w = 25
+    val boiler = "zq" * 20 // one full window fits: >= 1 fp common to ALL
+    val runs = Seq("jv" * 20, "kx" * 20, "mw" * 20)
+    def filler(i: Int, tag: String): String =
+      (s"$tag${i}f" * 4 + " ") * 10
+    val docs40: Seq[(Long, String)] = (0 until 40).map { i =>
+      val extra = if (i == 1 || i == 2) runs.mkString(" ", " ", " ") else " "
+      (i.toLong, filler(i, "a") + boiler + extra + filler(i, "b"))
+    }
+    val got = operators.Dedup
+      .winnowPairs(docs40.toDF("doc_id", "text")).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Long]("n_shared"))).toMap
+    // plain-JVM recompute with the hot-cap retention rule
+    def fps(text: String): Set[Long] =
+      if (text.length < k + w - 1) Set.empty
+      else (0 to text.length - k)
+        .map(i => functions.Portable.hash28Jvm(text.substring(i, i + k)))
+        .sliding(w).map(_.min).toSet
+    val all = docs40.map { case (id, t) => id -> fps(t) }
+    val postings = all.flatMap { case (id, f) => f.map(_ -> id) }
+      .groupBy(_._1).map { case (fp, xs) => fp -> xs.map(_._2).toSet }
+    // the planted boilerplate really is a mega-hot key (posting = corpus)
+    assert(postings.values.exists(_.size == 40),
+      "fixture must contain a fingerprint shared by every doc")
+    val hot = postings.filter(_._2.size >= 16).keySet
+    val want = (for {
+      (a, fa) <- all; (b, fb) <- all if a < b
+      shared = ((fa & fb) -- hot).size.toLong if shared >= 3
+    } yield (a, b) -> shared).toMap
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    assert(got.contains((1L, 2L)), "the genuine pair must survive the cap")
+  }
+
   test("substring decontamination matches the JVM fingerprint recompute") {
     val got = operators.Dedup.decontaminateSubstring(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
