@@ -59,9 +59,14 @@ case class CellArgmax(left: Expression, right: Expression,
     }
 
   override def nullSafeEval(emb: Any, nrmAny: Any): Any = {
-    val x = emb.asInstanceOf[ArrayData]
+    // hoist ONE primitive copy of the embedding before the cell loop:
+    // reading through ArrayData.getFloat inside it is k×dim virtual
+    // dispatches per row over the same 64 floats (40k at the ×100 drill's
+    // k=633 — measured ~1.7× on the whole semdedup pass), and a primitive
+    // array lets the JIT keep the dot loop tight
+    val xa = emb.asInstanceOf[ArrayData].toFloatArray()
     val nrm = nrmAny.asInstanceOf[Double]
-    val n = x.numElements()
+    val n = xa.length
     var bestCid = Int.MinValue
     var bestSim = 0.0
     var found = false
@@ -71,7 +76,7 @@ case class CellArgmax(left: Expression, right: Expression,
       if (cent.length == n) {
         var acc = 0.0
         var i = 0
-        while (i < n) { acc += x.getFloat(i).toDouble * cent(i).toDouble; i += 1 }
+        while (i < n) { acc += xa(i).toDouble * cent(i).toDouble; i += 1 }
         val sim = acc / (nrm * cnrms(c))
         val cid = cents(c)._1
         val cmp = java.lang.Double.compare(sim, bestSim)
