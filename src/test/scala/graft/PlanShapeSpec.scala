@@ -69,6 +69,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a join reappeared in the winnow pair stage:\n$finalPlan")
   }
 
+  test("winnow posting collect partial-aggregates map-side (capped UDAF keeps the shape)") {
+    // the r16 capped collect must still be a two-phase aggregate: a
+    // partial (map-side) pass before the fp-keyed exchange and a merge
+    // after — a UDAF that silently planned as a single-phase
+    // SortAggregate-after-shuffle would re-concentrate every hot
+    // posting's rows on one reducer before the buffer could cap them
+    val df = operators.Dedup.dedupWinnow(spark, sf)
+    df.count() // finalize AQE
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{ObjectHashAggregateExec, SortAggregateExec}
+    val top = df.queryExecution.executedPlan
+    val finalPlan = top.collectFirst {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(top)
+    val objAggs = finalPlan.collectWithSubqueries { case o: ObjectHashAggregateExec => o }
+    assert(objAggs.size >= 2,
+      s"expected partial+final ObjectHashAggregate pair for the capped collect:\n$finalPlan")
+    val partials = objAggs.filter(_.aggregateExpressions.exists(_.mode ==
+      org.apache.spark.sql.catalyst.expressions.aggregate.Partial))
+    assert(partials.nonEmpty,
+      s"capped collect lost its map-side partial phase:\n$finalPlan")
+  }
+
   test("edit-distance histogram prefilter sits below the pair-distinct exchange") {
     // the packed-counter L1 filter must run on the raw block-join output,
     // BEFORE the distinct's exchange — filtering after it would re-admit
