@@ -87,6 +87,15 @@ object Dedup {
   /** Exact word-trigram Jaccard near-dup pairs (similarity >= 0.8).
     * Candidates: distributed self-join on shared shingles; intersection
     * counts from the join, union sizes from per-doc shingle counts.
+    *
+    * SCALE CONTRACT (measured, PLANS.md round-16 ×1000): exact verify is
+    * a ≤×300 tool (≈1.5M docs; 60.9 s at ×300). The plan stays sub-linear
+    * in TIME at the third decade (528 s / exponent 0.79 at 5M docs) but
+    * its gram-pair shuffle is SPILL-BOUND there — the first ×1000 attempt
+    * run mid-chain exhausted 60 GB of scratch and killed the JVM. Past
+    * ×300, point the corpus at [[dedupMinhashLsh]] (31 s at ×1000, the
+    * measured scale path) and reserve this operator for verifying LSH's
+    * candidate pairs, not generating its own from the full corpus.
     */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
     jaccardPairs(gramSetDF(s, d)).orderBy("doc_a", "doc_b")
@@ -1663,7 +1672,10 @@ object Dedup {
   // its oracle — the discipline WinnowMinShared already had.
   private val WinnowK = 16
   private val WinnowW = 25
-  private val WinnowHotCap = 16
+  // private[graft] so CorpusHealthSpec's plain-JVM recompute and fixture
+  // sizing reference the production cap instead of a literal that would
+  // silently diverge on a retune (ADVICE r16)
+  private[graft] val WinnowHotCap = 16
   /** The winnow report floor (shared fingerprints to count as a match) —
     * ONE definition interpolated into both SQL mirrors and used by the
     * pair query, the serving screen, and the substring screen, so tuning
@@ -1987,6 +1999,12 @@ object Dedup {
     * already slope-measured), then both directed ratios per pair; a pair
     * is emitted when either direction ≥ 0.9 on the 4-dp-rounded value, so
     * the oracle's identical rounding cannot disagree at the threshold.
+    *
+    * SCALE CONTRACT: same as [[dedupNgramJaccard]] — exact verify is a
+    * ≤×300 tool (100.9 s at ×300); at the third decade the shared
+    * gram-pair shuffle is spill-bound (373.9 s at ×1000 only when run
+    * alone with the full scratch disk). Past ×300 use [[dedupMinhashLsh]]
+    * to generate candidates and this operator to verify them.
     */
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
     val retained = retainedGrams(gramSetDF(s, d))

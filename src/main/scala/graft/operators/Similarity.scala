@@ -376,10 +376,20 @@ object Similarity {
   }
 
   /** Ceiling on the adaptive codebook ([[ivfCells]] scaladoc): 4096 cells
-    * × 64 floats ≈ 1 MB broadcast, and the cap first binds at n ≈ 8.4M
-    * vectors (×1000 of the sf0.1 fixture is the first drill rung past
-    * it). */
-  private[graft] val IvfMaxCells = 4096
+    * × 64 floats ≈ 1 MB broadcast, and the cap first binds at n = cap²/2
+    * ≈ 8.4M vectors. `SPARK_GRAFT_IVF_MAX_CELLS` overrides it — the
+    * KneeDrill knob that moves the knee into cheap territory (cap 1024 →
+    * knee at 524k vectors) so the two-regime shape (√-growth below,
+    * linear assignment above) is measurable in minutes on the SAME code
+    * path before paying for the full-cap measurement past 8.4M. The SQL
+    * mirror [[ivfCellsSql]] interpolates this val at init, so oracles
+    * follow the override consistently. Never set outside a drill. */
+  private[graft] val IvfMaxCells: Int =
+    sys.env.get("SPARK_GRAFT_IVF_MAX_CELLS").map { v =>
+      scala.util.Try(v.trim.toInt).toOption.filter(_ > 0)
+        .getOrElse(throw new IllegalArgumentException(
+          s"SPARK_GRAFT_IVF_MAX_CELLS must be a positive int, got '$v'"))
+    }.getOrElse(4096)
 
   /** DuckDB mirror of [[ivfCells]] over the `embeddings` table — a scalar
     * subquery, so the SQL oracles compute the SAME adaptive k the Spark
@@ -746,11 +756,15 @@ object Similarity {
     * A/B-ing sampled vs full training cost/quality at big fixtures. */
   private[graft] val KmeansTrainSample: Long =
     sys.env.get("SPARK_GRAFT_KMEANS_SAMPLE").map { v =>
-      // parse defensively: this runs at object init, and a bad value would
-      // otherwise surface as an ExceptionInInitializerError poisoning the
-      // whole Similarity object far from the misconfigured env var
-      scala.util.Try(v.trim.toLong).getOrElse(throw new IllegalArgumentException(
-        s"SPARK_GRAFT_KMEANS_SAMPLE must be a long, got '$v'"))
+      // this runs at object init, so a bad value still surfaces as an
+      // ExceptionInInitializerError — the explicit parse buys the CAUSE
+      // message naming the env var (a raw NumberFormatException's "For
+      // input string" names nothing), not a different exception site.
+      // Non-positive values are rejected too: a zero/negative bound would
+      // make the sample-step ceil division nonsensical downstream.
+      scala.util.Try(v.trim.toLong).toOption.filter(_ > 0)
+        .getOrElse(throw new IllegalArgumentException(
+          s"SPARK_GRAFT_KMEANS_SAMPLE must be a positive long, got '$v'"))
     }.getOrElse(200000L)
 
   private def trainCodebook(e: DataFrame): Seq[(Int, Array[Float])] = {
@@ -2172,21 +2186,33 @@ object Similarity {
       : (Seq[(Int, Array[Float])], DataFrame) = {
     graft.functions.VecFunctions.register(s)
     // the training frame exists only inside the by-name argument: a
-    // cached codebook skips building it entirely. CHECKPOINTED (r16,
-    // restoring what r15 removed): the "three cheap narrow scans"
-    // rationale held only in the SAMPLED regime (n > 200k) — below the
-    // bound trainCodebook's k-means loop re-reads this frame (scan +
-    // vec_norm + parallelize exchange) EVERY round, and the ×100 drill
-    // corpus (200k vectors, the largest unsampled n) measured 30 s vs
-    // ~16 s checkpointed. The checkpoint is bounded: it only ever holds
-    // what the training loop reads (past the sample bound the loop reads
-    // its own sample checkpoint, and this one is three narrow scans
-    // again — at most one corpus materialization, never a growth term).
+    // cached codebook skips building it entirely. CHECKPOINTED only in
+    // the UNSAMPLED regime (n ≤ [[KmeansTrainSample]], r17 narrowing the
+    // r16 restore): below the bound trainCodebook's k-means loop re-reads
+    // this frame (scan + vec_norm + parallelize exchange) EVERY round —
+    // the ×100 drill corpus (200k vectors, the largest unsampled n)
+    // measured the COLD, codebook-cache-empty build at ~30 s
+    // uncheckpointed vs ~16 s checkpointed (the r15 cold-pass uptick and
+    // its fix; WARM drill legs never see the difference — the codebook
+    // cache takes training out of every timed run after the first, which
+    // is why the r16 bisection's warm min-of-3 sat at 30–34 s on the
+    // regressed CellArgmax binary regardless of this checkpoint, 33.3 s
+    // on the restore attempt — that band was the CellArgmax regression,
+    // not a checkpoint effect). PAST the bound the training loop reads
+    // its own sample checkpoint and this frame only twice (the sizing
+    // count + the slice build) — a full-corpus materialization would
+    // serve nothing there (ADVICE r16), so large corpora skip it and the
+    // decision reads the parquet footer count (an upper bound of the
+    // nrm-filtered n: at worst a corpus a hair under the bound goes
+    // unsampled-but-uncheckpointed, paying cold re-scans, never wrong
+    // results).
     val codebook = trainCodebookCached({
-      Tables.parallelize(s, Tables.embeddings(s, d))
+      val base = Tables.parallelize(s, Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
         .filter(col("nrm") > 0) // the NaN-cosine guard (decontaminate_embedding contract)
-        .localCheckpoint()
+      if (Tables.embeddings(s, d).count() <= KmeansTrainSample)
+        base.localCheckpoint()
+      else base
     }, s"$d#nrm#${corpusStamp(s, d)}")
     // the heavy vec_dot passes run over SCAN-BACKED frames, never the
     // checkpoint: checkpointed rows deserialize their float arrays out of

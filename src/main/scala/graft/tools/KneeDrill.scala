@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** The semdedup cap-knee drill (VERDICT r16 item 1): measures
+  * `semdedup_prune` (and optionally the index build + serve path) at a
+  * ladder of [[VecGen]] corpus sizes chosen to BRACKET the IVF cell cap's
+  * knee at n = cap²/2, and reports the LOCAL exponent between consecutive
+  * rungs — the number the claim is about. Below the knee k = √(2n) and
+  * the n·k assignment term grows as n^1.5; past it k pins at the cap and
+  * assignment goes linear while mean cell occupancy resumes growing ∝
+  * n/cap (the within-cell pair term is n²/cap — quadratic eventually, but
+  * at n ≈ 1–2× the knee it is ~5% of the 5-assignment-pass total; a
+  * corpus DECADES past the cap shards or goes hierarchical, per the
+  * [[Similarity.ivfCells]] scaladoc). So the testable prediction is:
+  * local exponent ≈ 1.5 between sub-knee rungs, dropping toward ≈ 1
+  * between super-knee rungs.
+  *
+  * Run it twice:
+  *   - `SPARK_GRAFT_IVF_MAX_CELLS=1024` with rungs around 524k — the
+  *     SAME code path with the knee moved into cheap territory; the full
+  *     two-regime shape in minutes;
+  *   - the production cap 4096 with rungs straddling 8.4M — the honest
+  *     full-price measurement the r16 verdict asked for.
+  *
+  * Timing: one warm-up pays k-means training (codebook-cached thereafter,
+  * like every ScaleDrill family), then min-of-2 warm runs — the heavy
+  * assignment + within-cell passes run fully in every timed run. Rungs
+  * this size cost minutes-to-tens-of-minutes each, so min-of-2, not 3.
+  * Corpus dirs persist under the root (reused if present) — re-runs and
+  * cap A/Bs share generation.
+  *
+  * Usage: runMain graft.tools.KneeDrill <rungsCsv> [root] [prune,serve]
+  */
+object KneeDrill {
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime(); val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val rungs = args(0).split(",").map(_.trim.toLong).toSeq.sorted
+    val root = if (args.length > 1) args(1) else "/tmp/fx/knee"
+    val legs = (if (args.length > 2) args(2).split(",").toSeq
+      else Seq("prune")).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cap = Similarity.IvfMaxCells
+    val knee = cap.toLong * cap / 2
+    println(s"[knee] cap=$cap knee=n=${knee} rungs=${rungs.mkString(",")} legs=${legs.mkString(",")}")
+
+    def hygiene(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
+    val rows = rungs.map { n =>
+      val dir = s"$root/n$n"
+      if (!new java.io.File(s"$dir/embeddings.parquet").isDirectory) {
+        val (tGen, _) = time { VecGen.write(spark, n, dir); 0L }
+        println(f"[knee] generated n=$n in $tGen%.1f s")
+      } else println(s"[knee] reusing $dir")
+      val k = Similarity.ivfCells(n)
+      hygiene()
+      val tPrune = if (legs("prune")) {
+        val fn = Similarity.queries("semdedup_prune")
+        fn(spark, dir).count() // warm-up: pays k-means training once
+        val t = Seq.fill(2)(time(fn(spark, dir).count())).map(_._1).min
+        println(f"[knee] n=$n%-9d k=$k%5d  prune $t%9.2f s")
+        t
+      } else -1.0
+      val (tBuild, tServe) = if (legs("serve")) {
+        hygiene()
+        val idx = graft.operators.Scratch.tempParent(s"graft-knee-$n").toString
+        val (tb, _) = time { Similarity.writeSemdedupIndex(spark, dir, idx); 0L }
+        graft.functions.VecFunctions.register(spark)
+        val probes = graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") % 100 === 0)
+        def serve(): Long =
+          Similarity.semdedupScreenFromModel(spark, idx, probes).count()
+        serve() // warm-up
+        val ts = Seq.fill(3)(time(serve())).map(_._1).min
+        println(f"[knee] n=$n%-9d k=$k%5d  build $tb%9.2f s  serve $ts%9.2f s")
+        (tb, ts)
+      } else (-1.0, -1.0)
+      (n, k, tPrune, tBuild, tServe)
+    }
+
+    // local exponents between consecutive rungs, per timed leg
+    def expos(f: ((Long, Int, Double, Double, Double)) => Double): Seq[String] =
+      rows.sliding(2).collect {
+        case Seq(a, b) if f(a) > 0 && f(b) > 0 =>
+          val e = math.log(f(b) / f(a)) / math.log(b._1.toDouble / a._1.toDouble)
+          s""""${a._1}->${b._1}":${num(e)}"""
+      }.toSeq
+    val rungJson = rows.map { case (n, k, tp, tb, ts) =>
+      s""""$n":{"k":$k,"t_prune":${num(tp)},"t_build":${num(tb)},"t_serve":${num(ts)}}"""
+    }.mkString(",")
+    println(s"""{"metric":"knee_drill","cap":$cap,"knee_n":$knee,"rungs":{$rungJson},"prune_local_exponents":{${expos(_._3).mkString(",")}},"serve_local_exponents":{${expos(_._5).mkString(",")}}}""")
+    spark.stop()
+  }
+}

@@ -129,7 +129,9 @@ class CorpusHealthSpec extends AnyFunSuite {
     val all = docs.map { case (id, t) => id -> fps(t) }
     val postings = all.toSeq.flatMap { case (id, f) => f.map(_ -> id) }
       .groupBy(_._1).map { case (fp, xs) => fp -> xs.map(_._2).toSet }
-    val hot = postings.filter(_._2.size >= 16).keySet
+    // the production cap, not a literal: a retuned WinnowHotCap must not
+    // leave this oracle silently computing the old retention rule
+    val hot = postings.filter(_._2.size >= operators.Dedup.WinnowHotCap).keySet
     val want = (for {
       (a, fa) <- all; (b, fb) <- all if a < b
       shared = ((fa & fb) -- hot).size.toLong if shared >= 3
@@ -157,15 +159,18 @@ class CorpusHealthSpec extends AnyFunSuite {
     // VERDICT r15 item 1: a corpus-wide boilerplate run (license header)
     // makes one fingerprint's posting O(corpus). The capped collect must
     // drop it via buffer overflow — bounded memory, identical semantics to
-    // the old size<cap filter. 40 docs (2.5× the cap) all share BOILER;
-    // docs 1 and 2 additionally share three distinct 40-char runs, so the
-    // genuine pair must survive the cap at the default minShared=3.
+    // the old size<cap filter. 2.5× the production cap docs all share
+    // BOILER; docs 1 and 2 additionally share three distinct 40-char runs,
+    // so the genuine pair must survive the cap at the default minShared=3.
+    // (k/w stay literal: retuning THOSE breaks the planted text lengths
+    // loudly; only the cap could diverge silently — ADVICE r16.)
     val k = 16; val w = 25
+    val nDocs = operators.Dedup.WinnowHotCap * 5 / 2 // 2.5× the cap
     val boiler = "zq" * 20 // one full window fits: >= 1 fp common to ALL
     val runs = Seq("jv" * 20, "kx" * 20, "mw" * 20)
     def filler(i: Int, tag: String): String =
       (s"$tag${i}f" * 4 + " ") * 10
-    val docs40: Seq[(Long, String)] = (0 until 40).map { i =>
+    val docs40: Seq[(Long, String)] = (0 until nDocs).map { i =>
       val extra = if (i == 1 || i == 2) runs.mkString(" ", " ", " ") else " "
       (i.toLong, filler(i, "a") + boiler + extra + filler(i, "b"))
     }
@@ -183,9 +188,9 @@ class CorpusHealthSpec extends AnyFunSuite {
     val postings = all.flatMap { case (id, f) => f.map(_ -> id) }
       .groupBy(_._1).map { case (fp, xs) => fp -> xs.map(_._2).toSet }
     // the planted boilerplate really is a mega-hot key (posting = corpus)
-    assert(postings.values.exists(_.size == 40),
+    assert(postings.values.exists(_.size == nDocs),
       "fixture must contain a fingerprint shared by every doc")
-    val hot = postings.filter(_._2.size >= 16).keySet
+    val hot = postings.filter(_._2.size >= operators.Dedup.WinnowHotCap).keySet
     val want = (for {
       (a, fa) <- all; (b, fb) <- all if a < b
       shared = ((fa & fb) -- hot).size.toLong if shared >= 3
