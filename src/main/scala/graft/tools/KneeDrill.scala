@@ -79,7 +79,15 @@ object KneeDrill {
       val tPrune = if (legs("prune")) {
         val fn = Similarity.queries("semdedup_prune")
         fn(spark, dir).count() // warm-up: pays k-means training once
-        val t = Seq.fill(2)(time(fn(spark, dir).count())).map(_._1).min
+        // SPARK_GRAFT_KNEE_REPS: timed-run count after the warm-up
+        // (default min-of-2). The full-cap rungs past 8.4M cost tens of
+        // minutes per run — there a single timed run is the honest trade
+        // (variance is proportionally small at that duration, and both
+        // rungs of a local exponent use the identical methodology).
+        val reps = sys.env.get("SPARK_GRAFT_KNEE_REPS")
+          .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+          .filter(_ > 0).getOrElse(2)
+        val t = Seq.fill(reps)(time(fn(spark, dir).count())).map(_._1).min
         println(f"[knee] n=$n%-9d k=$k%5d  prune $t%9.2f s")
         t
       } else -1.0

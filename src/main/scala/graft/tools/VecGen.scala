@@ -14,13 +14,20 @@ import org.apache.spark.sql.functions._
   * would measure duplicate-density growth, not the algorithm.
   *
   * Construction (all xxhash64-derived — no RNG, byte-identical across
-  * runs): vector i of cluster c = i % [[Clusters]] has
-  * `emb[j] = 0.5·h(c, j) + 0.87·h'(i, j)` with h, h' uniform in [-1, 1].
-  * The shared cluster component gives k-means real structure to find and
-  * an expected same-cluster cosine ≈ 0.25 — below the 0.4 semdedup
-  * threshold, so near-dup pairs are the upper TAIL of same-cluster pairs
-  * (a low-but-nonzero dup density, the realistic regime) rather than
-  * everything or nothing. Schema matches the fixture embeddings table
+  * runs): vector i belongs to cluster c = i mod (n / [[ClusterSize]])
+  * and has `emb[j] = 0.4·h(c, j) + 0.917·h'(i, j)` with h, h' uniform
+  * in [-1, 1]. Cluster SIZE is fixed (cluster COUNT grows with n): the
+  * first VecGen draft fixed the count at 256 and the cap-1024 knee
+  * ladder measured past-knee prune exponents of 1.6–1.75 — not the
+  * algorithm but the fixture: with fixed count, same-cluster (hence
+  * true near-dup) pair mass grows ∝ n², so the pair join's OUTPUT and
+  * the dropped-distinct exchange were quadratic by construction. Fixed
+  * size makes true dup mass linear in n — the same discipline SfGen's
+  * copy-disjoint vocabularies enforce. The 0.4 cluster weight puts the
+  * expected same-cluster cosine at ≈ 0.16 with the 0.4 semdedup
+  * threshold ~2.3σ out, so near-dup pairs are the upper tail of
+  * same-cluster pairs (~1%, ≈ 10 dups per vector — low-but-nonzero
+  * density, linear in n). Schema matches the fixture embeddings table
   * exactly (vec_id int64, embedding array<float>, label int32).
   *
   * A tool main: `runMain graft.tools.VecGen <n> <outDir>` writes
@@ -28,15 +35,16 @@ import org.apache.spark.sql.functions._
   * embeddings-only families (semdedup_prune/serve read nothing else).
   */
 object VecGen {
-  private[graft] val Clusters = 256
+  private[graft] val ClusterSize = 1024L
 
   def write(spark: SparkSession, n: Long, out: String): Unit = {
     val parts = math.max(32, math.min(512, n / 250000L)).toInt
+    val clusters = math.max(64L, n / ClusterSize)
     spark.range(0L, n, 1L, parts)
       .select(col("id").as("vec_id"),
         expr("transform(sequence(0, 63), j -> CAST(" +
-          s"0.5 * ((pmod(xxhash64(pmod(id, $Clusters), j), 2000001) - 1000000) / 1000000.0) + " +
-          "0.87 * ((pmod(xxhash64(id, j, 77), 2000001) - 1000000) / 1000000.0)" +
+          s"0.4 * ((pmod(xxhash64(pmod(id, ${clusters}L), j), 2000001) - 1000000) / 1000000.0) + " +
+          "0.917 * ((pmod(xxhash64(id, j, 77), 2000001) - 1000000) / 1000000.0)" +
           " AS FLOAT))").as("embedding"),
         pmod(xxhash64(col("id"), lit(7)), lit(10)).cast("int").as("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
