@@ -735,11 +735,11 @@ object Similarity {
     graft.models.ModelManifest.corpusFingerprint(s, d, Seq("embeddings"))
   private val codebookLock = new Object
   private def trainCodebookCached(e: => DataFrame,
-      key: String): Seq[(Int, Array[Float])] =
+      key: String, kOverride: Option[Int] = None): Seq[(Int, Array[Float])] =
     // e is by-name: a cache hit never builds (or checkpoints) the
     // training frame at all
     codebookLock.synchronized {
-      trainedCodebooks.getOrElseUpdate(key, trainCodebook(e))
+      trainedCodebooks.getOrElseUpdate(key, trainCodebook(e, kOverride))
     }
 
   /** Iteration-pass sample bound for [[trainCodebook]] (VERDICT r15
@@ -767,14 +767,17 @@ object Similarity {
           s"SPARK_GRAFT_KMEANS_SAMPLE must be a positive long, got '$v'"))
     }.getOrElse(200000L)
 
-  private def trainCodebook(e: DataFrame): Seq[(Int, Array[Float])] = {
+  private def trainCodebook(e: DataFrame,
+      kOverride: Option[Int] = None): Seq[(Int, Array[Float])] = {
     // adaptive k (see ivfCells): one count() on the (checkpointed)
     // training frame sizes the codebook before seeding; the count is the
     // cheapest pass the training loop makes. k is sized by the FULL
     // corpus even when iteration runs sampled — cell capacity serves n
-    // vectors, not the sample.
+    // vectors, not the sample. kOverride bypasses the adaptive rule for
+    // codebooks whose size is an input, not a function of n — the
+    // residual SUB-codebook of [[subSplitPlan]], sized by occupancy.
     val n = e.count()
-    val k = ivfCells(n)
+    val k = kOverride.getOrElse(ivfCells(n))
     // deterministic hash-slice (xxhash64 % step), not vec_id % step: id
     // ranges are not dense on sliced corpora (the grow-serve history
     // split), and a modulo of sparse ids can under- or over-sample. The
@@ -2159,30 +2162,143 @@ object Similarity {
     * across the family). */
   private val SemdedupThreshold = 0.4
 
+  /** Occupancy bound past which a cell's members get a SECOND-level
+    * residual sub-assignment before the within-cell pair join (r17 — the
+    * knee drill's finding): once [[IvfMaxCells]] pins k, mean occupancy
+    * resumes growing ∝ n/cap and the pair join's CANDIDATE mass is
+    * n²/(2·cap) — quadratic, and row-plumbing-priced (the same
+    * per-candidate-row cost that motivated [[CellArgmax]]). The cap-1024
+    * knee ladder measured it directly: past-knee local exponents 1.35
+    * (m = 2) and 1.68 (m = 4) on a fixture with PROVABLY linear true-dup
+    * mass. Splitting only cells above this bound into
+    * ceil(occ/bound)-way residual sub-cells puts per-scope occupancy
+    * back at ~cap, so candidate mass returns to n·cap/2 — linear — while
+    * cold cells keep byte-identical behavior (every oracle fixture and
+    * the sf1 sweep corpus sit far below the bound; the split is
+    * unreachable there by construction). Tied to [[IvfMaxCells]] so the
+    * drill-scale cap override moves the bound with the knee.
+    * `SPARK_GRAFT_SUBSPLIT=0` disables it — the before/after A/B knob. */
+  private[graft] val SubSplitOccBound: Long = IvfMaxCells.toLong
+  private[graft] val SubSplitEnabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_SUBSPLIT").contains("0")
+
+  /** Census sample target for the occupancy estimate that drives
+    * [[subSplitPlan]]: corpora at or under it are censused EXACTLY (every
+    * oracle fixture — the split decision there is deterministic fact, not
+    * estimate); above it a deterministic xxhash64 slice of ~this many
+    * vectors estimates occupancy with ≤ ~12% relative error on any cell
+    * near the bound (≥ 64 sampled members at the bound crossing), which
+    * only jitters the split decision where splitting is a wash anyway.
+    * The census pays 1/step of one assignment pass — at 16.8M vectors a
+    * full-census pass would cost more than the split saves at m = 2. */
+  private[graft] val SubSplitCensusSample = 262144L
+
+  /** The split decision as a pure function of the (possibly estimated)
+    * occupancy census: cells above [[SubSplitOccBound]] split, all into a
+    * UNIFORM k2 = ceil(max hot occupancy / bound) sub-cells (min 2, capped
+    * at [[IvfMaxCells]] — one global residual codebook serves every hot
+    * cell, so driver/broadcast state stays k + k2 centroids, never k×k2).
+    * Uniform k2 over-splits mildly-hot cells when occupancy is skewed —
+    * a recall trade documented here rather than hidden: per-cell k2 would
+    * need per-row argmax prefixes the assignment expressions don't carry.
+    * Returns (hot cell ids, k2); (∅, 1) when nothing crosses the bound. */
+  private[graft] def subSplitPlan(occ: Map[Int, Long]): (Set[Int], Int) = {
+    val hot = occ.filter(_._2 > SubSplitOccBound)
+    if (hot.isEmpty || !SubSplitEnabled) (Set.empty, 1)
+    else {
+      val k2 = math.min(IvfMaxCells.toLong, math.max(2L,
+        math.ceil(hot.values.max.toDouble / SubSplitOccBound).toLong)).toInt
+      (hot.keySet, k2)
+    }
+  }
+
+  /** Residual-argmax column for the sub-assignment — scores the columns
+    * `res` (the vector minus its L1 centroid) and `rnrm` against the
+    * global residual codebook, mirroring [[assignCells]]'s literal/native
+    * split: ≤ [[LiteralAssignMaxCells]] sub-cells stay a codegen'd
+    * `greatest` over literal centroid arrays; larger k2 takes the single
+    * [[CellArgmax]] expression. Callers must have `res`/`rnrm` in scope. */
+  private def subArgmaxCol(resCodebook: Seq[(Int, Array[Float])]): Column =
+    if (resCodebook.size <= LiteralAssignMaxCells) {
+      val sims = resCodebook.map { case (cid, emb) =>
+        val cnorm = math.sqrt(emb.map(v => v.toDouble * v.toDouble).sum)
+        val dot = expr(
+          s"vec_dot(res, CAST(array(${emb.mkString(",")}) AS ARRAY<FLOAT>))")
+        struct((dot / (col("rnrm") * lit(cnorm))).as("sim"), lit(-cid).as("negc"))
+      }
+      greatest(sims: _*).getField("negc") * -1
+    } else {
+      import org.apache.spark.sql.GraftBridge.{column, expression}
+      column(graft.functions.CellArgmax(
+        expression(col("res")), expression(col("rnrm")), resCodebook.toArray))
+        .getField("cell")
+    }
+
   /** Per-vector SemDeDup flag frame `(vec_id, embedding, nrm, cell, csim,
-    * dropped)` — the production path of [[semdedupPrune]] (Abbas et al.
+    * sub, dropped)` — the production path of [[semdedupPrune]] (Abbas et al.
     * 2023: cluster the embedding space with k-means, then prune
     * near-duplicates WITHIN each cluster, keeping the member least
     * similar to its centroid — the most atypical copy carries the most
     * diversity). The keep rule is local and deterministic: a vector is
-    * dropped iff some same-cell neighbor at cosine ≥ threshold has a
-    * strictly lower (centroid-cosine, vec_id) key — so every within-cell
+    * dropped iff some same-scope neighbor at cosine ≥ threshold has a
+    * strictly lower (centroid-cosine, vec_id) key — so every within-scope
     * dup component keeps its (csim, id)-minimal member, and pair
-    * comparison never needs iteration or a window.
+    * comparison never needs iteration or a window. The SCOPE is the cell
+    * below the [[SubSplitOccBound]] occupancy bound (`sub` = 0 — every
+    * oracle fixture), and the (cell, residual sub-cell) pair above it —
+    * the same clustering-approximation dial k itself turns, one level
+    * finer, engaged only where the capped codebook would otherwise let
+    * within-cell candidate mass grow quadratically.
     *
     * Shape at scale: THE point of SemDeDup — pairwise work is confined
-    * to cells (n²/k per cell for balanced cells vs n² global), the
-    * k-means passes are the bounded-codebook collect class, and the
-    * verdict frame is one cell-keyed exchange + one anti-join against
-    * the dropped set.
+    * to scopes (occupancy pinned near cap by the sub-split, so candidate
+    * mass stays ~n·cap/2 = linear), the k-means passes are the
+    * bounded-codebook collect class, and the verdict frame is one
+    * scope-keyed exchange + one anti-join against the dropped set.
     */
   private[graft] def semdedupFlags(s: SparkSession, d: String): DataFrame =
     semdedupBase(s, d)._2
 
+  /** Spec-only entry forcing the sub-split plan (see the [[semdedupBase]]
+    * `forcedPlan` note — fixture-scale corpora cannot reach a hot cell
+    * organically). */
+  private[graft] def semdedupFlagsSplit(s: SparkSession, d: String,
+      hotCells: Set[Int], k2: Int): DataFrame =
+    semdedupBase(s, d, Some((hotCells, k2)))._2
+
+  /** The semdedup family's (training frame, cache key) pair in ONE place —
+    * [[semdedupBase]] consumes it inline, and [[graft.tools.KneeDrill]]
+    * calls it directly as a TRAIN-ONLY warm-up: at the full-cap knee rungs
+    * (n ≥ 8.4M) a whole-prune warm-up costs ~an hour whose only purpose
+    * beyond training is JIT warmth worth a few seconds — so the drill
+    * warms the codebook alone and times the first full prune. Sharing the
+    * key construction here (not duplicating it in the tool) is what keeps
+    * the drill's warm-up hitting the exact cache entry the timed
+    * `semdedup_prune` call reads. */
+  private[graft] def semdedupCodebook(s: SparkSession,
+      d: String): Seq[(Int, Array[Float])] = {
+    graft.functions.VecFunctions.register(s)
+    trainCodebookCached({
+      val base = Tables.parallelize(s, Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
+        .filter(col("nrm") > 0) // the NaN-cosine guard (decontaminate_embedding contract)
+      if (Tables.embeddings(s, d).count() <= KmeansTrainSample)
+        base.localCheckpoint()
+      else base
+    }, s"$d#nrm#${corpusStamp(s, d)}")
+  }
+
   /** The codebook + flag-frame pair behind [[semdedupFlags]] — split out so
     * [[writeSemdedupIndex]] can persist the codebook it trained instead of
     * training twice. */
-  private def semdedupBase(s: SparkSession, d: String)
+  /** `forcedPlan` (spec-only, threaded through
+    * [[semdedupFlagsSplit]]): a hot cell needs occupancy > cap², which no
+    * fixture-scale corpus can reach — k-means spreads any blob across its
+    * k cells until k pins at the cap — so the split-path integration spec
+    * injects the (hotCells, k2) decision and the census is skipped.
+    * Production callers always pass None and take the census. */
+  private def semdedupBase(s: SparkSession, d: String,
+      forcedPlan: Option[(Set[Int], Int)] = None)
       : (Seq[(Int, Array[Float])], DataFrame) = {
     graft.functions.VecFunctions.register(s)
     // the training frame exists only inside the by-name argument: a
@@ -2206,14 +2322,7 @@ object Similarity {
     // nrm-filtered n: at worst a corpus a hair under the bound goes
     // unsampled-but-uncheckpointed, paying cold re-scans, never wrong
     // results).
-    val codebook = trainCodebookCached({
-      val base = Tables.parallelize(s, Tables.embeddings(s, d))
-        .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
-        .filter(col("nrm") > 0) // the NaN-cosine guard (decontaminate_embedding contract)
-      if (Tables.embeddings(s, d).count() <= KmeansTrainSample)
-        base.localCheckpoint()
-      else base
-    }, s"$d#nrm#${corpusStamp(s, d)}")
+    val codebook = semdedupCodebook(s, d)
     // the heavy vec_dot passes run over SCAN-BACKED frames, never the
     // checkpoint: checkpointed rows deserialize their float arrays out of
     // the unsafe format and the pairwise kernel loses whole-stage speed —
@@ -2223,9 +2332,55 @@ object Similarity {
     val fresh = Tables.parallelize(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
       .filter(col("nrm") > 0)
+    // occupancy census for the sub-split decision ([[subSplitPlan]]):
+    // exact at or under the sample bound (every oracle fixture), a
+    // deterministic hash-slice estimate above it — the estimate pays
+    // 1/step of one assignment pass, and the collect is ≤ k rows.
+    val (hotCells, k2) = forcedPlan.getOrElse {
+      val nFooter = Tables.embeddings(s, d).count()
+      val censusStep = math.max(1L, nFooter / SubSplitCensusSample)
+      val censusRows =
+        if (censusStep == 1L) fresh
+        else fresh.filter(pmod(xxhash64(col("vec_id")), lit(censusStep)) === 0L)
+      val occ = assignCells(censusRows, codebook).groupBy("cell").count()
+        .collect()
+        .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("count") * censusStep)
+        .toMap
+      subSplitPlan(occ)
+    }
     val assigned = assignCells(fresh, codebook)
-    val pairs = assigned.as("p").join(assigned.as("q"),
-        col("p.cell") === col("q.cell") && col("p.vec_id") < col("q.vec_id"))
+    // sub = the second-level residual cell for members of hot cells, 0
+    // everywhere else (and for zero-residual rows — a vector sitting ON
+    // its centroid belongs with the cell's bulk, not its own scope). The
+    // residual codebook is global (one k2-codebook serves every hot
+    // cell), trained by the same sampled k-means machinery under the same
+    // per-corpus cache, keyed with k2 so a census shift retrains rather
+    // than serving a stale size.
+    val assignedSub =
+      if (hotCells.isEmpty) assigned.withColumn("sub", lit(0))
+      else {
+        val cents = centsFrame(s, codebook)
+          .select(col("cid").as("cell"), col("cemb"))
+        val resCodebook = trainCodebookCached({
+          assigned.filter(col("cell").isInCollection(hotCells))
+            .join(broadcast(cents), Seq("cell"))
+            .select(col("vec_id"),
+              expr("zip_with(embedding, cemb, (x, c) -> x - c)").as("embedding"))
+            .withColumn("nrm", expr("vec_norm(embedding)"))
+            .filter(col("nrm") > 0)
+        }, s"$d#res$k2#${corpusStamp(s, d)}", Some(k2))
+        assigned.join(broadcast(cents), Seq("cell"), "left")
+          .withColumn("res", expr("zip_with(embedding, cemb, (x, c) -> x - c)"))
+          .withColumn("rnrm", expr("vec_norm(res)"))
+          .withColumn("sub",
+            when(col("cell").isInCollection(hotCells) && col("rnrm") > 0,
+              subArgmaxCol(resCodebook)).otherwise(lit(0)))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("cell"), col("csim"), col("sub"))
+      }
+    val pairs = assignedSub.as("p").join(assignedSub.as("q"),
+        col("p.cell") === col("q.cell") && col("p.sub") === col("q.sub") &&
+          col("p.vec_id") < col("q.vec_id"))
       .select(col("p.vec_id").as("a"), col("q.vec_id").as("b"),
         col("p.csim").as("ca"), col("q.csim").as("cb"),
         round(expr("vec_dot(p.embedding, q.embedding)") / (col("p.nrm") * col("q.nrm")), 4)
@@ -2240,9 +2395,10 @@ object Similarity {
       .distinct()
       .withColumn("is_dropped", lit(true))
       .localCheckpoint()
-    val flags = assigned.join(broadcast(dropped), Seq("vec_id"), "left")
+    val flags = assignedSub.join(broadcast(dropped), Seq("vec_id"), "left")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
-        col("csim"), coalesce(col("is_dropped"), lit(false)).as("dropped"))
+        col("csim"), col("sub"),
+        coalesce(col("is_dropped"), lit(false)).as("dropped"))
     (codebook, flags)
   }
 
@@ -2261,10 +2417,11 @@ object Similarity {
     *
     *   - `conservation_ok`: kept + dropped = corpus (no row vanishes
     *     into a NULL flag). PROVABLE.
-    *   - `resolved_ok`: every CO-CLUSTERED true probe pair lost at least
-    *     one member. PROVABLE: the pair itself forces its (csim, id)-max
-    *     member into the dropped set.
-    *   - `dropped_have_neighbor_ok`: every dropped PROBE has a same-cell
+    *   - `resolved_ok`: every CO-SCOPED (same cell AND same sub-cell —
+    *     identical to same-cell below the sub-split bound) true probe
+    *     pair lost at least one member. PROVABLE: the pair itself forces
+    *     its (csim, id)-max member into the dropped set.
+    *   - `dropped_have_neighbor_ok`: every dropped PROBE has a same-scope
     *     neighbor at ≥ threshold (its own O(probes · occupancy) join,
     *     both id orders). PROVABLE: only such pairs generate drops.
     *   - `coclustered_floor_ok`: the share of true probe pairs the
@@ -2283,7 +2440,13 @@ object Similarity {
     // scan-backed (NOT checkpointed — the semdedupBase note): the heavy
     // pair kernels keep their unsafe-array fast path, and the branches
     // that reuse flags re-derive a cheap 2000-row projection
-    val flags = semdedupFlags(s, d)
+    semdedupVerdicts(semdedupFlags(s, d))
+  }
+
+  /** The verdict frame over a flags frame — split from [[semdedupPrune]]
+    * so the sub-split integration spec can run the identical verdict
+    * arithmetic over a [[semdedupFlagsSplit]] frame. */
+  private[graft] def semdedupVerdicts(flags: DataFrame): DataFrame = {
     // ONE probe-anchored pair pass feeds the truth counts, the resolution
     // verdict, AND the orphan check's co-clustered id set. The probe set
     // is the FIXED first-[[SemdedupProbes]]-ids slice (engine-portable:
@@ -2300,7 +2463,12 @@ object Similarity {
       .join(flags.as("q"), col("p.vec_id") < col("q.vec_id"))
       .select(
         col("p.vec_id").as("a"), col("q.vec_id").as("b"),
-        (col("p.cell") === col("q.cell")).as("same_cell"),
+        // "co-clustered" = same EFFECTIVE prune scope (cell, sub): the
+        // verdicts quantify over the pairs the prune actually compares.
+        // Below the sub-split bound sub ≡ 0 and this is exactly the old
+        // same-cell predicate (every oracle fixture).
+        (col("p.cell") === col("q.cell") && col("p.sub") === col("q.sub"))
+          .as("same_cell"),
         (col("p.dropped") || col("q.dropped")).as("any_dropped"),
         round(expr("vec_dot(p.embedding, q.embedding)") / (col("p.nrm") * col("q.nrm")), 4)
           .as("cosine"))
@@ -2328,7 +2496,8 @@ object Similarity {
     val neighbored = broadcast(flags.filter(col("vec_id") < SemdedupProbes)
         .filter(col("dropped")).as("p"))
       .join(flags.as("q"),
-        col("p.cell") === col("q.cell") && col("p.vec_id") =!= col("q.vec_id"))
+        col("p.cell") === col("q.cell") && col("p.sub") === col("q.sub") &&
+          col("p.vec_id") =!= col("q.vec_id"))
       .filter(round(expr("vec_dot(p.embedding, q.embedding)") /
         (col("p.nrm") * col("q.nrm")), 4) >= SemdedupThreshold)
       .select(col("p.vec_id").as("vec_id")).distinct()

@@ -78,7 +78,16 @@ object KneeDrill {
       hygiene()
       val tPrune = if (legs("prune")) {
         val fn = Similarity.queries("semdedup_prune")
-        fn(spark, dir).count() // warm-up: pays k-means training once
+        // SPARK_GRAFT_KNEE_WARM=train: warm ONLY the k-means codebook
+        // (via the shared [[Similarity.semdedupCodebook]] key path) instead
+        // of a full prune pass. At the full-cap rungs past 8.4M a whole
+        // prune costs ~an hour; its only warm-up value beyond training is
+        // JIT warmth worth a few seconds — <1% of a timed run at that
+        // duration. Default stays the full-prune warm-up (the cap-1024
+        // ladder's methodology).
+        if (sys.env.get("SPARK_GRAFT_KNEE_WARM").contains("train"))
+          Similarity.semdedupCodebook(spark, dir)
+        else fn(spark, dir).count() // warm-up: pays k-means training once
         // SPARK_GRAFT_KNEE_REPS: timed-run count after the warm-up
         // (default min-of-2). The full-cap rungs past 8.4M cost tens of
         // minutes per run — there a single timed run is the honest trade
