@@ -362,10 +362,16 @@ object Similarity {
     * growing as n^1.5 forever — the measured semdedup exponent drift
     * (0.56 @ ×100 → 0.73 @ ×300). Past the cap point (n = cap²/2 ≈ 8.4M)
     * assignment cost and driver codebook memory stay FIXED at n·cap while
-    * mean occupancy resumes growing ∝ n/cap — the standard flat-IVF
-    * trade; a corpus decades past the cap shards by key range or goes
-    * hierarchical (two-level coarse quantizer), both of which compose
-    * from this operator unchanged. Mirrored verbatim in SQL by
+    * mean occupancy resumes growing ∝ n/cap. The r17 knee drill measured
+    * what that occupancy growth does to the within-cell pair pass — local
+    * exponents 1.35 → 1.68 → 1.85 at 2/4/8× the (moved) knee, heading to
+    * quadratic, NOT the "within-cell term stays small" hand-wave this
+    * scaladoc previously carried — which is why hot cells now get the
+    * [[subSplitPlan]] residual sub-split (the two-level coarse quantizer,
+    * engaged per-cell past the cap): measured past-knee exponents drop to
+    * 0.56–0.86 and the 8×-knee rung runs 3.9× faster. A corpus decades
+    * past even that shards by key range, composing from this operator
+    * unchanged. Mirrored verbatim in SQL by
     * [[ivfCellsSql]] so the untrained-IVF oracles stay engine-portable at
     * any SF. */
   private[graft] def ivfCells(n: Long): Int = {

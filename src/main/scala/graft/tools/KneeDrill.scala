@@ -12,12 +12,21 @@ import graft.operators.Similarity
   * rungs — the number the claim is about. Below the knee k = √(2n) and
   * the n·k assignment term grows as n^1.5; past it k pins at the cap and
   * assignment goes linear while mean cell occupancy resumes growing ∝
-  * n/cap (the within-cell pair term is n²/cap — quadratic eventually, but
-  * at n ≈ 1–2× the knee it is ~5% of the 5-assignment-pass total; a
-  * corpus DECADES past the cap shards or goes hierarchical, per the
-  * [[Similarity.ivfCells]] scaladoc). So the testable prediction is:
-  * local exponent ≈ 1.5 between sub-knee rungs, dropping toward ≈ 1
-  * between super-knee rungs.
+  * n/cap.
+  *
+  * What the first (pre-fix) run of this drill actually measured — and
+  * the arithmetic it corrected: the original prediction here said the
+  * within-cell pair term (n²/2·cap CANDIDATES) stays ~5% of the total at
+  * 1–2× the knee and the past-knee exponent drops toward 1. WRONG twice
+  * over: candidate mass is priced per ROW through the pair join, not per
+  * dot-product (the CellArgmax lesson), so the quadratic term's constant
+  * is large — measured past-knee local exponents marched 1.35 (m = 2) →
+  * 1.68 (m = 4) → 1.85 (m = 8) on the cap-1024 ladder, heading to 2, not
+  * 1. The fix is the [[Similarity.subSplitPlan]] residual sub-split
+  * (occupancy pinned back to ~cap by splitting hot cells), after which
+  * the past-knee prediction really is exponent ≈ 1; this drill's
+  * AFTER-ladder verifies exactly that, and the serve leg verifies the
+  * serve path stays arrival-bound (flat) across every rung regardless.
   *
   * Run it twice:
   *   - `SPARK_GRAFT_IVF_MAX_CELLS=1024` with rungs around 524k — the
