@@ -1287,13 +1287,32 @@ object Dedup {
       val newLabel = least(col("label"),
         least(coalesce(col("nbr_min"), col("label")),
           coalesce(col("hop_label"), col("label"))))
+      // the mover count rides the checkpoint materialization as an
+      // observed metric instead of a separate filter+count job per round
+      // (r17 — the JobProfile run showed the cluster family's warm time
+      // is job-count-bound; at corpus scale the count job was a second
+      // full read of the round's frame). getOrEmpty is polled because
+      // the observation listener completes asynchronously right after
+      // the checkpoint job; the count fallback keeps the loop correct
+      // even if the metric never lands.
+      val obs = org.apache.spark.sql.Observation()
       val next = labels
         .join(nbrMin, col("doc_id") === col("doc_a"), "left")
         .join(hop, col("doc_id") === col("hop_id"), "left")
         .select(col("doc_id"), newLabel.as("label"),
           (newLabel =!= col("label")).as("moved"))
+        .observe(obs, coalesce(sum(col("moved").cast("long")), lit(0L)).as("n_moved"))
         .localCheckpoint()
-      changed = next.filter(col("moved")).count()
+      changed = {
+        import org.apache.spark.sql.GraftBridge.observationGetOrEmpty
+        var polls = 0
+        var got = observationGetOrEmpty(obs)
+        while (got.isEmpty && polls < 100) {
+          Thread.sleep(10); got = observationGetOrEmpty(obs); polls += 1
+        }
+        got.get("n_moved").map(_.asInstanceOf[Long])
+          .getOrElse(next.filter(col("moved")).count())
+      }
       unpersistLocalCheckpoint(labels) // superseded round's blocks
       labels = next.select("doc_id", "label")
       rounds += 1

@@ -241,15 +241,31 @@ object Packing {
     */
   def writeZorderLayouts(s: SparkSession, d: String, out: String): Unit = {
     // both layout writes consume the same keyed projection; caching it
-    // scans lineitem (and evaluates the bit interleave) once, not twice
+    // scans lineitem (and evaluates the bit interleave) once, not twice.
+    // The two writes are INDEPENDENT jobs over the same cached frame, so
+    // they run concurrently (guide §2.6 overlap-independent-jobs): each
+    // write's range-sampling and commit tail would otherwise leave most
+    // cores idle while the other waits. Job-description properties are
+    // thread-local, hence the inheritance into each write thread.
     val keyed = zkeyed(s, d).persist()
     try {
-      keyed.repartitionByRange(ZLayoutFiles, col("zval"))
-        .sortWithinPartitions("zval")
-        .write.mode("overwrite").parquet(s"$out/zorder")
-      keyed.repartitionByRange(ZLayoutFiles, col("xk"))
-        .sortWithinPartitions("xk")
-        .write.mode("overwrite").parquet(s"$out/linear")
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val writes = Seq(
+        Future {
+          keyed.repartitionByRange(ZLayoutFiles, col("zval"))
+            .sortWithinPartitions("zval")
+            .write.mode("overwrite").parquet(s"$out/zorder")
+        },
+        Future {
+          keyed.repartitionByRange(ZLayoutFiles, col("xk"))
+            .sortWithinPartitions("xk")
+            .write.mode("overwrite").parquet(s"$out/linear")
+        })
+      try writes.foreach(Await.result(_, Duration.Inf))
+      finally pool.shutdown()
     } finally { keyed.unpersist(); () }
   }
 

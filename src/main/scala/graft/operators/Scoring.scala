@@ -762,21 +762,38 @@ object Scoring {
     val mu = Array.tabulate(QcDim)(i => st.getDouble(2 * i))
     val sd = Array.tabulate(QcDim)(i => st.getDouble(2 * i + 1))
       .map(v => if (v > 0) v else 1.0)
+    // standardization is FOLDED into the iteration projection (mu/sd are
+    // fixed after the stats pass, so the z-subtree's codegen source is
+    // identical every iteration) instead of materializing a second
+    // checkpointed frame: the arithmetic re-runs per pass but is a
+    // pipelined projection over the feats checkpoint — one less
+    // full-frame materialization per training run at every scale (r17)
     val z = feats.select(col("y") +:
         (0 until QcDim).map(i =>
           ((col(s"x${i + 1}") - mu(i)) / sd(i)).as(s"z${i + 1}")): _*)
-      .localCheckpoint() // re-read once per Newton iteration
     val d1 = QcDim + 1
     var w = Array.fill(d1)(0.0)
-    for (_ <- 0 until QcIters) {
+    var iter = 0
+    var converged = false
+    while (iter < QcIters && !converged) {
       // the sigmoid is projected ONCE per row into (diff, s) and the 54
       // aggregate expressions touch only those two columns — inlining the
       // sigmoid string into every aggregate made each iteration's codegen
       // compile a 55-fold copy of it (measured: the compile time, not the
-      // 5000-row pass, dominated the query)
-      val lin = (s"${w(0)}" +: (1 to QcDim).map(i => s"${w(i)}*z$i")).mkString(" + ")
+      // 5000-row pass, dominated the query).
+      // The weights enter as ONE array literal read by element_at, not as
+      // inlined double literals: an ArrayType literal becomes a codegen
+      // REFERENCE object, so every iteration's generated source is
+      // byte-identical and the janino compile is paid once per session —
+      // the r17 JobProfile measured the per-iteration recompile (distinct
+      // inlined literals per iteration) as the dominant driver-side gap
+      // of this query (guide §1.2 per-task work).
+      val warr = typedlit(w.toSeq)
+      val lin = (0 until d1).map(i =>
+        if (i == 0) element_at(warr, 1)
+        else element_at(warr, i + 1) * col(s"z$i")).reduce(_ + _)
       val scored = z.select(col("*"),
-        expr(s"1.0 / (1.0 + exp(-($lin)))").as("__p"))
+        (lit(1.0) / (lit(1.0) + exp(-lin))).as("__p"))
         .select(col("*"),
           (col("__p") - col("y")).as("__diff"),
           (col("__p") * (lit(1.0) - col("__p"))).as("__s"))
@@ -793,9 +810,17 @@ object Scoring {
         h(i)(j) = r.getDouble(k); h(j)(i) = h(i)(j); k += 1
       }
       for (i <- 0 until d1) h(i)(i) += QcRidge
-      w = w.zip(solve(h, g)).map { case (wi, di) => wi - di }
+      val step = solve(h, g)
+      w = w.zip(step).map { case (wi, di) => wi - di }
+      // Newton is quadratically convergent: once the step is numerically
+      // zero relative to the weights, further iterations are full corpus
+      // passes that change nothing — skip them (at 100 TB each is a full
+      // pass over the feature frame). The tolerance is far below any
+      // decision boundary's sensitivity, so scores/verdicts are unchanged.
+      converged = step.map(math.abs).max <
+        1e-9 * math.max(1.0, w.map(math.abs).max)
+      iter += 1
     }
-    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(z)
     (w, mu, sd)
   }
 

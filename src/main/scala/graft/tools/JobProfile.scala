@@ -33,6 +33,7 @@ object JobProfile {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
     val taskTimeMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val nTasks = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val desc = Option(e.properties)
@@ -46,13 +47,15 @@ object JobProfile {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         taskTimeMs.addAndGet(e.stageInfo.taskMetrics.executorRunTime)
         nTasks.addAndGet(e.stageInfo.numTasks.toLong)
+        stages.add((e.stageInfo.stageId, e.stageInfo.name,
+          e.stageInfo.taskMetrics.executorRunTime, e.stageInfo.numTasks))
       }
     })
 
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       for (i <- 1 to reps) {
-        done.clear(); taskTimeMs.set(0L); nTasks.set(0L)
+        done.clear(); taskTimeMs.set(0L); nTasks.set(0L); stages.clear()
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
@@ -63,8 +66,15 @@ object JobProfile {
         println(f"[jobprofile] $name rep $i: wall=$wall%.3f s, jobs=${jl.size}, " +
           f"sum_job_wall=$jobWall%.3f s, task_time=${taskTimeMs.get / 1e3}%.3f s, " +
           f"tasks=${nTasks.get}, rows=$n")
-        if (i == reps) jl.foreach { case (id, ns, desc) =>
-          println(f"[jobprofile]   job $id%3d ${ns / 1e9}%7.3f s  $desc")
+        if (i == reps) {
+          jl.foreach { case (id, ns, desc) =>
+            println(f"[jobprofile]   job $id%3d ${ns / 1e9}%7.3f s  $desc")
+          }
+          // hottest stages by summed task time — where the compute lives
+          stages.toArray(Array.empty[(Int, String, Long, Int)])
+            .sortBy(-_._3).take(8).foreach { case (sid, nm, ms, nt) =>
+              println(f"[jobprofile]   stage $sid%4d ${ms / 1e3}%8.3f s task-time ($nt%3d tasks)  ${nm.take(110)}")
+            }
         }
       }
     }

@@ -23,6 +23,14 @@ object GraftBridge {
       df.queryExecution.analyzed,
       Nil, catalyst.expressions.NamedExpression.newExprId, Nil, None, None, None)
 
+  /** Non-blocking read of an [[Observation]]'s metrics (`getOrEmpty` is
+    * `private[sql]`): empty map until the observed action's listener has
+    * fired. Lets an iterative loop poll a metric that rides an eager
+    * checkpoint's job instead of paying a separate count job per round,
+    * with a bounded wait and an explicit fallback on the caller's side. */
+  def observationGetOrEmpty(o: Observation): Map[String, Any] =
+    o.getOrEmpty
+
   /** Unpersist the RDD behind a `localCheckpoint()`ed DataFrame. Iterative
     * algorithms (connected components) checkpoint each round; without this
     * the superseded rounds' blocks stay pinned until the session ends.
