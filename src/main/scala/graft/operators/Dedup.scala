@@ -1303,16 +1303,8 @@ object Dedup {
           (newLabel =!= col("label")).as("moved"))
         .observe(obs, coalesce(sum(col("moved").cast("long")), lit(0L)).as("n_moved"))
         .localCheckpoint()
-      changed = {
-        import org.apache.spark.sql.GraftBridge.observationGetOrEmpty
-        var polls = 0
-        var got = observationGetOrEmpty(obs)
-        while (got.isEmpty && polls < 100) {
-          Thread.sleep(10); got = observationGetOrEmpty(obs); polls += 1
-        }
-        got.get("n_moved").map(_.asInstanceOf[Long])
-          .getOrElse(next.filter(col("moved")).count())
-      }
+      changed = org.apache.spark.sql.GraftBridge.observedLong(obs, "n_moved")(
+        next.filter(col("moved")).count())
       unpersistLocalCheckpoint(labels) // superseded round's blocks
       labels = next.select("doc_id", "label")
       rounds += 1

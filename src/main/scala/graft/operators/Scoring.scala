@@ -70,20 +70,25 @@ object Scoring {
     // was incidentally paying for this parallelism)
     def tf: DataFrame = bigramOccurrences(Tables.parallelizeIfLarge(s,
       Tables.documents(s, d).select(col("doc_id"), col("text"))))
+    // the broadcast-decision row count rides the checkpoint job as an
+    // observed metric (r17 — the clusterLabels pattern): the separate
+    // count job re-read the checkpointed model frame once per invocation
+    val c2obs = org.apache.spark.sql.Observation()
     val c2 = tf.groupBy("bg").agg(sum("m").as("c2"))
-      .localCheckpoint() // vocabulary-sized; read by c1, the count, the join
+      .observe(c2obs, count(lit(1)).as("n"))
+      .localCheckpoint() // vocabulary-sized; read by c1 and the join
     val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("pre"))
       .agg(sum("c2").as("c1"))
     val v = Tables.parallelizeIfLarge(s, Tables.documents(s, d).select(col("text")))
       .select(explode(array_distinct(Portable.tokens(col("text")))).as("t"))
       .agg(countDistinct("t").as("v"))
-    // the broadcast decision is a driver-side count of the CHECKPOINTED
-    // vocab aggregate (one cheap job): an explicit hint, because a
-    // corpus-scale drill's model (~1M bigrams) sits above the 10 MB
-    // auto-broadcast threshold yet far under executor memory — exactly
-    // the join that must never shuffle the corpus-sized tf side
+    // the broadcast decision is the observed vocabulary size: an explicit
+    // hint, because a corpus-scale drill's model (~1M bigrams) sits above
+    // the 10 MB auto-broadcast threshold yet far under executor memory —
+    // exactly the join that must never shuffle the corpus-sized tf side
+    val nModel = org.apache.spark.sql.GraftBridge.observedLong(c2obs, "n")(c2.count())
     val (jc2, jc1) =
-      if (c2.count() <= LmModelBroadcastRows) (broadcast(c2), broadcast(c1))
+      if (nModel <= LmModelBroadcastRows) (broadcast(c2), broadcast(c1))
       else (c2, c1)
     scoreAgainstLm(tf, jc2, jc1, v, Tables.documents(s, d).select(col("doc_id")))
   }
@@ -755,6 +760,23 @@ object Scoring {
     * at 100 TB the difference is the whole feasibility of training.
     * Returns (weights [bias ∥ w₁..w_d], feature means, feature stds). */
   private def trainQc(feats: DataFrame): (Array[Double], Array[Double], Array[Double]) = {
+    // AQE is scoped OFF for the training loop (restored in the finally):
+    // every iteration is one global aggregate to a single row — no join
+    // to re-strategize, no skew to split, nothing to coalesce — so
+    // adaptive execution contributes only its per-stage materialization
+    // job and re-planning pass, once per Newton iteration at EVERY scale
+    // (driver latency, not data work). Measured locally: warm
+    // quality_classifier 3.03 → 2.32 s with AQE off for the loop. The
+    // rest of the query (the audit aggregate) keeps the session default.
+    val sess = feats.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = sess.conf.get(aqeKey)
+    sess.conf.set(aqeKey, "false")
+    try trainQcLoop(feats)
+    finally sess.conf.set(aqeKey, aqeBefore)
+  }
+
+  private def trainQcLoop(feats: DataFrame): (Array[Double], Array[Double], Array[Double]) = {
     val xs = (1 to QcDim).map(i => s"x$i")
     val statExprs = xs.flatMap(x => Seq(
       avg(x).as(s"m_$x"), coalesce(stddev_pop(x), lit(0.0)).as(s"s_$x")))

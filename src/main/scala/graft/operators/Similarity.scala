@@ -418,16 +418,43 @@ object Similarity {
     graft.functions.VecFunctions.register(s)
     val e = Tables.parallelize(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
-    val cents = e.filter(col("vec_id") < ivfCells(Tables.embeddings(s, d).count()))
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = e.join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
-        round(expr("vec_dot(embedding, cemb)") / (col("nrm") * col("cnrm")), 6).as("csim"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+    val k = ivfCells(Tables.embeddings(s, d).count())
+    // Literal-centroid argmax when the codebook is codegen-sized (every
+    // fixture SF) — the [[assignCells]] shape applied to the UNTRAINED
+    // first-k codebook (r17): the first-k centroid rows are a bounded
+    // driver collect (the codebook class), and the assignment becomes one
+    // narrow projection instead of a broadcast n×k fan-out + a
+    // (vec_id)-exchange + sort window. Value-identical by construction:
+    // the struct carries the ROUNDED 6-dp sim — greatest(struct(sim,
+    // -cid)) is exactly the window's (round-6 csim desc, cid asc)
+    // argmax, and lit(cnorm) is the same left-to-right double sum
+    // `vec_norm` computes. Large adaptive k keeps the join+window form
+    // (the [[LiteralAssignMaxCells]] janino bound).
+    val assigned =
+      if (k <= LiteralAssignMaxCells) {
+        val cents = ivfSeedCents(s, d, k)
+        val sims = cents.map { case (cid, emb) =>
+          val cnorm = math.sqrt(emb.map(v => v.toDouble * v.toDouble).sum)
+          val dot = expr(
+            s"vec_dot(embedding, CAST(array(${emb.mkString(",")}) AS ARRAY<FLOAT>))")
+          struct(round(dot / (col("nrm") * lit(cnorm)), 6).as("sim"),
+            lit(-cid).as("negc"))
+        }
+        val g = if (sims.size == 1) sims.head else greatest(sims: _*)
+        e.select(col("vec_id"), col("embedding"), col("nrm"),
+          (g.getField("negc") * -1).as("cell"))
+      } else {
+        val cents = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("cid").asc)
+        e.join(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+            round(expr("vec_dot(embedding, cemb)") / (col("nrm") * col("cnrm")), 6).as("csim"))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+      }
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"), col("cell"))
@@ -471,6 +498,19 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** The untrained first-k "codebook" of [[annIvfTopk]]/[[annIvfNprobeTopk]]
+    * as driver rows — the bounded k×64 collect class, shared so both
+    * queries collect the identical seed set. cid keeps the raw vec_id
+    * (the registered queries expose it as `cell`). */
+  private def ivfSeedCents(s: SparkSession, d: String,
+      k: Int): Seq[(Long, Array[Float])] =
+    Tables.embeddings(s, d).filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").toArray))
+      .sortBy(_._1).toSeq
+
   /** IVF with multi-cell probing (`nprobe = 2`) — THE recall/latency knob
     * of IVF serving: each query searches its two nearest coarse cells
     * instead of one, so a query sitting near a cell boundary still finds
@@ -485,19 +525,45 @@ object Similarity {
     graft.functions.VecFunctions.register(s)
     val e = Tables.parallelize(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), expr("vec_norm(embedding)").as("nrm"))
-    val cents = e.filter(col("vec_id") < ivfCells(Tables.embeddings(s, d).count()))
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid").asc)
-    val ranked = e.join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
-        round(expr("vec_dot(embedding, cemb)") / (col("nrm") * col("cnrm")), 6).as("csim"))
-      .withColumn("arn", row_number().over(wAssign))
-    val corpus = ranked.filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
-    val probes = ranked.filter(col("arn") <= 2 && col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-        col("nrm").as("qnrm"), col("cid").as("cell"))
+    val k = ivfCells(Tables.embeddings(s, d).count())
+    // literal fast path — see the [[annIvfTopk]] note: sort_array over
+    // (round-6 sim, -cid) structs descending IS the window's (csim desc,
+    // cid asc) ranking, so element 1 = arn 1 and slice(…, 1, 2) = arn ≤ 2
+    val (corpus, probes) =
+      if (k <= LiteralAssignMaxCells) {
+        val cents = ivfSeedCents(s, d, k)
+        val sims = cents.map { case (cid, emb) =>
+          val cnorm = math.sqrt(emb.map(v => v.toDouble * v.toDouble).sum)
+          val dot = expr(
+            s"vec_dot(embedding, CAST(array(${emb.mkString(",")}) AS ARRAY<FLOAT>))")
+          struct(round(dot / (col("nrm") * lit(cnorm)), 6).as("sim"),
+            lit(-cid).as("negc"))
+        }
+        val sorted = sort_array(array(sims: _*), asc = false)
+        val corpusL = e.select(col("vec_id"), col("embedding"), col("nrm"),
+          (element_at(sorted, 1).getField("negc") * -1).as("cell"))
+        val probesL = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("nrm").as("qnrm"),
+            explode(slice(sorted, 1, 2)).as("top"))
+          .select(col("qid"), col("qemb"), col("qnrm"),
+            (col("top").getField("negc") * -1).as("cell"))
+        (corpusL, probesL)
+      } else {
+        val cents = e.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("cid").asc)
+        val ranked = e.join(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+            round(expr("vec_dot(embedding, cemb)") / (col("nrm") * col("cnrm")), 6).as("csim"))
+          .withColumn("arn", row_number().over(wAssign))
+        (ranked.filter(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell")),
+         ranked.filter(col("arn") <= 2 && col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("nrm").as("qnrm"), col("cid").as("cell")))
+      }
     val wRank = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     probes.join(corpus, Seq("cell"))

@@ -31,6 +31,20 @@ object GraftBridge {
   def observationGetOrEmpty(o: Observation): Map[String, Any] =
     o.getOrEmpty
 
+  /** Bounded-wait read of one long metric off an [[Observation]] whose
+    * action (an eager localCheckpoint, typically) has already run: polls
+    * ~1 s for the async listener, then falls back to the caller's
+    * recompute so a missed metric degrades to the old extra job, never to
+    * a wrong value. */
+  def observedLong(o: Observation, key: String)(fallback: => Long): Long = {
+    var polls = 0
+    var got = o.getOrEmpty
+    while (got.isEmpty && polls < 100) {
+      Thread.sleep(10); got = o.getOrEmpty; polls += 1
+    }
+    got.get(key).map(_.asInstanceOf[Long]).getOrElse(fallback)
+  }
+
   /** Unpersist the RDD behind a `localCheckpoint()`ed DataFrame. Iterative
     * algorithms (connected components) checkpoint each round; without this
     * the superseded rounds' blocks stay pinned until the session ends.
