@@ -246,7 +246,16 @@ object Dedup {
       .join(docsArr.hint("shuffle_hash").select(col("doc_id").as("doc_b"),
         col("gs").as("gb"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ga"), col("gb"))).cast("double").as("inter"),
+        // native merge-count over the sorted distinct gram arrays — see
+        // [[graft.functions.SortedLongIntersectCount]]: value-identical to
+        // size(array_intersect(ga, gb)) here, no per-pair hash set or
+        // intersection-array allocation (r17)
+        {
+          import org.apache.spark.sql.GraftBridge.{column, expression}
+          column(graft.functions.SortedLongIntersectCount(
+            expression(col("ga")), expression(col("gb"))))
+            .cast("double").as("inter")
+        },
         col("na"), col("nb"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4)

@@ -264,8 +264,12 @@ object Packing {
             .sortWithinPartitions("xk")
             .write.mode("overwrite").parquet(s"$out/linear")
         })
-      try writes.foreach(Await.result(_, Duration.Inf))
-      finally pool.shutdown()
+      // settle BOTH futures before unpersisting (a failed first write
+      // must not leave the second racing the cache teardown), then
+      // rethrow the first failure
+      val settled = writes.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      pool.shutdown()
+      settled.foreach(_.get)
     } finally { keyed.unpersist(); () }
   }
 

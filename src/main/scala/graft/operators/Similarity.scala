@@ -1394,6 +1394,11 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 3)
       .select("qid", "rank", "vec_id", "cosine")
+      // array-free (the semdedup checkpoint rule) and read FOUR times —
+      // both serve-side semi joins, the nq aggregate, and the output
+      // crossJoin; without this the brute-force probe×corpus window (the
+      // query's hottest stage) re-executes per consumer (r17)
+      .localCheckpoint()
     val np = growNprobe(growServeCodebookSize(s, d))
     val grownHits = truth
       .join(annFromIndexGrown(s, probes, dir, np), Seq("qid", "vec_id"), "left_semi")
