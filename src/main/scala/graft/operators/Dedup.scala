@@ -119,9 +119,10 @@ object Dedup {
     * equi-self-join on the gram key (i<j): the join IS the inverted
     * index — Spark hash-partitions by gram and streams each posting list's
     * pairs without ever materializing it, entirely inside whole-stage
-    * codegen. Jaccard additionally prefix-filters the indexed stream
+    * codegen. Jaccard prefix-filters BOTH sides of the indexed stream
     * ([[jaccardCandidates]]) so only ~(1−τ) of each doc's grams enter the
-    * join; containment joins the full retained stream ([[gramPairCounts]]).
+    * join; containment prefix-filters the smaller side of each pair only
+    * (see [[dedupContainment]] — its bound is asymmetric).
     *
     * Grams are fingerprinted to 64-bit longs (`xxhash64`) right after the
     * explode, so every downstream shuffle/join keys on 8 bytes instead of a
@@ -154,20 +155,6 @@ object Dedup {
     // stop-grams are RARE by construction → broadcast anti-join, narrow
     grams.join(broadcast(hot), Seq("g"), "left_anti")
   }
-
-  /** Per-pair shared-gram counts (doc_a, doc_b, inter) off the retained
-    * inverted index — the EXACT candidate stage, kept for
-    * [[dedupContainment]]: containment's o ≥ 0.9·min(na,nb) bound gives a
-    * long document no short universal prefix (the required prefix length
-    * depends on the partner's size), so prefix filtering does not transfer
-    * without length-grouped indexes. Jaccard, whose bound is symmetric,
-    * uses the ppjoin-filtered [[jaccardCandidates]] stage instead. */
-  private def gramPairCounts(retained: DataFrame): DataFrame =
-    retained.as("a")
-      .join(retained.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
 
   /** Prefix-filter threshold, deliberately just UNDER the reported 0.8:
     * both engines filter on the 4-dp ROUNDED jaccard, so a pair with true
@@ -2014,27 +2001,84 @@ object Dedup {
     * dominated by the long doc) but containment 1.0. Standard next to
     * MinHash in dedup stacks (containment search à la suffix filtering).
     *
-    * Same inverted-index candidate stage as [[jaccardPairs]] (stop-gram
-    * cap, xxhash64 gram keys, equi-join — the scale path is identical and
-    * already slope-measured), then both directed ratios per pair; a pair
-    * is emitted when either direction ≥ 0.9 on the 4-dp-rounded value, so
-    * the oracle's identical rounding cannot disagree at the threshold.
+    * Same inverted index as [[jaccardPairs]] (stop-gram cap, xxhash64
+    * gram keys), then both directed ratios per pair; a pair is emitted
+    * when either direction ≥ 0.9 on the 4-dp-rounded value, so the
+    * oracle's identical rounding cannot disagree at the threshold.
     *
-    * SCALE CONTRACT: same as [[dedupNgramJaccard]] — exact verify is a
-    * ≤×300 tool (100.9 s at ×300); at the third decade the shared
-    * gram-pair shuffle is spill-bound (373.9 s at ×1000 only when run
-    * alone with the full scratch disk). Past ×300 use [[dedupMinhashLsh]]
-    * to generate candidates and this operator to verify them.
+    * Candidate stage (r17): the emission test
+    * greatest(inter/na, inter/nb) ≥ 0.9 is inter ≥ 0.89995·min(na,nb)
+    * after rounding, so a DIRECTED prefix filter is lossless even though
+    * containment admits no size-ratio filter: for each pair, the SMALLER
+    * document must share ≥ α = ⌈τ·n_small⌉ grams, hence its first
+    * n − ⌈τ·n⌉ + 1 grams in the canonical (hash) order must contain a
+    * shared gram (prefix-filter lemma) — the larger side stays
+    * unfiltered, which is exactly the asymmetry that blocks a symmetric
+    * ppjoin prefix. The equi-join therefore indexes only each doc's ~10%
+    * prefix against the full stream (ordering predicate n_a < n_b, doc_id
+    * tiebreak, picks the smaller side's prefix exactly once per pair),
+    * with the same per-row-lossless positional bound as
+    * [[jaccardCandidates]]: min(pa,pb) + 1 + min(na−pa−1, nb−pb−1) ≥ α.
+    * Verify re-derives the exact inter on the full sorted arrays with
+    * [[graft.functions.SortedLongIntersectCount]] — value-identical to
+    * the former gram-pair groupBy count (arrays are distinct by
+    * construction), so the output is bit-for-bit the oracle's.
+    *
+    * Measured ×100 (r17 drill, unchanged-jaccard control in band):
+    * t_big 28.75 → 15.20 s, exponent 0.585 → 0.36.
+    *
+    * SCALE CONTRACT: exact verify remains a ≤×300 tool (pre-prefix it
+    * measured 100.9 s at ×300 and was spill-bound at ×1000: 373.9 s only
+    * when run alone with the full scratch disk; the r17 prefix cuts the
+    * pair shuffle ~10× but the verify is still exact/quadratic in the
+    * surviving candidates). Past ×300 use [[dedupMinhashLsh]] to generate
+    * candidates and this operator's verify to confirm them.
     */
-  def dedupContainment(s: SparkSession, d: String): DataFrame = {
-    val retained = retainedGrams(gramSetDF(s, d))
-    val sizes = retained.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    gramPairCounts(retained)
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+  /** Prefix threshold just UNDER the 0.89995 rounding boundary (same
+    * float-margin rule as [[JaccardTau]]). */
+  private val ContainTau = 0.8999
+
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(gramSetDF(s, d))
+
+  /** The df-level containment pipeline over any `(doc_id, grams)` frame —
+    * the seam `ContainmentProps` drives with random planted-subset
+    * corpora to prove the directed prefix filter lossless. */
+  private[graft] def containmentPairs(gramSets: DataFrame): DataFrame = {
+    val docsArr = jaccardDocArrays(retainedGrams(gramSets))
+    val full = docsArr.select(col("doc_id"), col("n"),
+      posexplode(col("gs")).as(Seq("p", "g")))
+    val prefix = docsArr.select(col("doc_id"), col("n"),
+      posexplode(slice(col("gs"), lit(1),
+        (col("n") - ceil(col("n") * ContainTau) + lit(1)).cast("int")))
+        .as(Seq("p", "g")))
+    val alpha = ceil(col("a.n") * ContainTau)
+    val cands = prefix.as("a").join(full.as("b"),
+        col("a.g") === col("b.g") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))) &&
+          least(col("a.p"), col("b.p")) + 1 +
+            least(col("a.n") - col("a.p") - 1, col("b.n") - col("b.p") - 1)
+            >= alpha)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    cands
+      .join(docsArr.hint("shuffle_hash").select(col("doc_id").as("doc_a"),
+        col("gs").as("ga"), col("n").as("na")), Seq("doc_a"))
+      .join(docsArr.hint("shuffle_hash").select(col("doc_id").as("doc_b"),
+        col("gs").as("gb"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / col("na"), 4).as("containment_a"),
-        round(col("inter").cast("double") / col("nb"), 4).as("containment_b"))
+        {
+          import org.apache.spark.sql.GraftBridge.{column, expression}
+          column(graft.functions.SortedLongIntersectCount(
+            expression(col("ga")), expression(col("gb"))))
+            .cast("double").as("inter")
+        },
+        col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / col("na"), 4).as("containment_a"),
+        round(col("inter") / col("nb"), 4).as("containment_b"))
       .filter(greatest(col("containment_a"), col("containment_b")) >= 0.9)
       .orderBy("doc_a", "doc_b")
   }

@@ -3005,6 +3005,18 @@ object Similarity {
     * lower vec_id. Candidate and pair frames are per-probe bounded
     * (≤ 8 and ≤ 64 rows), so at scale the whole tail after the ANN
     * candidate generation is a narrow per-probe computation.
+    *
+    * r17: the tail IS that per-probe computation now — candidates and
+    * pair cosines fold into one row per probe (two bounded collect_list
+    * aggregates) and the three unrolled steps run as array expressions in
+    * a single projection, replacing the former 10-join/2-window chain
+    * (each step's argmax = array_max over (score, −vec_id) structs,
+    * which compares doubles exactly as SortOrder does, −0.0 < 0.0
+    * included, so the tie-break is bit-identical to the old
+    * row_number(score desc, vec_id asc); each step's coefficients are
+    * the same 0.7/0.3 literals multiplied in the same order, so every
+    * score is the same double). `MmrProps` drives this frame against a
+    * plain-Scala MMR on random tie-heavy corpora.
     */
   def annMmrTopk(s: SparkSession, d: String): DataFrame =
     annMmrTopkFrame(
@@ -3018,54 +3030,54 @@ object Similarity {
     // as 1 − 0.7 yields 0.30000000000000004, a different double than the
     // oracle's literal 0.3 — enough to flip an exact-tie argmax between
     // engines (review finding; the spec's brute force uses 0.3 too)
-    val lam = 0.7
-    val pen = 0.3
-    // the unrolled MMR steps reference the candidate and pair frames 3×
-    // each — checkpoint each ARRAY-FREE frame exactly once (the semdedup
-    // rule: long/double columns only), so the brute-force candidate stage
-    // runs once, and the pair cosines read scan-backed float arrays (the
-    // vec_dot unsafe fast path), not deserialized checkpoint rows
+    // candidates read twice (the per-probe fold and the pair stage) —
+    // checkpoint the ARRAY-FREE frame once (the semdedup rule: long/double
+    // columns only), so the brute-force stage runs once and the pair
+    // cosines read scan-backed float arrays (the vec_dot unsafe fast
+    // path), not deserialized checkpoint rows
     val cands = bruteTopk(e, 8).localCheckpoint()
-    val base = cands.select(col("qid"), col("vec_id"),
-      col("cosine").as("rel"), col("rank"))
     val cf = cands.join(e, "vec_id")
     val pairs = cf.as("a").join(cf.as("b"),
         col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.qid").as("pqid"), col("a.vec_id").as("av"),
+      .select(col("a.qid").as("qid"), col("a.vec_id").as("av"),
         col("b.vec_id").as("bv"),
         round(cosine(col("a.embedding"), col("b.embedding")), 4).as("sim"))
-      .localCheckpoint()
-    val s1 = base.filter(col("rank") === 1)
-      .select(col("qid"), col("vec_id").as("p1"), col("rel").as("rel1"))
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
-    val s2 = base.join(s1, "qid").filter(col("vec_id") =!= col("p1"))
-      .join(pairs, col("pqid") === col("qid") &&
-        col("av") === col("vec_id") && col("bv") === col("p1"))
-      .select(col("qid"), col("vec_id"), col("rel"),
-        (lit(lam) * col("rel") - lit(pen) * col("sim")).as("score"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("qid"), col("vec_id").as("p2"), col("rel").as("rel2"))
-    val pa = pairs.select(col("pqid").as("q1"), col("av").as("a1"),
-      col("bv").as("b1"), col("sim").as("sim1"))
-    val pb = pairs.select(col("pqid").as("q2"), col("av").as("a2"),
-      col("bv").as("b2"), col("sim").as("sim2"))
-    val s3 = base.join(s1, "qid").join(s2, "qid")
-      .filter(col("vec_id") =!= col("p1") && col("vec_id") =!= col("p2"))
-      .join(pa, col("q1") === col("qid") &&
-        col("a1") === col("vec_id") && col("b1") === col("p1"))
-      .join(pb, col("q2") === col("qid") &&
-        col("a2") === col("vec_id") && col("b2") === col("p2"))
-      .select(col("qid"), col("vec_id"), col("rel"),
-        (lit(lam) * col("rel") -
-          lit(pen) * greatest(col("sim1"), col("sim2"))).as("score"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("qid"), col("vec_id").as("p3"), col("rel").as("rel3"))
-    s1.select(col("qid"), lit(1).as("pick"), col("p1").as("vec_id"),
-        col("rel1").as("rel"))
-      .unionAll(s2.select(col("qid"), lit(2).as("pick"),
-        col("p2").as("vec_id"), col("rel2").as("rel")))
-      .unionAll(s3.select(col("qid"), lit(3).as("pick"),
-        col("p3").as("vec_id"), col("rel3").as("rel")))
+    // one row per probe: candidates sorted by rank (≤ 8 structs) + the
+    // pair-cosine table (≤ 56 structs); left join — a 1-candidate probe
+    // has no pairs, and its null ps nulls s2/s3 exactly as the old inner
+    // joins emitted nothing for it
+    val cArr = cands.groupBy("qid")
+      .agg(sort_array(collect_list(struct(col("rank"), col("vec_id"),
+        col("cosine")))).as("cs"))
+    val pArr = pairs.groupBy("qid")
+      .agg(collect_list(struct(col("av"), col("bv"), col("sim"))).as("ps"))
+    // the three unrolled MMR steps as array expressions; `sim(x, y)` is a
+    // lookup in ps, argmax is array_max over (score, −vec_id, …) structs
+    def simTo(cv: String, pv: String): String =
+      s"element_at(filter(ps, p -> p.av = $cv AND p.bv = $pv), 1).sim"
+    val sel = cArr.join(pArr, Seq("qid"), "left")
+      .withColumn("p1", expr("element_at(cs, 1)"))
+      .withColumn("s2", expr(
+        s"""array_max(transform(
+           |  filter(cs, c -> c.vec_id != p1.vec_id),
+           |  c -> named_struct(
+           |    'score', 0.7D * c.cosine - 0.3D * ${simTo("c.vec_id", "p1.vec_id")},
+           |    'nid', -c.vec_id, 'vec_id', c.vec_id, 'rel', c.cosine)))""".stripMargin))
+      .withColumn("s3", expr(
+        s"""array_max(transform(
+           |  filter(cs, c -> c.vec_id != p1.vec_id AND c.vec_id != s2.vec_id),
+           |  c -> named_struct(
+           |    'score', 0.7D * c.cosine - 0.3D * greatest(
+           |      ${simTo("c.vec_id", "p1.vec_id")}, ${simTo("c.vec_id", "s2.vec_id")}),
+           |    'nid', -c.vec_id, 'vec_id', c.vec_id, 'rel', c.cosine)))""".stripMargin))
+    sel.select(col("qid"), explode(expr(
+        """filter(array(
+          |  named_struct('pick', 1, 'vec_id', p1.vec_id, 'rel', p1.cosine),
+          |  named_struct('pick', 2, 'vec_id', s2.vec_id, 'rel', s2.rel),
+          |  named_struct('pick', 3, 'vec_id', s3.vec_id, 'rel', s3.rel)),
+          |  x -> x.vec_id IS NOT NULL)""".stripMargin)).as("s"))
+      .select(col("qid"), col("s.pick").as("pick"),
+        col("s.vec_id").as("vec_id"), col("s.rel").as("rel"))
       .orderBy("qid", "pick")
   }
 
