@@ -60,14 +60,41 @@ object Similarity {
   private def bruteTopk(e: DataFrame, k: Int): DataFrame = {
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
+    // rank ≤ k as a bounded partial aggregate, not a window (r17): the
+    // probe×corpus stream reduces to ≤ k rows per probe on the map side,
+    // so the qid exchange carries O(panel × k × partitions) rows instead
+    // of the full O(panel × corpus) stream it used to shuffle AND sort.
+    // Rank equivalence (incl. ±0.0/NaN double semantics) is the
+    // [[graft.functions.CosineTopKAggregator]] contract, pinned by
+    // TopKAggProps against this very window form.
     q.join(e.select(col("vec_id"), col("embedding")), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qemb"), col("embedding")), 4).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "cosine")
+      .transform(topkByQid(k))
+  }
+
+  /** The shared window→aggregate top-k fold: (qid, vec_id, cosine) in,
+    * (qid, carry..., rank, vec_id, cosine) out, rank = position in the
+    * (cosine desc, vec_id asc) order — byte-identical to
+    * `row_number().over(...)` ≤ k (the aggregator's scaladoc carries the
+    * double-ordering proof obligations). `carry` names columns that are
+    * CONSTANT within a qid group (e.g. the LSH probe's bucket — a join
+    * key) and ride along as `min(c)`, which equals that constant. */
+  private[graft] def topkByQid(k: Int, carry: Seq[String] = Nil)(
+      scored: DataFrame): DataFrame = {
+    val tk = udaf(new graft.functions.CosineTopKAggregator(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val aggs = tk(col("cosine"), col("vec_id")).as("tk") +:
+      carry.map(c => min(col(c)).as(c))
+    scored.groupBy("qid")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("qid") +: carry.map(col) :+
+        posexplode(col("tk")).as(Seq("pos", "s")): _*)
+      .select(col("qid") +: carry.map(col) :+
+        (col("pos") + 1).cast("int").as("rank") :+
+        col("s._2").as("vec_id") :+ col("s._1").as("cosine"): _*)
   }
 
   val annBruteforceTopkSql: String =
@@ -136,14 +163,13 @@ object Similarity {
       .withColumn("bucket", bucketExpr.cast("long"))
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("bucket"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
+    // rank ≤ 3 via the bounded partial aggregate (see [[topkByQid]]);
+    // bucket is the join key, hence constant per qid, and rides as carry
     q.join(e, Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("bucket"), col("vec_id"),
         round(cosine(col("qemb"), col("embedding")), 4).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .transform(topkByQid(3, Seq("bucket")))
       .select("qid", "bucket", "rank", "vec_id", "cosine")
       .orderBy("qid", "rank")
   }
@@ -1384,20 +1410,19 @@ object Similarity {
       .localCheckpoint() // probes + truth corpus: read 3×
     val probes = nz.filter(isArrival && col("vec_id") % 20 === 0 &&
       col("vec_id") < 2000)
-    val wRank = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
+    // top-3 via the bounded partial aggregate ([[topkByQid]]) — the
+    // probe×corpus truth stream reduces map-side instead of shuffling
+    // O(panel × corpus) rows into a per-qid sort (r17)
     val truth = probes
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
       .join(nz, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qemb"), col("embedding")), 4).as("cosine"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 3)
-      .select("qid", "rank", "vec_id", "cosine")
+      .transform(topkByQid(3))
       // array-free (the semdedup checkpoint rule) and read FOUR times —
       // both serve-side semi joins, the nq aggregate, and the output
-      // crossJoin; without this the brute-force probe×corpus window (the
-      // query's hottest stage) re-executes per consumer (r17)
+      // crossJoin; without this the brute-force probe×corpus truth pass
+      // (the query's hottest stage) re-executes per consumer (r17)
       .localCheckpoint()
     val np = growNprobe(growServeCodebookSize(s, d))
     val grownHits = truth
