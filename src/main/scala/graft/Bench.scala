@@ -458,7 +458,22 @@ object Bench {
       } else System.err.println(
         s"bench: floors NOT updated — file is for ${floorsFileSf.get}, this run is $sfBase")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(warm)},"queries_cold":${timesJson(cold)},"cold_total":$coldTotal,"warm_passes":3,"probe_query":"$ProbeQuery","probe_before_sec":$probeBefore,"probe_after_sec":$probeAfter,"probe_samples":$probeSamplesJson,"probes":$probesJson,"pass_scales":$passScalesJson,"noise_index":$noiseIndex,"noise_index_def":"max/min over probe 1's 4 interleaved samples (v2 since r13)","noise_scale":${num("%.3f", noiseScale)},"host_band":${num("%.3f", hostBand)},"host_band_def":"max over probes of (min interleaved sample / committed floor); ~1.0 = idle host, read cross-round cold_total/warm deltas against it","probe_regression":$probeRegression,"uncorrected_over_factor":$maskedJson,"cold_band":$coldBandJson,"floors_sf":"${if (floors.nonEmpty) sfBase else ""}","regressions":$regressionsJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}""")
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(warm)},"queries_cold":${timesJson(cold)},"cold_total":$coldTotal,"warm_passes":3,"probe_query":"$ProbeQuery","probe_before_sec":$probeBefore,"probe_after_sec":$probeAfter,"probe_samples":$probeSamplesJson,"probes":$probesJson,"pass_scales":$passScalesJson,"noise_index":$noiseIndex,"noise_index_def":"max/min over probe 1's 4 interleaved samples (v2 since r13)","noise_scale":${num("%.3f", noiseScale)},"host_band":${num("%.3f", hostBand)},"host_band_def":"max over probes of (min interleaved sample / committed floor); ~1.0 = idle host, read cross-round cold_total/warm deltas against it","probe_regression":$probeRegression,"uncorrected_over_factor":$maskedJson,"cold_band":$coldBandJson,"floors_sf":"${if (floors.nonEmpty) sfBase else ""}","regressions":$regressionsJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$failedJson,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // Sidecar mirror of the one-line JSON (r18, VERDICT r17 item 3): the
+    // r16→r17 driver comparison came up EMPTY because the driver archives
+    // only a bounded stdout tail and the per-query dict outgrew it, so
+    // the archived line no longer parsed. The file is the whole-line copy
+    // a reader can always load; stdout keeps the contract line unchanged.
+    // Additive only — full runs AND subset runs write it (it records its
+    // own `sf` and query set, so a reader can tell them apart).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "bench_last.json")),
+      jsonLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"bench: sidecar write failed: $e")
+    }
     if (failed.nonEmpty) System.err.println(s"bench: ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()
   }

@@ -97,6 +97,33 @@ object Similarity {
         col("s._2").as("vec_id") :+ col("s._1").as("cosine"): _*)
   }
 
+  /** Payload-carrying, direction-parameterized sibling of [[topkByQid]]
+    * (r18): `(qid, vec_id, <score>, <payload:long>)` in,
+    * `(qid, rank, vec_id, <score>, <payload>)` out — byte-identical to
+    * `row_number().over(partitionBy(qid).orderBy(score asc|desc,
+    * vec_id asc)) <= k` with the payload riding its row (the
+    * [[graft.functions.PayloadTopKAggregator]] ordering contract:
+    * nanSafe double semantics in both directions, ids distinct per
+    * group). `asc = true` serves the ADC distance ranks, `asc = false`
+    * the cosine ranks whose per-candidate `cell` cannot ride as a
+    * group-constant carry. */
+  private[graft] def topkPayload(k: Int, asc: Boolean, score: String,
+      payload: String)(scored: DataFrame): DataFrame = {
+    val tk = udaf(new graft.functions.PayloadTopKAggregator(k, asc),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    scored.groupBy("qid")
+      .agg(tk(col(score), col("vec_id"), col(payload)).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("qid"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("s._2").as("vec_id"),
+        col("s._1").as(score),
+        col("s._3").as(payload))
+  }
+
   val annBruteforceTopkSql: String =
     s"""WITH scored AS (
        |  SELECT p.vec_id AS qid, q.vec_id AS vec_id, $cosineSqlPQ AS cosine
@@ -945,15 +972,27 @@ object Similarity {
     * cell-assigned corpus, self-match excluded, cosine top-3 per probe.
     */
   private def serveCells(q: DataFrame, corpus: DataFrame): DataFrame = {
-    val wRank = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    q.join(corpus, Seq("cell"))
+    // rank <= 3 as the payload-carrying bounded aggregate, not a window
+    // (r18, the batch-6 fold applied to the serve path): candidates per
+    // probe are bounded by cell occupancy, which grows ∝ n past the
+    // IvfMaxCells knee — the window shuffled AND sorted that full stream
+    // per qid; the aggregate reduces each partition to <= 3 rows per
+    // probe map-side. `cell` is per-candidate (each corpus vector lives
+    // in one cell), so it rides as the aggregate's payload; ranking
+    // equivalence is the [[graft.functions.PayloadTopKAggregator]]
+    // contract, pinned by PayloadTopKAggProps against this very window
+    // form. Candidate (qid, vec_id) pairs are distinct by construction:
+    // a corpus vector joins through exactly one cell row.
+    val joined = q.join(corpus, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("cell"), col("vec_id"),
-        round(expr("vec_dot(qemb, embedding)") / (col("qnrm") * col("nrm")), 4).as("cosine"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 3)
-      .select("qid", "cell", "rank", "vec_id", "cosine")
+    val cellType = joined.schema("cell").dataType
+    joined
+      .select(col("qid"), col("vec_id"),
+        round(expr("vec_dot(qemb, embedding)") / (col("qnrm") * col("nrm")), 4).as("cosine"),
+        col("cell").cast("long").as("cellp"))
+      .transform(topkPayload(3, asc = false, "cosine", "cellp"))
+      .select(col("qid"), col("cellp").cast(cellType).as("cell"),
+        col("rank"), col("vec_id"), col("cosine"))
       .orderBy("qid", "rank")
   }
 
@@ -1217,20 +1256,32 @@ object Similarity {
     * stale row visible to probes of the old cell — compaction's global
     * latest-wins removes it. */
   private def serveCellsLatest(q: DataFrame, corpus: DataFrame): DataFrame = {
-    val wLatest = Window.partitionBy("qid", "vec_id")
-      .orderBy(col("batch_id").desc)
-    val wRank = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    q.join(corpus, Seq("cell"))
+    // Both windows folded into aggregates (r18). The batch-latest dedup
+    // becomes a (qid, vec_id)-keyed max over (batch_id, cosine, cell)
+    // structs — (qid, vec_id, batch_id) is unique by construction (base
+    // holds each vec_id once, a batch directory holds each vec_id once),
+    // so max-by-batch_id selects exactly the window's rn = 1 row; the
+    // cosine is computed BEFORE the exchange so the dedup shuffle carries
+    // ~40 bytes/candidate instead of the two 64-float embeddings the
+    // window form dragged through it (guide §2.3: shuffle metadata, not
+    // payloads — the stale-row cosines this pre-computes are the rare
+    // re-ingest duplicates). The rank <= 3 then folds exactly as
+    // [[serveCells]] does.
+    val joined = q.join(corpus, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("rn", row_number().over(wLatest))
-      .filter(col("rn") === 1)
-      .select(col("qid"), col("cell"), col("vec_id"),
+    val cellType = joined.schema("cell").dataType
+    joined
+      .select(col("qid"), col("vec_id"), col("batch_id"),
         round(expr("vec_dot(qemb, embedding)") / (col("qnrm") * col("nrm")), 4)
-          .as("cosine"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 3)
-      .select("qid", "cell", "rank", "vec_id", "cosine")
+          .as("cosine"),
+        col("cell").cast("long").as("cellp"))
+      .groupBy("qid", "vec_id")
+      .agg(max(struct(col("batch_id"), col("cosine"), col("cellp"))).as("m"))
+      .select(col("qid"), col("vec_id"),
+        col("m.cosine").as("cosine"), col("m.cellp").as("cellp"))
+      .transform(topkPayload(3, asc = false, "cosine", "cellp"))
+      .select(col("qid"), col("cellp").cast(cellType).as("cell"),
+        col("rank"), col("vec_id"), col("cosine"))
       .orderBy("qid", "rank")
   }
 
@@ -1975,11 +2026,17 @@ object Similarity {
     val adc = (0 until PqSubspaces).map(sub =>
       element_at(element_at(col("dts"), sub + 1), col(s"code_$sub") + 1))
       .reduce(_ + _)
-    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
+    // rank <= 3 as the ASCENDING bounded top-k aggregate (r18): the
+    // window form's partial WindowGroupLimit already bounded the exchange
+    // rows, but it paid a FULL partition-local sort of the scored stream
+    // (the plan's Sort under WindowGroupLimit) — the aggregate replaces
+    // that sort with one comparison against the running 3rd-best per row.
+    // Ascending-distance rank equivalence (NaN last under asc, ±0.0 ties
+    // to vec_id) is the PayloadTopKAggregator contract.
     queries.join(codes, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), round(adc, 4).as("adc"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"), round(adc, 4).as("adc"),
+        lit(0L).as("nopay"))
+      .transform(topkPayload(3, asc = true, "adc", "nopay"))
       .select("qid", "rank", "vec_id", "adc")
       .orderBy("qid", "rank")
   }
@@ -2056,20 +2113,22 @@ object Similarity {
     val adc = (0 until PqSubspaces).map(sub =>
       element_at(element_at(col("dts"), sub + 1), col(s"code_$sub") + 1))
       .reduce(_ + _)
-    val wPool = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
+    // both ranks as bounded top-k aggregates (r18): the pool rank is the
+    // corpus-sized stage — the ascending aggregate drops the full
+    // partition-local sort the WindowGroupLimit form paid and reduces to
+    // <= poolN rows per probe map-side; the final rerank rank is
+    // pool-bounded and reuses the shared [[topkByQid]] fold.
     val pool = q.join(codes, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), round(adc, 4).as("adc"))
-      .withColumn("prank", row_number().over(wPool))
-      .filter(col("prank") <= poolN)
+      .select(col("qid"), col("vec_id"), round(adc, 4).as("adc"),
+        lit(0L).as("nopay"))
+      .transform(topkPayload(poolN, asc = true, "adc", "nopay"))
       .select("qid", "vec_id")
-    val wFinal = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
     pool
       .join(broadcast(queries), Seq("qid"))
       .join(corpusEmb, Seq("vec_id"))
       .select(col("qid"), col("vec_id"),
         round(cosine(col("qemb"), col("embedding")), 4).as("cosine"))
-      .withColumn("rank", row_number().over(wFinal))
-      .filter(col("rank") <= k)
+      .transform(topkByQid(k))
       .select("qid", "rank", "vec_id", "cosine")
   }
 
@@ -2186,13 +2245,19 @@ object Similarity {
     val adc = (0 until PqSubspaces).map(sub =>
       element_at(element_at(col("dts"), sub + 1), col(s"code_$sub") + 1))
       .reduce(_ + _)
-    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
-    q.join(corpus, Seq("cell"))
+    // ascending bounded top-k with the per-candidate cell as payload
+    // (r18): same sort-elimination as [[pqAdcTopk]], same payload
+    // rationale as [[serveCells]] — candidates are the probe's own cell,
+    // so (qid, vec_id) is unique and the cell rides the aggregate.
+    val joined = q.join(corpus, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("cell"), col("vec_id"), round(adc, 4).as("adc"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select("qid", "cell", "rank", "vec_id", "adc")
+    val cellType = joined.schema("cell").dataType
+    joined
+      .select(col("qid"), col("vec_id"), round(adc, 4).as("adc"),
+        col("cell").cast("long").as("cellp"))
+      .transform(topkPayload(3, asc = true, "adc", "cellp"))
+      .select(col("qid"), col("cellp").cast(cellType).as("cell"),
+        col("rank"), col("vec_id"), col("adc"))
       .orderBy("qid", "rank")
   }
 
@@ -2602,60 +2667,123 @@ object Similarity {
     // co-cluster floor thousands of pair samples at any SF, and every
     // PROVABLE verdict below is stated over the probe family, where it
     // remains provable.
+    // doc conservation stats ride the truth-pass checkpoint job as
+    // observed metrics (r18, the dedupClusters mover-count discipline):
+    // the truth join's STREAMED side scans every flags row exactly once,
+    // so counting docs/dropped/kept there replaces the separate
+    // full-corpus docStats aggregate job. The three counts are still
+    // MEASURED off the flags relation (not derived from each other), so
+    // the conservation verdict keeps its bite; the count fallback keeps
+    // the verdicts correct if the async metric never lands.
+    val docObs = org.apache.spark.sql.Observation()
+    val pairObs = org.apache.spark.sql.Observation()
     val truePairs = broadcast(flags.filter(col("vec_id") < SemdedupProbes).as("p"))
-      .join(flags.as("q"), col("p.vec_id") < col("q.vec_id"))
+      .join(flags.observe(docObs,
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(when(col("dropped"), 1L).otherwise(0L)), lit(0L))
+            .as("n_dropped"),
+          coalesce(sum(when(!col("dropped"), 1L).otherwise(0L)), lit(0L))
+            .as("n_kept"),
+          // the orphan check's flag-path side (≤ [[SemdedupProbes]] ids)
+          // rides the same pass — bounded-collect class
+          collect_set(when(col("dropped") && col("vec_id") < SemdedupProbes,
+            col("vec_id"))).as("dropped_probes"))
+        .as("q"), col("p.vec_id") < col("q.vec_id"))
       .select(
         col("p.vec_id").as("a"), col("q.vec_id").as("b"),
+        // per-side drop flags (r18): the orphan check below reads them
+        // off this one pass instead of running its own probe×corpus join
+        col("p.dropped").as("a_dropped"), col("q.dropped").as("b_dropped"),
         // "co-clustered" = same EFFECTIVE prune scope (cell, sub): the
         // verdicts quantify over the pairs the prune actually compares.
         // Below the sub-split bound sub ≡ 0 and this is exactly the old
         // same-cell predicate (every oracle fixture).
         (col("p.cell") === col("q.cell") && col("p.sub") === col("q.sub"))
           .as("same_cell"),
-        (col("p.dropped") || col("q.dropped")).as("any_dropped"),
         round(expr("vec_dot(p.embedding, q.embedding)") / (col("p.nrm") * col("q.nrm")), 4)
           .as("cosine"))
       .filter(col("cosine") >= SemdedupThreshold)
+      // ALL pair-level verdict inputs ride the SAME checkpoint job as a
+      // second observation (r18): the counts/sums feed the co-cluster and
+      // resolution verdicts, the two collect_sets are the orphan check's
+      // neighbor evidence — every qualifying pair involving a probe
+      // appears in this family (a neighbor with a SMALLER id than a
+      // probe is itself a probe: ids below [[SemdedupProbes]] are exactly
+      // the panel), so the neighbored-probe id set is ≤ probes values,
+      // the bounded-collect class. Sums coalesced: on a corpus with ZERO
+      // qualifying pairs NULL sums would vanish a verdict instead of
+      // TRUE — the NULL-verdict class the quality gate's totality fix
+      // closed.
+      .observe(pairObs,
+        count(lit(1)).as("n_probe_pairs"),
+        coalesce(sum(when(col("same_cell"), 1L).otherwise(0L)), lit(0L))
+          .as("n_coclustered"),
+        coalesce(sum(when(col("same_cell") &&
+            (col("a_dropped") || col("b_dropped")), 1L).otherwise(0L)),
+          lit(0L)).as("n_resolved"),
+        collect_set(when(col("same_cell") && col("a_dropped"), col("a")))
+          .as("nb_a"),
+        collect_set(when(col("same_cell") && col("b_dropped") &&
+          col("b") < SemdedupProbes, col("b"))).as("nb_b"))
       .localCheckpoint()
-    // sums coalesced: on a corpus with ZERO qualifying pairs the empty
-    // aggregate yields NULL sums, and NULL === NULL / NULL >= 0 would turn
-    // the verdicts NULL instead of TRUE — the NULL-verdict vanishing class
-    // the quality gate's totality fix closed
-    val pairStats = truePairs.agg(
-      count(lit(1)).as("n_probe_pairs"),
-      coalesce(sum(when(col("same_cell"), 1L).otherwise(0L)), lit(0L))
-        .as("n_coclustered"),
-      coalesce(sum(when(col("same_cell") && col("any_dropped"), 1L).otherwise(0L)),
-        lit(0L)).as("n_resolved"))
-    val docStats = flags.agg(
+    lazy val docFallback = flags.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(when(col("dropped"), 1L).otherwise(0L)), lit(0L)).as("n_dropped"),
       coalesce(sum(when(!col("dropped"), 1L).otherwise(0L)), lit(0L)).as("n_kept"))
+      .collect()(0)
+    import org.apache.spark.sql.GraftBridge.observedLong
+    val nDocs = observedLong(docObs, "n_docs")(docFallback.getAs[Long]("n_docs"))
+    val nDropped = observedLong(docObs, "n_dropped")(docFallback.getAs[Long]("n_dropped"))
+    val nKept = observedLong(docObs, "n_kept")(docFallback.getAs[Long]("n_kept"))
+    // pair-level verdict inputs off the checkpoint-job observation, with
+    // the recompute-over-the-checkpoint fallback (same contract as the
+    // doc stats above — truePairs is materialized either way)
+    val pairMetrics = org.apache.spark.sql.GraftBridge.observedMap(pairObs)
+    lazy val pairFallback = truePairs.agg(
+      count(lit(1)).as("n_probe_pairs"),
+      coalesce(sum(when(col("same_cell"), 1L).otherwise(0L)), lit(0L))
+        .as("n_coclustered"),
+      coalesce(sum(when(col("same_cell") &&
+          (col("a_dropped") || col("b_dropped")), 1L).otherwise(0L)),
+        lit(0L)).as("n_resolved"),
+      collect_set(when(col("same_cell") && col("a_dropped"), col("a")))
+        .as("nb_a"),
+      collect_set(when(col("same_cell") && col("b_dropped") &&
+        col("b") < SemdedupProbes, col("b"))).as("nb_b"))
+      .collect()(0)
+    def pairLong(k: String): Long =
+      pairMetrics.get(k).map(_.asInstanceOf[Long])
+        .getOrElse(pairFallback.getAs[Long](k))
+    def pairIds(k: String): Seq[Long] =
+      pairMetrics.get(k).map(_.asInstanceOf[Seq[Long]])
+        .getOrElse(pairFallback.getAs[Seq[Long]](k))
+    val nPairs = pairLong("n_probe_pairs")
+    val nCoclustered = pairLong("n_coclustered")
+    val nResolved = pairLong("n_resolved")
+    val neighboredIds = (pairIds("nb_a") ++ pairIds("nb_b")).toSet
     // every DROPPED PROBE must have a same-cell neighbor at >= threshold
-    // (drops only arise from such pairs — provable). This check is its
-    // own probe-anchored join, NOT a filter of truePairs: a dropped
-    // probe's only neighbor may carry a smaller id, and the ordered pair
-    // family above would miss it.
-    val neighbored = broadcast(flags.filter(col("vec_id") < SemdedupProbes)
-        .filter(col("dropped")).as("p"))
-      .join(flags.as("q"),
-        col("p.cell") === col("q.cell") && col("p.sub") === col("q.sub") &&
-          col("p.vec_id") =!= col("q.vec_id"))
-      .filter(round(expr("vec_dot(p.embedding, q.embedding)") /
-        (col("p.nrm") * col("q.nrm")), 4) >= SemdedupThreshold)
-      .select(col("p.vec_id").as("vec_id")).distinct()
-    val orphanDrops = flags.filter(col("dropped"))
-      .filter(col("vec_id") < SemdedupProbes)
-      .join(neighbored, Seq("vec_id"), "left_anti")
-      .agg(count(lit(1)).as("n_orphans"))
-    docStats.crossJoin(broadcast(pairStats)).crossJoin(broadcast(orphanDrops))
-      .select(
-        col("n_docs"), col("n_probe_pairs"),
-        (col("n_kept") + col("n_dropped") === col("n_docs")).as("conservation_ok"),
-        (col("n_resolved") === col("n_coclustered")).as("resolved_ok"),
-        (col("n_orphans") === 0L).as("dropped_have_neighbor_ok"),
-        (col("n_coclustered") * 100 >= col("n_probe_pairs") * SemdedupCoclusterFloorPct)
-          .as("coclustered_floor_ok"))
+    // (drops only arise from such pairs — provable). The dropped-probe
+    // side stays INDEPENDENT of the pair pass (the production FLAG path,
+    // observed on the flags scan above — ≤ [[SemdedupProbes]] ids), so
+    // the check still cross-examines the prune against the truth pairs
+    // rather than the pairs against themselves; the collect fallback
+    // keeps it correct if the async metric never lands.
+    val droppedProbeIds =
+      org.apache.spark.sql.GraftBridge.observationGetOrEmpty(docObs)
+        .get("dropped_probes")
+        .map(_.asInstanceOf[Seq[Long]].toSet)
+        .getOrElse(flags.filter(col("dropped"))
+          .filter(col("vec_id") < SemdedupProbes)
+          .select("vec_id").collect().map(_.getLong(0)).toSet)
+    val nOrphans = (droppedProbeIds -- neighboredIds).size.toLong
+    flags.sparkSession.range(1).select(
+      lit(nDocs).as("n_docs"),
+      lit(nPairs).as("n_probe_pairs"),
+      lit(nKept + nDropped == nDocs).as("conservation_ok"),
+      lit(nResolved == nCoclustered).as("resolved_ok"),
+      lit(nOrphans == 0L).as("dropped_have_neighbor_ok"),
+      lit(nCoclustered * 100 >= nPairs * SemdedupCoclusterFloorPct)
+        .as("coclustered_floor_ok"))
   }
 
   /** Fixed truth-probe panel size for [[semdedupPrune]]'s bookkeeping:

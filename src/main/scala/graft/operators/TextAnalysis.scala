@@ -485,8 +485,11 @@ object TextAnalysis {
       .localCheckpoint() // read by the name-dedupe leg and both key expansions
     val names = p.select(col("p_name").as("name")).distinct()
     val matched = editDistanceCandidates(names)
-      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("edit_dist") <= EditDistK)
+      // threshold form (r18): banded O(K·len) DP per candidate — exact
+      // for pairs within K, -1 past it (excluded by the filter either way)
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b"), EditDistK))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= EditDistK)
     val crossName = matched
       .join(p.select(col("p_name").as("name_a"), col("p_partkey").as("ka")), "name_a")
       .join(p.select(col("p_name").as("name_b"), col("p_partkey").as("kb")), "name_b")
@@ -574,8 +577,12 @@ object TextAnalysis {
     val matched = editProbeKeys(batch.select(col("name")).distinct())
       .join(segIndex, Seq("blk_len", "blk_i", "seg"))
       .select(col("name_a"), col("name_b")).distinct()
-      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("edit_dist") <= EditDistK)
+      // threshold form (r18): banded O(K·len) DP instead of the full
+      // O(len²) matrix per candidate — exact for every pair within K
+      // (the only rows that survive), -1 past it (excluded either way)
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b"), EditDistK))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= EditDistK)
       .groupBy(col("name_a").as("name"))
       .agg(count(lit(1)).as("n_matches"), min("edit_dist").as("best_dist"))
     batch.join(matched, Seq("name"), "left")
@@ -1329,11 +1336,16 @@ object TextAnalysis {
     * bigram dominating a source's mass is template/boilerplate text the
     * span-dedup pass (`dedup_spans`) should be tuned toward.
     *
-    * Shape at scale: one tokenize+shingle pass, one (source, bigram)
-    * partial-aggregated exchange, and a per-source rank — the window
-    * partitions by source (parallel across sources) and Spark plans the
-    * rank-≤-3 as `WindowGroupLimit`, so no source's full bigram list is
-    * ever sorted, only its running top-3.
+    * Shape at scale (r18): one tokenize+shingle pass, one (source,
+    * bigram) partial-aggregated exchange, then ONE source-keyed aggregate
+    * that computes the source's bigram mass AND its top-3 in the same
+    * pass — [[graft.functions.CountTopKAggregator]], the bounded
+    * (cnt desc, bg asc) top-k whose UTF-8-byte tie-break replicates the
+    * string SortOrder of the `row_number` window it replaced. The former
+    * `counts → window` + `counts → sum → join` pair planned the
+    * tokenize+shingle+count subtree TWICE (no exchange reuse across the
+    * differing parents) and paid a partition-local sort under the
+    * WindowGroupLimit; both are gone.
     */
   def ngramTopPerSource(s: SparkSession, d: String): DataFrame = {
     Tables.tuneSession(s)
@@ -1342,14 +1354,15 @@ object TextAnalysis {
       .select(col("source"),
         explode(Portable.shingles(Portable.tokens(col("text")), 2)).as("bg"))
       .groupBy("source", "bg").agg(count(lit(1)).as("cnt"))
-    val tot = counts.groupBy("source").agg(sum("cnt").as("tot"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("cnt").desc, col("bg").asc)
-    counts
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .join(tot, "source")
-      .select(col("source"), col("rank"), col("bg"), col("cnt"),
+    val tk = udaf(new graft.functions.CountTopKAggregator(3),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING))
+    counts.groupBy("source")
+      .agg(sum("cnt").as("tot"), tk(col("cnt"), col("bg")).as("tk"))
+      .select(col("source"), col("tot"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("s._2").as("bg"), col("s._1").as("cnt"),
         expr("cnt * 10000 div tot").as("share_bp"))
       .orderBy("source", "rank")
   }

@@ -118,6 +118,40 @@ object ServeDrill {
       rows += (("semdedup_serve", tBuild, tServe, n))
     }
 
+    if (chosen("ann_serve")) {
+      // The grown-index ANN serving legs (r18 — VERDICT r17 item 1's
+      // "×300 ServeDrill delta on grow/serve families"): build the
+      // trained-IVF index once over the big corpus, append one ~0.33%
+      // arrival batch under the frozen codebook, then time (min-of-3
+      // after a warm-up) BOTH serve forms over the ~1% probe slice —
+      // `ann_serve` = the base index serve (`serveCells`: cell join +
+      // cosine top-3) and `ann_serve_grown` = base ∪ appends with the
+      // batch-latest dedup (`serveCellsLatest`), the two paths whose
+      // rank windows the r18 bounded top-k fold replaced.
+      val idx = graft.operators.Scratch.tempParent("graft-servedrill-a").toString
+      val (tBuild, _) = time { Similarity.writeAnnIndex(spark, big, idx); 0L }
+      graft.functions.VecFunctions.register(spark)
+      val emb = graft.Tables.embeddings(spark, big)
+        .select(col("vec_id"), col("embedding"))
+      val codebook = Similarity.codebookFromDir(spark, idx)
+      val (tAppend, _) = time {
+        Similarity.annIndexAppendBatch(emb.filter(col("vec_id") % 300 === 7),
+          codebook, idx, 0L); 0L
+      }
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+      def serveBase(): Long =
+        Similarity.annFromIndex(spark, probes, idx).count()
+      def serveGrown(): Long =
+        Similarity.annFromIndexGrown(spark, probes, idx).count()
+      serveBase(); serveGrown() // warm-up
+      val (tServeB, nB) = Seq.fill(3)(time(serveBase())).minBy(_._1)
+      val (tServeG, nG) = Seq.fill(3)(time(serveGrown())).minBy(_._1)
+      println(f"[servedrill] ann_serve      build ${tBuild}%8.2fs  serve ${tServeB}%8.2fs  ($nB served; append ${tAppend}%.2fs)")
+      println(f"[servedrill] ann_serve_grown build ${tBuild}%7.2fs  serve ${tServeG}%8.2fs  ($nG served)")
+      rows += (("ann_serve", tBuild, tServeB, nB))
+      rows += (("ann_serve_grown", tBuild, tServeG, nG))
+    }
+
     val got = rows.result()
     val floors = readFloors(copies)
     val regressions = got.flatMap { case (name, _, tServe, _) =>

@@ -45,6 +45,20 @@ object GraftBridge {
     got.get(key).map(_.asInstanceOf[Long]).getOrElse(fallback)
   }
 
+  /** Bounded-wait read of ALL metrics off an [[Observation]] whose action
+    * (an eager localCheckpoint, typically) has already run — the
+    * multi-metric sibling of [[observedLong]] for observations that mix
+    * longs and collected sets. Returns the empty map if the listener
+    * never fires; callers fall back to a recompute. */
+  def observedMap(o: Observation): Map[String, Any] = {
+    var polls = 0
+    var got = o.getOrEmpty
+    while (got.isEmpty && polls < 100) {
+      Thread.sleep(10); got = o.getOrEmpty; polls += 1
+    }
+    got
+  }
+
   /** Unpersist the RDD behind a `localCheckpoint()`ed DataFrame. Iterative
     * algorithms (connected components) checkpoint each round; without this
     * the superseded rounds' blocks stay pinned until the session ends.
